@@ -1,0 +1,465 @@
+"""Deterministic fixture derivations (FIXTURES.md F1-F8).
+
+The reference's operators consume PostgreSQL statistics tables (statement
+counters, backends, relation stats, log lines, ...). The driver's test data
+is a TPC-H-ish star schema, so each fixture is *derived* from those base
+tables. The derivation is written once, as dialect-neutral SQL that parses
+identically in Spark SQL and DuckDB:
+
+  - Spark side: ``register_fixture_views(spark)`` materializes each fixture
+    as a temp view (base tables must be registered first, see
+    ``tables.register_views``).
+  - Oracle side: ``oracle_query(body, fixtures=[...])`` prepends the same
+    text as a WITH chain for DuckDB.
+
+Using one shared text eliminates semantic drift between the engine under
+test and its oracle. Dialect rules for this file:
+
+  - every aggregate carries an explicit CAST (DuckDB's SUM(BIGINT) returns
+    HUGEINT, Spark's returns BIGINT — CAST pins both);
+  - money/rate math goes through DECIMAL so sums are exact and
+    order-insensitive (float sums are not associative);
+  - only operators in the common dialect: %, ||, CASE, CAST, COALESCE,
+    standard aggregates. No engine hash functions (they differ) — identity
+    hashes are md5 hex, parsed to BIGINT per engine elsewhere.
+
+A fixture may override per dialect via a dict value {"spark": ..., "duckdb":
+...} when the common dialect genuinely cannot express it (JSON access).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# ---------------------------------------------------------------------------
+# F1 — statement_stats snapshots (pg_stat_statements shape)
+#
+# Reference shape: input/postgres/statements.go:38-44 (19 cumulative counter
+# columns keyed by database/user/queryid/toplevel); diff kernel consumes two
+# consecutive snapshots (runner/diff.go:38-74, input/full_1min.go:67-87).
+#
+# Derivation: key columns from orders, counters from lineitem aggregates.
+#   snap1 = lineitems with l_linenumber <= 3, keys with query_id % 7 != 0
+#           (so ~1/7 of keys are NEW in snap2 — new-statement path)
+#   snap2 = all lineitems; keys with query_id % 11 = 0 get small post-reset
+#           counters (cur < prev — counter-reset path, ST7)
+# All counter sums are integer- or decimal-exact, so both engines agree
+# bit-for-bit regardless of aggregation order.
+# ---------------------------------------------------------------------------
+
+_STMT_KEYED = """
+SELECT
+  o.o_orderkey % 5                  AS database_oid,
+  o.o_custkey % 50                  AS user_oid,
+  o.o_orderkey % 500                AS query_id,
+  o.o_orderkey % 2 = 0              AS toplevel,
+  l.l_partkey, l.l_suppkey, l.l_linenumber, l.l_quantity,
+  l.l_extendedprice, l.l_discount, l.l_tax
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+"""
+
+_STMT_AGG = """
+  CAST(COUNT(*) AS BIGINT)                                             AS calls,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))   AS total_time,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)                      AS rows,
+  CAST(SUM(l_partkey % 97) AS BIGINT)                                  AS shared_blks_hit,
+  CAST(SUM(l_suppkey % 53) AS BIGINT)                                  AS shared_blks_read,
+  CAST(SUM(l_linenumber) AS BIGINT)                                    AS shared_blks_dirtied,
+  CAST(SUM(l_partkey % 11) AS BIGINT)                                  AS shared_blks_written,
+  CAST(SUM(l_suppkey % 7) AS BIGINT)                                   AS local_blks_hit,
+  CAST(SUM(l_partkey % 5) AS BIGINT)                                   AS local_blks_read,
+  CAST(SUM(l_suppkey % 3) AS BIGINT)                                   AS local_blks_dirtied,
+  CAST(SUM(l_linenumber % 2) AS BIGINT)                                AS local_blks_written,
+  CAST(SUM(l_partkey % 13) AS BIGINT)                                  AS temp_blks_read,
+  CAST(SUM(l_suppkey % 17) AS BIGINT)                                  AS temp_blks_written,
+  CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * 100) AS DECIMAL(38,2))  AS blk_read_time,
+  CAST(SUM(CAST(l_tax AS DECIMAL(12,2)) * 100) AS DECIMAL(38,2))       AS blk_write_time
+"""
+
+STMT_SNAP1 = f"""
+SELECT database_oid, user_oid, query_id, toplevel,
+{_STMT_AGG}
+FROM ({_STMT_KEYED}) k
+WHERE l_linenumber <= 3 AND query_id % 7 <> 0
+GROUP BY database_oid, user_oid, query_id, toplevel
+"""
+
+# snap2: cumulative superset of snap1; reset keys (query_id % 11 = 0) are
+# rewritten to small "freshly reset" counters AFTER aggregation.
+STMT_SNAP2 = f"""
+SELECT database_oid, user_oid, query_id, toplevel,
+  CASE WHEN query_id % 11 = 0 THEN CAST(1 AS BIGINT) ELSE calls END                     AS calls,
+  CASE WHEN query_id % 11 = 0 THEN CAST(0.5 AS DECIMAL(38,2)) ELSE total_time END       AS total_time,
+  CASE WHEN query_id % 11 = 0 THEN CAST(1 AS BIGINT) ELSE rows END                      AS rows,
+  CASE WHEN query_id % 11 = 0 THEN query_id % 3 ELSE shared_blks_hit END                AS shared_blks_hit,
+  CASE WHEN query_id % 11 = 0 THEN query_id % 3 ELSE shared_blks_read END               AS shared_blks_read,
+  CASE WHEN query_id % 11 = 0 THEN query_id % 3 ELSE shared_blks_dirtied END            AS shared_blks_dirtied,
+  CASE WHEN query_id % 11 = 0 THEN query_id % 3 ELSE shared_blks_written END            AS shared_blks_written,
+  CASE WHEN query_id % 11 = 0 THEN query_id % 3 ELSE local_blks_hit END                 AS local_blks_hit,
+  CASE WHEN query_id % 11 = 0 THEN query_id % 3 ELSE local_blks_read END                AS local_blks_read,
+  CASE WHEN query_id % 11 = 0 THEN query_id % 3 ELSE local_blks_dirtied END             AS local_blks_dirtied,
+  CASE WHEN query_id % 11 = 0 THEN query_id % 3 ELSE local_blks_written END             AS local_blks_written,
+  CASE WHEN query_id % 11 = 0 THEN query_id % 3 ELSE temp_blks_read END                 AS temp_blks_read,
+  CASE WHEN query_id % 11 = 0 THEN query_id % 3 ELSE temp_blks_written END              AS temp_blks_written,
+  CASE WHEN query_id % 11 = 0 THEN CAST(0.25 AS DECIMAL(38,2)) ELSE blk_read_time END   AS blk_read_time,
+  CASE WHEN query_id % 11 = 0 THEN CAST(0.25 AS DECIMAL(38,2)) ELSE blk_write_time END  AS blk_write_time
+FROM (
+  SELECT database_oid, user_oid, query_id, toplevel,
+  {_STMT_AGG}
+  FROM ({_STMT_KEYED}) k
+  GROUP BY database_oid, user_oid, query_id, toplevel
+) full_agg
+"""
+
+# ---------------------------------------------------------------------------
+# F2 — statement_texts (query text per key)
+#
+# Reference: input/postgres/statements.go:46-48; sentinel texts at :70-76
+# ('<insufficient privilege>', collector-query prefix) and truncated-query
+# repair at util/query_text.go:26-42. Several textual variants per shape so
+# fingerprint grouping (A2) collapses many query_ids into one fingerprint.
+# ---------------------------------------------------------------------------
+
+STMT_TEXTS = """
+SELECT DISTINCT
+  o_orderkey % 5   AS database_oid,
+  o_custkey % 50   AS user_oid,
+  o_orderkey % 500 AS query_id,
+  o_orderkey % 2 = 0 AS toplevel,
+  CASE
+    WHEN o_orderkey % 500 % 13 = 0 THEN '<insufficient privilege>'
+    WHEN o_orderkey % 500 % 17 = 0 THEN '/* pganalyze-collector */ SELECT 1'
+    WHEN o_orderkey % 500 % 3 = 0 THEN
+      'SELECT * FROM orders WHERE o_orderkey = ' || CAST(o_orderkey % 500 AS STRING)
+    WHEN o_orderkey % 500 % 3 = 1 THEN
+      'SELECT COUNT(*) FROM lineitem WHERE l_partkey = ' || CAST(o_custkey % 50 AS STRING)
+      || ' AND l_quantity > ' || CAST(o_orderkey % 40 AS STRING)
+    ELSE
+      'UPDATE customer SET c_acctbal = ' || CAST(o_orderkey % 90 AS STRING)
+      || ' WHERE c_custkey = ''' || CAST(o_custkey % 50 AS STRING) || ''''
+  END AS query_text
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# F5 — backends (pg_stat_activity sample)
+#
+# Reference: input/postgres/backends.go:19-25 (synthetic identity from
+# backend_start epoch + zero-padded pid) and backend_counts.go:12-19.
+# Derivation: one backend row per event; state from event_type, waiting from
+# value threshold.
+# ---------------------------------------------------------------------------
+
+BACKENDS = """
+SELECT
+  event_id                              AS backend_id,
+  ts                                    AS backend_start,
+  CAST(user_id % 5 AS BIGINT)           AS database_oid,
+  CAST(user_id % 50 AS BIGINT)          AS role_oid,
+  CAST(1000 + user_id % 200 AS INT)     AS pid,
+  CASE event_type
+    WHEN 'error'    THEN 'idle'
+    WHEN 'click'    THEN 'active'
+    WHEN 'view'     THEN 'idle in transaction'
+    WHEN 'purchase' THEN 'active'
+    ELSE 'fastpath function call'
+  END                                   AS state,
+  CASE WHEN user_id % 20 = 0 THEN 'autovacuum worker'
+       WHEN user_id % 20 = 1 THEN 'walsender'
+       ELSE 'client backend' END        AS backend_type,
+  value > 30.0                          AS waiting,
+  CAST(event_id % 100000 AS BIGINT)     AS backend_xmin_age,
+  'app-' || CAST(user_id % 7 AS STRING) AS application_name,
+  'q-' || CAST(event_id % 300 AS STRING) AS query
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# F7a — database_stats snapshots (pg_stat_database shape)
+#
+# Reference: input/postgres/databases.go:11-32 (LEFT JOIN + frozenxid age
+# CASE); diff at runner/diff.go:167-185. Counters from orders sums; gauges
+# (ages) pass through. snap1 aggregates the o_orderkey%10<7 subset so snap2
+# strictly dominates.
+# ---------------------------------------------------------------------------
+
+_DB_STATS_AGG = """
+SELECT
+  o_orderkey % 5                                     AS database_oid,
+  CAST(COUNT(*) AS BIGINT)                           AS xact_commit,
+  CAST(SUM(o_orderkey % 3) AS BIGINT)                AS xact_rollback,
+  CAST(SUM(o_custkey % 7) AS BIGINT)                 AS temp_files,
+  CAST(SUM(o_custkey % 1000) * 8192 AS BIGINT)       AS temp_bytes,
+  CAST(MAX(o_orderkey % 100000) AS BIGINT)           AS frozenxid_age,
+  CAST(MAX(o_custkey % 50000) AS BIGINT)             AS minmxid_age
+FROM orders
+"""
+
+DB_STATS_SNAP1 = _DB_STATS_AGG + " WHERE o_orderkey % 10 < 7 GROUP BY o_orderkey % 5"
+DB_STATS_SNAP2 = _DB_STATS_AGG + " GROUP BY o_orderkey % 5"
+
+DATABASES = """
+SELECT DISTINCT
+  o_orderkey % 5                       AS database_oid,
+  'db_' || CAST(o_orderkey % 5 AS STRING) AS database_name,
+  CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE (o_orderkey % 5) * 1000 END AS datfrozenxid
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# F7b — settings rows (pg_settings shape, pre-dedup)
+#
+# Reference: input/postgres/settings.go:17-31 — DISTINCT ON (name) ordered by
+# source priority, plus primary_conninfo redaction. Multiple rows per name
+# with differing sources; p_name is unique per row so (priority, setting) is
+# a deterministic total order within a name.
+# ---------------------------------------------------------------------------
+
+SETTINGS_ROWS = """
+SELECT
+  CASE WHEN p_partkey % 100 = 0 THEN 'primary_conninfo' ELSE 'setting_' || p_brand END AS name,
+  CASE WHEN p_partkey % 100 = 0
+       THEN 'host=10.0.0.' || CAST(p_partkey % 255 AS STRING) || ' password=secret' || CAST(p_partkey AS STRING)
+       ELSE p_name END                      AS setting,
+  CASE p_size % 5
+    WHEN 0 THEN 'default' WHEN 1 THEN 'configuration file' WHEN 2 THEN 'database'
+    WHEN 3 THEN 'user' ELSE 'session' END   AS source,
+  CAST(p_size % 5 AS INT)                   AS priority,
+  CASE WHEN p_size % 3 = 0 THEN 'postmaster' ELSE 'user' END AS context
+FROM part
+"""
+
+# ---------------------------------------------------------------------------
+# F3 — relation_stats snapshots (per-table statistics)
+#
+# Reference: input/postgres/relation_stats.go:50-105; diff semantics at
+# state/postgres_relation_stats.go:60-152 (counters subtracted, gauges pass
+# through). relation_oid = p_partkey; counters from lineitem sums; locked
+# placeholder rows (exclusively_locked, relation_stats.go:106-148) for
+# p_partkey % 97 = 0; keys with p_partkey % 9 = 0 absent from snap1
+# (new-relation path).
+# ---------------------------------------------------------------------------
+
+_REL_AGG = """
+SELECT
+  l_partkey                                          AS relation_oid,
+  CAST(SUM(l_suppkey % 19) AS BIGINT)                AS seq_scan,
+  CAST(SUM(l_suppkey % 23) AS BIGINT)                AS seq_tup_read,
+  CAST(SUM(l_partkey % 29) AS BIGINT)                AS idx_scan,
+  CAST(SUM(l_partkey % 31) AS BIGINT)                AS idx_tup_fetch,
+  CAST(COUNT(*) AS BIGINT)                           AS n_tup_ins,
+  CAST(SUM(l_linenumber % 4) AS BIGINT)              AS n_tup_upd,
+  CAST(SUM(l_linenumber % 2) AS BIGINT)              AS n_tup_del,
+  CAST(SUM(l_suppkey % 5) AS BIGINT)                 AS heap_blks_read,
+  CAST(SUM(l_suppkey % 11) AS BIGINT)                AS heap_blks_hit,
+  CAST(SUM(l_partkey % 7) AS BIGINT)                 AS idx_blks_read,
+  CAST(SUM(l_partkey % 3) AS BIGINT)                 AS idx_blks_hit,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) * 8192 AS BIGINT) AS size_bytes,
+  CAST(COUNT(*) * 3 AS BIGINT)                       AS n_live_tup,
+  CAST(SUM(l_linenumber % 3) AS BIGINT)              AS n_dead_tup
+FROM lineitem
+"""
+
+RELATION_SNAP1 = f"""
+SELECT * FROM ({_REL_AGG} WHERE l_linenumber <= 2 GROUP BY l_partkey) r
+WHERE relation_oid % 9 <> 0
+"""
+RELATION_SNAP2 = f"{_REL_AGG} GROUP BY l_partkey"
+
+RELATION_META = """
+SELECT
+  p_partkey                                   AS relation_oid,
+  'public'                                    AS schema_name,
+  'rel_' || CAST(p_partkey AS STRING)         AS table_name,
+  CASE WHEN p_partkey % 7 = 0 THEN 'p' ELSE 'r' END AS relation_type,
+  CASE WHEN p_partkey % 7 = 1 THEN p_partkey - 1 ELSE NULL END AS parent_relid,
+  p_partkey % 97 = 0                          AS exclusively_locked,
+  p_brand                                     AS owner_brand
+FROM part
+"""
+
+# ---------------------------------------------------------------------------
+# F7c — pg_stat_io snapshots (S8/A7/P9)
+# Key: (backend_type, io_object, io_context); counters from lineitem.
+# ---------------------------------------------------------------------------
+
+_IO_AGG = """
+SELECT
+  l_returnflag                          AS backend_type,
+  l_linestatus                          AS io_object,
+  'ctx' || CAST(l_linenumber % 3 AS STRING) AS io_context,
+  CAST(SUM(l_partkey % 41) AS BIGINT)   AS reads,
+  CAST(SUM(l_suppkey % 43) AS BIGINT)   AS writes,
+  CAST(SUM(l_partkey % 47) AS BIGINT)   AS extends,
+  CAST(SUM(l_suppkey % 13) AS BIGINT)   AS hits,
+  CAST(SUM(l_linenumber % 5) AS BIGINT) AS evictions,
+  CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * 1000) AS DECIMAL(38,2)) AS read_time,
+  CAST(SUM(CAST(l_tax AS DECIMAL(12,2)) * 1000) AS DECIMAL(38,2))      AS write_time
+FROM lineitem
+"""
+
+IO_SNAP1 = _IO_AGG + " WHERE l_orderkey % 10 < 7 GROUP BY 1, 2, 3"
+IO_SNAP2 = _IO_AGG + " GROUP BY 1, 2, 3"
+
+# ---------------------------------------------------------------------------
+# F7d — OS metric snapshots (A5 cpu percentages, A6 disk/network rates)
+# Reference: state/system.go:317-381. Decimal sums keep the diff exact; the
+# percentage/rate division happens in DOUBLE on both sides.
+# ---------------------------------------------------------------------------
+
+_CPU_AGG = """
+SELECT
+  CAST(user_id % 8 AS INT)                                          AS cpu_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2))          AS user_secs,
+  CAST(SUM(CAST(event_id % 17 AS DECIMAL(18,2))) AS DECIMAL(38,2))  AS system_secs,
+  CAST(SUM(CAST(event_id % 29 AS DECIMAL(18,2))) AS DECIMAL(38,2))  AS idle_secs,
+  CAST(SUM(CAST(event_id % 7 AS DECIMAL(18,2))) AS DECIMAL(38,2))   AS iowait_secs
+FROM events
+"""
+
+CPU_SNAP1 = _CPU_AGG + " WHERE event_id % 10 < 6 GROUP BY 1"
+CPU_SNAP2 = _CPU_AGG + " GROUP BY 1"
+
+_DISK_AGG = """
+SELECT
+  'disk' || CAST(user_id % 4 AS STRING)               AS device,
+  CAST(SUM(event_id % 101) AS BIGINT)                 AS read_ops,
+  CAST(SUM(event_id % 103) AS BIGINT)                 AS write_ops,
+  CAST(SUM(event_id % 512) * 512 AS BIGINT)           AS read_bytes,
+  CAST(SUM(event_id % 256) * 512 AS BIGINT)           AS write_bytes,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS io_time_ms
+FROM events
+"""
+
+DISK_SNAP1 = _DISK_AGG + " WHERE event_id % 10 < 6 GROUP BY 1"
+DISK_SNAP2 = _DISK_AGG + " GROUP BY 1"
+
+# ---------------------------------------------------------------------------
+# F6 — log_raw: the raw log-line stream
+#
+# Reference input shape: text lines with prefix '%m [%p] [user=%u,db=%d,
+# app=%a] ' (LogPrefixCustom3-like, logs/parse.go:24,42), parsed into
+# state/logs.go:130-170. Rendered from events so volume scales with sf:
+#   - one primary line per event (level/content by event_type)
+#   - STATEMENT secondary for errors (secret-bearing, association W4)
+#   - DETAIL secondary for purchases (parameters, W4)
+#   - unprefixed continuation line for some views (stitching W3)
+# seq = event_id*10 + subline gives a stable total order per pid.
+# Only the timestamp rendering differs per dialect (date_format/strftime).
+# ---------------------------------------------------------------------------
+
+def _log_raw_sql(dialect: str) -> str:
+    if dialect == "spark":
+        ts = "date_format(ts, 'yyyy-MM-dd HH:mm:ss') || ' UTC'"
+    else:
+        ts = "strftime(ts, '%Y-%m-%d %H:%M:%S') || ' UTC'"
+    prefix = (
+        f"{ts} || ' [' || CAST(1000 + user_id % 200 AS STRING) || ']'"
+        " || ' [user=u' || CAST(user_id % 50 AS STRING)"
+        " || ',db=db_' || CAST(user_id % 5 AS STRING)"
+        " || ',app=app-' || CAST(user_id % 7 AS STRING) || '] '"
+    )
+    return f"""
+SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
+       event_id * 10 AS seq,
+       {prefix} ||
+       CASE event_type
+         WHEN 'error' THEN 'ERROR:  canceling statement due to statement timeout'
+         WHEN 'click' THEN 'LOG:  duration: ' || CAST(CAST(value AS DECIMAL(12,2)) AS STRING)
+              || ' ms  statement: SELECT * FROM events WHERE user_id = ' || CAST(user_id AS STRING)
+         WHEN 'view' THEN 'LOG:  checkpoint complete: wrote ' || CAST(event_id % 5000 AS STRING)
+              || ' buffers (' || CAST(CAST(event_id % 100 AS DECIMAL(5,1)) AS STRING) || '%)'
+         WHEN 'purchase' THEN 'LOG:  automatic vacuum of table "db_' || CAST(user_id % 5 AS STRING)
+              || '.public.rel_' || CAST(event_id % 300 AS STRING) || '": index scans: '
+              || CAST(event_id % 4 AS STRING)
+         ELSE 'LOG:  connection received: host=10.0.0.' || CAST(user_id % 255 AS STRING)
+              || ' port=' || CAST(40000 + event_id % 10000 AS STRING)
+       END AS raw_line
+FROM events
+
+UNION ALL
+
+SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
+       event_id * 10 + 1 AS seq,
+       {prefix} || 'STATEMENT:  SELECT balance FROM accounts WHERE token = ''tok_'
+       || CAST(user_id AS STRING) || '''' AS raw_line
+FROM events WHERE event_type = 'error'
+
+UNION ALL
+
+SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
+       event_id * 10 + 1 AS seq,
+       {prefix} || 'DETAIL:  parameters: $1 = ''' || CAST(event_id % 1000 AS STRING)
+       || '''' AS raw_line
+FROM events WHERE event_type = 'purchase'
+
+UNION ALL
+
+SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
+       event_id * 10 + 1 AS seq,
+       CAST(CHAR(9) AS STRING) || 'continuation detail line ' || CAST(event_id AS STRING) AS raw_line
+FROM events WHERE event_type = 'view' AND user_id % 5 = 0
+"""
+
+
+ALL_FIXTURES: dict[str, str | dict[str, str]] = {
+    "log_raw": {"spark": _log_raw_sql("spark"), "duckdb": _log_raw_sql("duckdb")},
+    "stmt_snap1": STMT_SNAP1,
+    "stmt_snap2": STMT_SNAP2,
+    "stmt_texts": STMT_TEXTS,
+    "backends": BACKENDS,
+    "db_stats_snap1": DB_STATS_SNAP1,
+    "db_stats_snap2": DB_STATS_SNAP2,
+    "databases": DATABASES,
+    "settings_rows": SETTINGS_ROWS,
+    "relation_snap1": RELATION_SNAP1,
+    "relation_snap2": RELATION_SNAP2,
+    "relation_meta": RELATION_META,
+    "io_snap1": IO_SNAP1,
+    "io_snap2": IO_SNAP2,
+    "cpu_snap1": CPU_SNAP1,
+    "cpu_snap2": CPU_SNAP2,
+    "disk_snap1": DISK_SNAP1,
+    "disk_snap2": DISK_SNAP2,
+}
+
+FIXTURES = ALL_FIXTURES  # public alias
+
+
+def _dialect_sql(name: str, dialect: str) -> str:
+    body = ALL_FIXTURES[name]
+    if isinstance(body, dict):
+        body = body[dialect]
+    # Spark's STRING type spells VARCHAR in DuckDB; keep fixture text in
+    # Spark dialect and translate the one divergent keyword for DuckDB.
+    if dialect == "duckdb":
+        body = body.replace("AS STRING", "AS VARCHAR")
+    return body
+
+
+def fixture_cte(names: list[str], dialect: str) -> str:
+    """Render the WITH chain for the given fixtures in dependency order."""
+    parts = [f"{n} AS ({_dialect_sql(n, dialect)})" for n in names]
+    return "WITH " + ",\n".join(parts)
+
+
+def oracle_query(body: str, fixtures: list[str] | None = None) -> str:
+    """DuckDB oracle SQL: fixture CTEs + operator body.
+
+    If the body carries its own WITH chain, the fixture CTEs are merged into
+    it (SQL allows a single WITH clause per query level).
+    """
+    if not fixtures:
+        return body
+    prelude = fixture_cte(fixtures, "duckdb")
+    stripped = body.lstrip()
+    if stripped.upper().startswith("WITH "):
+        return f"{prelude},\n{stripped[5:]}"
+    return f"{prelude}\n{body}"
+
+
+def register_fixture_views(spark: SparkSession, names: list[str] | None = None) -> None:
+    """Materialize fixtures as Spark temp views (base views must exist)."""
+    for name in names or list(ALL_FIXTURES):
+        spark.sql(_dialect_sql(name, "spark")).createOrReplaceTempView(name)

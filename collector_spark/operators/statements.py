@@ -1,0 +1,144 @@
+"""Statement-statistics pipeline — the collector's flagship computation.
+
+Covers SURVEY.md §2 operators:
+  A1  counter diff per key           (state/postgres_statement.go:65-83)
+  J2  new-vs-previous snapshot join  (runner/diff.go:38-74)
+  ST7 counter-reset re-seed          (input/postgres/statements.go:78-126)
+  P8  zero-call delta filter         (input/full_1min.go:81-84)
+  J1  stats-to-texts join w/ unavailable fallback
+                                     (output/transform/postgres_statements.go:17-26)
+  P6  collector-query filter         (input/postgres/statements.go:70-72)
+  A2  roll-up by fingerprint w/ contributing query_ids
+                                     (output/transform/postgres_statements.go:13-55)
+
+Shapes over the F1/F2 fixtures (collector_spark.fixtures.defs). Both the
+Spark plan and the DuckDB oracle SQL are generated from the same column
+lists below, so they cannot drift.
+
+Scale notes: the diff is one key-partitioned join (see core.diff); the text
+join is a second join on the same 4-column key — at scale, repartitioning
+the diff output once by key and reusing that partitioning for the text join
+avoids a second full shuffle. The rollup is a partial-aggregatable groupBy
+(map-side combine) on a lower-cardinality key (fingerprints << query_ids).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from collector_spark.core.diff import diff_counters, oracle_diff_sql
+from collector_spark.functions.fingerprint import (
+    fingerprint,
+    is_collector_query,
+    normalize_query,
+    oracle_fingerprint,
+    oracle_normalize,
+)
+
+KEYS = ["database_oid", "user_oid", "query_id", "toplevel"]
+COUNTERS = [
+    "calls",
+    "total_time",
+    "rows",
+    "shared_blks_hit",
+    "shared_blks_read",
+    "shared_blks_dirtied",
+    "shared_blks_written",
+    "local_blks_hit",
+    "local_blks_read",
+    "local_blks_dirtied",
+    "local_blks_written",
+    "temp_blks_read",
+    "temp_blks_written",
+    "blk_read_time",
+    "blk_write_time",
+]
+# exact-decimal counters (cast to DOUBLE only at query output)
+DECIMALS = {"total_time", "blk_read_time", "blk_write_time"}
+
+
+def statement_diff(spark: SparkSession) -> DataFrame:
+    """A1/J2/ST7/P8: per-key deltas of snap2 against snap1 (decimal-exact)."""
+    cur = spark.table("stmt_snap2")
+    prev = spark.table("stmt_snap1")
+    d = diff_counters(cur, prev, KEYS, COUNTERS, reset_col="calls")
+    return d.filter(F.col("calls") > 0)
+
+
+def statement_diff_q(spark: SparkSession) -> DataFrame:
+    """Query-facing variant: decimals rendered as DOUBLE."""
+    d = statement_diff(spark)
+    cols = [F.col(k) for k in KEYS] + [
+        (F.col(c).cast("double") if c in DECIMALS else F.col(c)).alias(c) for c in COUNTERS
+    ]
+    return d.select(*cols).orderBy(*KEYS)
+
+
+def statement_rollup(spark: SparkSession) -> DataFrame:
+    """J1/P6/A2: join texts, fingerprint, roll up by fingerprint group."""
+    d = statement_diff(spark)
+    texts = spark.table("stmt_texts")
+    # texts is a small dimension relative to the stats fact at scale —
+    # broadcast it so the rollup needs no extra shuffle for the join.
+    j = d.join(F.broadcast(texts), on=KEYS, how="left")
+    j = j.filter(~F.coalesce(is_collector_query(F.col("query_text")), F.lit(False)))
+    j = j.withColumn("fingerprint", fingerprint(F.col("query_text"))).withColumn(
+        "normalized_query", normalize_query(F.col("query_text"))
+    )
+    group = ["database_oid", "user_oid", "fingerprint", "toplevel"]
+    aggs = [
+        (
+            F.sum(c).cast("double") if c in DECIMALS else F.sum(c).cast("long")
+        ).alias(c)
+        for c in COUNTERS
+    ] + [
+        F.array_join(
+            F.transform(F.sort_array(F.collect_set("query_id")), lambda x: x.cast("string")),
+            ",",
+        ).alias("query_ids"),
+        F.min("normalized_query").alias("normalized_query"),
+    ]
+    return j.groupBy(*group).agg(*aggs).orderBy(*group)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (generated from the same column lists)
+# ---------------------------------------------------------------------------
+
+def _diff_sql(render_double: bool) -> str:
+    inner = oracle_diff_sql(
+        "stmt_snap2",
+        "stmt_snap1",
+        KEYS,
+        COUNTERS,
+        reset_col="calls",
+        double_cols=DECIMALS if render_double else frozenset(),
+    )
+    return f"SELECT * FROM ({inner}) dd WHERE calls > 0"
+
+
+def oracle_statement_diff() -> str:
+    keys = ", ".join(KEYS)
+    return f"SELECT * FROM ({_diff_sql(render_double=True)}) d ORDER BY {keys}"
+
+
+def oracle_statement_rollup() -> str:
+    sums = ", ".join(
+        f"CAST(SUM(d.{c}) AS {'DOUBLE' if c in DECIMALS else 'BIGINT'}) AS {c}" for c in COUNTERS
+    )
+    fp = oracle_fingerprint("t.query_text")
+    norm = oracle_normalize("t.query_text")
+    keys = ", ".join(KEYS)
+    return f"""
+WITH stmt_diff AS ({_diff_sql(render_double=False)})
+SELECT d.database_oid, d.user_oid, {fp} AS fingerprint, d.toplevel,
+  {sums},
+  array_to_string(list_sort(list(DISTINCT d.query_id)), ',') AS query_ids,
+  MIN({norm}) AS normalized_query
+FROM stmt_diff d
+LEFT JOIN stmt_texts t USING ({keys})
+WHERE t.query_text IS NULL OR t.query_text NOT LIKE '/* pganalyze-collector */%'
+GROUP BY d.database_oid, d.user_oid, {fp}, d.toplevel
+ORDER BY d.database_oid, d.user_oid, fingerprint, d.toplevel
+"""

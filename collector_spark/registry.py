@@ -1,0 +1,82 @@
+"""Central query registry — the bridge to the driver contract.
+
+Every implemented operator registers here with (a) a Spark callable that
+assumes base-table + fixture temp views exist, (b) the DuckDB oracle SQL (or
+None for non-SQL-expressible ops — the driver then records a rows-only
+check), and (c) the fixture CTEs its oracle needs. ``__spark_entry__.py``
+adapts this registry to the driver's ``queries()`` / ``oracle_sql()``
+surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from collector_spark import tables
+from collector_spark.fixtures.defs import oracle_query, register_fixture_views
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession], DataFrame]
+    oracle: str | None = None
+    fixtures: list[str] = field(default_factory=list)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    spark_fn: Callable[[SparkSession], DataFrame],
+    oracle: str | None = None,
+    fixtures: list[str] | None = None,
+) -> None:
+    REGISTRY[name] = Query(name, spark_fn, oracle, fixtures or [])
+
+
+_PREPARED: set[tuple[int, str]] = set()
+
+
+def prepare(spark: SparkSession, sf_dir: str) -> None:
+    """Register base-table and fixture views for this (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    if key in _PREPARED:
+        return
+    tables.register_views(spark, sf_dir)
+    register_fixture_views(spark)
+    _PREPARED.add(key)
+    # a new sf_dir invalidates any previous registration for this session
+    for k in list(_PREPARED):
+        if k[0] == id(spark) and k[1] != sf_dir:
+            _PREPARED.discard(k)
+
+
+def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def adapt(q: Query) -> Callable[[SparkSession, str], DataFrame]:
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # always re-register: the driver may call with varying sf_dir
+            tables.register_views(spark, sf_dir)
+            register_fixture_views(spark)
+            return q.spark_fn(spark)
+
+        return run
+
+    return {name: adapt(q) for name, q in REGISTRY.items()}
+
+
+def driver_oracle_sql() -> dict[str, str]:
+    return {
+        name: oracle_query(q.oracle, q.fixtures)
+        for name, q in REGISTRY.items()
+        if q.oracle is not None
+    }
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from collector_spark import queries_catalog  # noqa: F401

@@ -1,0 +1,58 @@
+"""Typed loaders for the synthetic test tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under an ``sf_dir``.
+
+Loaders return plain DataFrames; Catalyst handles column pruning and filter
+pushdown into the parquet scan, so callers should select/filter on the
+result rather than asking for pre-projected variants.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The driver's parquet uses TIMESTAMP(NANOS), which Spark rejects by default
+# and DuckDB silently coerces to microseconds (floor). We read nanos as LONG
+# (legacy conf) and floor-divide to microseconds so both engines see the
+# identical instant.
+_TS_COLS = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+def load(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
+    if name not in TABLE_NAMES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every base table as a temp view (for the SQL-facing surface)."""
+    for name in TABLE_NAMES:
+        load(spark, name, sf_dir).createOrReplaceTempView(name)
