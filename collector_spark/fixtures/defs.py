@@ -398,7 +398,7 @@ UNION ALL
 
 SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
        event_id * 10 + 1 AS seq,
-       CAST(CHAR(9) AS STRING) || 'continuation detail line ' || CAST(event_id AS STRING) AS raw_line
+       chr(9) || 'continuation detail line ' || CAST(event_id AS STRING) AS raw_line
 FROM events WHERE event_type = 'view' AND user_id % 5 = 0
 """
 

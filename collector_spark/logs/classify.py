@@ -1,0 +1,162 @@
+"""U7 — log-event classification rule engine.
+
+The reference classifies ~110 event types with prefix-bucketed regex
+dispatch (logs/analyze.go:33-1183, dispatch at :2078-2213): a literal
+prefix check short-circuits before the (expensive) regex runs. Here the
+rule table is DATA, and both the Spark when-chain and the DuckDB oracle
+CASE are generated from it — same pattern, two renderings, zero drift.
+Everything stays JVM-side (startswith + regexp_extract inside whole-stage
+codegen); Catalyst will not reorder regex cost itself (SURVEY.md §4), so
+the prefix short-circuit is encoded explicitly in each branch.
+
+Details are extracted into typed columns (detail_num DOUBLE, detail_text)
+rather than a map so the oracle can compare them value-by-value.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from collector_spark.logs.stitch import stitch_lines
+
+
+@dataclass(frozen=True)
+class Rule:
+    prefix: str          # literal short-circuit (analyze.go:2195-2202)
+    regex: str           # classification + capture regex
+    classification: str
+    num_group: int = 0   # capture group for detail_num (0 = none)
+    text_group: int = 0  # capture group for detail_text (0 = none)
+
+
+RULES: list[Rule] = [
+    Rule(
+        "canceling statement due to statement timeout",
+        r"^canceling statement due to statement timeout",
+        "QUERY_CANCELED_TIMEOUT",
+    ),
+    Rule(
+        "duration: ",
+        r"^duration: ([0-9.]+) ms +(statement|execute [^:]*): (.*)",
+        "STATEMENT_DURATION",
+        num_group=1,
+        text_group=3,
+    ),
+    Rule(
+        "checkpoint complete",
+        r"^checkpoint complete: wrote ([0-9]+) buffers \(([0-9.]+)%\)",
+        "CHECKPOINT_COMPLETE",
+        num_group=1,
+    ),
+    Rule(
+        "automatic vacuum of table",
+        r'^automatic vacuum of table "([^"]+)": index scans: ([0-9]+)',
+        "AUTOVACUUM_COMPLETED",
+        num_group=2,
+        text_group=1,
+    ),
+    Rule(
+        "connection received",
+        r"^connection received: host=([^ ]+) port=([0-9]+)",
+        "CONNECTION_RECEIVED",
+        num_group=2,
+        text_group=1,
+    ),
+]
+
+PRIMARY_LEVELS = ("LOG", "ERROR", "FATAL", "WARNING", "PANIC", "NOTICE")
+
+
+def _match(rule: Rule) -> Column:
+    return F.col("content").startswith(rule.prefix) & F.col("content").rlike(rule.regex)
+
+
+def classify(spark: SparkSession) -> DataFrame:
+    lines = stitch_lines(spark).filter(F.col("log_level").isin(*PRIMARY_LEVELS))
+
+    cls: Column = F.lit("UNCLASSIFIED")
+    num: Column = F.lit(None).cast("double")
+    txt: Column = F.lit(None).cast("string")
+    for r in reversed(RULES):
+        m = _match(r)
+        cls = F.when(m, F.lit(r.classification)).otherwise(cls)
+        num = F.when(
+            m,
+            F.regexp_extract(F.col("content"), r.regex, r.num_group).cast("double")
+            if r.num_group
+            else F.lit(None).cast("double"),
+        ).otherwise(num)
+        txt = F.when(
+            m,
+            F.regexp_extract(F.col("content"), r.regex, r.text_group)
+            if r.text_group
+            else F.lit(None).cast("string"),
+        ).otherwise(txt)
+
+    return lines.select(
+        "pid",
+        "seq",
+        "log_level",
+        cls.alias("classification"),
+        num.alias("detail_num"),
+        txt.alias("detail_text"),
+    )
+
+
+def classify_q(spark: SparkSession) -> DataFrame:
+    return classify(spark).orderBy("pid", "seq")
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def oracle_classify(stitched_cte: str) -> str:
+    levels = ", ".join(f"'{lv}'" for lv in PRIMARY_LEVELS)
+
+    def match(r: Rule) -> str:
+        p = _sql_quote(r.prefix)
+        rx = _sql_quote(r.regex)
+        return (
+            f"starts_with(content, '{p}') AND regexp_matches(content, '{rx}')"
+        )
+
+    cls = "CASE " + " ".join(
+        f"WHEN {match(r)} THEN '{r.classification}'" for r in RULES
+    ) + " ELSE 'UNCLASSIFIED' END"
+    num = "CASE " + " ".join(
+        (
+            f"WHEN {match(r)} THEN "
+            + (
+                f"CAST(regexp_extract(content, '{_sql_quote(r.regex)}', {r.num_group}) AS DOUBLE)"
+                if r.num_group
+                else "CAST(NULL AS DOUBLE)"
+            )
+        )
+        for r in RULES
+    ) + " ELSE CAST(NULL AS DOUBLE) END"
+    txt = "CASE " + " ".join(
+        (
+            f"WHEN {match(r)} THEN "
+            + (
+                f"regexp_extract(content, '{_sql_quote(r.regex)}', {r.text_group})"
+                if r.text_group
+                else "CAST(NULL AS VARCHAR)"
+            )
+        )
+        for r in RULES
+    ) + " ELSE CAST(NULL AS VARCHAR) END"
+
+    return f"""
+WITH stitched AS ({stitched_cte})
+SELECT pid, seq, log_level,
+  {cls} AS classification,
+  {num} AS detail_num,
+  {txt} AS detail_text
+FROM stitched
+WHERE log_level IN ({levels})
+ORDER BY pid, seq
+"""

@@ -1,0 +1,68 @@
+"""U9 — log_line_prefix compiler (logs/parse.go:59-184,376-432).
+
+PostgreSQL's ``log_line_prefix`` is a printf-style template; the reference
+compiles it into one capture regex in the driver process and swaps it when
+settings change. Same here: compile once, pass the regex string into the
+(JVM-side) regexp functions — never a per-row Python UDF.
+
+Supported escapes (the ones the reference handles for its recommended
+prefixes): %m %t %p %l %u %d %a %h %e %q %%.
+"""
+
+from __future__ import annotations
+
+import re
+
+# regex fragment per escape; capture-group name per escape (None = no group)
+_ESCAPES: dict[str, tuple[str, str | None]] = {
+    "m": (r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(?:\.\d+)? [A-Z]+)", "occurred_at"),
+    "t": (r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} [A-Z]+)", "occurred_at"),
+    "p": (r"(\d+)", "pid"),
+    "l": (r"(\d+)", "line_no"),
+    "u": (r"([^,\]\s]*)", "username"),
+    "d": (r"([^,\]\s]*)", "database"),
+    "a": (r"([^,\]\s]*)", "application"),
+    "h": (r"([^,\]\s]*)", "host"),
+    "e": (r"([0-9A-Z]{5})", "sqlstate"),
+}
+
+LEVELS = (
+    "DEBUG5|DEBUG4|DEBUG3|DEBUG2|DEBUG1|DEBUG|INFO|NOTICE|WARNING|ERROR|"
+    "LOG|FATAL|PANIC|DETAIL|HINT|CONTEXT|STATEMENT|QUERY"
+)
+
+# The prefix used by the log_raw fixture ('LogPrefixCustom3'-like,
+# logs/parse.go:24,42 in the reference).
+DEFAULT_PREFIX = "%m [%p] [user=%u,db=%d,app=%a] "
+
+
+def compile_prefix(prefix: str = DEFAULT_PREFIX) -> tuple[str, list[str]]:
+    """Translate a log_line_prefix template into (regex, group names).
+
+    The returned regex has one trailing group pair for LEVEL and content;
+    group order = returned names + ['log_level', 'content'].
+    """
+    out: list[str] = ["^"]
+    groups: list[str] = []
+    i = 0
+    while i < len(prefix):
+        ch = prefix[i]
+        if ch == "%" and i + 1 < len(prefix):
+            esc = prefix[i + 1]
+            if esc == "%":
+                out.append(re.escape("%"))
+            elif esc == "q":
+                pass  # %q: rest only present for non-session processes; treat as optional boundary
+            elif esc in _ESCAPES:
+                frag, name = _ESCAPES[esc]
+                out.append(frag)
+                if name:
+                    groups.append(name)
+            else:
+                out.append(re.escape("%" + esc))
+            i += 2
+            continue
+        out.append(re.escape(ch))
+        i += 1
+    out.append(f"({LEVELS}):  ?(.*)$")
+    return "".join(out), groups + ["log_level", "content"]

@@ -7,6 +7,12 @@ check coverage line by line.
 
 from __future__ import annotations
 
+from collector_spark.logs import pipeline as log_pipeline
+from collector_spark.logs.associate import associate_secondaries_q
+from collector_spark.logs.classify import classify_q
+from collector_spark.logs.parse import parse_lines_q
+from collector_spark.logs.redact import redact_secondaries_q
+from collector_spark.logs.stitch import stitch_lines_q
 from collector_spark.operators import (
     backends,
     databases,
@@ -114,4 +120,39 @@ register(
     system.disk_rates,
     system.oracle_disk_rates(),
     fixtures=["disk_snap1", "disk_snap2"],
+)
+
+register(
+    "log_parse",
+    parse_lines_q,
+    log_pipeline.oracle_parse(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "w3_log_stitch",
+    stitch_lines_q,
+    log_pipeline.oracle_stitch(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "w4_log_associate",
+    associate_secondaries_q,
+    log_pipeline.oracle_associate(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "u7_log_classify",
+    classify_q,
+    log_pipeline.oracle_classify(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "u8_log_redact",
+    redact_secondaries_q,
+    log_pipeline.oracle_redact(),
+    fixtures=["log_raw"],
 )
