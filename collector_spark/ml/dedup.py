@@ -1,0 +1,271 @@
+"""Deduplication operators over the documents table (training-data pipeline
+extensions; BASELINE.json north star).
+
+  exact        — hash-groupBy on normalized text; canonical = min(doc_id)
+  minhash LSH  — word-shingle -> k=16 minhash signature -> 4x4 banding ->
+                 bucket self-join for candidate pairs
+  simhash      — 16-bit sign-aggregated fingerprint
+  ngram-jaccard— exact Jaccard on shingle sets for LSH candidates (verify
+                 stage of the classic pipeline)
+
+Scale design: every step is a shuffle-bounded DataFrame op — explode
+shingles (map), groupBy doc (one shuffle), band explode (map), groupBy band
+(one shuffle), pair join within buckets only (bucket sizes are the skew
+knob; AQE splits hot buckets). No driver-side loops, no O(n^2) cross join.
+
+Hashing is md5-prefix (portable across Spark/DuckDB; engine hashes differ).
+All minhash arithmetic stays below 2^62 so BIGINT math is exact in both
+engines: h' = h % P31, sig_i = min((a_i * h' + b_i) % P31).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+K = 16               # minhash permutations
+BANDS = 4            # 4 bands x 4 rows
+SHINGLE = 3          # word-trigram shingles
+
+# deterministic permutation parameters (odd multipliers, arbitrary offsets)
+A = [(2 * i + 1) * 40_503 % P31 for i in range(1, K + 1)]
+B = [(i * 97_911 + 13) % P31 for i in range(K)]
+
+
+def _hash60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _sql_hash60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.lower(col), " ")
+
+
+def exact_dup_groups(spark: SparkSession) -> DataFrame:
+    """Exact duplicate groups: md5 over whitespace-normalized lowered text."""
+    docs = spark.table("documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        docs.select(F.col("doc_id"), F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").cast("long").alias("group_size"),
+        )
+        .filter(F.col("group_size") > 1)
+        .orderBy("content_hash")
+    )
+
+
+def oracle_exact_dup_groups() -> str:
+    return """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS group_size
+FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1
+ORDER BY content_hash
+"""
+
+
+def _shingle_hashes(docs: DataFrame) -> DataFrame:
+    """doc_id -> exploded distinct shingle hash h' (already reduced mod P31)."""
+    words = _words(F.col("text"))
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE, F.lit(0)))
+    shingles = F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i + 1, SHINGLE), " ")
+    )
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .select("doc_id", (_hash60(F.col("shingle")) % P31).alias("h"))
+        .distinct()
+    )
+
+
+_SQL_SHINGLES = f"""
+SELECT doc_id, ({_sql_hash60('shingle')}) % {P31} AS h
+FROM (
+  SELECT DISTINCT doc_id, unnest(list_distinct(list_transform(
+    generate_series(0, greatest(len(string_split(lower(text), ' ')) - {SHINGLE}, 0)),
+    i -> array_to_string(list_slice(string_split(lower(text), ' '), i + 1, i + {SHINGLE}), ' ')
+  ))) AS shingle
+  FROM documents
+) s
+"""
+
+
+def minhash_signatures(spark: SparkSession) -> DataFrame:
+    """K minhash values per doc (one explode + one groupBy)."""
+    sh = _shingle_hashes(spark.table("documents"))
+    aggs = [
+        F.min((F.col("h") * A[i] + B[i]) % P31).alias(f"mh{i}") for i in range(K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def oracle_minhash_signatures() -> str:
+    mins = ", ".join(
+        f"MIN((h * CAST({A[i]} AS BIGINT) + {B[i]}) % {P31}) AS mh{i}" for i in range(K)
+    )
+    return f"""
+WITH sh AS ({_SQL_SHINGLES})
+SELECT doc_id, {mins} FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _band_cols() -> list[tuple[str, list[str]]]:
+    rows = K // BANDS
+    return [
+        (f"band{b}", [f"mh{b * rows + r}" for r in range(rows)]) for b in range(BANDS)
+    ]
+
+
+def minhash_candidate_pairs(spark: SparkSession) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become a candidate pair."""
+    sig = minhash_signatures(spark)
+    bands = []
+    for b, (name, cols) in enumerate(_band_cols()):
+        key = F.md5(
+            F.concat_ws(",", F.lit(str(b)), *[F.col(c).cast("string") for c in cols])
+        )
+        bands.append(sig.select("doc_id", key.alias("bucket")))
+    buckets = bands[0]
+    for df in bands[1:]:
+        buckets = buckets.unionByName(df)
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def oracle_minhash_candidate_pairs() -> str:
+    mins = ", ".join(
+        f"MIN((h * CAST({A[i]} AS BIGINT) + {B[i]}) % {P31}) AS mh{i}" for i in range(K)
+    )
+    band_selects = []
+    for b, (name, cols) in enumerate(_band_cols()):
+        concat = " || ',' || ".join([f"'{b}'"] + [f"CAST({c} AS VARCHAR)" for c in cols])
+        band_selects.append(f"SELECT doc_id, md5({concat}) AS bucket FROM sig")
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS ({buckets})
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
+    """Verify stage: exact shingle Jaccard for LSH candidate pairs.
+
+    intersection via join on (h), sizes via per-doc counts; similarity =
+    |A∩B| / (|A| + |B| - |A∩B|). All integer counts — exact.
+    """
+    cand = minhash_candidate_pairs(spark)
+    sh = _shingle_hashes(spark.table("documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na.n") + F.col("nb.n") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+    return out
+
+
+def oracle_ngram_jaccard_pairs(threshold: float = 0.5) -> str:
+    pairs = oracle_minhash_candidate_pairs()
+    # strip trailing ORDER BY from the pairs SQL for embedding
+    pairs_inner = pairs.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH cand AS ({pairs_inner}),
+sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+  CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) >= {threshold}
+ORDER BY i.doc_a, i.doc_b
+"""
+
+
+def simhash(spark: SparkSession, bits: int = 16) -> DataFrame:
+    """16-bit SimHash over word hashes: bit j set iff sum over words of
+    (2*bit_j(h) - 1) > 0."""
+    docs = spark.table("documents")
+    exploded = docs.select(
+        "doc_id", F.explode(_words(F.col("text"))).alias("w")
+    ).select("doc_id", _hash60(F.col("w")).alias("h"))
+    bit_sums = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else (sim + term)
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def oracle_simhash(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(bits)
+    )
+    sim = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, {_sql_hash60('w')} AS h
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+),
+bs AS (SELECT doc_id, {sums} FROM ex GROUP BY doc_id)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM bs ORDER BY doc_id
+"""

