@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's perf surface.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE
+JSON line on stdout:
+
+    {"metric": "...", "value": <total-sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <sf>}
+
+Each query executes end to end via a noop-format write (full plan runs,
+including final sorts; nothing is collected to the driver). A tiny warmup
+query first absorbs one-time JVM/codegen startup so per-query times reflect
+steady-state throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline queries: the flagship statement pipeline, the log pipeline's
+# hottest stages, and the heaviest training-data extension operators
+HEADLINE = [
+    "a1_statement_diff",
+    "a2_statement_rollup",
+    "log_parse",
+    "w3_log_stitch",
+    "u7_log_classify",
+    "ml_minhash_candidate_pairs",
+    "ml_ngram_jaccard",
+    "ml_brute_force_topk",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def main() -> int:
+    from collector_spark import registry
+    from collector_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("collector_spark_bench")
+    registry.prepare(spark, SF_DIR)
+
+    # warmup: force JVM/codegen/parquet-footer startup off the clock
+    spark.table("lineitem").limit(1000).write.mode("overwrite").format("noop").save()
+
+    names = [n for n in HEADLINE if n in registry.REGISTRY]
+    timings: dict[str, float] = {}
+    for name in names:
+        q = registry.REGISTRY[name]
+        t0 = time.perf_counter()
+        q.spark_fn(spark).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -119,6 +119,12 @@ FROM (
 # ('<insufficient privilege>', collector-query prefix) and truncated-query
 # repair at util/query_text.go:26-42. Several textual variants per shape so
 # fingerprint grouping (A2) collapses many query_ids into one fingerprint.
+#
+# Invariant (matches output/transform/postgres_statements.go's one-text-per-
+# key map): every expression below is a pure function of the key columns
+# (query_id=o_orderkey%500, user_oid=o_custkey%50; database_oid and toplevel
+# are determined by query_id), so DISTINCT yields exactly one text per key
+# and the J1 left join cannot fan out diff rows.
 # ---------------------------------------------------------------------------
 
 STMT_TEXTS = """
@@ -134,9 +140,9 @@ SELECT DISTINCT
       'SELECT * FROM orders WHERE o_orderkey = ' || CAST(o_orderkey % 500 AS STRING)
     WHEN o_orderkey % 500 % 3 = 1 THEN
       'SELECT COUNT(*) FROM lineitem WHERE l_partkey = ' || CAST(o_custkey % 50 AS STRING)
-      || ' AND l_quantity > ' || CAST(o_orderkey % 40 AS STRING)
+      || ' AND l_quantity > ' || CAST(o_orderkey % 500 % 40 AS STRING)
     ELSE
-      'UPDATE customer SET c_acctbal = ' || CAST(o_orderkey % 90 AS STRING)
+      'UPDATE customer SET c_acctbal = ' || CAST(o_orderkey % 500 % 90 AS STRING)
       || ' WHERE c_custkey = ''' || CAST(o_custkey % 50 AS STRING) || ''''
   END AS query_text
 FROM orders

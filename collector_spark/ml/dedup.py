@@ -24,6 +24,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+# Single tuning knobs: both the Spark plan AND the generated DuckDB oracle
+# derive from these constants, so changing them re-parameterizes both sides
+# consistently. K=16/BANDS=4 keeps the oracle fast at test scale; real
+# near-dedup at 100 TB wants K>=128 with 16+ bands (same plan shape, wider
+# signature row).
 K = 16               # minhash permutations
 BANDS = 4            # 4 bands x 4 rows
 SHINGLE = 3          # word-trigram shingles
@@ -99,13 +104,17 @@ FROM (
 """
 
 
-def minhash_signatures(spark: SparkSession) -> DataFrame:
-    """K minhash values per doc (one explode + one groupBy)."""
-    sh = _shingle_hashes(spark.table("documents"))
+def _signatures_from(sh: DataFrame) -> DataFrame:
     aggs = [
         F.min((F.col("h") * A[i] + B[i]) % P31).alias(f"mh{i}") for i in range(K)
     ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession) -> DataFrame:
+    """K minhash values per doc (one explode + one groupBy)."""
+    sh = _shingle_hashes(spark.table("documents"))
+    return _signatures_from(sh).orderBy("doc_id")
 
 
 def oracle_minhash_signatures() -> str:
@@ -125,9 +134,7 @@ def _band_cols() -> list[tuple[str, list[str]]]:
     ]
 
 
-def minhash_candidate_pairs(spark: SparkSession) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become a candidate pair."""
-    sig = minhash_signatures(spark)
+def _candidate_pairs_from(sig: DataFrame) -> DataFrame:
     bands = []
     for b, (name, cols) in enumerate(_band_cols()):
         key = F.md5(
@@ -149,8 +156,13 @@ def minhash_candidate_pairs(spark: SparkSession) -> DataFrame:
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+
+
+def minhash_candidate_pairs(spark: SparkSession) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become a candidate pair."""
+    sig = _signatures_from(_shingle_hashes(spark.table("documents")))
+    return _candidate_pairs_from(sig).orderBy("doc_a", "doc_b")
 
 
 def oracle_minhash_candidate_pairs() -> str:
@@ -177,9 +189,13 @@ def ngram_jaccard_pairs(spark: SparkSession, threshold: float = 0.5) -> DataFram
 
     intersection via join on (h), sizes via per-doc counts; similarity =
     |A∩B| / (|A| + |B| - |A∩B|). All integer counts — exact.
+
+    The shingle relation feeds four consumers (signatures, intersection x2,
+    sizes); persisting it once keeps the dominant explode+distinct from
+    being recomputed through live lineage at scale.
     """
-    cand = minhash_candidate_pairs(spark)
-    sh = _shingle_hashes(spark.table("documents"))
+    sh = _shingle_hashes(spark.table("documents")).persist()
+    cand = _candidate_pairs_from(_signatures_from(sh))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))

@@ -38,15 +38,17 @@ def language_id(spark: SparkSession) -> DataFrame:
     docs = spark.table("documents")
     words = _words(F.col("text"))
     hits = {lang: _hits(words, prof) for lang, prof in PROFILES.items()}
-    # argmax across profiles with deterministic tie-break (profile order)
+    # argmax across profiles with deterministic tie-break (profile order).
+    # The chain is built last-profile-first with a >= condition, so the
+    # earliest profile overwrites on ties: en beats es beats de (matches the
+    # oracle CASE, which resolves ties to the first profile).
     best = F.lit("unknown")
     best_hits = F.lit(0).cast("long")
-    for lang in reversed(list(PROFILES)):  # earlier profiles win ties
+    for lang in reversed(list(PROFILES)):
         h = hits[lang]
-        cond = h > best_hits
+        cond = (h > 0) & (h >= best_hits)
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_hits = F.when(cond, h).otherwise(best_hits)
-    # reversed() builds the chain so en beats es beats de on ties >0
     sel = [F.col("doc_id")]
     for lang in PROFILES:
         sel.append(hits[lang].alias(f"hits_{lang}"))

@@ -69,13 +69,23 @@ FROM backends ORDER BY backend_id
 
 
 def xmin_horizon(spark: SparkSession) -> DataFrame:
-    """A14: per backend_type, the backend holding back the xmin horizon."""
+    """A14: per backend_type, the backend holding back the xmin horizon.
+
+    max_by tie behavior is engine-unspecified, and ``backend_xmin_age``
+    repeats once events exceed its modulus — so the argmax orders by a
+    zero-padded (age, backend_id) string key, a total order that both
+    engines compare identically (highest backend_id wins ties).
+    """
+    order_key = F.concat(
+        F.lpad(F.col("backend_xmin_age").cast("string"), 12, "0"),
+        F.lpad(F.col("backend_id").cast("string"), 12, "0"),
+    )
     return (
         spark.table("backends")
         .groupBy("backend_type")
         .agg(
             F.max("backend_xmin_age").alias("horizon_age"),
-            F.max_by("backend_id", "backend_xmin_age").alias("holder_backend_id"),
+            F.max_by("backend_id", order_key).alias("holder_backend_id"),
         )
         .orderBy("backend_type")
     )
@@ -85,6 +95,8 @@ def oracle_xmin_horizon() -> str:
     return """
 SELECT backend_type,
   CAST(MAX(backend_xmin_age) AS BIGINT) AS horizon_age,
-  arg_max(backend_id, backend_xmin_age) AS holder_backend_id
+  arg_max(backend_id,
+          lpad(CAST(backend_xmin_age AS VARCHAR), 12, '0')
+          || lpad(CAST(backend_id AS VARCHAR), 12, '0')) AS holder_backend_id
 FROM backends GROUP BY backend_type ORDER BY backend_type
 """

@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 
 
 def settings_dedup(spark: SparkSession) -> DataFrame:
-    w = Window.partitionBy("name").orderBy("priority", "setting")
+    # (priority, setting) is not a total order when a setting value repeats
+    # under one name with different source/context; include every output
+    # column in the ORDER BY so the surviving row is engine-independent.
+    w = Window.partitionBy("name").orderBy("priority", "setting", "source", "context")
     return (
         spark.table("settings_rows")
         .withColumn("__rn", F.row_number().over(w))
@@ -40,6 +43,6 @@ SELECT name,
        ELSE setting END AS setting,
   source, context
 FROM settings_rows
-QUALIFY row_number() OVER (PARTITION BY name ORDER BY priority, setting) = 1
+QUALIFY row_number() OVER (PARTITION BY name ORDER BY priority, setting, source, context) = 1
 ORDER BY name
 """

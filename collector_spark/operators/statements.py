@@ -79,9 +79,13 @@ def statement_rollup(spark: SparkSession) -> DataFrame:
     """J1/P6/A2: join texts, fingerprint, roll up by fingerprint group."""
     d = statement_diff(spark)
     texts = spark.table("stmt_texts")
-    # texts is a small dimension relative to the stats fact at scale —
-    # broadcast it so the rollup needs no extra shuffle for the join.
-    j = d.join(F.broadcast(texts), on=KEYS, how="left")
+    # texts has the same cardinality as the stats fact (one text per key,
+    # up to 250 MB/server: input/postgres/statements.go:215-275) — never
+    # force-broadcast it. The diff output is already hash-partitioned by
+    # KEYS from its own join, so Catalyst reuses that exchange here and the
+    # text join costs one shuffle of the texts side only; AQE may still
+    # choose a broadcast at runtime when texts is genuinely small.
+    j = d.join(texts, on=KEYS, how="left")
     j = j.filter(~F.coalesce(is_collector_query(F.col("query_text")), F.lit(False)))
     j = j.withColumn("fingerprint", fingerprint(F.col("query_text"))).withColumn(
         "normalized_query", normalize_query(F.col("query_text"))

@@ -8,6 +8,7 @@ check coverage line by line.
 from __future__ import annotations
 
 from collector_spark.logs import pipeline as log_pipeline
+from collector_spark.ml import dedup, similarity, textstats
 from collector_spark.logs.associate import associate_secondaries_q
 from collector_spark.logs.classify import classify_q
 from collector_spark.logs.parse import parse_lines_q
@@ -156,3 +157,42 @@ register(
     log_pipeline.oracle_redact(),
     fixtures=["log_raw"],
 )
+
+# --- training-data pipeline extensions (documents/embeddings base tables;
+# --- no fixture CTEs needed) -----------------------------------------------
+
+register("ml_exact_dup", dedup.exact_dup_groups, dedup.oracle_exact_dup_groups())
+
+register(
+    "ml_minhash_signatures",
+    dedup.minhash_signatures,
+    dedup.oracle_minhash_signatures(),
+)
+
+register(
+    "ml_minhash_candidate_pairs",
+    dedup.minhash_candidate_pairs,
+    dedup.oracle_minhash_candidate_pairs(),
+)
+
+register(
+    "ml_ngram_jaccard",
+    dedup.ngram_jaccard_pairs,
+    dedup.oracle_ngram_jaccard_pairs(),
+)
+
+register("ml_simhash", dedup.simhash, dedup.oracle_simhash())
+
+register(
+    "ml_brute_force_topk",
+    similarity.brute_force_topk,
+    similarity.oracle_brute_force_topk(),
+)
+
+register("ml_lsh_topk", similarity.lsh_topk, similarity.oracle_lsh_topk())
+
+register("ml_language_id", textstats.language_id, textstats.oracle_language_id())
+
+register("ml_quality_score", textstats.quality_score, textstats.oracle_quality_score())
+
+register("ml_token_counts", textstats.token_counts, textstats.oracle_token_counts())
