@@ -409,6 +409,166 @@ FROM events WHERE event_type = 'view' AND user_id % 5 = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# F9 — function stats snapshots (S21/A8)
+#
+# Reference: input/postgres/functions.go:41-49 (pg_stat_user_functions:
+# calls, total_time, self_time) diffed at state/postgres_function.go:39-46.
+# Keyed by (database_oid, function_oid); snap1 omits l_suppkey % 13 = 0 keys
+# (new-function path).
+# ---------------------------------------------------------------------------
+
+_FUNC_AGG = """
+SELECT
+  CAST(l_suppkey % 5 AS BIGINT)   AS database_oid,
+  CAST(l_suppkey AS BIGINT)       AS function_oid,
+  CAST(COUNT(*) AS BIGINT)        AS calls,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_time,
+  CAST(SUM(CAST(l_discount AS DECIMAL(12,2)) * 10) AS DECIMAL(38,2)) AS self_time
+FROM lineitem
+"""
+
+FUNC_SNAP1 = _FUNC_AGG + " WHERE l_linenumber <= 2 AND l_suppkey % 13 <> 0 GROUP BY 1, 2"
+FUNC_SNAP2 = _FUNC_AGG + " GROUP BY 1, 2"
+
+# ---------------------------------------------------------------------------
+# F10 — replication state (S25/S26/S28)
+#
+# Reference: input/postgres/replication.go:12-58. LSNs are byte positions
+# (pg_wal_lsn_diff is BIGINT subtraction). standby_rows carries the
+# client_addr IS NULL / wal_uploader rows the scan must filter, plus a
+# feedback_xmin_age for the S28 standby branch; wal_state is the single-row
+# primary position.
+# ---------------------------------------------------------------------------
+
+STANDBY_ROWS = """
+SELECT
+  CASE WHEN s_suppkey % 13 = 0 THEN NULL
+       WHEN s_suppkey % 11 = 0 THEN '127.0.0.1'
+       ELSE '10.0.1.' || CAST(s_suppkey % 255 AS STRING) END AS client_addr,
+  CAST(s_suppkey % 50 AS BIGINT)                 AS role_oid,
+  CAST(2000 + s_suppkey % 500 AS INT)            AS pid,
+  CASE WHEN s_suppkey % 11 = 0 THEN 'wal_uploader'
+       ELSE 'standby_' || CAST(s_suppkey % 9 AS STRING) END AS application_name,
+  CAST(s_suppkey % 3 AS INT)                     AS sync_priority,
+  CASE WHEN s_suppkey % 3 = 0 THEN 'sync' ELSE 'async' END AS sync_state,
+  'streaming'                                    AS state,
+  CAST(1000000000 + s_suppkey * 16384 AS BIGINT)                       AS sent_lsn,
+  CAST(1000000000 + s_suppkey * 16384 - (s_suppkey % 8192) AS BIGINT)  AS write_lsn,
+  CAST(1000000000 + s_suppkey * 16384 - (s_suppkey % 16384) AS BIGINT) AS flush_lsn,
+  CAST(1000000000 + s_suppkey * 16384 - (s_suppkey % 32768) AS BIGINT) AS replay_lsn,
+  CASE WHEN s_suppkey % 7 = 0 THEN NULL
+       ELSE CAST(s_suppkey * 37 % 80000 AS BIGINT) END AS feedback_xmin_age
+FROM supplier
+"""
+
+WAL_STATE = """
+SELECT
+  false AS in_recovery,
+  CAST(1000000000 + MAX(event_id) * 16384 AS BIGINT)         AS current_xlog_location,
+  CAST(1000000000 + MAX(event_id) * 16384 - 8192 AS BIGINT)  AS receive_location,
+  CAST(1000000000 + MAX(event_id) * 16384 - 24576 AS BIGINT) AS replay_location,
+  MAX(ts) AS replay_ts
+FROM events
+"""
+
+REPL_SLOTS = """
+SELECT 'slot_' || CAST(n_nationkey AS STRING) AS slot_name,
+  CASE WHEN n_nationkey % 4 = 0 THEN NULL
+       ELSE CAST(n_nationkey * 731 % 90000 AS BIGINT) END AS xmin_age,
+  CASE WHEN n_nationkey % 3 = 0 THEN NULL
+       ELSE CAST(n_nationkey * 517 % 90000 AS BIGINT) END AS catalog_xmin_age
+FROM nation
+"""
+
+PREPARED_XACTS = """
+SELECT 'gid_' || CAST(r_regionkey AS STRING) AS gid,
+  CAST(r_regionkey * 911 % 50000 AS BIGINT) AS xact_age
+FROM region
+"""
+
+# ---------------------------------------------------------------------------
+# F11 — vacuum progress inputs (S27)
+#
+# Reference: input/postgres/vacuum_progress.go:27-66 — pg_stat_progress_vacuum
+# JOIN pg_stat_activity USING (pid), LEFT JOIN pg_class for names, regex
+# fallback from the query text, composite epoch||padded-pid identities.
+# One activity row per pid (GROUP BY pid, every projection a function of
+# MIN(event_id)); progress rows only for even MIN-events; relid sometimes
+# NULL / out of relation_meta range to exercise the name-fallback path.
+# ---------------------------------------------------------------------------
+
+VACUUM_ACTIVITY = """
+SELECT
+  CAST(1000 + event_id % 150 AS INT)              AS pid,
+  MIN(ts)                                         AS query_start,
+  MIN(ts)                                         AS backend_start,
+  'db_' || CAST(MIN(event_id) % 5 AS STRING)      AS datname,
+  'u' || CAST(MIN(user_id) % 50 AS STRING)        AS usename,
+  CASE
+    WHEN MIN(event_id) % 7 = 0 THEN '<insufficient privilege>'
+    WHEN MIN(event_id) % 7 = 1 THEN 'SELECT pg_sleep(1)'
+    ELSE 'autovacuum: VACUUM '
+      || CASE WHEN MIN(event_id) % 3 = 0 THEN 'ANALYZE ' ELSE '' END
+      || 'public.rel_' || CAST(MIN(event_id) % 300 AS STRING)
+      || CASE WHEN MIN(event_id) % 5 = 0 THEN ' (to prevent wraparound)' ELSE '' END
+  END AS query
+FROM events
+GROUP BY 1
+"""
+
+VACUUM_PROGRESS = """
+SELECT
+  CAST(1000 + event_id % 150 AS INT)    AS pid,
+  CASE WHEN MIN(event_id) % 4 = 0 THEN NULL
+       ELSE CAST(MIN(event_id) % 300 AS BIGINT) END AS relid,
+  CASE CAST(MIN(event_id) % 3 AS INT)
+    WHEN 0 THEN 'scanning heap'
+    WHEN 1 THEN 'vacuuming indexes'
+    ELSE 'cleaning up indexes' END      AS phase,
+  CAST(MAX(event_id % 10000) AS BIGINT) AS heap_blks_total,
+  CAST(MAX(event_id % 5000) AS BIGINT)  AS heap_blks_scanned,
+  CAST(MAX(event_id % 2500) AS BIGINT)  AS heap_blks_vacuumed,
+  CAST(MAX(event_id % 7) AS BIGINT)     AS index_vacuum_count
+FROM events
+WHERE event_id % 2 = 0
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# F12 — single-row server scans (S3/S29) + collector self-stats (S33/A9)
+# Reference: input/postgres/server_stats.go:81-86 (statements_info),
+# :13-25 (transaction id); state/collector_stats.go + runner/diff.go:152-155.
+# ---------------------------------------------------------------------------
+
+STMTS_INFO = """
+SELECT
+  CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dealloc,
+  MIN(o_orderdate) AS stats_reset
+FROM orders
+"""
+
+TXID_STATE = """
+SELECT
+  CAST(MAX(event_id) AS BIGINT)         AS current_xact_id,
+  CAST(MAX(event_id) % 65536 AS BIGINT) AS next_multixact_id
+FROM events
+"""
+
+_COLL_AGG = """
+SELECT
+  CAST(1 AS BIGINT)                       AS server_id,
+  CAST(SUM(l_partkey % 1021) AS BIGINT)   AS cgo_calls,
+  CAST(MAX(l_suppkey) * 4096 AS BIGINT)   AS heap_bytes,
+  CAST(MAX(l_partkey) * 8192 AS BIGINT)   AS rss_bytes,
+  CAST(COUNT(DISTINCT l_suppkey % 100) AS BIGINT) AS goroutines
+FROM lineitem
+"""
+
+COLL_SNAP1 = _COLL_AGG + " WHERE l_orderkey % 10 < 7"
+COLL_SNAP2 = _COLL_AGG
+
+
 ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "log_raw": {"spark": _log_raw_sql("spark"), "duckdb": _log_raw_sql("duckdb")},
     "stmt_snap1": STMT_SNAP1,
@@ -428,6 +588,18 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "cpu_snap2": CPU_SNAP2,
     "disk_snap1": DISK_SNAP1,
     "disk_snap2": DISK_SNAP2,
+    "func_snap1": FUNC_SNAP1,
+    "func_snap2": FUNC_SNAP2,
+    "standby_rows": STANDBY_ROWS,
+    "wal_state": WAL_STATE,
+    "repl_slots": REPL_SLOTS,
+    "prepared_xacts": PREPARED_XACTS,
+    "vacuum_activity": VACUUM_ACTIVITY,
+    "vacuum_progress": VACUUM_PROGRESS,
+    "stmts_info": STMTS_INFO,
+    "txid_state": TXID_STATE,
+    "coll_snap1": COLL_SNAP1,
+    "coll_snap2": COLL_SNAP2,
 }
 
 FIXTURES = ALL_FIXTURES  # public alias

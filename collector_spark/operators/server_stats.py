@@ -3,6 +3,12 @@
   S8/A7 pg_stat_io diff per (backend_type, io_object, io_context)
         (input/postgres/server_stats.go:88-106, input/full_1min.go:111-131)
   P9    empty io-delta filter (input/full_1min.go:123-127)
+  S3    pg_stat_statements_info scan (server_stats.go:81-86)
+  S29   transaction-id scan (server_stats.go:13-25)
+  S33/A9 collector self-stats diff (state/collector_stats.go,
+        runner/diff.go:152-155)
+  S28   xmin-horizon: five max-age sources assembled into one row
+        (server_stats.go:27-79 — each source an ORDER BY age DESC LIMIT 1)
 """
 
 from __future__ import annotations
@@ -40,3 +46,83 @@ def oracle_io_diff() -> str:
     return (
         f"SELECT {outer_cols} FROM ({inner}) d WHERE {nonzero} ORDER BY {keys}"
     )
+
+
+def statements_info(spark: SparkSession) -> DataFrame:
+    """S3: dealloc count + last stats reset (single-row scan)."""
+    return spark.table("stmts_info").select("dealloc", "stats_reset")
+
+
+def oracle_statements_info() -> str:
+    return "SELECT dealloc, stats_reset FROM stmts_info"
+
+
+def txid_scan(spark: SparkSession) -> DataFrame:
+    """S29: current transaction id + next multixact (single-row scan)."""
+    return spark.table("txid_state").select("current_xact_id", "next_multixact_id")
+
+
+def oracle_txid_scan() -> str:
+    return "SELECT current_xact_id, next_multixact_id FROM txid_state"
+
+
+_COLL_KEYS = ["server_id"]
+_COLL_COUNTERS = ["cgo_calls"]
+_COLL_GAUGES = ["heap_bytes", "rss_bytes", "goroutines"]
+
+
+def collector_diff(spark: SparkSession) -> DataFrame:
+    """S33/A9: cgo-call delta, memory/goroutine gauges pass through."""
+    return diff_counters(
+        spark.table("coll_snap2"),
+        spark.table("coll_snap1"),
+        _COLL_KEYS,
+        _COLL_COUNTERS,
+        gauges=_COLL_GAUGES,
+    ).orderBy("server_id")
+
+
+def oracle_collector_diff() -> str:
+    inner = oracle_diff_sql(
+        "coll_snap2", "coll_snap1", _COLL_KEYS, _COLL_COUNTERS, gauges=_COLL_GAUGES
+    )
+    return f"SELECT * FROM ({inner}) d ORDER BY server_id"
+
+
+def xmin_horizon_full(spark: SparkSession) -> DataFrame:
+    """S28: one row with the max holdback age of each of the five sources
+    (backends, replication-slot xmin, replication-slot catalog xmin,
+    prepared xacts, standby feedback), each COALESCEd to 0 like the
+    reference's '0'::xid fallbacks.
+
+    Five tiny single-row aggregates crossJoined — every join side is one
+    row, so the assembly is broadcast-only (no shuffle beyond the partial
+    aggregations themselves).
+    """
+    backends = spark.table("backends").agg(
+        F.coalesce(F.max("backend_xmin_age"), F.lit(0)).cast("long").alias("backend_age")
+    )
+    slots = spark.table("repl_slots").agg(
+        F.coalesce(F.max("xmin_age"), F.lit(0)).cast("long").alias("slot_xmin_age"),
+        F.coalesce(F.max("catalog_xmin_age"), F.lit(0))
+        .cast("long")
+        .alias("slot_catalog_xmin_age"),
+    )
+    prepared = spark.table("prepared_xacts").agg(
+        F.coalesce(F.max("xact_age"), F.lit(0)).cast("long").alias("prepared_xact_age")
+    )
+    standby = spark.table("standby_rows").agg(
+        F.coalesce(F.max("feedback_xmin_age"), F.lit(0)).cast("long").alias("standby_age")
+    )
+    return backends.crossJoin(slots).crossJoin(prepared).crossJoin(standby)
+
+
+def oracle_xmin_horizon_full() -> str:
+    return """
+SELECT
+  CAST(COALESCE((SELECT MAX(backend_xmin_age) FROM backends), 0) AS BIGINT) AS backend_age,
+  CAST(COALESCE((SELECT MAX(xmin_age) FROM repl_slots), 0) AS BIGINT) AS slot_xmin_age,
+  CAST(COALESCE((SELECT MAX(catalog_xmin_age) FROM repl_slots), 0) AS BIGINT) AS slot_catalog_xmin_age,
+  CAST(COALESCE((SELECT MAX(xact_age) FROM prepared_xacts), 0) AS BIGINT) AS prepared_xact_age,
+  CAST(COALESCE((SELECT MAX(feedback_xmin_age) FROM standby_rows), 0) AS BIGINT) AS standby_age
+"""

@@ -17,11 +17,14 @@ from collector_spark.logs.stitch import stitch_lines_q
 from collector_spark.operators import (
     backends,
     databases,
+    functions_stats,
     relations,
+    replication,
     server_stats,
     settings,
     statements,
     system,
+    vacuum,
 )
 from collector_spark.registry import register
 
@@ -156,6 +159,62 @@ register(
     redact_secondaries_q,
     log_pipeline.oracle_redact(),
     fixtures=["log_raw"],
+)
+
+register(
+    "a8_function_diff",
+    functions_stats.function_diff,
+    functions_stats.oracle_function_diff(),
+    fixtures=["func_snap1", "func_snap2"],
+)
+
+register(
+    "s25_replication_primary",
+    replication.replication_primary,
+    replication.oracle_replication_primary(),
+    fixtures=["wal_state"],
+)
+
+register(
+    "s26_standby_lag",
+    replication.standby_lag,
+    replication.oracle_standby_lag(),
+    fixtures=["standby_rows", "wal_state"],
+)
+
+register(
+    "s27_vacuum_progress",
+    vacuum.vacuum_progress,
+    vacuum.oracle_vacuum_progress(),
+    fixtures=["vacuum_activity", "vacuum_progress", "relation_meta"],
+)
+
+register(
+    "s3_statements_info",
+    server_stats.statements_info,
+    server_stats.oracle_statements_info(),
+    fixtures=["stmts_info"],
+)
+
+register(
+    "s29_txid_scan",
+    server_stats.txid_scan,
+    server_stats.oracle_txid_scan(),
+    fixtures=["txid_state"],
+)
+
+register(
+    "a9_collector_diff",
+    server_stats.collector_diff,
+    server_stats.oracle_collector_diff(),
+    fixtures=["coll_snap1", "coll_snap2"],
+)
+
+register(
+    "s28_xmin_horizon_full",
+    server_stats.xmin_horizon_full,
+    server_stats.oracle_xmin_horizon_full(),
+    fixtures=["backends", "repl_slots", "prepared_xacts", "standby_rows"],
 )
 
 # --- training-data pipeline extensions (documents/embeddings base tables;
