@@ -569,6 +569,79 @@ COLL_SNAP1 = _COLL_AGG + " WHERE l_orderkey % 10 < 7"
 COLL_SNAP2 = _COLL_AGG
 
 
+# ---------------------------------------------------------------------------
+# F13 — S10 relation-scan inputs: pg_class / pg_locks / pg_depend / pg_index
+# / pg_buffercache shapes.
+#
+# Reference: input/postgres/relation_stats.go:14-149 (CTE program),
+# buffer_cache.go:28-33. class_rows is the pg_class projection (relkind,
+# persistence, inheritance, sizes, xid ages); lock_rows the pg_locks scan
+# (AccessExclusiveLock set == relation_meta.exclusively_locked, p_partkey %
+# 97 = 0); depend_rows the extension-object set; index_rows per-index
+# statistics (also powers S11); buffercache_rows raw 8 KB buffer pages.
+# ---------------------------------------------------------------------------
+
+CLASS_ROWS = """
+SELECT
+  p_partkey                                   AS oid,
+  'public'                                    AS nspname,
+  'rel_' || CAST(p_partkey AS STRING)         AS relname,
+  CASE WHEN p_partkey % 7 = 0 THEN 'p'
+       WHEN p_partkey % 31 = 0 THEN 'v'
+       WHEN p_partkey % 37 = 0 THEN 'm'
+       WHEN p_partkey % 41 = 0 THEN 'i'
+       ELSE 'r' END                           AS relkind,
+  CASE WHEN p_partkey % 43 = 0 THEN 't' ELSE 'p' END AS relpersistence,
+  CASE WHEN p_partkey % 7 = 1 THEN p_partkey - 1 ELSE NULL END AS parent_oid,
+  CAST(p_size * 8192 AS BIGINT)               AS table_size_bytes,
+  CASE WHEN p_partkey % 61 = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(p_partkey % 100000 AS BIGINT) END AS frozenxid,
+  CASE WHEN p_partkey % 67 = 0 THEN CAST(0 AS BIGINT)
+       ELSE CAST(p_partkey % 50000 AS BIGINT) END  AS minmxid,
+  CAST(p_size AS BIGINT)                      AS relpages,
+  CAST(p_size * 10 AS BIGINT)                 AS reltuples,
+  CAST((p_size - p_size % 2) / 2 AS BIGINT)   AS relallvisible
+FROM part
+"""
+
+LOCK_ROWS = """
+SELECT p_partkey AS relation_oid,
+  CASE WHEN p_partkey % 97 = 0 THEN 'AccessExclusiveLock'
+       WHEN p_partkey % 89 = 0 THEN 'RowExclusiveLock'
+       ELSE 'AccessShareLock' END AS mode,
+  CASE WHEN p_partkey % 83 = 0 THEN 'transactionid' ELSE 'relation' END AS locktype
+FROM part
+"""
+
+DEPEND_ROWS = """
+SELECT p_partkey AS objid,
+  CASE WHEN p_partkey % 53 = 0 THEN 'e' ELSE 'n' END AS deptype
+FROM part
+"""
+
+INDEX_ROWS = """
+SELECT
+  CAST(l_partkey * 10 + l_suppkey % 3 AS BIGINT) AS index_oid,
+  l_partkey                                      AS indrelid,
+  'idx_' || CAST(l_partkey AS STRING) || '_' || CAST(l_suppkey % 3 AS STRING) AS index_name,
+  CAST(SUM(l_suppkey % 21) AS BIGINT)            AS idx_scan,
+  CAST(SUM(l_suppkey % 27) AS BIGINT)            AS idx_tup_fetch,
+  CAST(SUM(l_partkey % 17) AS BIGINT)            AS idx_blks_read,
+  CAST(SUM(l_partkey % 19) AS BIGINT)            AS idx_blks_hit,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) * 1024 AS BIGINT) AS index_size_bytes
+FROM lineitem
+GROUP BY 1, 2, 3
+"""
+
+BUFFERCACHE_ROWS = """
+SELECT
+  CAST(l_orderkey % 5 AS BIGINT) AS database_oid,
+  CAST(l_partkey AS BIGINT)      AS relfilenode,
+  CAST(8192 AS BIGINT)           AS block_bytes
+FROM lineitem WHERE l_linenumber = 1
+"""
+
+
 ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "log_raw": {"spark": _log_raw_sql("spark"), "duckdb": _log_raw_sql("duckdb")},
     "stmt_snap1": STMT_SNAP1,
@@ -600,6 +673,11 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "txid_state": TXID_STATE,
     "coll_snap1": COLL_SNAP1,
     "coll_snap2": COLL_SNAP2,
+    "class_rows": CLASS_ROWS,
+    "lock_rows": LOCK_ROWS,
+    "depend_rows": DEPEND_ROWS,
+    "index_rows": INDEX_ROWS,
+    "buffercache_rows": BUFFERCACHE_ROWS,
 }
 
 FIXTURES = ALL_FIXTURES  # public alias

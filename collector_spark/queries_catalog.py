@@ -16,8 +16,10 @@ from collector_spark.logs.redact import redact_secondaries_q
 from collector_spark.logs.stitch import stitch_lines_q
 from collector_spark.operators import (
     backends,
+    buffer_cache,
     databases,
     functions_stats,
+    relation_scan,
     relations,
     replication,
     server_stats,
@@ -215,6 +217,34 @@ register(
     server_stats.xmin_horizon_full,
     server_stats.oracle_xmin_horizon_full(),
     fixtures=["backends", "repl_slots", "prepared_xacts", "standby_rows"],
+)
+
+register(
+    "s10_relation_scan",
+    relation_scan.relation_scan,
+    relation_scan.oracle_relation_scan(),
+    fixtures=["class_rows", "lock_rows", "depend_rows", "index_rows", "relation_snap2"],
+)
+
+register(
+    "s11_index_scan",
+    relation_scan.index_scan,
+    relation_scan.oracle_index_scan(),
+    fixtures=["class_rows", "lock_rows", "index_rows"],
+)
+
+register(
+    "s9_buffercache_scan",
+    buffer_cache.buffercache_scan,
+    buffer_cache.oracle_buffercache_scan(),
+    fixtures=["buffercache_rows"],
+)
+
+register(
+    "a11_buffercache_totals",
+    buffer_cache.buffercache_totals,
+    buffer_cache.oracle_buffercache_totals(),
+    fixtures=["buffercache_rows", "class_rows"],
 )
 
 # --- training-data pipeline extensions (documents/embeddings base tables;
