@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
+from collector_spark.logs.rules import sample_case
+
 # ---------------------------------------------------------------------------
 # F1 — statement_stats snapshots (pg_stat_statements shape)
 #
@@ -347,7 +349,9 @@ DISK_SNAP2 = _DISK_AGG + " GROUP BY 1"
 # Reference input shape: text lines with prefix '%m [%p] [user=%u,db=%d,
 # app=%a] ' (LogPrefixCustom3-like, logs/parse.go:24,42), parsed into
 # state/logs.go:130-170. Rendered from events so volume scales with sf:
-#   - one primary line per event (level/content by event_type)
+#   - one primary line per event; the body cycles through EVERY
+#     classification rule family (logs/rules.py sample_case), so the U7
+#     rule table is provably exercised end to end
 #   - STATEMENT secondary for errors (secret-bearing, association W4)
 #   - DETAIL secondary for purchases (parameters, W4)
 #   - unprefixed continuation line for some views (stitching W3)
@@ -369,19 +373,7 @@ def _log_raw_sql(dialect: str) -> str:
     return f"""
 SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
        event_id * 10 AS seq,
-       {prefix} ||
-       CASE event_type
-         WHEN 'error' THEN 'ERROR:  canceling statement due to statement timeout'
-         WHEN 'click' THEN 'LOG:  duration: ' || CAST(CAST(value AS DECIMAL(12,2)) AS STRING)
-              || ' ms  statement: SELECT * FROM events WHERE user_id = ' || CAST(user_id AS STRING)
-         WHEN 'view' THEN 'LOG:  checkpoint complete: wrote ' || CAST(event_id % 5000 AS STRING)
-              || ' buffers (' || CAST(CAST(event_id % 100 AS DECIMAL(5,1)) AS STRING) || '%)'
-         WHEN 'purchase' THEN 'LOG:  automatic vacuum of table "db_' || CAST(user_id % 5 AS STRING)
-              || '.public.rel_' || CAST(event_id % 300 AS STRING) || '": index scans: '
-              || CAST(event_id % 4 AS STRING)
-         ELSE 'LOG:  connection received: host=10.0.0.' || CAST(user_id % 255 AS STRING)
-              || ' port=' || CAST(40000 + event_id % 10000 AS STRING)
-       END AS raw_line
+       {prefix} || {sample_case()} AS raw_line
 FROM events
 
 UNION ALL
@@ -642,6 +634,31 @@ FROM lineitem WHERE l_linenumber = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# F14 — per-minute cumulative statement observations (A12/A13/P10/W5/ST10)
+#
+# Reference: input/full_1min.go:39-62 (1-min diffs keyed by
+# HistoricStatsTimeKey), output/transform/postgres_statements.go:91-136
+# (1-h TTL + latest/historic split). Events bucketed into 1-minute tumbling
+# windows; the running SUM makes each bucket a *cumulative* counter
+# observation, so the bucket-diff operator reproduces the reference's
+# per-cycle DiffSince.
+# ---------------------------------------------------------------------------
+
+STMT_MINUTE_OBS = """
+SELECT key, minute_ts,
+  CAST(SUM(calls) OVER (PARTITION BY key ORDER BY minute_ts) AS BIGINT) AS calls_cum,
+  CAST(SUM(rows_n) OVER (PARTITION BY key ORDER BY minute_ts) AS BIGINT) AS rows_cum
+FROM (
+  SELECT CAST(event_id % 50 AS BIGINT) AS key,
+         date_trunc('minute', ts) AS minute_ts,
+         CAST(COUNT(*) AS BIGINT) AS calls,
+         CAST(SUM(event_id % 7) AS BIGINT) AS rows_n
+  FROM events GROUP BY 1, 2
+) m
+"""
+
+
 ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "log_raw": {"spark": _log_raw_sql("spark"), "duckdb": _log_raw_sql("duckdb")},
     "stmt_snap1": STMT_SNAP1,
@@ -678,6 +695,7 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "depend_rows": DEPEND_ROWS,
     "index_rows": INDEX_ROWS,
     "buffercache_rows": BUFFERCACHE_ROWS,
+    "stmt_minute_obs": STMT_MINUTE_OBS,
 }
 
 FIXTURES = ALL_FIXTURES  # public alias

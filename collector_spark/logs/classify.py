@@ -15,57 +15,11 @@ rather than a map so the oracle can compare them value-by-value.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from collector_spark.logs.rules import RULES, Rule
 from collector_spark.logs.stitch import stitch_lines
-
-
-@dataclass(frozen=True)
-class Rule:
-    prefix: str          # literal short-circuit (analyze.go:2195-2202)
-    regex: str           # classification + capture regex
-    classification: str
-    num_group: int = 0   # capture group for detail_num (0 = none)
-    text_group: int = 0  # capture group for detail_text (0 = none)
-
-
-RULES: list[Rule] = [
-    Rule(
-        "canceling statement due to statement timeout",
-        r"^canceling statement due to statement timeout",
-        "QUERY_CANCELED_TIMEOUT",
-    ),
-    Rule(
-        "duration: ",
-        r"^duration: ([0-9.]+) ms +(statement|execute [^:]*): (.*)",
-        "STATEMENT_DURATION",
-        num_group=1,
-        text_group=3,
-    ),
-    Rule(
-        "checkpoint complete",
-        r"^checkpoint complete: wrote ([0-9]+) buffers \(([0-9.]+)%\)",
-        "CHECKPOINT_COMPLETE",
-        num_group=1,
-    ),
-    Rule(
-        "automatic vacuum of table",
-        r'^automatic vacuum of table "([^"]+)": index scans: ([0-9]+)',
-        "AUTOVACUUM_COMPLETED",
-        num_group=2,
-        text_group=1,
-    ),
-    Rule(
-        "connection received",
-        r"^connection received: host=([^ ]+) port=([0-9]+)",
-        "CONNECTION_RECEIVED",
-        num_group=2,
-        text_group=1,
-    ),
-]
 
 PRIMARY_LEVELS = ("LOG", "ERROR", "FATAL", "WARNING", "PANIC", "NOTICE")
 

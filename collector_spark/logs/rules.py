@@ -1,0 +1,491 @@
+"""U7 classification rule table — ported from logs/analyze.go:33-1183.
+
+Each rule is DATA consumed three ways:
+  1. the Spark when-chain (classify.py) — prefix short-circuit + rlike,
+  2. the generated DuckDB oracle CASE (same renderer, other dialect),
+  3. the log_raw fixture's sample generator (fixtures/defs.py) — every rule
+     contributes a deterministic sample line, so the fixture provably covers
+     every rule family and the rule table cannot silently rot.
+
+Regex dialect: the subset common to Java regex (Spark rlike/regexp_extract)
+and RE2 (DuckDB): no lookarounds, no named groups, identical capture
+numbering. Patterns follow the reference regexes (line refs inline).
+
+``sample`` is a dialect-neutral SQL expression over the events columns
+(event_id, user_id, value) rendering one matching line body.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+_EID = "CAST(event_id % 300 AS STRING)"
+_UID = "CAST(user_id % 50 AS STRING)"
+_DB = "CAST(user_id % 5 AS STRING)"
+_HOST = "CAST(user_id % 255 AS STRING)"
+_MS = "CAST(CAST(value AS DECIMAL(12,2)) AS STRING)"
+_N = "CAST(event_id % 5000 AS STRING)"
+
+
+@dataclass(frozen=True)
+class Rule:
+    prefix: str          # literal short-circuit (analyze.go:2195-2202)
+    regex: str           # classification + capture regex
+    classification: str
+    level: str           # log level the sample renders with
+    sample: str          # SQL expr producing a matching content body
+    num_group: int = 0   # capture group for detail_num (0 = none)
+    text_group: int = 0  # capture group for detail_text (0 = none)
+
+
+RULES: list[Rule] = [
+    # --- statement / cancellation (analyze.go:46,1087) ---------------------
+    Rule(
+        "duration: ",
+        r"^duration: ([0-9.]+) ms +(statement|execute [^:]*): (.*)",
+        "STATEMENT_DURATION",
+        "LOG",
+        f"'duration: ' || {_MS} || ' ms  statement: SELECT * FROM events"
+        f" WHERE user_id = ' || {_UID}",
+        num_group=1,
+        text_group=3,
+    ),
+    Rule(
+        "canceling statement due to statement timeout",
+        r"^canceling statement due to statement timeout",
+        "QUERY_CANCELED_TIMEOUT",
+        "ERROR",
+        "'canceling statement due to statement timeout'",
+    ),
+    Rule(
+        "canceling statement due to user request",
+        r"^canceling statement due to user request",
+        "QUERY_CANCELED_USER",
+        "ERROR",
+        "'canceling statement due to user request'",
+    ),
+    # --- autovacuum family (analyze.go:65-125) -----------------------------
+    Rule(
+        "automatic vacuum of table",
+        r'^automatic vacuum of table "([^"]+)": index scans: ([0-9]+)',
+        "AUTOVACUUM_COMPLETED",
+        "LOG",
+        f"'automatic vacuum of table \"db_' || {_DB} || '.public.rel_' || {_EID}"
+        f" || '\": index scans: ' || CAST(event_id % 4 AS STRING)",
+        num_group=2,
+        text_group=1,
+    ),
+    Rule(
+        "automatic analyze of table",
+        r'^automatic analyze of table "([^"]+)"',
+        "AUTOANALYZE_COMPLETED",
+        "LOG",
+        f"'automatic analyze of table \"db_' || {_DB} || '.public.rel_' || {_EID} || '\"'",
+        text_group=1,
+    ),
+    Rule(
+        "skipping vacuum of",
+        r'^skipping vacuum of "([^"]+)" --- lock not available',
+        "SKIPPING_VACUUM_LOCK_NOT_AVAILABLE",
+        "LOG",
+        f"'skipping vacuum of \"rel_' || {_EID} || '\" --- lock not available'",
+        text_group=1,
+    ),
+    Rule(
+        "skipping analyze of",
+        r'^skipping analyze of "([^"]+)" --- lock not available',
+        "SKIPPING_ANALYZE_LOCK_NOT_AVAILABLE",
+        "LOG",
+        f"'skipping analyze of \"rel_' || {_EID} || '\" --- lock not available'",
+        text_group=1,
+    ),
+    # --- checkpoint family (analyze.go:126-162) ----------------------------
+    Rule(
+        "checkpoint starting: ",
+        r"^(checkpoint|restartpoint) starting: ([a-z- ]+)",
+        "CHECKPOINT_STARTING",
+        "LOG",
+        "'checkpoint starting: time'",
+        text_group=2,
+    ),
+    Rule(
+        "checkpoint complete",
+        r"^(checkpoint|restartpoint) complete: wrote ([0-9]+) buffers \(([0-9.]+)%\)",
+        "CHECKPOINT_COMPLETE",
+        "LOG",
+        f"'checkpoint complete: wrote ' || {_N} || ' buffers ('"
+        " || CAST(CAST(event_id % 100 AS DECIMAL(5,1)) AS STRING) || '%)'",
+        num_group=2,
+    ),
+    Rule(
+        "checkpoints are occurring too frequently",
+        r"^checkpoints are occurring too frequently \(([0-9]+) seconds? apart\)",
+        "CHECKPOINT_TOO_FREQUENT",
+        "WARNING",
+        "'checkpoints are occurring too frequently ('"
+        " || CAST(5 + event_id % 25 AS STRING) || ' seconds apart)'",
+        num_group=1,
+    ),
+    Rule(
+        "recovery restart point at",
+        r"^recovery restart point at ([0-9A-F]+)/([0-9A-F]+)",
+        "RESTARTPOINT_AT",
+        "LOG",
+        f"'recovery restart point at 1F/' || {_N}",
+        text_group=2,
+    ),
+    # --- connection family (analyze.go:170-307) ----------------------------
+    Rule(
+        "connection received: ",
+        r"^connection received: host=([^ ]+)( port=[0-9]+)?",
+        "CONNECTION_RECEIVED",
+        "LOG",
+        f"'connection received: host=10.0.0.' || {_HOST} || ' port='"
+        " || CAST(40000 + event_id % 10000 AS STRING)",
+        text_group=1,
+    ),
+    Rule(
+        "connection authorized: ",
+        r"^connection authorized: user=[0-9A-Za-z_]+( database=[0-9A-Za-z_]+)?",
+        "CONNECTION_AUTHORIZED",
+        "LOG",
+        f"'connection authorized: user=u' || {_UID} || ' database=db_' || {_DB}",
+    ),
+    Rule(
+        "connection authenticated: ",
+        r'^connection authenticated: (?:user|identity)="[0-9A-Za-z_]+" method=[0-9A-Za-z_]+ \([0-9A-Za-z_]+:[0-9]+\)',
+        "CONNECTION_AUTHENTICATED",
+        "LOG",
+        f"'connection authenticated: identity=\"u' || {_UID}"
+        " || '\" method=md5 (auth:' || CAST(1 + event_id % 90 AS STRING) || ')'",
+    ),
+    Rule(
+        "no pg_hba.conf entry for host",
+        r'^no pg_hba.conf entry for host "[^"]+", user "[^"]+", database "[^"]+"',
+        "CONNECTION_REJECTED",
+        "FATAL",
+        f"'no pg_hba.conf entry for host \"10.0.0.' || {_HOST}"
+        f" || '\", user \"u' || {_UID} || '\", database \"db_' || {_DB} || '\"'",
+    ),
+    Rule(
+        "Ident authentication failed for user",
+        r'^Ident authentication failed for user "([^"]+)"',
+        "AUTHENTICATION_FAILED",
+        "FATAL",
+        f"'Ident authentication failed for user \"u' || {_UID} || '\"'",
+        text_group=1,
+    ),
+    Rule(
+        "role \"",
+        r'^role "([^"]+)" is not permitted to log in',
+        "ROLE_NOT_ALLOWED_LOGIN",
+        "FATAL",
+        f"'role \"u' || {_UID} || '\" is not permitted to log in'",
+        text_group=1,
+    ),
+    Rule(
+        "database \"",
+        r'^database "([^"]+)" is not currently accepting connections',
+        "DATABASE_NOT_ACCEPTING_CONNECTIONS",
+        "FATAL",
+        f"'database \"db_' || {_DB} || '\" is not currently accepting connections'",
+        text_group=1,
+    ),
+    Rule(
+        "disconnection: ",
+        r"^disconnection: session time: ([0-9]+):([0-9]+):([0-9.]+) user=[0-9A-Za-z_]+ database=[0-9A-Za-z_]+ host=[^ ]+",
+        "DISCONNECTION",
+        "LOG",
+        "'disconnection: session time: 0:' || CAST(event_id % 60 AS STRING)"
+        f" || ':33.12 user=u' || {_UID} || ' database=db_' || {_DB}"
+        f" || ' host=10.0.0.' || {_HOST}",
+        num_group=2,
+    ),
+    Rule(
+        "could not receive data from client",
+        r"^could not (?:receive data from|send data to) client: [0-9A-Za-z ]+",
+        "CLIENT_COMMUNICATION_FAILURE",
+        "LOG",
+        "'could not receive data from client: Connection reset by peer'",
+    ),
+    Rule(
+        "too many connections for role",
+        r'^too many connections for role "([^"]+)"',
+        "TOO_MANY_CONNECTIONS_ROLE",
+        "FATAL",
+        f"'too many connections for role \"u' || {_UID} || '\"'",
+        text_group=1,
+    ),
+    Rule(
+        "too many connections for database",
+        r'^too many connections for database "([^"]+)"',
+        "TOO_MANY_CONNECTIONS_DATABASE",
+        "FATAL",
+        f"'too many connections for database \"db_' || {_DB} || '\"'",
+        text_group=1,
+    ),
+    Rule(
+        "could not accept SSL connection",
+        r"^could not accept SSL connection: [0-9A-Za-z ]+",
+        "SSL_CONNECTION_FAILED",
+        "LOG",
+        "'could not accept SSL connection: EOF detected'",
+    ),
+    Rule(
+        "unsupported frontend protocol",
+        r"^unsupported frontend protocol [0-9]+\.[0-9]+: server supports [0-9]+\.[0-9]+ to [0-9]+\.[0-9]+",
+        "PROTOCOL_VERSION_UNSUPPORTED",
+        "FATAL",
+        "'unsupported frontend protocol 3.' || CAST(2 + event_id % 7 AS STRING)"
+        " || ': server supports 1.0 to 3.0'",
+    ),
+    # --- lock / deadlock family (analyze.go:370-393) -----------------------
+    Rule(
+        "process ",
+        r"^process [0-9]+ acquired ([0-9A-Za-z]+Lock) on ([0-9A-Za-z]+)(?: [0-9(), ]+)? after ([0-9.]+) ms",
+        "LOCK_ACQUIRED",
+        "LOG",
+        f"'process ' || CAST(1000 + user_id % 200 AS STRING)"
+        f" || ' acquired ShareLock on transaction ' || {_N}"
+        f" || ' after ' || {_MS} || ' ms'",
+        num_group=3,
+        text_group=1,
+    ),
+    Rule(
+        "process ",
+        r"^process [0-9]+ (still waiting|avoided deadlock|detected deadlock while waiting) for ([0-9A-Za-z]+) on ([0-9A-Za-z]+) (?:.+?) after ([0-9.]+) ms",
+        "LOCK_WAITING",
+        "LOG",
+        f"'process ' || CAST(1000 + user_id % 200 AS STRING)"
+        f" || ' still waiting for ShareLock on transaction ' || {_N}"
+        f" || ' after ' || {_MS} || ' ms'",
+        num_group=4,
+        text_group=2,
+    ),
+    Rule(
+        "deadlock detected",
+        r"^deadlock detected",
+        "DEADLOCK_DETECTED",
+        "ERROR",
+        "'deadlock detected'",
+    ),
+    # --- wraparound family (analyze.go:410-423) ----------------------------
+    Rule(
+        "database \"",
+        r'^database "([^"]+)" must be vacuumed within ([0-9]+) transactions',
+        "TXID_WRAPAROUND_WARNING",
+        "WARNING",
+        f"'database \"db_' || {_DB} || '\" must be vacuumed within '"
+        " || CAST(1000000 + event_id AS STRING) || ' transactions'",
+        num_group=2,
+        text_group=1,
+    ),
+    Rule(
+        "database is not accepting commands to avoid wraparound data loss",
+        r'^database is not accepting commands to avoid wraparound data loss in database "([^"]+)"',
+        "TXID_WRAPAROUND_ERROR",
+        "ERROR",
+        f"'database is not accepting commands to avoid wraparound data loss"
+        f" in database \"db_' || {_DB} || '\"'",
+        text_group=1,
+    ),
+    # --- server lifecycle / crash family (analyze.go:446-521) --------------
+    Rule(
+        "server process (PID ",
+        r"^server process \(PID ([0-9]+)\) was terminated by signal (6|11)",
+        "SERVER_CRASHED",
+        "LOG",
+        "'server process (PID ' || CAST(1000 + user_id % 200 AS STRING)"
+        " || ') was terminated by signal 11'",
+        num_group=1,
+    ),
+    Rule(
+        "server process (PID ",
+        r"^server process \(PID ([0-9]+)\) was terminated by signal (9)",
+        "SERVER_OUT_OF_MEMORY",
+        "LOG",
+        "'server process (PID ' || CAST(1000 + user_id % 200 AS STRING)"
+        " || ') was terminated by signal 9'",
+        num_group=1,
+    ),
+    Rule(
+        "database system was shut down",
+        r"^database system was shut down(?: in recovery)? at [0-9-]+ [0-9:]+ [A-Z]+",
+        "SERVER_START",
+        "LOG",
+        "'database system was shut down at 2024-01-05 10:00:00 UTC'",
+    ),
+    Rule(
+        "database system was not properly shut down; automatic recovery in progress",
+        r"^database system was not properly shut down; automatic recovery in progress",
+        "SERVER_START_RECOVERING",
+        "LOG",
+        "'database system was not properly shut down; automatic recovery in progress'",
+    ),
+    # --- temp files (analyze.go:535) ---------------------------------------
+    Rule(
+        "temporary file: path ",
+        r'^temporary file: path "([^"]+)", size ([0-9]+)',
+        "TEMP_FILE_CREATED",
+        "LOG",
+        "'temporary file: path \"base/pgsql_tmp/pgsql_tmp' || "
+        f"{_N} || '.0\", size ' || CAST(event_id * 8192 AS STRING)",
+        num_group=2,
+        text_group=1,
+    ),
+    # --- WAL / archiver family (analyze.go:321-357,639-669) ----------------
+    Rule(
+        "archive command failed with exit code",
+        r"^archive command failed with exit code ([0-9]+)",
+        "WAL_ARCHIVE_COMMAND_FAILED",
+        "LOG",
+        "'archive command failed with exit code ' || CAST(1 + event_id % 3 AS STRING)",
+        num_group=1,
+    ),
+    Rule(
+        "invalid record length at",
+        r"^invalid record length at ([0-9A-F]+)/([0-9A-F]+)",
+        "WAL_INVALID_RECORD_LENGTH",
+        "LOG",
+        f"'invalid record length at 1F/' || {_N}",
+        text_group=2,
+    ),
+    Rule(
+        "redo ",
+        r"^redo (?:(?:starts|done) at ([0-9A-F]+)/([0-9A-F]+)|is not required)",
+        "WAL_REDO",
+        "LOG",
+        f"'redo starts at 0/' || {_N}",
+        text_group=2,
+    ),
+    Rule(
+        "started streaming WAL from primary",
+        r"^(?:started streaming WAL from primary|restarted WAL streaming) at ([0-9A-F]+)/([0-9A-F]+) on timeline ([0-9]+)",
+        "WAL_STREAMING_STARTED",
+        "LOG",
+        f"'started streaming WAL from primary at 1A/' || {_N}"
+        " || ' on timeline ' || CAST(1 + event_id % 4 AS STRING)",
+        num_group=3,
+        text_group=2,
+    ),
+    Rule(
+        "restored log file ",
+        r'^restored log file "([^"]+)" from archive',
+        "WAL_RESTORED_FROM_ARCHIVE",
+        "LOG",
+        f"'restored log file \"00000001000000010000' || {_HOST} || '\" from archive'",
+        text_group=1,
+    ),
+    Rule(
+        "consistent recovery state reached at",
+        r"^consistent recovery state reached at ([0-9A-F]+)/([0-9A-F]+)",
+        "WAL_CONSISTENT_RECOVERY_STATE",
+        "LOG",
+        f"'consistent recovery state reached at 2B/' || {_N}",
+        text_group=2,
+    ),
+    # --- constraint violations (analyze.go:694-787) ------------------------
+    Rule(
+        "duplicate key value violates unique constraint",
+        r'^duplicate key value violates unique constraint "([^"]+)"',
+        "UNIQUE_CONSTRAINT_VIOLATION",
+        "ERROR",
+        f"'duplicate key value violates unique constraint \"uniq_' || {_EID} || '\"'",
+        text_group=1,
+    ),
+    Rule(
+        "insert or update on table ",
+        r'^insert or update on table "([^"]+)" violates foreign key constraint "([^"]+)"',
+        "FOREIGN_KEY_CONSTRAINT_VIOLATION",
+        "ERROR",
+        f"'insert or update on table \"rel_' || {_EID}"
+        f" || '\" violates foreign key constraint \"fk_' || {_EID} || '\"'",
+        text_group=1,
+    ),
+    Rule(
+        "null value in column ",
+        r'^null value in column "([^"]+)" violates not-null constraint',
+        "NOT_NULL_CONSTRAINT_VIOLATION",
+        "ERROR",
+        f"'null value in column \"col_' || CAST(event_id % 20 AS STRING)"
+        " || '\" violates not-null constraint'",
+        text_group=1,
+    ),
+    Rule(
+        "new row for relation ",
+        r'^new row for relation "([^"]+)" violates check constraint "([^"]+)"',
+        "CHECK_CONSTRAINT_VIOLATION",
+        "ERROR",
+        f"'new row for relation \"rel_' || {_EID}"
+        f" || '\" violates check constraint \"chk_' || {_EID} || '\"'",
+        text_group=1,
+    ),
+    # --- statement errors (analyze.go:795-966) -----------------------------
+    Rule(
+        "syntax error at ",
+        r'^syntax error at (?:end of input|or near "(.+)")(?: at character [0-9]+)?',
+        "SYNTAX_ERROR",
+        "ERROR",
+        "'syntax error at or near \"FORM\" at character '"
+        " || CAST(1 + event_id % 80 AS STRING)",
+        text_group=1,
+    ),
+    Rule(
+        "column ",
+        r'^column "[^"]+" does not exist(?: at character [0-9]+)?',
+        "COLUMN_DOES_NOT_EXIST",
+        "ERROR",
+        "'column \"col_' || CAST(event_id % 20 AS STRING)"
+        " || '\" does not exist at character ' || CAST(1 + event_id % 40 AS STRING)",
+    ),
+    Rule(
+        "relation \"",
+        r'^relation "([^"]+)" does not exist(?: at character [0-9]+)?',
+        "RELATION_DOES_NOT_EXIST",
+        "ERROR",
+        f"'relation \"missing_' || {_EID} || '\" does not exist at character '"
+        " || CAST(1 + event_id % 30 AS STRING)",
+        text_group=1,
+    ),
+    Rule(
+        "permission denied for ",
+        r"^permission denied for (?:column|relation|table|sequence|database|function|schema) ([0-9A-Za-z_-]+)",
+        "PERMISSION_DENIED",
+        "ERROR",
+        f"'permission denied for table rel_' || {_EID}",
+        text_group=1,
+    ),
+    # --- config / workers (analyze.go:602-622) -----------------------------
+    Rule(
+        "parameter \"",
+        r'^parameter "([^"]+)" (?:changed to "([^"]+)"|cannot be changed without restarting the server)',
+        "CONFIG_PARAMETER_CHANGED",
+        "LOG",
+        "'parameter \"work_mem\" changed to \"' || CAST(64 + event_id % 192 AS STRING) || 'MB\"'",
+        text_group=1,
+    ),
+    Rule(
+        "worker process: ",
+        r"^worker process: (.+?) \(PID ([0-9]+)\) (?:exited with exit code ([0-9]+)|was terminated by signal ([0-9]+))",
+        "WORKER_PROCESS_EXITED",
+        "LOG",
+        "'worker process: parallel worker for PID '"
+        " || CAST(1000 + user_id % 200 AS STRING) || ' (PID '"
+        " || CAST(2000 + event_id % 500 AS STRING) || ') exited with exit code 1'",
+        num_group=2,
+        text_group=1,
+    ),
+]
+
+
+def sample_case(level_expr_prefix: str = "") -> str:
+    """Render the primary-line content CASE over event_id % len(RULES).
+
+    Each branch emits '<LEVEL>:  <sample body>' so every rule family appears
+    in log_raw with deterministic frequency.
+    """
+    n = len(RULES)
+    whens = "\n".join(
+        f"    WHEN {i} THEN '{r.level}:  ' || ({r.sample})" for i, r in enumerate(RULES)
+    )
+    return f"CASE CAST(event_id % {n} AS INT)\n{whens}\n  END"

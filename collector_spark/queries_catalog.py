@@ -19,6 +19,7 @@ from collector_spark.operators import (
     buffer_cache,
     databases,
     functions_stats,
+    historic,
     relation_scan,
     relations,
     replication,
@@ -238,6 +239,20 @@ register(
     buffer_cache.buffercache_scan,
     buffer_cache.oracle_buffercache_scan(),
     fixtures=["buffercache_rows"],
+)
+
+register(
+    "a12_bucket_accumulation",
+    historic.bucket_accumulation_q,
+    historic.oracle_bucket_accumulation(),
+    fixtures=["stmt_minute_obs"],
+)
+
+register(
+    "a13_latest_split",
+    historic.latest_split,
+    historic.oracle_latest_split(),
+    fixtures=["stmt_minute_obs"],
 )
 
 register(
