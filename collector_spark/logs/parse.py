@@ -29,7 +29,12 @@ _MARK = "\x02"
 
 def parse_lines(spark: SparkSession) -> DataFrame:
     """log_raw -> parsed columns. UNKNOWN level marks continuation lines."""
-    raw = spark.table("log_raw")
+    return parse_df(spark.table("log_raw"))
+
+
+def parse_df(raw: DataFrame) -> DataFrame:
+    """Parse a (collected_at, pid, seq, raw_line) frame — batch OR streaming
+    (pure projection, so the same plan runs under readStream)."""
     # anchored pattern -> at most one match, so replace == rewrite-if-match
     replacement = _MARK + "".join(
         f"{_SEP}${i + 1}" for i in range(len(PARSE_GROUPS))

@@ -30,6 +30,7 @@ from collector_spark.operators import (
     vacuum,
 )
 from collector_spark.registry import register
+from collector_spark.streaming.log_stream import stream_stitch
 
 register(
     "a1_statement_diff",
@@ -154,6 +155,13 @@ register(
     "u7_log_classify",
     classify_q,
     log_pipeline.oracle_classify(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "st3_stream_stitch",
+    stream_stitch,
+    log_pipeline.oracle_stitch(),
     fixtures=["log_raw"],
 )
 

@@ -1,0 +1,319 @@
+"""Structured Streaming log path (ST1-ST5, ST8, ST9).
+
+Reference: the collector's log pipeline is continuous — source adapters push
+lines into a bounded channel (state/logs.go:13), a 10 s ticker drains it
+(runner/logs.go:30,177-229), and stream.AnalyzeStreamInGroups stitches
+multi-line events with a 3 s arrival-readiness threshold
+(logs/stream/stream.go:52-91, :202-277, threshold at :233).
+
+Spark mapping:
+  ST1  withWatermark("collected_at", "3 seconds") — the readiness threshold
+  ST2/ST3 per-pid stateful sessionizer via applyInPandasWithState: lines
+       buffer in state ordered by seq; a group (primary + its
+       continuations) is emitted once a LATER primary for the same pid
+       arrives (sequence-based sessions, not time-gap sessions)
+  ST4  rows older than the watermark never reach the state function
+       (late-data discard); unattributable leading continuations are
+       dropped, mirroring stream.go:84-90
+  ST5  trigger(processingTime="10 seconds") in production;
+       trigger(availableNow) for run-to-completion verification
+  ST8  maxFilesPerTrigger bounds per-tick intake (channel cap analog)
+  ST9  event-time timeout (last buffered line + 3 s) flushes groups the
+       stream will never close
+
+Verification contract: ``stream_stitch`` appends one far-future sentinel
+primary per pid before streaming, so every real group closes and the
+run-to-completion output equals the batch stitcher (w3_log_stitch oracle)
+exactly; sentinel groups themselves never close and are filtered by seq.
+
+Scale: state is per-pid (high cardinality, tiny per-key payload — the
+reference caps one pending event at 10 MB); the only shuffle is the
+groupBy(pid) exchange, identical to the batch stitcher's.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from collector_spark.logs.parse import parse_df
+
+READINESS_MS = 3_000           # logs/stream/stream.go:233
+SENTINEL_SEQ_OFFSET = 10_000_000_000
+
+RAW_SCHEMA = StructType(
+    [
+        StructField("collected_at", TimestampType()),
+        StructField("pid", IntegerType()),
+        StructField("seq", LongType()),
+        StructField("raw_line", StringType()),
+    ]
+)
+
+OUT_SCHEMA = StructType(
+    [
+        StructField("pid", IntegerType()),
+        StructField("seq", LongType()),
+        StructField("log_level", StringType()),
+        StructField("username", StringType()),
+        StructField("database", StringType()),
+        StructField("application", StringType()),
+        StructField("content", StringType()),
+        StructField("line_count", LongType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("seqs", StringType()),  # json-ish packed columns
+        StructField("cts", StringType()),
+        StructField("levels", StringType()),
+        StructField("users", StringType()),
+        StructField("dbs", StringType()),
+        StructField("apps", StringType()),
+        StructField("contents", StringType()),
+    ]
+)
+
+_SEP = "\x1f"
+_NULL = "\x00"
+
+
+def _pack(vals: list) -> str:
+    return _SEP.join(_NULL if v is None else str(v) for v in vals)
+
+
+def _unpack(s: str, as_int: bool = False) -> list:
+    if s == "":
+        return []
+    out = []
+    for v in s.split(_SEP):
+        if v == _NULL:
+            out.append(None)
+        else:
+            out.append(int(v) if as_int else v)
+    return out
+
+
+def _stitch_state_fn(
+    key: tuple, pdf_iter: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (pid,) = key
+    if state.exists:
+        (p_seqs, p_cts, p_levels, p_users, p_dbs, p_apps, p_contents) = state.get
+        seqs = _unpack(p_seqs, as_int=True)
+        cts = _unpack(p_cts, as_int=True)
+        levels = _unpack(p_levels)
+        users = _unpack(p_users)
+        dbs = _unpack(p_dbs)
+        apps = _unpack(p_apps)
+        contents = _unpack(p_contents)
+    else:
+        seqs, cts, levels, users, dbs, apps, contents = [], [], [], [], [], [], []
+
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        seqs += [int(v) for v in pdf["seq"]]
+        cts += [int(v) // 1_000_000 for v in pdf["collected_at"].astype("int64")]  # ns->ms
+        for col, acc in (
+            ("log_level", levels),
+            ("username", users),
+            ("database", dbs),
+            ("application", apps),
+            ("content", contents),
+        ):
+            acc += [None if pd.isna(v) else str(v) for v in pdf[col]]
+
+    order = sorted(range(len(seqs)), key=lambda i: seqs[i])
+    groups: list[list[int]] = []
+    for i in order:
+        if levels[i] != "UNKNOWN":
+            groups.append([i])
+        elif groups:
+            groups[-1].append(i)
+        # else: leading continuation with no possible parent -> dropped (ST4)
+
+    # Emission mirrors the reference's readiness deferral (stream.go:52-91):
+    # a group is emitted once it is READY — the watermark has passed its
+    # newest line, so no straggler continuation inside the readiness window
+    # can still arrive. (Like the reference, a continuation arriving later
+    # than the readiness threshold would misfile; the sentinel-closed
+    # verification run has none.) Unready groups stay buffered; the
+    # event-time timeout re-invokes this function as the watermark
+    # advances, draining them.
+    wm = state.getCurrentWatermarkMs()
+
+    def ready(g: list[int]) -> bool:
+        return max(cts[i] for i in g) < wm
+
+    emit = [g for g in groups if ready(g)]
+    keep = [g for g in groups if not ready(g)]
+
+    rows = [
+        (
+            pid,
+            seqs[g[0]],
+            levels[g[0]],
+            users[g[0]],
+            dbs[g[0]],
+            apps[g[0]],
+            "\n".join(contents[i] for i in g),
+            len(g),
+        )
+        for g in emit
+    ]
+
+    if keep:
+        flat = [i for g in keep for i in g]
+        state.update(
+            (
+                _pack([seqs[i] for i in flat]),
+                _pack([cts[i] for i in flat]),
+                _pack([levels[i] for i in flat]),
+                _pack([users[i] for i in flat]),
+                _pack([dbs[i] for i in flat]),
+                _pack([apps[i] for i in flat]),
+                _pack([contents[i] for i in flat]),
+            )
+        )
+        # ST9: fire when the EARLIEST kept group becomes ready
+        # (setTimeoutTimestamp must exceed the current watermark)
+        next_deadline = min(
+            max(cts[i] for i in g) for g in keep
+        ) + READINESS_MS
+        state.setTimeoutTimestamp(max(next_deadline, wm + 1))
+    else:
+        if state.exists:
+            state.remove()
+
+    if rows:
+        yield pd.DataFrame(rows, columns=[f.name for f in OUT_SCHEMA.fields])
+
+
+def _with_sentinels(log_raw: DataFrame) -> DataFrame:
+    """One far-future primary per pid so run-to-completion closes every real
+    group; sentinel seq offset keeps them filterable."""
+    gmax = log_raw.agg(F.max("collected_at").alias("__gm"))
+    future = F.col("__gm") + F.expr("INTERVAL 10 MINUTES")
+    sentinels = (
+        log_raw.groupBy("pid")
+        .agg(F.max("seq").alias("__mseq"))
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            future.alias("collected_at"),
+            F.col("pid"),
+            (F.col("__mseq") + F.lit(SENTINEL_SEQ_OFFSET)).alias("seq"),
+            F.concat(
+                F.date_format(future, "yyyy-MM-dd HH:mm:ss"),
+                F.lit(" UTC ["),
+                F.col("pid").cast("string"),
+                F.lit("] [user=s,db=s,app=s] LOG:  sentinel flush"),
+            ).alias("raw_line"),
+        )
+    )
+    return log_raw.select("collected_at", "pid", "seq", "raw_line").unionByName(sentinels)
+
+
+def stitch_stream(
+    raw_stream: DataFrame,
+) -> DataFrame:
+    """The streaming stitcher: parse -> watermark -> stateful sessionize."""
+    parsed = parse_df(raw_stream).select(
+        "collected_at",
+        "pid",
+        "seq",
+        "log_level",
+        "username",
+        "database",
+        "application",
+        "content",
+    )
+    return (
+        parsed.withWatermark("collected_at", "3 seconds")
+        .groupBy("pid")
+        .applyInPandasWithState(
+            _stitch_state_fn,
+            OUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stream_stitch(spark: SparkSession, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Run the streaming stitcher to completion over the log_raw fixture and
+    return the (batch-equal) result.
+
+    Production deployment differs only in source/trigger: a live file/socket
+    source with trigger(processingTime='10 seconds') (ST5) instead of
+    trigger(availableNow); maxFilesPerTrigger bounds per-tick intake (ST8).
+    """
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), "collector_spark_stream")
+    src_dir = os.path.join(base, run_id, "src")
+    ckpt_dir = os.path.join(base, run_id, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+
+    # arrival order == event-time order (as for a real log stream): range-
+    # partition by collected_at, then stagger file mtimes in range order so
+    # the file source (which replays oldest-modification-first) delivers
+    # batches in event-time order and the watermark never drops a live row
+    (
+        _with_sentinels(spark.table("log_raw"))
+        .repartitionByRange(8, "collected_at")
+        .sortWithinPartitions("collected_at")
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(src_dir) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base_mtime = os.path.getmtime(src_dir)
+    for i, name in enumerate(parts):
+        p = os.path.join(src_dir, name)
+        os.utime(p, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+    reader = spark.readStream.schema(RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw_stream = reader.parquet(src_dir)
+
+    qname = f"stream_stitch_{run_id}"
+    query = (
+        stitch_stream(raw_stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+        shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
+
+    return (
+        spark.table(qname)
+        .filter(F.col("seq") < SENTINEL_SEQ_OFFSET)
+        .orderBy("pid", "seq")
+    )
