@@ -659,6 +659,142 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# F15 — schema-scan inputs (S13-S22, S24)
+#
+# Reference: input/postgres/relations.go:20-190 (relations/columns/indices/
+# constraints/views), relation_column_stats.go, relation_stats_ext.go,
+# functions.go:18-49, roles.go:13-30, extensions.go:10-16. Derivations keep
+# every value a pure function of the source keys so both engines agree
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+
+COLUMN_ROWS = """
+SELECT
+  p.p_partkey AS relation_oid,
+  'col_' || CAST(r.r_regionkey AS STRING) AS column_name,
+  CAST(r.r_regionkey + 1 AS INT) AS position,
+  CASE CAST((p.p_partkey + r.r_regionkey) % 4 AS INT)
+    WHEN 0 THEN 'integer' WHEN 1 THEN 'text' WHEN 2 THEN 'timestamp'
+    ELSE 'numeric' END AS data_type,
+  (p.p_partkey + r.r_regionkey) % 3 = 0 AS not_null,
+  CASE WHEN (p.p_partkey + r.r_regionkey) % 5 = 0
+       THEN 'nextval(''col_seq'')' ELSE NULL END AS default_expr
+FROM part p JOIN region r ON r.r_regionkey < 3
+"""
+
+CONSTRAINT_ROWS = """
+SELECT p_partkey AS relation_oid,
+  'con_' || CAST(p_partkey AS STRING) || '_' || CAST(p_partkey % 3 AS STRING) AS conname,
+  CASE CAST(p_partkey % 3 AS INT) WHEN 0 THEN 'f' WHEN 1 THEN 'c' ELSE 'u' END AS contype,
+  CAST(1 + p_partkey % 3 AS INT) AS conkey_1,
+  CASE WHEN p_partkey % 3 = 0 THEN p_partkey % 100 ELSE NULL END AS confrelid
+FROM part WHERE p_partkey % 2 = 0
+"""
+
+COLSTAT_ROWS = """
+SELECT
+  p.p_partkey AS relation_oid,
+  'col_' || CAST(r.r_regionkey AS STRING) AS column_name,
+  CAST((p.p_partkey + r.r_regionkey) % 100 AS DOUBLE) / 100.0 AS null_frac,
+  CAST(4 + (p.p_partkey + r.r_regionkey) % 12 AS INT) AS avg_width,
+  CAST((p.p_partkey * 3 + r.r_regionkey) % 1000 AS BIGINT) AS n_distinct,
+  CAST((p.p_partkey + r.r_regionkey * 7) % 200 AS DOUBLE) / 100.0 - 1.0 AS correlation
+FROM part p JOIN region r ON r.r_regionkey < 3
+WHERE p.p_partkey % 3 <> 0
+"""
+
+EXTSTAT_ROWS = """
+SELECT p_partkey AS relation_oid,
+  'st_' || CAST(p_partkey AS STRING) AS stat_name,
+  CASE WHEN p_partkey % 2 = 0 THEN 'd' ELSE 'f' END AS stat_kind,
+  CAST(p_partkey % 500 AS BIGINT) AS n_distinct
+FROM part WHERE p_partkey % 11 = 0
+"""
+
+FUNC_META = """
+SELECT s_suppkey AS function_oid,
+  CAST(s_suppkey % 5 AS BIGINT) AS database_oid,
+  'public' AS schema_name,
+  'fn_' || CAST(s_suppkey AS STRING) AS function_name,
+  CASE CAST(s_suppkey % 3 AS INT) WHEN 0 THEN 'sql' WHEN 1 THEN 'plpgsql' ELSE 'c' END AS language,
+  CASE CAST(s_suppkey % 4 AS INT) WHEN 0 THEN 'f' WHEN 1 THEN 'p' WHEN 2 THEN 'a' ELSE 'w' END AS kind,
+  s_suppkey % 7 = 0 AS security_definer,
+  s_suppkey % 11 = 0 AS leakproof,
+  s_suppkey % 5 = 0 AS strict,
+  s_suppkey % 2 = 0 AS returns_set,
+  CASE CAST(s_suppkey % 3 AS INT) WHEN 0 THEN 'i' WHEN 1 THEN 's' ELSE 'v' END AS volatile
+FROM supplier
+"""
+
+ROLE_ROWS = """
+SELECT n_nationkey AS role_oid,
+  'role_' || CAST(n_nationkey AS STRING) AS rolname,
+  n_nationkey % 10 = 0 AS superuser,
+  n_nationkey % 3 = 0 AS can_login,
+  n_nationkey % 7 = 0 AS create_db,
+  CAST(CASE WHEN n_nationkey % 4 = 0 THEN 10 + n_nationkey % 20 ELSE -1 END AS INT) AS conn_limit
+FROM nation
+"""
+
+ROLE_MEMBERS = """
+SELECT n_nationkey AS role_oid, CAST(20 + n_regionkey AS BIGINT) AS member_of_oid
+FROM nation WHERE n_nationkey < 20
+"""
+
+EXTENSION_ROWS = """
+SELECT r_regionkey AS extension_oid,
+  'ext_' || CAST(r_regionkey AS STRING) AS extname,
+  CASE WHEN r_regionkey % 2 = 0 THEN 'public' ELSE 'extensions' END AS nspname,
+  '1.' || CAST(r_regionkey AS STRING) AS extversion
+FROM region
+"""
+
+
+# ---------------------------------------------------------------------------
+# F16 — query samples with sqlcommenter/marginalia comments + EXPLAIN JSON
+# (U5/U6). Reference: logs/querysample/tags.go:14-77, normalize.go:129-242.
+# The plan tree is depth-3 (root -> hash join -> two scans) with literal
+# constants embedded so normalization has something to erase.
+# ---------------------------------------------------------------------------
+
+QUERY_SAMPLES = """
+SELECT
+  o_orderkey AS sample_id,
+  'SELECT * FROM orders WHERE o_custkey = ' || CAST(o_custkey % 100 AS STRING)
+    || CASE CAST(o_orderkey % 4 AS INT)
+       WHEN 0 THEN ' /*controller=''checkout'',action=''submit%20order'',traceparent=''00-' || CAST(o_orderkey % 100 AS STRING) || '''*/'
+       WHEN 1 THEN ' /*app:api,route:orders-' || CAST(o_orderkey % 50 AS STRING) || '*/'
+       WHEN 2 THEN ' /*controller=''search'',framework=''rails%205''*/'
+       ELSE '' END AS query_text,
+  '{"Node Type":"Aggregate","Output":["count(*)"],"Plans":[{"Node Type":"Hash Join","Hash Cond":"(o.o_custkey = c.c_custkey)","Plans":[{"Node Type":"Seq Scan","Filter":"(o_totalprice > '
+    || CAST(o_orderkey % 500 AS STRING)
+    || '.5)"},{"Node Type":"Index Scan","Index Cond":"(c_custkey = '
+    || CAST(o_custkey % 100 AS STRING)
+    || ')"}]}]}' AS plan_json
+FROM orders WHERE o_orderkey % 20 = 0
+"""
+
+# ---------------------------------------------------------------------------
+# F17 — multimodal media rows: opaque binary payloads + typed metadata
+# (training-data pipeline; image/audio libs absent, so payloads are
+# deterministic md5-chain bytes and the decode stage is a documented fake).
+# ---------------------------------------------------------------------------
+
+MEDIA_ROWS = """
+SELECT
+  doc_id,
+  CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+  unhex(md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')) AS payload,
+  CAST(64 + doc_id % 1024 AS INT)  AS width,
+  CAST(64 + doc_id % 768 AS INT)   AS height,
+  CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 * (2 + doc_id % 5) ELSE 0 END AS INT) AS sample_rate,
+  substr(text, 1, 40) AS caption
+FROM documents
+"""
+
+
 ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "log_raw": {"spark": _log_raw_sql("spark"), "duckdb": _log_raw_sql("duckdb")},
     "stmt_snap1": STMT_SNAP1,
@@ -696,6 +832,16 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "index_rows": INDEX_ROWS,
     "buffercache_rows": BUFFERCACHE_ROWS,
     "stmt_minute_obs": STMT_MINUTE_OBS,
+    "column_rows": COLUMN_ROWS,
+    "constraint_rows": CONSTRAINT_ROWS,
+    "colstat_rows": COLSTAT_ROWS,
+    "extstat_rows": EXTSTAT_ROWS,
+    "func_meta": FUNC_META,
+    "role_rows": ROLE_ROWS,
+    "role_members": ROLE_MEMBERS,
+    "extension_rows": EXTENSION_ROWS,
+    "query_samples": QUERY_SAMPLES,
+    "media_rows": MEDIA_ROWS,
 }
 
 FIXTURES = ALL_FIXTURES  # public alias

@@ -23,6 +23,7 @@ from collector_spark.operators import (
     relation_scan,
     relations,
     replication,
+    schema_scan,
     server_stats,
     settings,
     statements,
@@ -268,6 +269,90 @@ register(
     buffer_cache.buffercache_totals,
     buffer_cache.oracle_buffercache_totals(),
     fixtures=["buffercache_rows", "class_rows"],
+)
+
+register(
+    "s13_relations_schema",
+    schema_scan.relations_schema,
+    schema_scan.oracle_relations_schema(),
+    fixtures=["class_rows"],
+)
+
+register(
+    "s14_columns_scan",
+    schema_scan.columns_scan,
+    schema_scan.oracle_columns_scan(),
+    fixtures=["column_rows", "class_rows"],
+)
+
+register(
+    "s15_indices_scan",
+    schema_scan.indices_scan,
+    schema_scan.oracle_indices_scan(),
+    fixtures=["index_rows", "class_rows"],
+)
+
+register(
+    "s16_constraints_scan",
+    schema_scan.constraints_scan,
+    schema_scan.oracle_constraints_scan(),
+    fixtures=["constraint_rows", "class_rows"],
+)
+
+register(
+    "s17_view_definitions",
+    schema_scan.view_definitions,
+    schema_scan.oracle_view_definitions(),
+    fixtures=["class_rows"],
+)
+
+register(
+    "s18_column_stats",
+    schema_scan.column_stats,
+    schema_scan.oracle_column_stats(),
+    fixtures=["colstat_rows"],
+)
+
+register(
+    "s19_extended_stats",
+    schema_scan.extended_stats,
+    schema_scan.oracle_extended_stats(),
+    fixtures=["extstat_rows"],
+)
+
+register(
+    "s20_functions_scan",
+    schema_scan.functions_scan,
+    schema_scan.oracle_functions_scan(),
+    fixtures=["func_meta"],
+)
+
+register(
+    "s21_function_stats_scan",
+    schema_scan.function_stats_scan,
+    schema_scan.oracle_function_stats_scan(),
+    fixtures=["func_snap2"],
+)
+
+register(
+    "s22_roles_scan",
+    schema_scan.roles_scan,
+    schema_scan.oracle_roles_scan(),
+    fixtures=["role_rows", "role_members"],
+)
+
+register(
+    "s24_extensions_scan",
+    schema_scan.extensions_scan,
+    schema_scan.oracle_extensions_scan(),
+    fixtures=["extension_rows"],
+)
+
+register(
+    "j10_dimension_upsert",
+    schema_scan.dimension_upsert,
+    schema_scan.oracle_dimension_upsert(),
+    fixtures=["backends"],
 )
 
 # --- training-data pipeline extensions (documents/embeddings base tables;
