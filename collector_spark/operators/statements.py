@@ -106,6 +106,39 @@ def statement_rollup(spark: SparkSession) -> DataFrame:
     return j.groupBy(*group).agg(*aggs).orderBy(*group)
 
 
+UNMONITORED_DBS = (4,)  # fixture analog of skipping unmonitored databases
+
+
+def explain_skip(spark: SparkSession) -> DataFrame:
+    """P11: compound EXPLAIN skip predicate (input/postgres/explain.go:21-31):
+    drop samples from unmonitored databases, collector queries, privilege
+    sentinels, and backup commands."""
+    t = spark.table("stmt_texts")
+    return (
+        t.filter(
+            ~F.col("database_oid").isin(*UNMONITORED_DBS)
+            & ~is_collector_query(F.col("query_text"))
+            & (F.col("query_text") != "<insufficient privilege>")
+            & ~F.col("query_text").startswith("COPY ")
+        )
+        .select("database_oid", "user_oid", "query_id", "toplevel", "query_text")
+        .orderBy("database_oid", "user_oid", "query_id", "toplevel")
+    )
+
+
+def oracle_explain_skip() -> str:
+    dbs = ", ".join(str(d) for d in UNMONITORED_DBS)
+    return f"""
+SELECT database_oid, user_oid, query_id, toplevel, query_text
+FROM stmt_texts
+WHERE database_oid NOT IN ({dbs})
+  AND NOT starts_with(query_text, '/* pganalyze-collector */')
+  AND query_text <> '<insufficient privilege>'
+  AND NOT starts_with(query_text, 'COPY ')
+ORDER BY database_oid, user_oid, query_id, toplevel
+"""
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (generated from the same column lists)
 # ---------------------------------------------------------------------------

@@ -7,8 +7,10 @@ check coverage line by line.
 
 from __future__ import annotations
 
+from collector_spark.logs import filters as log_filters
 from collector_spark.logs import pipeline as log_pipeline
-from collector_spark.ml import dedup, similarity, textstats
+from collector_spark.logs import querysample
+from collector_spark.ml import dedup, multimodal, similarity, textstats
 from collector_spark.logs.associate import associate_secondaries_q
 from collector_spark.logs.classify import classify_q
 from collector_spark.logs.parse import parse_lines_q
@@ -157,6 +159,58 @@ register(
     classify_q,
     log_pipeline.oracle_classify(),
     fixtures=["log_raw"],
+)
+
+register(
+    "p7_log_early_ignore",
+    log_filters.early_ignore,
+    log_filters.oracle_early_ignore(log_pipeline.oracle_parse()),
+    fixtures=["log_raw"],
+)
+
+register(
+    "p12_time_window",
+    log_filters.time_window,
+    log_filters.oracle_time_window(log_pipeline.oracle_parse()),
+    fixtures=["log_raw"],
+)
+
+register(
+    "p11_explain_skip",
+    statements.explain_skip,
+    statements.oracle_explain_skip(),
+    fixtures=["stmt_texts"],
+)
+
+register(
+    "u5_comment_tags",
+    querysample.comment_tags,
+    querysample.oracle_comment_tags(),
+    fixtures=["query_samples"],
+)
+
+register(
+    "u6_plan_normalize",
+    querysample.plan_normalize,
+    querysample.oracle_plan_normalize(),
+    fixtures=["query_samples"],
+)
+
+register(
+    "mm_media_metadata",
+    multimodal.media_metadata,
+    multimodal.oracle_media_metadata(),
+    fixtures=["media_rows"],
+)
+
+# decode stage: Arrow-batched mapInPandas with stubbed media decode — not
+# SQL-expressible, so the driver records the (weaker) rows-only check; the
+# byte-exact golden test lives in tests/test_multimodal.py
+register(
+    "mm_decode_features",
+    multimodal.decode_features,
+    None,
+    fixtures=["media_rows"],
 )
 
 register(
