@@ -795,6 +795,56 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# F18 — remaining scan inputs: pg_stat_plans (S30/J6), utility statements
+# (U3/U4), Citus aux sizes (S12), memory gauges (S32).
+# ---------------------------------------------------------------------------
+
+PLAN_ROWS = """
+SELECT o_orderkey % 5 AS database_oid,
+  o_custkey % 50 AS user_oid,
+  o_orderkey % 500 AS query_id,
+  CAST(o_orderkey % 3 AS BIGINT) AS plan_id,
+  CASE CAST(o_orderkey % 3 AS INT)
+    WHEN 0 THEN 'estimate' WHEN 1 THEN 'actual' ELSE 'none' END AS plan_type,
+  'Seq Scan on t' || CAST(o_orderkey % 17 AS STRING) AS plan_text,
+  CAST(COUNT(*) AS BIGINT) AS calls,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_time
+FROM orders
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+UTILITY_STMTS = """
+SELECT s_suppkey AS stmt_id,
+  CASE CAST(s_suppkey % 5 AS INT)
+    WHEN 0 THEN 'CREATE ROLE app_user_' || CAST(s_suppkey % 20 AS STRING)
+      || ' WITH LOGIN PASSWORD ''secret_' || CAST(s_suppkey AS STRING) || ''''
+    WHEN 1 THEN 'ALTER ROLE admin_' || CAST(s_suppkey % 9 AS STRING)
+      || ' PASSWORD ''pw' || CAST(s_suppkey AS STRING) || ''''
+    WHEN 2 THEN 'DROP TABLE IF EXISTS tmp_' || CAST(s_suppkey % 40 AS STRING)
+    WHEN 3 THEN 'SELECT count(*) FROM orders WHERE o_orderkey = ' || CAST(s_suppkey AS STRING)
+    ELSE 'GRANT SELECT ON lineitem TO reader_' || CAST(s_suppkey % 7 AS STRING)
+  END AS query_text
+FROM supplier
+"""
+
+CITUS_AUX = """
+SELECT p_partkey AS relation_oid,
+  CAST(p_size * 131072 AS BIGINT) AS citus_logical_size
+FROM part WHERE p_partkey % 10 = 0
+"""
+
+MEM_STATE = """
+SELECT
+  CAST(MAX(l_partkey) * 65536 AS BIGINT)        AS total_bytes,
+  CAST(MAX(l_suppkey) * 32768 AS BIGINT)        AS free_bytes,
+  CAST(SUM(l_linenumber % 7) * 4096 AS BIGINT)  AS cached_bytes,
+  CAST(SUM(l_suppkey % 3) * 4096 AS BIGINT)     AS buffers_bytes,
+  CAST(SUM(l_partkey % 5) * 4096 AS BIGINT)     AS swap_used_bytes
+FROM lineitem
+"""
+
+
 ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "log_raw": {"spark": _log_raw_sql("spark"), "duckdb": _log_raw_sql("duckdb")},
     "stmt_snap1": STMT_SNAP1,
@@ -842,6 +892,10 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "extension_rows": EXTENSION_ROWS,
     "query_samples": QUERY_SAMPLES,
     "media_rows": MEDIA_ROWS,
+    "plan_rows": PLAN_ROWS,
+    "utility_stmts": UTILITY_STMTS,
+    "citus_aux": CITUS_AUX,
+    "mem_state": MEM_STATE,
 }
 
 FIXTURES = ALL_FIXTURES  # public alias

@@ -97,6 +97,26 @@ def oracle_bucket_accumulation() -> str:
     return f"SELECT * FROM ({_oracle_buckets()}) q ORDER BY collected_at, key"
 
 
+def schedule_suppression(spark: SparkSession) -> DataFrame:
+    """ST6: the 1-minute run is skipped when it coincides with the 10-minute
+    full run, which collects the same stats inline (scheduler/scheduler.go:
+    79-109, input/full.go:68-89) — buckets at 10-minute marks are owned by
+    the full snapshot, so the high-frequency path drops them."""
+    b = bucket_accumulation(spark)
+    return (
+        b.filter(F.minute("collected_at") % 10 != 0)
+        .orderBy("collected_at", "key")
+    )
+
+
+def oracle_schedule_suppression() -> str:
+    return f"""
+SELECT * FROM ({_oracle_buckets()}) q
+WHERE CAST(EXTRACT(minute FROM collected_at) AS INT) % 10 <> 0
+ORDER BY collected_at, key
+"""
+
+
 def latest_split(spark: SparkSession) -> DataFrame:
     """A13 + P10 + W5: drop buckets older than 1 h (anchored on the max
     bucket, the oracle-reproducible 'now'), flag the newest bucket as the

@@ -350,6 +350,69 @@ FROM extension_rows ORDER BY extension_oid
 """
 
 
+def extension_versions(spark: SparkSession) -> DataFrame:
+    """S4: installed vs available extension minor versions via split_part
+    (input/postgres/statements.go:50-58)."""
+    e = spark.table("extension_rows")
+    minor = F.split_part(F.col("extversion"), F.lit("."), F.lit(2)).cast("int")
+    available = F.when(F.col("extension_oid") % 2 == 0, minor + 1).otherwise(minor)
+    return e.select(
+        "extension_oid",
+        "extname",
+        "nspname",
+        F.split_part(F.col("extversion"), F.lit("."), F.lit(1)).cast("int").alias(
+            "installed_major"
+        ),
+        minor.alias("installed_minor"),
+        available.alias("available_minor"),
+        (available > minor).alias("upgrade_available"),
+    ).orderBy("extension_oid")
+
+
+def oracle_extension_versions() -> str:
+    return """
+SELECT extension_oid, extname, nspname,
+  CAST(split_part(extversion, '.', 1) AS INT) AS installed_major,
+  CAST(split_part(extversion, '.', 2) AS INT) AS installed_minor,
+  CASE WHEN extension_oid % 2 = 0 THEN CAST(split_part(extversion, '.', 2) AS INT) + 1
+       ELSE CAST(split_part(extversion, '.', 2) AS INT) END AS available_minor,
+  (CASE WHEN extension_oid % 2 = 0 THEN CAST(split_part(extversion, '.', 2) AS INT) + 1
+        ELSE CAST(split_part(extversion, '.', 2) AS INT) END)
+    > CAST(split_part(extversion, '.', 2) AS INT) AS upgrade_available
+FROM extension_rows ORDER BY extension_oid
+"""
+
+
+def citus_size_override(spark: SparkSession) -> DataFrame:
+    """S12: Citus aux sizes replace the local size stats for distributed
+    tables (input/postgres/relation_stats_aux.go:11-60) — a conditional
+    left join + withColumn overwrite."""
+    cls = spark.table("class_rows").select("oid", "relname", "table_size_bytes")
+    aux = spark.table("citus_aux").select(
+        F.col("relation_oid").alias("oid"), "citus_logical_size"
+    )
+    j = cls.join(F.broadcast(aux), on="oid", how="left")
+    return j.select(
+        "oid",
+        "relname",
+        F.coalesce(F.col("citus_logical_size"), F.col("table_size_bytes")).alias(
+            "effective_size_bytes"
+        ),
+        F.col("citus_logical_size").isNotNull().alias("is_distributed"),
+    ).orderBy("oid")
+
+
+def oracle_citus_size_override() -> str:
+    return """
+SELECT c.oid, c.relname,
+  COALESCE(a.citus_logical_size, c.table_size_bytes) AS effective_size_bytes,
+  a.citus_logical_size IS NOT NULL AS is_distributed
+FROM class_rows c
+LEFT JOIN citus_aux a ON a.relation_oid = c.oid
+ORDER BY c.oid
+"""
+
+
 def dimension_upsert(spark: SparkSession) -> DataFrame:
     """J10: dedup-or-append dimension build producing dense int32 idx, then
     facts rejoined on the surrogate key (output/transform/util.go:25-150).

@@ -106,6 +106,48 @@ def statement_rollup(spark: SparkSession) -> DataFrame:
     return j.groupBy(*group).agg(*aggs).orderBy(*group)
 
 
+def statements_scan(spark: SparkSession) -> DataFrame:
+    """S1/S2: the raw pg_stat_statements scan with version-substituted
+    columns (input/postgres/statements.go:22-44,:128-194): post-1.8 column
+    names (total_exec_time), version-gated columns defaulted via
+    COALESCE/lit (wal_records only on pg13+, toplevel only on 1.9+), and
+    the text join (S2) with the unavailable sentinel."""
+    s = spark.table("stmt_snap2")
+    texts = spark.table("stmt_texts")
+    j = s.join(texts, on=KEYS, how="left")
+    return (
+        j.select(
+            "database_oid",
+            "user_oid",
+            "query_id",
+            F.coalesce(F.col("toplevel"), F.lit(True)).alias("toplevel"),
+            "calls",
+            F.col("total_time").cast("double").alias("total_exec_time"),
+            "rows",
+            "shared_blks_hit",
+            "shared_blks_read",
+            F.lit(0).cast("long").alias("wal_records"),
+            F.lit(0).cast("long").alias("wal_bytes"),
+            F.coalesce(F.col("query_text"), F.lit("<unavailable>")).alias("query_text"),
+        )
+        .orderBy(*KEYS)
+    )
+
+
+def oracle_statements_scan() -> str:
+    keys = ", ".join(KEYS)
+    return f"""
+SELECT s.database_oid, s.user_oid, s.query_id,
+  COALESCE(s.toplevel, true) AS toplevel,
+  s.calls, CAST(s.total_time AS DOUBLE) AS total_exec_time, s.rows,
+  s.shared_blks_hit, s.shared_blks_read,
+  CAST(0 AS BIGINT) AS wal_records, CAST(0 AS BIGINT) AS wal_bytes,
+  COALESCE(t.query_text, '<unavailable>') AS query_text
+FROM stmt_snap2 s LEFT JOIN stmt_texts t USING ({keys})
+ORDER BY s.database_oid, s.user_oid, s.query_id, s.toplevel
+"""
+
+
 UNMONITORED_DBS = (4,)  # fixture analog of skipping unmonitored databases
 
 

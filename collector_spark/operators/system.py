@@ -72,3 +72,34 @@ SELECT device,
   CAST(io_time_ms AS DOUBLE) / (1000.0 * {INTERVAL_SECS}) * 100.0 AS utilization_pct
 FROM ({inner}) d ORDER BY device
 """
+
+
+def memory_scan(spark: SparkSession) -> DataFrame:
+    """S32 (memory gauges): /proc meminfo-shaped projection
+    (input/system/selfhosted/system.go:30-117) — used/available derived
+    from the raw gauges; all single-row arithmetic."""
+    m = spark.table("mem_state")
+    used = F.col("total_bytes") - F.col("free_bytes")
+    available = F.col("free_bytes") + F.col("cached_bytes") + F.col("buffers_bytes")
+    return m.select(
+        "total_bytes",
+        "free_bytes",
+        "cached_bytes",
+        "buffers_bytes",
+        "swap_used_bytes",
+        used.alias("used_bytes"),
+        available.alias("available_bytes"),
+        (used.cast("double") / F.col("total_bytes").cast("double") * 100.0).alias(
+            "used_pct"
+        ),
+    )
+
+
+def oracle_memory_scan() -> str:
+    return """
+SELECT total_bytes, free_bytes, cached_bytes, buffers_bytes, swap_used_bytes,
+  total_bytes - free_bytes AS used_bytes,
+  free_bytes + cached_bytes + buffers_bytes AS available_bytes,
+  CAST(total_bytes - free_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE) * 100.0 AS used_pct
+FROM mem_state
+"""

@@ -16,12 +16,17 @@ from collector_spark.logs.classify import classify_q
 from collector_spark.logs.parse import parse_lines_q
 from collector_spark.logs.redact import redact_secondaries_q
 from collector_spark.logs.stitch import stitch_lines_q
+from collector_spark.functions.utility import (
+    oracle_utility_stmt_scan,
+    utility_stmt_scan,
+)
 from collector_spark.operators import (
     backends,
     buffer_cache,
     databases,
     functions_stats,
     historic,
+    plans,
     relation_scan,
     relations,
     replication,
@@ -323,6 +328,62 @@ register(
     buffer_cache.buffercache_totals,
     buffer_cache.oracle_buffercache_totals(),
     fixtures=["buffercache_rows", "class_rows"],
+)
+
+register(
+    "s1_statements_scan",
+    statements.statements_scan,
+    statements.oracle_statements_scan(),
+    fixtures=["stmt_snap2", "stmt_texts"],
+)
+
+register(
+    "s4_extension_versions",
+    schema_scan.extension_versions,
+    schema_scan.oracle_extension_versions(),
+    fixtures=["extension_rows"],
+)
+
+register(
+    "s12_citus_size_override",
+    schema_scan.citus_size_override,
+    schema_scan.oracle_citus_size_override(),
+    fixtures=["class_rows", "citus_aux"],
+)
+
+register(
+    "s30_plan_scan",
+    plans.plan_scan,
+    plans.oracle_plan_scan(),
+    fixtures=["plan_rows"],
+)
+
+register(
+    "j6_plan_statement_join",
+    plans.plan_statement_join,
+    plans.oracle_plan_statement_join(),
+    fixtures=["plan_rows", "stmt_texts"],
+)
+
+register(
+    "s32_memory_scan",
+    system.memory_scan,
+    system.oracle_memory_scan(),
+    fixtures=["mem_state"],
+)
+
+register(
+    "st6_schedule_suppression",
+    historic.schedule_suppression,
+    historic.oracle_schedule_suppression(),
+    fixtures=["stmt_minute_obs"],
+)
+
+register(
+    "u3_utility_secrets",
+    utility_stmt_scan,
+    oracle_utility_stmt_scan(),
+    fixtures=["utility_stmts"],
 )
 
 register(
