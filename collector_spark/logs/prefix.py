@@ -39,11 +39,18 @@ DEFAULT_PREFIX = "%m [%p] [user=%u,db=%d,app=%a] "
 def compile_prefix(prefix: str = DEFAULT_PREFIX) -> tuple[str, list[str]]:
     """Translate a log_line_prefix template into (regex, group names).
 
+    ``%q`` means everything after it is only present for session processes
+    (logs/parse.go:376-432) — background-worker lines stop the prefix
+    there. The compiled regex wraps the post-%q portion in an optional
+    non-capturing group, so both line shapes parse; the %q-gated capture
+    groups yield empty strings for background processes.
+
     The returned regex has one trailing group pair for LEVEL and content;
     group order = returned names + ['log_level', 'content'].
     """
     out: list[str] = ["^"]
     groups: list[str] = []
+    optional_open = False
     i = 0
     while i < len(prefix):
         ch = prefix[i]
@@ -52,7 +59,9 @@ def compile_prefix(prefix: str = DEFAULT_PREFIX) -> tuple[str, list[str]]:
             if esc == "%":
                 out.append(re.escape("%"))
             elif esc == "q":
-                pass  # %q: rest only present for non-session processes; treat as optional boundary
+                if not optional_open:
+                    out.append("(?:")
+                    optional_open = True
             elif esc in _ESCAPES:
                 frag, name = _ESCAPES[esc]
                 out.append(frag)
@@ -64,5 +73,7 @@ def compile_prefix(prefix: str = DEFAULT_PREFIX) -> tuple[str, list[str]]:
             continue
         out.append(re.escape(ch))
         i += 1
+    if optional_open:
+        out.append(")?")
     out.append(f"({LEVELS}):  ?(.*)$")
     return "".join(out), groups + ["log_level", "content"]
