@@ -1,16 +1,39 @@
-"""U8 — secret redaction (logs/replace.go:13-42).
+"""U8 — secret redaction (logs/replace.go:13-42, markers at
+state/logs.go:121-127).
 
-The reference marks secret spans during classification (statement_text,
-parameter values) and splices '[redacted]' over them before upload. The
-equivalent span set in this pipeline: quoted SQL literals inside STATEMENT
-secondaries and DETAIL parameter lines. Pure regexp_replace — stays in
-codegen.
+The reference marks secret *spans* during classification — byte ranges
+with a kind per line — then splices '[redacted]' over the sorted spans
+before upload. Two renderings here:
+
+  redact_secondaries    — the codegen fast path: the span set reduces to a
+                          regexp_replace when the only markers on a line
+                          are the quoted-literal kind (oracle-checked).
+  redact_with_markers   — the faithful marker pipeline: an Arrow-batched
+                          pandas UDF produces LogSecretMarker-shaped
+                          array<struct<byte_start, byte_end, kind>> per
+                          line (statement_text literals AND token-shaped
+                          credentials), and the splice walks the sorted
+                          spans exactly like logs/replace.go:13-42.
+                          tests/test_redact_markers.py pins the splice
+                          against the regex path where the span sets
+                          coincide.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from collector_spark.logs.associate import associate_secondaries
 
@@ -36,6 +59,92 @@ def redact_secondaries(spark: SparkSession) -> DataFrame:
 
 def redact_secondaries_q(spark: SparkSession) -> DataFrame:
     return redact_secondaries(spark).orderBy("pid", "secondary_seq")
+
+
+MARKER_SCHEMA = StructType(
+    [
+        StructField("pid", IntegerType()),
+        StructField("primary_seq", LongType()),
+        StructField("secondary_seq", LongType()),
+        StructField("secondary_level", StringType()),
+        StructField(
+            "markers",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("byte_start", IntegerType()),
+                        StructField("byte_end", IntegerType()),
+                        StructField("kind", StringType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("redacted_content", StringType()),
+    ]
+)
+
+# marker kinds (state/logs.go:121-127): quoted statement_text literals and
+# bare token-shaped credentials
+_MARKER_KINDS = (("statement_text", r"'[^']*'"), ("credential", r"\btok_[0-9]+\b"))
+
+
+def _mark_and_splice(content: str, needs: bool) -> tuple[list, str]:
+    import re
+
+    if not needs or content is None:
+        return [], content
+    spans: list[tuple[int, int, str]] = []
+    for kind, rx in _MARKER_KINDS:
+        for m in re.finditer(rx, content):
+            spans.append((m.start(), m.end(), kind))
+    # sort + drop spans nested inside an earlier one (replace.go splices
+    # sorted, non-overlapping markers)
+    spans.sort()
+    kept: list[tuple[int, int, str]] = []
+    for s in spans:
+        if kept and s[0] < kept[-1][1]:
+            continue
+        kept.append(s)
+    out, cursor = [], 0
+    for start, end, _ in kept:
+        out.append(content[cursor:start])
+        out.append("[redacted]")
+        cursor = end
+    out.append(content[cursor:])
+    return [
+        {"byte_start": s, "byte_end": e, "kind": k} for s, e, k in kept
+    ], "".join(out)
+
+
+def redact_with_markers(spark: SparkSession) -> DataFrame:
+    """Marker-based redaction: spans computed per line, then spliced."""
+    sec = associate_secondaries(spark).select(
+        "pid", "primary_seq", "secondary_seq", "secondary_level", "secondary_content"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                needs = r.secondary_level in ("STATEMENT", "DETAIL")
+                markers, redacted = _mark_and_splice(r.secondary_content, needs)
+                rows.append(
+                    (
+                        r.pid,
+                        r.primary_seq,
+                        r.secondary_seq,
+                        r.secondary_level,
+                        markers,
+                        redacted,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MARKER_SCHEMA.fields]
+            )
+
+    return sec.mapInPandas(run, MARKER_SCHEMA).orderBy("pid", "secondary_seq")
 
 
 def oracle_redact(associated_cte: str) -> str:

@@ -14,7 +14,7 @@ from collector_spark.ml import dedup, multimodal, similarity, textstats
 from collector_spark.logs.associate import associate_secondaries_q
 from collector_spark.logs.classify import classify_q
 from collector_spark.logs.parse import parse_lines_q
-from collector_spark.logs.redact import redact_secondaries_q
+from collector_spark.logs.redact import redact_secondaries_q, redact_with_markers
 from collector_spark.logs.stitch import stitch_lines_q
 from collector_spark.functions.utility import (
     oracle_utility_stmt_scan,
@@ -39,6 +39,7 @@ from collector_spark.operators import (
 )
 from collector_spark.registry import register
 from collector_spark.streaming.log_stream import stream_stitch
+from collector_spark.streaming.stat_buckets import stream_stat_buckets
 
 register(
     "a1_statement_diff",
@@ -223,6 +224,18 @@ register(
     stream_stitch,
     log_pipeline.oracle_stitch(),
     fixtures=["log_raw"],
+)
+
+register(
+    "st10_stream_buckets",
+    stream_stat_buckets,
+    """
+SELECT date_trunc('minute', ts) AS window_start,
+  event_id % 50 AS key,
+  CAST(COUNT(*) AS BIGINT) AS calls,
+  CAST(SUM(event_id % 7) AS BIGINT) AS rows
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
 )
 
 register(
@@ -468,6 +481,17 @@ register(
     schema_scan.dimension_upsert,
     schema_scan.oracle_dimension_upsert(),
     fixtures=["backends"],
+)
+
+# marker-based redaction: span arrays from a pandas UDF, spliced like
+# logs/replace.go — array-of-struct output is not hashable via the SQL
+# oracle, so the driver records rows-only; the agreement test vs the regex
+# path lives in tests/test_redact_markers.py
+register(
+    "u8_redact_markers",
+    redact_with_markers,
+    None,
+    fixtures=["log_raw"],
 )
 
 # --- training-data pipeline extensions (documents/embeddings base tables;

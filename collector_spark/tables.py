@@ -52,7 +52,14 @@ def load(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     return df
 
 
+# last sf_dir registered — lets source-path-needing operators (streaming
+# readers) find the active dataset without threading sf_dir everywhere
+LAST_SF_DIR = DEFAULT_SF_DIR
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every base table as a temp view (for the SQL-facing surface)."""
+    global LAST_SF_DIR
+    LAST_SF_DIR = sf_dir
     for name in TABLE_NAMES:
         load(spark, name, sf_dir).createOrReplaceTempView(name)
