@@ -31,30 +31,38 @@ def _match(rule: Rule) -> Column:
 def classify(spark: SparkSession) -> DataFrame:
     lines = stitch_lines(spark).filter(F.col("log_level").isin(*PRIMARY_LEVELS))
 
+    # Pass 1: one prefix-short-circuited when-chain assigns the class.
     cls: Column = F.lit("UNCLASSIFIED")
+    for r in reversed(RULES):
+        cls = F.when(_match(r), F.lit(r.classification)).otherwise(cls)
+    classified = lines.select(
+        "pid", "seq", "log_level", "content", cls.alias("classification")
+    )
+
+    # Pass 2: detail extraction keyed by the (unique) classification value —
+    # cheap string equality instead of re-running the prefix+regex chain,
+    # so each row evaluates at most one extraction regex per column.
+    # (CollapseProject will not inline the expensive class chain into the
+    # ~100 references below: aliases referenced more than once by
+    # non-trivial expressions are kept materialized.)
     num: Column = F.lit(None).cast("double")
     txt: Column = F.lit(None).cast("string")
     for r in reversed(RULES):
-        m = _match(r)
-        cls = F.when(m, F.lit(r.classification)).otherwise(cls)
-        num = F.when(
-            m,
-            F.regexp_extract(F.col("content"), r.regex, r.num_group).cast("double")
-            if r.num_group
-            else F.lit(None).cast("double"),
-        ).otherwise(num)
-        txt = F.when(
-            m,
-            F.regexp_extract(F.col("content"), r.regex, r.text_group)
-            if r.text_group
-            else F.lit(None).cast("string"),
-        ).otherwise(txt)
+        m = F.col("classification") == r.classification
+        if r.num_group:
+            num = F.when(
+                m, F.regexp_extract(F.col("content"), r.regex, r.num_group).cast("double")
+            ).otherwise(num)
+        if r.text_group:
+            txt = F.when(
+                m, F.regexp_extract(F.col("content"), r.regex, r.text_group)
+            ).otherwise(txt)
 
-    return lines.select(
+    return classified.select(
         "pid",
         "seq",
         "log_level",
-        cls.alias("classification"),
+        "classification",
         num.alias("detail_num"),
         txt.alias("detail_text"),
     )

@@ -33,6 +33,7 @@ from collector_spark.operators import (
     schema_scan,
     server_stats,
     settings,
+    snapshot,
     statements,
     system,
     vacuum,
@@ -341,6 +342,13 @@ register(
     buffer_cache.buffercache_totals,
     buffer_cache.oracle_buffercache_totals(),
     fixtures=["buffercache_rows", "class_rows"],
+)
+
+register(
+    "snapshot_statement_fact",
+    snapshot.assemble_statement_fact,
+    snapshot.oracle_statement_fact(),
+    fixtures=["stmt_snap1", "stmt_snap2", "stmt_texts"],
 )
 
 register(
