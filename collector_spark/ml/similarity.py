@@ -122,6 +122,227 @@ def lsh_topk(spark: SparkSession) -> DataFrame:
     )
 
 
+def lsh_multiprobe_topk(spark: SparkSession) -> DataFrame:
+    """Multi-probe ANN: each query also probes the HP buckets at Hamming
+    distance 1 from its own (flip one sign bit), recovering the
+    near-boundary recall the single-bucket variant loses. Join volume grows
+    (HP+1)x on the (broadcast) query side only — the corpus still shuffles
+    nothing and candidates stay bucket-bounded."""
+    emb = spark.table("embeddings").withColumn("bucket", _bucket(F.col("embedding")))
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(HP)]
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(probes).alias("bucket"),
+        )
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv"), "bucket"
+    )
+    joined = corpus.join(F.broadcast(queries), on="bucket").filter(
+        F.col("query_id") != F.col("corpus_id")
+    )
+    cosine = (
+        _fold_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    ).alias("cosine")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        joined.select("query_id", "corpus_id", cosine)
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def oracle_lsh_multiprobe_topk() -> str:
+    bucket = " + ".join(
+        f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(HP)
+    )
+    probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << j})" for j in range(HP)])
+    dot = _sql_dot("q.embedding", "c.embedding")
+    qq = _sql_dot("q.embedding", "q.embedding")
+    cc = _sql_dot("c.embedding", "c.embedding")
+    return f"""
+WITH b AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM embeddings),
+probes AS (
+  SELECT vec_id, embedding, CAST(unnest([{probes}]) AS INT) AS bucket
+  FROM b WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS corpus_id,
+         ({dot}) / (sqrt({qq}) * sqrt({cc})) AS cosine
+  FROM probes q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, corpus_id, cosine,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+N_CENTROIDS = 8
+IVF_PROBES = 2
+
+
+def ivf_topk(spark: SparkSession) -> DataFrame:
+    """IVF ANN: corpus vectors are assigned to their nearest centroid
+    (inverted lists); a query probes its IVF_PROBES nearest centroids and
+    scores only those lists. Same join shape as the LSH variant — the
+    centroid set substitutes for sign-bit buckets.
+
+    Centroids here are a fixed deterministic subset of the corpus (vec_id
+    in [N_QUERIES, N_QUERIES + N_CENTROIDS)); production would k-means
+    offline and broadcast the trained centroids — the assignment/probe/join
+    plan is identical. Assignment ties break by centroid_id via the
+    row_number ordering, keeping both engines aligned."""
+    from pyspark.sql import Window
+
+    emb = spark.table("embeddings")
+    centroids = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centv"),
+    )
+
+    def nearest(df, vec_col, keep, n):
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            *keep,
+            "centroid_id",
+            (
+                _fold_dot(F.col(vec_col), F.col("centv"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("centv")))
+            ).alias("cent_cos"),
+        )
+        w = Window.partitionBy(*keep[:1]).orderBy(
+            F.desc("cent_cos"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .drop("__r", "cent_cos")
+        )
+
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv")
+    )
+    corpus_lists = nearest(corpus, "cv", ["corpus_id", "cv"], 1)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    query_probes = nearest(queries, "qv", ["query_id", "qv"], IVF_PROBES)
+
+    joined = corpus_lists.join(F.broadcast(query_probes), on="centroid_id").filter(
+        F.col("query_id") != F.col("corpus_id")
+    )
+    cosine = (
+        _fold_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    ).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        joined.select("query_id", "corpus_id", cosine)
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def oracle_ivf_topk() -> str:
+    dotc = _sql_dot("x.embedding", "c.embedding")
+    xx = _sql_dot("x.embedding", "x.embedding")
+    cc2 = _sql_dot("c.embedding", "c.embedding")
+    dot = _sql_dot("q.qv", "co.cv")
+    qq = _sql_dot("q.qv", "q.qv")
+    cv = _sql_dot("co.cv", "co.cv")
+    return f"""
+WITH centroids AS (
+  SELECT CAST(vec_id - {N_QUERIES} AS INT) AS centroid_id, embedding
+  FROM embeddings WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+),
+corpus_scored AS (
+  SELECT x.vec_id AS corpus_id, x.embedding AS cv, c.centroid_id,
+    ({dotc}) / (sqrt({xx}) * sqrt({cc2})) AS cent_cos
+  FROM embeddings x CROSS JOIN centroids c
+),
+corpus_lists AS (
+  SELECT corpus_id, cv, centroid_id FROM corpus_scored
+  QUALIFY row_number() OVER (PARTITION BY corpus_id ORDER BY cent_cos DESC, centroid_id) <= 1
+),
+query_scored AS (
+  SELECT x.vec_id AS query_id, x.embedding AS qv, c.centroid_id,
+    ({dotc}) / (sqrt({xx}) * sqrt({cc2})) AS cent_cos
+  FROM embeddings x CROSS JOIN centroids c
+  WHERE x.vec_id < {N_QUERIES}
+),
+query_probes AS (
+  SELECT query_id, qv, centroid_id FROM query_scored
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cent_cos DESC, centroid_id) <= {IVF_PROBES}
+),
+scored AS (
+  SELECT DISTINCT q.query_id, co.corpus_id,
+    ({dot}) / (sqrt({qq}) * sqrt({cv})) AS cosine
+  FROM corpus_lists co JOIN query_probes q USING (centroid_id)
+  WHERE q.query_id <> co.corpus_id
+)
+SELECT query_id, corpus_id, cosine,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+NEARDUP_THRESHOLD = 0.95
+
+
+def embedding_neardup_pairs(spark: SparkSession) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates restricted to
+    sign-bit bucket-mates (same shape as the LSH join — no all-pairs cross
+    join), kept when cosine >= threshold."""
+    emb = spark.table("embeddings").withColumn("bucket", _bucket(F.col("embedding")))
+    left = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "bucket"
+    )
+    right = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "bucket"
+    )
+    joined = left.join(right, on="bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cosine = (
+        _fold_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    ).alias("cosine")
+    return (
+        joined.select("vec_a", "vec_b", cosine)
+        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def oracle_embedding_neardup_pairs() -> str:
+    bucket = " + ".join(
+        f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(HP)
+    )
+    dot = _sql_dot("a.embedding", "b.embedding")
+    aa = _sql_dot("a.embedding", "a.embedding")
+    bb = _sql_dot("b.embedding", "b.embedding")
+    return f"""
+WITH bk AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ({dot}) / (sqrt({aa}) * sqrt({bb})) AS cosine
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ({dot}) / (sqrt({aa}) * sqrt({bb})) >= {NEARDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
 def oracle_lsh_topk() -> str:
     bucket = " + ".join(
         f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(HP)

@@ -158,3 +158,39 @@ SELECT doc_id,
   CAST(length(text) AS DOUBLE) / 4.0 AS est_bpe_tokens
 FROM documents ORDER BY doc_id
 """
+
+
+def doc_fingerprint(spark: SparkSession) -> DataFrame:
+    """Document fingerprinting: a whole-document content hash over
+    whitespace-normalized text plus a winnowing-style rolling fingerprint
+    (the minimum word-trigram shingle hash — the window-min of the rolling
+    hash sequence with the window spanning the document)."""
+    from collector_spark.ml.dedup import _shingle_hashes
+
+    docs = spark.table("documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    whole = docs.select("doc_id", F.md5(norm).alias("content_md5"))
+    rolling = (
+        _shingle_hashes(docs)
+        .groupBy("doc_id")
+        .agg(F.min("h").cast("long").alias("min_shingle_hash"))
+    )
+    return (
+        whole.join(rolling, on="doc_id", how="left")
+        .select("doc_id", "content_md5", "min_shingle_hash")
+        .orderBy("doc_id")
+    )
+
+
+def oracle_doc_fingerprint() -> str:
+    from collector_spark.ml.dedup import _SQL_SHINGLES
+
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+rolling AS (SELECT doc_id, CAST(MIN(h) AS BIGINT) AS min_shingle_hash FROM sh GROUP BY doc_id)
+SELECT d.doc_id,
+  md5(trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g'))) AS content_md5,
+  r.min_shingle_hash
+FROM documents d LEFT JOIN rolling r USING (doc_id)
+ORDER BY d.doc_id
+"""

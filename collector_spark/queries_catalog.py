@@ -535,6 +535,26 @@ register(
 
 register("ml_lsh_topk", similarity.lsh_topk, similarity.oracle_lsh_topk())
 
+register(
+    "ml_lsh_multiprobe_topk",
+    similarity.lsh_multiprobe_topk,
+    similarity.oracle_lsh_multiprobe_topk(),
+)
+
+register("ml_ivf_topk", similarity.ivf_topk, similarity.oracle_ivf_topk())
+
+register(
+    "ml_embedding_neardup",
+    similarity.embedding_neardup_pairs,
+    similarity.oracle_embedding_neardup_pairs(),
+)
+
+register(
+    "ml_doc_fingerprint",
+    textstats.doc_fingerprint,
+    textstats.oracle_doc_fingerprint(),
+)
+
 register("ml_language_id", textstats.language_id, textstats.oracle_language_id())
 
 register("ml_quality_score", textstats.quality_score, textstats.oracle_quality_score())
