@@ -76,6 +76,102 @@ def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
 
+# ---------------------------------------------------------------------------
+# Autovacuum detail extraction (SURVEY §7.4 hard part 3): the PG14-era
+# subset of the reference's 60-group autovacuum regex (analyze.go:81-108),
+# numbered groups mapped to typed columns.
+# ---------------------------------------------------------------------------
+
+AUTOVACUUM_DETAIL_RE = (
+    r'^automatic (aggressive )?vacuum (to prevent wraparound )?of table "([^"]+)":'
+    r" index scans: ([0-9]+), pages: ([0-9]+) removed, ([0-9]+) remain,"
+    r" tuples: ([0-9]+) removed, ([0-9]+) remain, ([0-9]+) are dead but not yet removable"
+    r"(?:, oldest xmin: ([0-9]+))?,"
+    r" buffer usage: ([0-9]+) hits, ([0-9]+) (?:misses|reads), ([0-9]+) dirtied,"
+    r" avg read rate: ([0-9.]+) MB/s, avg write rate: ([0-9.]+) MB/s,"
+    r" WAL usage: ([0-9]+) records, ([0-9]+) full page images, ([0-9]+) bytes,"
+    r" system usage: CPU: user: ([0-9.]+) s, system: ([0-9.]+) s, elapsed: ([0-9.]+) s"
+)
+
+# group -> (column, type); optional groups go through NULLIF('')
+_AV_GROUPS: list[tuple[int, str, str, bool]] = [
+    (1, "aggressive", "flag", False),
+    (2, "wraparound", "flag", False),
+    (3, "relname", "string", False),
+    (4, "idx_scans", "long", False),
+    (5, "pages_removed", "long", False),
+    (6, "pages_remain", "long", False),
+    (7, "tuples_removed", "long", False),
+    (8, "tuples_remain", "long", False),
+    (9, "tuples_new_dead", "long", False),
+    (10, "oldest_xmin", "long", True),
+    (11, "buffer_hits", "long", False),
+    (12, "buffer_misses", "long", False),
+    (13, "buffers_dirtied", "long", False),
+    (14, "read_rate_mbps", "double", False),
+    (15, "write_rate_mbps", "double", False),
+    (16, "wal_records", "long", False),
+    (17, "wal_fpis", "long", False),
+    (18, "wal_bytes", "long", False),
+    (19, "cpu_user_secs", "double", False),
+    (20, "cpu_system_secs", "double", False),
+    (21, "cpu_elapsed_secs", "double", False),
+]
+
+
+def autovacuum_details(spark: SparkSession) -> DataFrame:
+    """U7 depth: typed per-field extraction from autovacuum completion
+    lines. One prefix filter + one regex evaluation per matching line (the
+    extracts share the pattern; group count only widens the match)."""
+    lines = stitch_lines(spark).filter(
+        F.col("content").startswith("automatic ")
+        & F.col("content").rlike(AUTOVACUUM_DETAIL_RE)
+    )
+    cols: list[Column] = [F.col("pid"), F.col("seq")]
+    for gi, name, typ, optional in _AV_GROUPS:
+        e = F.regexp_extract(F.col("content"), AUTOVACUUM_DETAIL_RE, gi)
+        if typ == "flag":
+            cols.append((e != "").alias(name))
+        elif typ == "string":
+            cols.append(e.alias(name))
+        else:
+            e = F.nullif(e, F.lit("")) if optional else e
+            cols.append(e.cast(typ).alias(name))
+    return lines.select(*cols).orderBy("pid", "seq")
+
+
+def oracle_autovacuum_details(stitched_cte: str) -> str:
+    # DuckDB's numeric regexp_extract caps group index at 9; the list-of-
+    # names form returns a struct covering every group in one evaluation
+    rx = _sql_quote(AUTOVACUUM_DETAIL_RE)
+    names = ", ".join(f"'{name}'" for _, name, _, _ in _AV_GROUPS)
+    cols = []
+    for _, name, typ, optional in _AV_GROUPS:
+        e = f"g.{name}"
+        if typ == "flag":
+            cols.append(f"{e} <> '' AS {name}")
+        elif typ == "string":
+            cols.append(f"{e} AS {name}")
+        else:
+            sql_t = {"long": "BIGINT", "double": "DOUBLE"}[typ]
+            if optional:
+                e = f"NULLIF({e}, '')"
+            cols.append(f"CAST({e} AS {sql_t}) AS {name}")
+    col_sql = ",\n  ".join(cols)
+    return f"""
+WITH stitched AS ({stitched_cte}),
+matched AS (
+  SELECT pid, seq, regexp_extract(content, '{rx}', [{names}]) AS g
+  FROM stitched
+  WHERE starts_with(content, 'automatic ') AND regexp_matches(content, '{rx}')
+)
+SELECT pid, seq,
+  {col_sql}
+FROM matched
+ORDER BY pid, seq
+"""
+
+
 def oracle_classify(stitched_cte: str) -> str:
     levels = ", ".join(f"'{lv}'" for lv in PRIMARY_LEVELS)
 

@@ -66,12 +66,34 @@ RULES: list[Rule] = [
     ),
     # --- autovacuum family (analyze.go:65-125) -----------------------------
     Rule(
-        "automatic vacuum of table",
-        r'^automatic vacuum of table "([^"]+)": index scans: ([0-9]+)',
+        "automatic ",
+        r'^automatic (?:aggressive )?vacuum (?:to prevent wraparound )?of table "([^"]+)": index scans: ([0-9]+)',
         "AUTOVACUUM_COMPLETED",
         "LOG",
-        f"'automatic vacuum of table \"db_' || {_DB} || '.public.rel_' || {_EID}"
-        f" || '\": index scans: ' || CAST(event_id % 4 AS STRING)",
+        # full PG14-style completion body (analyze.go:81-108 subset); the
+        # dedicated detail extractor (classify.autovacuum_details) parses
+        # every numeric field out of this line
+        "'automatic ' || CASE WHEN event_id % 11 = 0 THEN 'aggressive ' ELSE '' END"
+        " || 'vacuum ' || CASE WHEN event_id % 5 = 0 THEN 'to prevent wraparound ' ELSE '' END"
+        f" || 'of table \"db_' || {_DB} || '.public.rel_' || {_EID}"
+        " || '\": index scans: ' || CAST(event_id % 4 AS STRING)"
+        " || ', pages: ' || CAST(event_id % 100 AS STRING) || ' removed, '"
+        " || CAST(1000 + event_id % 9000 AS STRING) || ' remain,'"
+        " || ' tuples: ' || CAST(event_id % 500 AS STRING) || ' removed, '"
+        " || CAST(2000 + event_id % 8000 AS STRING) || ' remain, '"
+        " || CAST(event_id % 50 AS STRING) || ' are dead but not yet removable'"
+        " || CASE WHEN event_id % 2 = 0 THEN ', oldest xmin: ' || CAST(100000 + event_id AS STRING) ELSE '' END"
+        " || ', buffer usage: ' || CAST(event_id % 4000 AS STRING) || ' hits, '"
+        " || CAST(event_id % 300 AS STRING) || ' misses, '"
+        " || CAST(event_id % 200 AS STRING) || ' dirtied,'"
+        " || ' avg read rate: ' || CAST(CAST(event_id % 80 AS DECIMAL(6,1)) AS STRING) || ' MB/s,'"
+        " || ' avg write rate: ' || CAST(CAST(event_id % 40 AS DECIMAL(6,1)) AS STRING) || ' MB/s,'"
+        " || ' WAL usage: ' || CAST(event_id % 7000 AS STRING) || ' records, '"
+        " || CAST(event_id % 90 AS STRING) || ' full page images, '"
+        " || CAST(event_id * 13 % 100000 AS STRING) || ' bytes,'"
+        " || ' system usage: CPU: user: ' || CAST(CAST(event_id % 10 AS DECIMAL(5,2)) AS STRING)"
+        " || ' s, system: ' || CAST(CAST(event_id % 5 AS DECIMAL(5,2)) AS STRING)"
+        " || ' s, elapsed: ' || CAST(CAST(event_id % 30 AS DECIMAL(5,2)) AS STRING) || ' s'",
         num_group=2,
         text_group=1,
     ),

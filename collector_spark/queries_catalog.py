@@ -12,7 +12,8 @@ from collector_spark.logs import pipeline as log_pipeline
 from collector_spark.logs import querysample
 from collector_spark.ml import dedup, multimodal, similarity, textstats
 from collector_spark.logs.associate import associate_secondaries_q
-from collector_spark.logs.classify import classify_q
+from collector_spark.logs.classify import autovacuum_details, classify_q
+from collector_spark.logs.classify import oracle_autovacuum_details
 from collector_spark.logs.parse import parse_lines_q
 from collector_spark.logs.redact import redact_secondaries_q, redact_with_markers
 from collector_spark.logs.stitch import stitch_lines_q
@@ -165,6 +166,13 @@ register(
     "u7_log_classify",
     classify_q,
     log_pipeline.oracle_classify(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "u7b_autovacuum_details",
+    autovacuum_details,
+    oracle_autovacuum_details(log_pipeline.oracle_stitch()),
     fixtures=["log_raw"],
 )
 
