@@ -497,6 +497,268 @@ RULES: list[Rule] = [
         num_group=2,
         text_group=1,
     ),
+    # --- recovery / WAL continued (analyze.go:162,337,357,543-686) ---------
+    Rule(
+        "last completed transaction was at log time",
+        r"^last completed transaction was at log time ([0-9-]+ [0-9:.]+[0-9:+-]*)",
+        "LAST_COMPLETED_TRANSACTION",
+        "LOG",
+        "'last completed transaction was at log time 2024-01-0'"
+        " || CAST(1 + event_id % 9 AS STRING) || ' 10:22:33.456+00'",
+        text_group=1,
+    ),
+    Rule(
+        "archiver process (PID ",
+        r"^archiver process \(PID ([0-9]+)\) exited with exit code ([0-9]+)",
+        "WAL_ARCHIVER_EXITED",
+        "LOG",
+        "'archiver process (PID ' || CAST(3000 + event_id % 400 AS STRING)"
+        " || ') exited with exit code 1'",
+        num_group=1,
+    ),
+    Rule(
+        "could not open usermap file ",
+        r'^could not open usermap file "([^"]+)": (.+)',
+        "USERMAP_FILE_ERROR",
+        "LOG",
+        "'could not open usermap file \"/etc/pg_ident.conf\": No such file or directory'",
+        text_group=1,
+    ),
+    Rule(
+        "could not link file ",
+        r'^could not link file "([^"]+)" to "([^"]+)": (.+)',
+        "WAL_LINK_FAILED",
+        "LOG",
+        f"'could not link file \"pg_wal/xlogtemp.' || {_N}"
+        " || '\" to \"pg_wal/00000001\": File exists'",
+        text_group=1,
+    ),
+    Rule(
+        "unexpected pageaddr ",
+        r"^unexpected pageaddr [0-9A-F]+/[0-9A-Z]+ in log segment [0-9A-Za-z]+, offset [0-9]+",
+        "WAL_UNEXPECTED_PAGEADDR",
+        "LOG",
+        f"'unexpected pageaddr 1F/' || {_N} || ' in log segment 000000010000'"
+        " || CAST(event_id % 90 AS STRING) || ', offset ' || CAST(event_id % 8192 AS STRING)",
+    ),
+    Rule(
+        "could not receive data from WAL stream",
+        r"^could not receive data from WAL stream: ([0-9A-Za-z: ]+)",
+        "WAL_RECEIVE_FAILED",
+        "LOG",
+        "'could not receive data from WAL stream: server closed the connection unexpectedly'",
+        text_group=1,
+    ),
+    Rule(
+        "according to history file",
+        r"^according to history file, WAL location .+? belongs to timeline [0-9]+, but previous recovered WAL file came from timeline [0-9]+",
+        "WAL_TIMELINE_MISMATCH",
+        "FATAL",
+        f"'according to history file, WAL location 2B/' || {_N}"
+        " || ' belongs to timeline 2, but previous recovered WAL file came from timeline 1'",
+    ),
+    # --- storage corruption (analyze.go:586-594) ---------------------------
+    Rule(
+        "page verification failed",
+        r"^page verification failed, calculated checksum ([0-9]+) but expected ([0-9]+)",
+        "CHECKSUM_FAILURE",
+        "WARNING",
+        f"'page verification failed, calculated checksum ' || {_N}"
+        " || ' but expected ' || CAST(event_id % 65536 AS STRING)",
+        num_group=1,
+    ),
+    Rule(
+        "invalid page in block",
+        r"^invalid page in block ([0-9]+) of relation ([0-9A-Za-z/]+)",
+        "INVALID_PAGE",
+        "ERROR",
+        f"'invalid page in block ' || {_N} || ' of relation base/16384/' || {_EID}",
+        num_group=1,
+        text_group=2,
+    ),
+    # --- config continued (analyze.go:610) ---------------------------------
+    Rule(
+        "configuration file ",
+        r'^configuration file "([^"]+)" contains errors; unaffected changes were applied',
+        "CONFIG_FILE_ERROR",
+        "LOG",
+        "'configuration file \"/etc/postgresql.conf\" contains errors; unaffected changes were applied'",
+        text_group=1,
+    ),
+    # --- constraint violations continued (analyze.go:755-787) --------------
+    Rule(
+        "check constraint ",
+        r'^check constraint "([^"]+)" is violated by some row',
+        "CHECK_CONSTRAINT_VIOLATED_ROW",
+        "ERROR",
+        f"'check constraint \"chk_' || {_EID} || '\" is violated by some row'",
+        text_group=1,
+    ),
+    Rule(
+        "column \"",
+        r'^column "([^"]+)" of table "([^"]+)" contains values that violate the new constraint',
+        "NEW_CONSTRAINT_VIOLATION",
+        "ERROR",
+        "'column \"col_' || CAST(event_id % 20 AS STRING)"
+        f" || '\" of table \"rel_' || {_EID}"
+        " || '\" contains values that violate the new constraint'",
+        text_group=1,
+    ),
+    Rule(
+        "value for domain ",
+        r'^value for domain (.+?) violates check constraint "([^"]+)"',
+        "DOMAIN_CHECK_VIOLATION",
+        "ERROR",
+        "'value for domain positive_int violates check constraint \"chk_dom_'"
+        f" || {_EID} || '\"'",
+        text_group=1,
+    ),
+    Rule(
+        "conflicting key value violates exclusion constraint",
+        r'^conflicting key value violates exclusion constraint "([^"]+)"',
+        "EXCLUSION_CONSTRAINT_VIOLATION",
+        "ERROR",
+        f"'conflicting key value violates exclusion constraint \"excl_' || {_EID} || '\"'",
+        text_group=1,
+    ),
+    # --- statement errors continued (analyze.go:803-1060) ------------------
+    Rule(
+        "column \"",
+        r'^column "([^"]+)" must appear in the GROUP BY clause or be used in an aggregate function',
+        "GROUP_BY_ERROR",
+        "ERROR",
+        "'column \"col_' || CAST(event_id % 20 AS STRING)"
+        " || '\" must appear in the GROUP BY clause or be used in an aggregate function'",
+        text_group=1,
+    ),
+    Rule(
+        "column \"",
+        r'^column "([^"]+)" of relation "([^"]+)" does not exist(?: at character [0-9]+)?',
+        "COLUMN_OF_RELATION_MISSING",
+        "ERROR",
+        "'column \"col_' || CAST(event_id % 20 AS STRING)"
+        f" || '\" of relation \"rel_' || {_EID}"
+        " || '\" does not exist at character ' || CAST(1 + event_id % 25 AS STRING)",
+        text_group=1,
+    ),
+    Rule(
+        "column reference ",
+        r'^column reference "([^"]+)" is ambiguous(?: at character [0-9]+)?',
+        "AMBIGUOUS_COLUMN",
+        "ERROR",
+        "'column reference \"col_' || CAST(event_id % 20 AS STRING)"
+        " || '\" is ambiguous at character ' || CAST(1 + event_id % 60 AS STRING)",
+        text_group=1,
+    ),
+    Rule(
+        "function ",
+        r"^function ([^\"]+) does not exist(?: at character [0-9]+)?",
+        "FUNCTION_DOES_NOT_EXIST",
+        "ERROR",
+        f"'function fn_' || {_EID} || '(integer) does not exist at character '"
+        " || CAST(1 + event_id % 12 AS STRING)",
+        text_group=1,
+    ),
+    Rule(
+        "invalid input syntax for ",
+        r'^invalid input syntax for [0-9A-Za-z ]+(?:: "([^"]+)")?(?: at character [0-9]+)?',
+        "INVALID_INPUT_SYNTAX",
+        "ERROR",
+        "'invalid input syntax for type integer: \"abc' || CAST(event_id % 30 AS STRING)"
+        " || '\" at character ' || CAST(1 + event_id % 45 AS STRING)",
+        text_group=1,
+    ),
+    Rule(
+        "value too long for type ",
+        r"^value too long for type ([0-9A-Za-z ()]+)",
+        "VALUE_TOO_LONG",
+        "ERROR",
+        "'value too long for type character varying(' || CAST(8 + event_id % 56 AS STRING) || ')'",
+        text_group=1,
+    ),
+    Rule(
+        "invalid value ",
+        r'^invalid value "([^"]+)" for "([^"]+)"',
+        "INVALID_VALUE",
+        "ERROR",
+        "'invalid value \"x' || CAST(event_id % 40 AS STRING) || '\" for \"YYYY\"'",
+        text_group=1,
+    ),
+    Rule(
+        "malformed array literal: ",
+        r'^malformed array literal: "(.+)"(?: at character [0-9]+)?',
+        "MALFORMED_ARRAY",
+        "ERROR",
+        "'malformed array literal: \"{bad' || CAST(event_id % 15 AS STRING)"
+        " || '\" at character ' || CAST(1 + event_id % 20 AS STRING)",
+        text_group=1,
+    ),
+    Rule(
+        "subquery in FROM must have an alias",
+        r"^subquery in FROM must have an alias(?: at character [0-9]+)?",
+        "SUBQUERY_MISSING_ALIAS",
+        "ERROR",
+        "'subquery in FROM must have an alias at character ' || CAST(1 + event_id % 90 AS STRING)",
+    ),
+    Rule(
+        "INSERT has more expressions than target columns",
+        r"^INSERT has more expressions than target columns(?: at character [0-9]+)?",
+        "INSERT_TOO_MANY_EXPRESSIONS",
+        "ERROR",
+        "'INSERT has more expressions than target columns at character '"
+        " || CAST(1 + event_id % 70 AS STRING)",
+    ),
+    Rule(
+        "operator does not exist: ",
+        r"^operator does not exist: ([0-9A-Za-z]+) ([^ ]+) ([0-9A-Za-z]+)(?: at character [0-9]+)?",
+        "OPERATOR_DOES_NOT_EXIST",
+        "ERROR",
+        "'operator does not exist: integer ~~ text at character '"
+        " || CAST(1 + event_id % 35 AS STRING)",
+        text_group=2,
+    ),
+    Rule(
+        "cannot drop ",
+        r"^cannot drop ([^\"]+) because other objects depend on it",
+        "DEPENDENT_OBJECTS_STILL_EXIST",
+        "ERROR",
+        f"'cannot drop table rel_' || {_EID} || ' because other objects depend on it'",
+        text_group=1,
+    ),
+    Rule(
+        "there is no parameter $",
+        r"^there is no parameter [$][0-9]+(?: at character [0-9]+)?",
+        "MISSING_PARAMETER",
+        "ERROR",
+        "'there is no parameter $' || CAST(1 + event_id % 9 AS STRING)"
+        " || ' at character ' || CAST(1 + event_id % 50 AS STRING)",
+    ),
+    Rule(
+        "unterminated quoted string",
+        r'^unterminated quoted string(?: at or near "(.+?)")?(?: at character [0-9]+)?',
+        "UNTERMINATED_QUOTED_STRING",
+        "ERROR",
+        "'unterminated quoted string at or near \"''abc' || CAST(event_id % 25 AS STRING)"
+        " || '\" at character ' || CAST(1 + event_id % 40 AS STRING)",
+        text_group=1,
+    ),
+    Rule(
+        "unterminated quoted identifier",
+        r'^unterminated quoted identifier(?: at or near "(.+?)")?(?: at character [0-9]+)?',
+        "UNTERMINATED_QUOTED_IDENTIFIER",
+        "ERROR",
+        "'unterminated quoted identifier at or near \"col' || CAST(event_id % 25 AS STRING)"
+        " || '\" at character ' || CAST(1 + event_id % 40 AS STRING)",
+        text_group=1,
+    ),
+    Rule(
+        "invalid byte sequence for encoding ",
+        r'^invalid byte sequence for encoding "([^"]+)": (.*)',
+        "INVALID_BYTE_SEQUENCE",
+        "ERROR",
+        "'invalid byte sequence for encoding \"UTF8\": 0x' || CAST(80 + event_id % 20 AS STRING)",
+        text_group=1,
+    ),
 ]
 
 
