@@ -25,11 +25,13 @@ registry.load_all()
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: statement diff + fingerprint roll-up at sf0.001."""
-    from collector_spark.operators import statements
+    """Flagship query at sf0.001: the full statement pipeline end to end —
+    snapshot diff (reset-aware) -> text join -> fingerprint roll-up ->
+    star-schema fact with dense dimension idx."""
+    from collector_spark.operators import snapshot
 
     registry.prepare(spark, "/root/testdata/sf0.001")
-    return statements.statement_rollup(spark)
+    return snapshot.assemble_statement_fact(spark)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

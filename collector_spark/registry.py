@@ -59,9 +59,9 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
 def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def adapt(q: Query) -> Callable[[SparkSession, str], DataFrame]:
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # always re-register: the driver may call with varying sf_dir
-            tables.register_views(spark, sf_dir)
-            register_fixture_views(spark)
+            # prepare() memoizes per (session, sf_dir) and invalidates on a
+            # dir change, so an 80-query driver sweep registers views once
+            prepare(spark, sf_dir)
             return q.spark_fn(spark)
 
         return run
