@@ -389,7 +389,10 @@ UNION ALL
 SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
        event_id * 10 + 1 AS seq,
        {prefix} || 'DETAIL:  parameters: $1 = ''' || CAST(event_id % 1000 AS STRING)
-       || '''' AS raw_line
+       || '''' || CASE WHEN event_id % 2 = 0
+                       THEN ', $2 = ''u' || CAST(user_id % 50 AS STRING) || ''''
+                       ELSE '' END
+       || CASE WHEN event_id % 6 = 0 THEN ', $3 = NULL' ELSE '' END AS raw_line
 FROM events WHERE event_type = 'purchase'
 
 UNION ALL

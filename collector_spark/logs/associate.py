@@ -78,3 +78,61 @@ WHERE log_level IN ({levels})
   AND primary_rn IS NOT NULL AND rn - primary_rn <= {LOOKAHEAD}
 ORDER BY pid, secondary_seq
 """
+
+
+# ---------------------------------------------------------------------------
+# Secondary-line detail extraction (analyze.go:51,1177): DETAIL parameter
+# lines explode into (param_idx, param_value) rows; NULL parameters keep a
+# SQL NULL value, mirroring the reference's (NULL)|'value' alternation.
+# ---------------------------------------------------------------------------
+
+_PARAM_IDX_RE = r"[$]([0-9]+) = (?:NULL|'[^']*')"
+_PARAM_VAL_RE = r"[$][0-9]+ = (NULL|'[^']*')"
+
+
+def parameter_details(spark: SparkSession) -> DataFrame:
+    """U7 secondary depth: one row per bound parameter on DETAIL lines."""
+    sec = associate_secondaries(spark).filter(
+        (F.col("secondary_level") == "DETAIL")
+        & F.col("secondary_content").startswith("parameters: ")
+    )
+    idxs = F.regexp_extract_all("secondary_content", F.lit(_PARAM_IDX_RE), 1)
+    vals = F.regexp_extract_all("secondary_content", F.lit(_PARAM_VAL_RE), 1)
+    pairs = F.arrays_zip(idxs.alias("i"), vals.alias("v"))
+    e = sec.select(
+        "pid", "primary_seq", "secondary_seq", F.explode(pairs).alias("p")
+    )
+    raw_val = F.col("p.v")
+    return (
+        e.select(
+            "pid",
+            "primary_seq",
+            "secondary_seq",
+            F.col("p.i").cast("int").alias("param_idx"),
+            F.when(raw_val == "NULL", F.lit(None).cast("string"))
+            .otherwise(F.regexp_replace(raw_val, r"^'(.*)'$", "$1"))
+            .alias("param_value"),
+        )
+        .orderBy("pid", "secondary_seq", "param_idx")
+    )
+
+
+def oracle_parameter_details(associated_cte: str) -> str:
+    idx_re = _PARAM_IDX_RE.replace("'", "''")
+    val_re = _PARAM_VAL_RE.replace("'", "''")
+    return f"""
+WITH assoc AS ({associated_cte}),
+det AS (
+  SELECT pid, primary_seq, secondary_seq,
+    unnest(regexp_extract_all(secondary_content, '{idx_re}', 1)) AS i,
+    unnest(regexp_extract_all(secondary_content, '{val_re}', 1)) AS v
+  FROM assoc
+  WHERE secondary_level = 'DETAIL' AND starts_with(secondary_content, 'parameters: ')
+)
+SELECT pid, primary_seq, secondary_seq,
+  CAST(i AS INT) AS param_idx,
+  CASE WHEN v = 'NULL' THEN NULL
+       ELSE regexp_replace(v, '^''(.*)''$', '\\1') END AS param_value
+FROM det
+ORDER BY pid, secondary_seq, param_idx
+"""

@@ -148,6 +148,64 @@ ORDER BY s.database_oid, s.user_oid, s.query_id, s.toplevel
 """
 
 
+RESET_ENTRY_CAP = 2000        # pg_stat_statements.max analog
+RESET_TEXT_BYTES_CAP = 100_000  # reference: 250 MB text-file cap
+
+
+def reset_decision(spark: SparkSession) -> DataFrame:
+    """ST7 trigger side (input/postgres/statements.go:78-110): reset when
+    entries reach 90% of pg_stat_statements.max or accumulated query-text
+    bytes exceed the cap; emits the measured values and the winning
+    reason per database."""
+    entries = (
+        spark.table("stmt_snap2")
+        .groupBy("database_oid")
+        .agg(F.count("*").cast("long").alias("entries"))
+    )
+    text_bytes = (
+        spark.table("stmt_texts")
+        .groupBy("database_oid")
+        .agg(F.sum(F.length("query_text")).cast("long").alias("text_bytes"))
+    )
+    j = entries.join(text_bytes, on="database_oid", how="left")
+    by_entries = F.col("entries") >= F.lit(int(0.9 * RESET_ENTRY_CAP))
+    by_bytes = F.coalesce(F.col("text_bytes"), F.lit(0)) > RESET_TEXT_BYTES_CAP
+    return (
+        j.select(
+            "database_oid",
+            "entries",
+            F.coalesce(F.col("text_bytes"), F.lit(0)).alias("text_bytes"),
+            (by_entries | by_bytes).alias("needs_reset"),
+            F.when(by_entries, F.lit("entries"))
+            .when(by_bytes, F.lit("text_bytes"))
+            .otherwise(F.lit("none"))
+            .alias("reason"),
+        )
+        .orderBy("database_oid")
+    )
+
+
+def oracle_reset_decision() -> str:
+    threshold = int(0.9 * RESET_ENTRY_CAP)
+    return f"""
+WITH e AS (
+  SELECT database_oid, CAST(COUNT(*) AS BIGINT) AS entries
+  FROM stmt_snap2 GROUP BY database_oid
+),
+t AS (
+  SELECT database_oid, CAST(SUM(length(query_text)) AS BIGINT) AS text_bytes
+  FROM stmt_texts GROUP BY database_oid
+)
+SELECT e.database_oid, e.entries, COALESCE(t.text_bytes, 0) AS text_bytes,
+  e.entries >= {threshold} OR COALESCE(t.text_bytes, 0) > {RESET_TEXT_BYTES_CAP} AS needs_reset,
+  CASE WHEN e.entries >= {threshold} THEN 'entries'
+       WHEN COALESCE(t.text_bytes, 0) > {RESET_TEXT_BYTES_CAP} THEN 'text_bytes'
+       ELSE 'none' END AS reason
+FROM e LEFT JOIN t USING (database_oid)
+ORDER BY e.database_oid
+"""
+
+
 UNMONITORED_DBS = (4,)  # fixture analog of skipping unmonitored databases
 
 

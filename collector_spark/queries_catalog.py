@@ -11,7 +11,11 @@ from collector_spark.logs import filters as log_filters
 from collector_spark.logs import pipeline as log_pipeline
 from collector_spark.logs import querysample
 from collector_spark.ml import dedup, multimodal, similarity, textstats
-from collector_spark.logs.associate import associate_secondaries_q
+from collector_spark.logs.associate import (
+    associate_secondaries_q,
+    oracle_parameter_details,
+    parameter_details,
+)
 from collector_spark.logs.classify import autovacuum_details, classify_q
 from collector_spark.logs.classify import oracle_autovacuum_details
 from collector_spark.logs.parse import parse_lines_q
@@ -167,6 +171,20 @@ register(
     classify_q,
     log_pipeline.oracle_classify(),
     fixtures=["log_raw"],
+)
+
+register(
+    "u7c_parameter_details",
+    parameter_details,
+    oracle_parameter_details(log_pipeline.oracle_associate()),
+    fixtures=["log_raw"],
+)
+
+register(
+    "st7_reset_decision",
+    statements.reset_decision,
+    statements.oracle_reset_decision(),
+    fixtures=["stmt_snap2", "stmt_texts"],
 )
 
 register(
