@@ -759,6 +759,234 @@ RULES: list[Rule] = [
         "'invalid byte sequence for encoding \"UTF8\": 0x' || CAST(80 + event_id % 20 AS STRING)",
         text_group=1,
     ),
+    # --- autovacuum lifecycle (analyze.go:58,433,439) ----------------------
+    Rule(
+        "canceling autovacuum task",
+        r"^canceling autovacuum task",
+        "AUTOVACUUM_CANCEL",
+        "ERROR",
+        "'canceling autovacuum task'",
+    ),
+    Rule(
+        "autovacuum launcher started",
+        r"^autovacuum launcher started",
+        "AUTOVACUUM_LAUNCHER_STARTED",
+        "LOG",
+        "'autovacuum launcher started'",
+    ),
+    Rule(
+        "autovacuum launcher shutting down",
+        r"^autovacuum launcher shutting down",
+        "AUTOVACUUM_LAUNCHER_SHUTTING_DOWN",
+        "LOG",
+        "'autovacuum launcher shutting down'",
+    ),
+    # --- connection lifecycle continued (analyze.go:237-314) ---------------
+    Rule(
+        "incomplete startup packet",
+        r"^incomplete startup packet",
+        "CONNECTION_CLIENT_FAILED_TO_CONNECT",
+        "LOG",
+        "'incomplete startup packet'",
+    ),
+    Rule(
+        "unexpected EOF on client connection with an open transaction",
+        r"^unexpected EOF on client connection with an open transaction",
+        "CONNECTION_LOST_OPEN_TX",
+        "LOG",
+        "'unexpected EOF on client connection with an open transaction'",
+    ),
+    Rule(
+        "terminating connection due to administrator command",
+        r"^terminating connection due to administrator command",
+        "CONNECTION_TERMINATED",
+        "FATAL",
+        "'terminating connection due to administrator command'",
+    ),
+    Rule(
+        "incomplete message from client",
+        r"^incomplete message from client",
+        "PROTOCOL_ERROR_INCOMPLETE_MESSAGE",
+        "ERROR",
+        "'incomplete message from client'",
+    ),
+    Rule(
+        "remaining connection slots are reserved",
+        r"^remaining connection slots are reserved",
+        "OUT_OF_CONNECTIONS",
+        "FATAL",
+        "'remaining connection slots are reserved for non-replication superuser connections'",
+    ),
+    # --- backup / locks / server lifecycle (analyze.go:364,403,445,566,629) -
+    Rule(
+        "pg_stop_backup complete",
+        r"^pg_stop_backup complete, all required WAL segments have been archived",
+        "WAL_BASE_BACKUP_COMPLETE",
+        "LOG",
+        "'pg_stop_backup complete, all required WAL segments have been archived'",
+    ),
+    Rule(
+        "canceling statement due to lock timeout",
+        r"^canceling statement due to lock timeout",
+        "LOCK_TIMEOUT",
+        "ERROR",
+        "'canceling statement due to lock timeout'",
+    ),
+    Rule(
+        "server process (PID ",
+        r"^server process \(PID ([0-9]+)\) exited with exit code ([0-9]+)",
+        "SERVER_PROCESS_EXITED",
+        "LOG",
+        "'server process (PID ' || CAST(1000 + user_id % 200 AS STRING)"
+        " || ') exited with exit code ' || CAST(1 + event_id % 3 AS STRING)",
+        num_group=1,
+    ),
+    Rule(
+        "received SIGHUP, reloading configuration files",
+        r"^received SIGHUP, reloading configuration files",
+        "SERVER_RELOAD",
+        "LOG",
+        "'received SIGHUP, reloading configuration files'",
+    ),
+    Rule(
+        "using stale statistics instead of current ones",
+        r"^using stale statistics instead of current ones because stats collector is not responding",
+        "SERVER_STATS_COLLECTOR_TIMEOUT",
+        "WARNING",
+        "'using stale statistics instead of current ones because stats collector is not responding'",
+    ),
+    # --- standby conflicts (analyze.go:662-679) ----------------------------
+    Rule(
+        "canceling statement due to conflict with recovery",
+        r"^canceling statement due to conflict with recovery",
+        "STANDBY_STATEMENT_CANCELED",
+        "ERROR",
+        "'canceling statement due to conflict with recovery'",
+    ),
+    Rule(
+        "terminating walreceiver process due to administrator command",
+        r"^terminating walreceiver process due to administrator command",
+        "STANDBY_STOPPED_STREAMING",
+        "FATAL",
+        "'terminating walreceiver process due to administrator command'",
+    ),
+    # --- transaction / statement errors continued (analyze.go:717-1106) ----
+    Rule(
+        "update or delete on table ",
+        r'^update or delete on table "([^"]+)" violates foreign key constraint "([^"]+)" on table "([^"]+)"',
+        "FK_VIOLATION_ON_DELETE",
+        "ERROR",
+        f"'update or delete on table \"rel_' || {_EID}"
+        f" || '\" violates foreign key constraint \"fk_' || {_EID}"
+        f" || '\" on table \"child_' || {_EID} || '\"'",
+        text_group=1,
+    ),
+    Rule(
+        "current transaction is aborted",
+        r"^current transaction is aborted, commands ignored until end of transaction block",
+        "TRANSACTION_IS_ABORTED",
+        "ERROR",
+        "'current transaction is aborted, commands ignored until end of transaction block'",
+    ),
+    Rule(
+        "there is no unique or exclusion constraint matching the ON CONFLICT",
+        r"^there is no unique or exclusion constraint matching the ON CONFLICT specification",
+        "ON_CONFLICT_NO_CONSTRAINT_MATCH",
+        "ERROR",
+        "'there is no unique or exclusion constraint matching the ON CONFLICT specification'",
+    ),
+    Rule(
+        "ON CONFLICT DO UPDATE command cannot affect row a second time",
+        r"^ON CONFLICT DO UPDATE command cannot affect row a second time",
+        "ON_CONFLICT_ROW_AFFECTED_TWICE",
+        "ERROR",
+        "'ON CONFLICT DO UPDATE command cannot affect row a second time'",
+    ),
+    Rule(
+        "division by zero",
+        r"^division by zero",
+        "DIVISION_BY_ZERO",
+        "ERROR",
+        "'division by zero'",
+    ),
+    Rule(
+        "integer out of range",
+        r"^integer out of range",
+        "INTEGER_OUT_OF_RANGE",
+        "ERROR",
+        "'integer out of range'",
+    ),
+    Rule(
+        "invalid regular expression: ",
+        r"^invalid regular expression: (.+)",
+        "INVALID_REGEXP",
+        "ERROR",
+        "'invalid regular expression: parentheses () not balanced'",
+        text_group=1,
+    ),
+    Rule(
+        "no such savepoint",
+        r"^no such savepoint",
+        "NO_SUCH_SAVEPOINT",
+        "ERROR",
+        "'no such savepoint'",
+    ),
+    Rule(
+        "column \"",
+        r'^column "([^"]+)" cannot be cast to type "?([0-9A-Za-z ]+)"?',
+        "COLUMN_CANNOT_BE_CAST",
+        "ERROR",
+        "'column \"col_' || CAST(event_id % 20 AS STRING)"
+        " || '\" cannot be cast to type \"uuid\"'",
+        text_group=1,
+    ),
+    Rule(
+        "could not serialize access due to concurrent update",
+        r"^could not serialize access due to concurrent update",
+        "COULD_NOT_SERIALIZE_REPEATABLE_READ",
+        "ERROR",
+        "'could not serialize access due to concurrent update'",
+    ),
+    Rule(
+        "could not serialize access due to read/write dependencies",
+        r"^could not serialize access due to read/write dependencies among transactions",
+        "COULD_NOT_SERIALIZE_SERIALIZABLE",
+        "ERROR",
+        "'could not serialize access due to read/write dependencies among transactions'",
+    ),
+    Rule(
+        "range lower bound must be less than or equal to range upper bound",
+        r"^range lower bound must be less than or equal to range upper bound",
+        "INCONSISTENT_RANGE_BOUNDS",
+        "ERROR",
+        "'range lower bound must be less than or equal to range upper bound'",
+    ),
+    Rule(
+        "op ANY/ALL (array) requires array on right side",
+        r"^op ANY/ALL \(array\) requires array on right side(?: at character [0-9]+)?",
+        "ANY_ALL_REQUIRES_ARRAY",
+        "ERROR",
+        "'op ANY/ALL (array) requires array on right side at character '"
+        " || CAST(1 + event_id % 55 AS STRING)",
+    ),
+    # --- statement logging + collector marker (analyze.go:1112,1136) ------
+    Rule(
+        "statement: ",
+        r"^(?:statement|(?:execute|execute fetch from) [^:]+): (.*)",
+        "STATEMENT_LOG",
+        "LOG",
+        f"'statement: UPDATE events SET value = ' || {_MS}"
+        f" || ' WHERE event_id = ' || {_EID}",
+        text_group=1,
+    ),
+    Rule(
+        "pganalyze-collector-identify: ",
+        r"^pganalyze-collector-identify: (.*)",
+        "PGA_COLLECTOR_IDENTIFY",
+        "LOG",
+        f"'pganalyze-collector-identify: server_' || {_DB}",
+        text_group=1,
+    ),
 ]
 
 
