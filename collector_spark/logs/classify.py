@@ -31,7 +31,11 @@ def _match(rule: Rule) -> Column:
 def classify(spark: SparkSession) -> DataFrame:
     lines = stitch_lines(spark).filter(F.col("log_level").isin(*PRIMARY_LEVELS))
 
-    # Pass 1: one prefix-short-circuited when-chain assigns the class.
+    # Pass 1: one flat prefix-short-circuited when-chain assigns the class.
+    # (A first-char bucketed dispatch — the reference's analyze.go:2195-2202
+    # structure — was measured here and is NOT faster under whole-stage
+    # codegen: the deeper expression tree offsets the saved prefix checks,
+    # so the flat chain stays.)
     cls: Column = F.lit("UNCLASSIFIED")
     for r in reversed(RULES):
         cls = F.when(_match(r), F.lit(r.classification)).otherwise(cls)
