@@ -80,6 +80,41 @@ def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
 
+def details_json(spark: SparkSession) -> DataFrame:
+    """Details serialization (output/transform/logs.go:158-163): the
+    classified line's detail map rendered as a JSON string column.
+    ignoreNullFields=false keeps null details explicit, matching the
+    reference's map serialization (and DuckDB's struct rendering)."""
+    c = classify(spark)
+    # numbers render as strings via a fixed-scale DECIMAL cast — the one
+    # numeric->text rendering both engines produce byte-identically
+    # (double JSON/string rendering differs: scientific vs plain)
+    payload = F.struct(
+        F.col("classification"),
+        F.col("detail_num").cast("decimal(18,3)").cast("string").alias("detail_num"),
+        F.col("detail_text"),
+    )
+    return c.select(
+        "pid",
+        "seq",
+        "log_level",
+        F.to_json(payload, {"ignoreNullFields": "false"}).alias("details_json"),
+    ).orderBy("pid", "seq")
+
+
+def oracle_details_json(stitched_cte: str) -> str:
+    inner = oracle_classify(stitched_cte)
+    return f"""
+SELECT pid, seq, log_level,
+  to_json(struct_pack(
+    classification := classification,
+    detail_num := CAST(CAST(detail_num AS DECIMAL(18,3)) AS VARCHAR),
+    detail_text := detail_text)) AS details_json
+FROM ({inner}) c
+ORDER BY pid, seq
+"""
+
+
 # ---------------------------------------------------------------------------
 # Autovacuum detail extraction (SURVEY §7.4 hard part 3): the PG14-era
 # subset of the reference's 60-group autovacuum regex (analyze.go:81-108),

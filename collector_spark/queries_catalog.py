@@ -16,8 +16,13 @@ from collector_spark.logs.associate import (
     oracle_parameter_details,
     parameter_details,
 )
-from collector_spark.logs.classify import autovacuum_details, classify_q
-from collector_spark.logs.classify import oracle_autovacuum_details
+from collector_spark.logs.classify import (
+    autovacuum_details,
+    classify_q,
+    details_json,
+    oracle_autovacuum_details,
+    oracle_details_json,
+)
 from collector_spark.logs.parse import parse_lines_q
 from collector_spark.logs.redact import redact_secondaries_q, redact_with_markers
 from collector_spark.logs.stitch import stitch_lines_q
@@ -170,6 +175,13 @@ register(
     "u7_log_classify",
     classify_q,
     log_pipeline.oracle_classify(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "u7d_details_json",
+    details_json,
+    oracle_details_json(log_pipeline.oracle_stitch()),
     fixtures=["log_raw"],
 )
 
