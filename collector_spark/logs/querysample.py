@@ -93,6 +93,83 @@ ORDER BY sample_id, tag_key
 """
 
 
+AUTO_EXPLAIN_RE = r"^duration: ([0-9.]+) ms +plan: (.*)"
+
+_AE_SCHEMA = StructType(
+    [
+        StructField("Query Text", StringType()),
+        StructField(
+            "Plan",
+            StructType(
+                [
+                    StructField("Node Type", StringType()),
+                    StructField("Filter", StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def auto_explain_samples(spark: SparkSession) -> DataFrame:
+    """Query-sample extraction from auto_explain log output (logs/analyze.go:
+    37-44, extraction at :1532-1550): duration + embedded JSON plan, with
+    the query text and plan expressions normalized via U2."""
+    from collector_spark.functions.fingerprint import normalize_query
+    from collector_spark.logs.stitch import stitch_lines
+
+    lines = stitch_lines(spark).filter(F.col("content").rlike(AUTO_EXPLAIN_RE))
+    plan = F.from_json(
+        F.regexp_extract("content", AUTO_EXPLAIN_RE, 2), _AE_SCHEMA
+    )
+    return (
+        lines.select(
+            "pid",
+            "seq",
+            F.regexp_extract("content", AUTO_EXPLAIN_RE, 1)
+            .cast("double")
+            .alias("duration_ms"),
+            plan.alias("p"),
+        )
+        .select(
+            "pid",
+            "seq",
+            "duration_ms",
+            normalize_query(F.col("p")["Query Text"]).alias("query_norm"),
+            F.col("p")["Plan"]["Node Type"].alias("node_type"),
+            normalize_query(F.col("p")["Plan"]["Filter"]).alias("filter_norm"),
+        )
+        .orderBy("pid", "seq")
+    )
+
+
+def oracle_auto_explain_samples(stitched_cte: str) -> str:
+    from collector_spark.functions.fingerprint import oracle_normalize
+
+    rx = AUTO_EXPLAIN_RE.replace("'", "''")
+    qt = oracle_normalize(
+        "json_extract_string(regexp_extract(content, '" + rx + "', 2), '$.\"Query Text\"')"
+    )
+    nt = (
+        "json_extract_string(regexp_extract(content, '" + rx + "', 2),"
+        " '$.Plan.\"Node Type\"')"
+    )
+    flt = oracle_normalize(
+        "json_extract_string(regexp_extract(content, '" + rx + "', 2), '$.Plan.Filter')"
+    )
+    return f"""
+WITH stitched AS ({stitched_cte})
+SELECT pid, seq,
+  CAST(regexp_extract(content, '{rx}', 1) AS DOUBLE) AS duration_ms,
+  {qt} AS query_norm,
+  {nt} AS node_type,
+  {flt} AS filter_norm
+FROM stitched
+WHERE regexp_matches(content, '{rx}')
+ORDER BY pid, seq
+"""
+
+
 # bounded-depth EXPLAIN plan schema (U6)
 def _node_schema(depth: int) -> StructType:
     fields = [

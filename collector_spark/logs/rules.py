@@ -39,7 +39,20 @@ class Rule:
 
 
 RULES: list[Rule] = [
-    # --- statement / cancellation (analyze.go:46,1087) ---------------------
+    # --- statement / cancellation (analyze.go:37,46,1087) ------------------
+    # auto_explain precedes plain duration (analyze.go orders the same way);
+    # its regex requires the 'plan:' marker so the two cannot cross-match
+    Rule(
+        "duration: ",
+        r"^duration: ([0-9.]+) ms +plan:",
+        "STATEMENT_AUTO_EXPLAIN",
+        "LOG",
+        f"'duration: ' || {_MS} || ' ms  plan: '"
+        " || '{\"Query Text\": \"SELECT * FROM orders WHERE o_custkey = '"
+        f" || {_UID} || '\", \"Plan\": {{\"Node Type\": \"Seq Scan\","
+        f" \"Filter\": \"(o_custkey = ' || {_UID} || ')\"}}}}'",
+        num_group=1,
+    ),
     Rule(
         "duration: ",
         r"^duration: ([0-9.]+) ms +(statement|execute [^:]*): (.*)",

@@ -242,6 +242,13 @@ register(
 )
 
 register(
+    "u6b_auto_explain_samples",
+    querysample.auto_explain_samples,
+    querysample.oracle_auto_explain_samples(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+register(
     "mm_media_metadata",
     multimodal.media_metadata,
     multimodal.oracle_media_metadata(),
