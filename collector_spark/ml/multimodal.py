@@ -69,6 +69,66 @@ FROM media_rows ORDER BY doc_id
 """
 
 
+RESIZE_BOX = 64  # target bounding box for image resize planning
+FRAME_BYTES = 4  # fake bytes-per-frame for the synthetic payloads
+
+
+def resize_frame_plan(spark: SparkSession) -> DataFrame:
+    """Resize / frame-sample planning over typed metadata — the pure-
+    arithmetic half of the transform stage (the pixel work itself would run
+    in the decode UDF): aspect-preserving fit into RESIZE_BOX for images,
+    every-kth frame selection for videos. All JVM expressions."""
+    m = spark.table("media_rows")
+    w = F.col("width").cast("double")
+    h = F.col("height").cast("double")
+    scale = F.least(F.lit(float(RESIZE_BOX)) / w, F.lit(float(RESIZE_BOX)) / h)
+    is_image = F.col("media_type").startswith("image/")
+    is_video = F.col("media_type").startswith("video/")
+    n_frames = (F.octet_length("payload") / FRAME_BYTES).cast("long")
+    step = (F.lit(1) + F.col("doc_id") % 3).cast("long")
+    frames = F.when(
+        is_video,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), n_frames - 1, step),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ),
+    )
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.when(is_image, F.floor(w * scale).cast("int")).alias("resize_w"),
+        F.when(is_image, F.floor(h * scale).cast("int")).alias("resize_h"),
+        F.when(is_video, n_frames).alias("n_frames"),
+        frames.alias("sampled_frames"),
+    ).orderBy("doc_id")
+
+
+def oracle_resize_frame_plan() -> str:
+    return f"""
+SELECT doc_id, media_type,
+  CASE WHEN starts_with(media_type, 'image/')
+       THEN CAST(floor(CAST(width AS DOUBLE)
+            * least({RESIZE_BOX}.0 / CAST(width AS DOUBLE), {RESIZE_BOX}.0 / CAST(height AS DOUBLE))) AS INT)
+  END AS resize_w,
+  CASE WHEN starts_with(media_type, 'image/')
+       THEN CAST(floor(CAST(height AS DOUBLE)
+            * least({RESIZE_BOX}.0 / CAST(width AS DOUBLE), {RESIZE_BOX}.0 / CAST(height AS DOUBLE))) AS INT)
+  END AS resize_h,
+  CASE WHEN starts_with(media_type, 'video/')
+       THEN CAST(octet_length(payload) / {FRAME_BYTES} AS BIGINT) END AS n_frames,
+  CASE WHEN starts_with(media_type, 'video/')
+       THEN array_to_string(list_transform(
+            generate_series(0, CAST(octet_length(payload) / {FRAME_BYTES} AS BIGINT) - 1,
+                            1 + doc_id % 3),
+            x -> CAST(x AS VARCHAR)), ',')
+  END AS sampled_frames
+FROM media_rows ORDER BY doc_id
+"""
+
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

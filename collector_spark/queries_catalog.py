@@ -266,6 +266,13 @@ register(
 )
 
 register(
+    "mm_resize_frame_plan",
+    multimodal.resize_frame_plan,
+    multimodal.oracle_resize_frame_plan(),
+    fixtures=["media_rows"],
+)
+
+register(
     "st3_stream_stitch",
     stream_stitch,
     log_pipeline.oracle_stitch(),

@@ -1,0 +1,59 @@
+"""Table-driven goldens for the classification rule table — the reference's
+test shape (logs/analyze_test.go): every rule's rendered sample line must
+match its own prefix+regex, and first-match-wins scanning must select
+exactly that rule. Pure DuckDB rendering + Python re; no Spark session."""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+
+from collector_spark.logs.rules import RULES
+
+
+@pytest.fixture(scope="module")
+def rendered():
+    con = duckdb.connect()
+    out = {}
+    for i, r in enumerate(RULES):
+        sql = r.sample.replace("AS STRING", "AS VARCHAR")
+        body = con.execute(
+            f"SELECT {sql} FROM (VALUES (123, 45, 67.89), (1210, 46, 5.5)) "
+            "events(event_id, user_id, value)"
+        ).fetchall()
+        out[i] = [row[0] for row in body]
+    con.close()
+    return out
+
+
+def test_every_sample_matches_its_rule(rendered):
+    for i, r in enumerate(RULES):
+        for body in rendered[i]:
+            assert body.startswith(r.prefix), (r.classification, body[:60])
+            assert re.search(r.regex, body), (r.classification, body[:120])
+
+
+def test_first_match_wins_selects_own_rule(rendered):
+    for i, r in enumerate(RULES):
+        for body in rendered[i]:
+            for other in RULES:
+                if body.startswith(other.prefix) and re.search(other.regex, body):
+                    assert other.classification == r.classification, (
+                        f"{r.classification} sample classified as "
+                        f"{other.classification}: {body[:120]}"
+                    )
+                    break
+            else:
+                pytest.fail(f"{r.classification}: no rule matched")
+
+
+def test_capture_groups_resolve(rendered):
+    for i, r in enumerate(RULES):
+        for body in rendered[i]:
+            m = re.search(r.regex, body)
+            if r.num_group:
+                assert m.group(r.num_group), (r.classification, "num group empty")
+            if r.text_group:
+                assert m.group(r.text_group), (r.classification, "text group empty")
