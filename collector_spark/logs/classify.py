@@ -29,7 +29,13 @@ def _match(rule: Rule) -> Column:
 
 
 def classify(spark: SparkSession) -> DataFrame:
-    lines = stitch_lines(spark).filter(F.col("log_level").isin(*PRIMARY_LEVELS))
+    return classify_df(stitch_lines(spark))
+
+
+def classify_df(stitched: DataFrame) -> DataFrame:
+    """Classify a stitched-lines frame — batch OR streaming (stateless
+    projection, so the same plan runs on the sessionizer's stream output)."""
+    lines = stitched.filter(F.col("log_level").isin(*PRIMARY_LEVELS))
 
     # Pass 1: one flat prefix-short-circuited when-chain assigns the class.
     # (A first-char bucketed dispatch — the reference's analyze.go:2195-2202

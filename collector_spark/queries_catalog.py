@@ -49,7 +49,7 @@ from collector_spark.operators import (
     vacuum,
 )
 from collector_spark.registry import register
-from collector_spark.streaming.log_stream import stream_stitch
+from collector_spark.streaming.log_stream import stream_classify, stream_stitch
 from collector_spark.streaming.stat_buckets import stream_stat_buckets
 
 register(
@@ -276,6 +276,13 @@ register(
     "st3_stream_stitch",
     stream_stitch,
     log_pipeline.oracle_stitch(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "st_u7_stream_classify",
+    stream_classify,
+    log_pipeline.oracle_classify(),
     fixtures=["log_raw"],
 )
 

@@ -258,9 +258,13 @@ def stitch_stream(
     )
 
 
-def stream_stitch(spark: SparkSession, max_files_per_trigger: int | None = None) -> DataFrame:
-    """Run the streaming stitcher to completion over the log_raw fixture and
-    return the (batch-equal) result.
+def _run_stream(
+    spark: SparkSession,
+    transform,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Source + sentinel setup, run ``transform(raw_stream)`` to completion
+    against a memory sink, return the sentinel-filtered result.
 
     Production deployment differs only in source/trigger: a live file/socket
     source with trigger(processingTime='10 seconds') (ST5) instead of
@@ -296,9 +300,9 @@ def stream_stitch(spark: SparkSession, max_files_per_trigger: int | None = None)
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw_stream = reader.parquet(src_dir)
 
-    qname = f"stream_stitch_{run_id}"
+    qname = f"stream_{run_id}"
     query = (
-        stitch_stream(raw_stream)
+        transform(raw_stream)
         .writeStream.format("memory")
         .queryName(qname)
         .outputMode("append")
@@ -316,4 +320,24 @@ def stream_stitch(spark: SparkSession, max_files_per_trigger: int | None = None)
         spark.table(qname)
         .filter(F.col("seq") < SENTINEL_SEQ_OFFSET)
         .orderBy("pid", "seq")
+    )
+
+
+def stream_stitch(spark: SparkSession, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Run the streaming stitcher to completion over the log_raw fixture and
+    return the (batch-equal) result."""
+    return _run_stream(spark, stitch_stream, max_files_per_trigger)
+
+
+def stream_classify(spark: SparkSession, max_files_per_trigger: int | None = None) -> DataFrame:
+    """The ENTIRE log-analytics path as one streaming query: parse ->
+    watermark -> stateful sessionize -> classify — the classification
+    projection (stateless) composes directly onto the sessionizer's stream
+    output, so the same rule table runs batch and streaming."""
+    from collector_spark.logs.classify import classify_df
+
+    return _run_stream(
+        spark,
+        lambda raw: classify_df(stitch_stream(raw)),
+        max_files_per_trigger,
     )
