@@ -20,7 +20,12 @@ from collector_spark.logs.parse import parse_lines
 
 
 def stitch_lines(spark: SparkSession) -> DataFrame:
-    lines = parse_lines(spark)
+    return stitch_df(parse_lines(spark))
+
+
+def stitch_df(lines: DataFrame) -> DataFrame:
+    """Stitch any parsed-lines-shaped frame (pid, seq, log_level, username,
+    database, application, content)."""
     w = (
         Window.partitionBy("pid")
         .orderBy("seq")
