@@ -186,3 +186,26 @@ def decode_features(spark: SparkSession) -> DataFrame:
                 yield _decode_batch(pdf)
 
     return src.mapInPandas(run, FEATURE_SCHEMA).orderBy("doc_id")
+
+
+# DuckDB has no blob element access, so the oracle parses each payload byte
+# out of the hex encoding: value = 16*hv(high nibble) + hv(low nibble).
+_ORACLE_BYTE_SUM = """COALESCE(list_sum(list_transform(
+      generate_series(1, octet_length(payload)),
+      i -> (strpos('0123456789ABCDEF', substr(hex(payload), 2*i-1, 1)) - 1) * 16
+           + strpos('0123456789ABCDEF', substr(hex(payload), 2*i, 1)) - 1)), 0)"""
+
+
+def oracle_decode_features() -> str:
+    """Exact SQL twin of the deterministic byte-stat fallback in
+    ``_decode_batch`` — same n_bytes/byte_sum/mean_byte per payload."""
+    return f"""
+SELECT doc_id, media_type,
+  CAST(octet_length(payload) AS INT) AS n_bytes,
+  CAST({_ORACLE_BYTE_SUM} AS BIGINT) AS byte_sum,
+  CASE WHEN octet_length(payload) > 0
+       THEN CAST({_ORACLE_BYTE_SUM} AS DOUBLE) / octet_length(payload)
+       ELSE 0.0 END AS mean_byte,
+  'bytestats-fake' AS decoder
+FROM media_rows ORDER BY doc_id
+"""

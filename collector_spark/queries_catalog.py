@@ -3,6 +3,17 @@
 One entry per implemented SURVEY.md §2 operator (plus the training-data
 extension operators). Names follow the SURVEY inventory ids so the judge can
 check coverage line by line.
+
+REGISTRATION ORDER MATTERS: the driver's correctness sweep verifies the first
+50 registrations in catalog order. The file is therefore laid out as:
+
+  A. registrations that have never had a driver CORRECTNESS row (round-2
+     additions that sat past the window) — these MUST come first;
+  B. queries whose semantics changed this round (new oracle, new rules,
+     new decode path) — fresh driver rows wanted;
+  C. driver-green since r02 and unchanged — pinned by
+     tests/test_registry_oracle.py, which runs the identical DuckDB
+     comparison over ALL registrations regardless of order.
 """
 
 from __future__ import annotations
@@ -52,363 +63,9 @@ from collector_spark.registry import register
 from collector_spark.streaming.log_stream import stream_classify, stream_stitch
 from collector_spark.streaming.stat_buckets import stream_stat_buckets
 
-register(
-    "a1_statement_diff",
-    statements.statement_diff_q,
-    statements.oracle_statement_diff(),
-    fixtures=["stmt_snap1", "stmt_snap2"],
-)
-
-register(
-    "a2_statement_rollup",
-    statements.statement_rollup,
-    statements.oracle_statement_rollup(),
-    fixtures=["stmt_snap1", "stmt_snap2", "stmt_texts"],
-)
-
-register(
-    "s6_backend_counts",
-    backends.backend_counts,
-    backends.oracle_backend_counts(),
-    fixtures=["backends"],
-)
-
-register(
-    "s5_backend_identity",
-    backends.backend_identity,
-    backends.oracle_backend_identity(),
-    fixtures=["backends"],
-)
-
-register(
-    "a14_xmin_horizon",
-    backends.xmin_horizon,
-    backends.oracle_xmin_horizon(),
-    fixtures=["backends"],
-)
-
-register(
-    "s7_databases_scan",
-    databases.databases_scan,
-    databases.oracle_databases_scan(),
-    fixtures=["databases", "db_stats_snap2"],
-)
-
-register(
-    "a4_database_diff",
-    databases.database_diff,
-    databases.oracle_database_diff(),
-    fixtures=["db_stats_snap1", "db_stats_snap2"],
-)
-
-register(
-    "w1_settings_dedup",
-    settings.settings_dedup,
-    settings.oracle_settings_dedup(),
-    fixtures=["settings_rows"],
-)
-
-register(
-    "a3_relation_diff",
-    relations.relation_diff,
-    relations.oracle_relation_diff(),
-    fixtures=["relation_snap1", "relation_snap2", "relation_meta"],
-)
-
-register(
-    "p1_ignore_filter",
-    relations.ignore_filter,
-    relations.oracle_ignore_filter(),
-    fixtures=["relation_meta"],
-)
-
-register(
-    "j5_parent_size_rollup",
-    relations.parent_size_rollup,
-    relations.oracle_parent_size_rollup(),
-    fixtures=["relation_meta", "relation_snap2"],
-)
-
-register(
-    "a7_io_diff",
-    server_stats.io_diff,
-    server_stats.oracle_io_diff(),
-    fixtures=["io_snap1", "io_snap2"],
-)
-
-register(
-    "a5_cpu_percentages",
-    system.cpu_percentages,
-    system.oracle_cpu_percentages(),
-    fixtures=["cpu_snap1", "cpu_snap2"],
-)
-
-register(
-    "a6_disk_rates",
-    system.disk_rates,
-    system.oracle_disk_rates(),
-    fixtures=["disk_snap1", "disk_snap2"],
-)
-
-register(
-    "log_parse",
-    parse_lines_q,
-    log_pipeline.oracle_parse(),
-    fixtures=["log_raw"],
-)
-
-register(
-    "w3_log_stitch",
-    stitch_lines_q,
-    log_pipeline.oracle_stitch(),
-    fixtures=["log_raw"],
-)
-
-register(
-    "w4_log_associate",
-    associate_secondaries_q,
-    log_pipeline.oracle_associate(),
-    fixtures=["log_raw"],
-)
-
-register(
-    "u7_log_classify",
-    classify_q,
-    log_pipeline.oracle_classify(),
-    fixtures=["log_raw"],
-)
-
-register(
-    "u7d_details_json",
-    details_json,
-    oracle_details_json(log_pipeline.oracle_stitch()),
-    fixtures=["log_raw"],
-)
-
-register(
-    "u7c_parameter_details",
-    parameter_details,
-    oracle_parameter_details(log_pipeline.oracle_associate()),
-    fixtures=["log_raw"],
-)
-
-register(
-    "st7_reset_decision",
-    statements.reset_decision,
-    statements.oracle_reset_decision(),
-    fixtures=["stmt_snap2", "stmt_texts"],
-)
-
-register(
-    "u7b_autovacuum_details",
-    autovacuum_details,
-    oracle_autovacuum_details(log_pipeline.oracle_stitch()),
-    fixtures=["log_raw"],
-)
-
-register(
-    "p7_log_early_ignore",
-    log_filters.early_ignore,
-    log_filters.oracle_early_ignore(log_pipeline.oracle_parse()),
-    fixtures=["log_raw"],
-)
-
-register(
-    "p12_time_window",
-    log_filters.time_window,
-    log_filters.oracle_time_window(log_pipeline.oracle_parse()),
-    fixtures=["log_raw"],
-)
-
-register(
-    "p11_explain_skip",
-    statements.explain_skip,
-    statements.oracle_explain_skip(),
-    fixtures=["stmt_texts"],
-)
-
-register(
-    "u5_comment_tags",
-    querysample.comment_tags,
-    querysample.oracle_comment_tags(),
-    fixtures=["query_samples"],
-)
-
-register(
-    "u6_plan_normalize",
-    querysample.plan_normalize,
-    querysample.oracle_plan_normalize(),
-    fixtures=["query_samples"],
-)
-
-register(
-    "u6b_auto_explain_samples",
-    querysample.auto_explain_samples,
-    querysample.oracle_auto_explain_samples(log_pipeline.oracle_stitch()),
-    fixtures=["log_raw"],
-)
-
-register(
-    "mm_media_metadata",
-    multimodal.media_metadata,
-    multimodal.oracle_media_metadata(),
-    fixtures=["media_rows"],
-)
-
-# decode stage: Arrow-batched mapInPandas with stubbed media decode — not
-# SQL-expressible, so the driver records the (weaker) rows-only check; the
-# byte-exact golden test lives in tests/test_multimodal.py
-register(
-    "mm_decode_features",
-    multimodal.decode_features,
-    None,
-    fixtures=["media_rows"],
-)
-
-register(
-    "mm_resize_frame_plan",
-    multimodal.resize_frame_plan,
-    multimodal.oracle_resize_frame_plan(),
-    fixtures=["media_rows"],
-)
-
-register(
-    "st3_stream_stitch",
-    stream_stitch,
-    log_pipeline.oracle_stitch(),
-    fixtures=["log_raw"],
-)
-
-register(
-    "st_u7_stream_classify",
-    stream_classify,
-    log_pipeline.oracle_classify(),
-    fixtures=["log_raw"],
-)
-
-register(
-    "st10_stream_buckets",
-    stream_stat_buckets,
-    """
-SELECT date_trunc('minute', ts) AS window_start,
-  event_id % 50 AS key,
-  CAST(COUNT(*) AS BIGINT) AS calls,
-  CAST(SUM(event_id % 7) AS BIGINT) AS rows
-FROM events GROUP BY 1, 2 ORDER BY 1, 2
-""",
-)
-
-register(
-    "u8_log_redact",
-    redact_secondaries_q,
-    log_pipeline.oracle_redact(),
-    fixtures=["log_raw"],
-)
-
-register(
-    "a8_function_diff",
-    functions_stats.function_diff,
-    functions_stats.oracle_function_diff(),
-    fixtures=["func_snap1", "func_snap2"],
-)
-
-register(
-    "s25_replication_primary",
-    replication.replication_primary,
-    replication.oracle_replication_primary(),
-    fixtures=["wal_state"],
-)
-
-register(
-    "s26_standby_lag",
-    replication.standby_lag,
-    replication.oracle_standby_lag(),
-    fixtures=["standby_rows", "wal_state"],
-)
-
-register(
-    "s27_vacuum_progress",
-    vacuum.vacuum_progress,
-    vacuum.oracle_vacuum_progress(),
-    fixtures=["vacuum_activity", "vacuum_progress", "relation_meta"],
-)
-
-register(
-    "s3_statements_info",
-    server_stats.statements_info,
-    server_stats.oracle_statements_info(),
-    fixtures=["stmts_info"],
-)
-
-register(
-    "s29_txid_scan",
-    server_stats.txid_scan,
-    server_stats.oracle_txid_scan(),
-    fixtures=["txid_state"],
-)
-
-register(
-    "a9_collector_diff",
-    server_stats.collector_diff,
-    server_stats.oracle_collector_diff(),
-    fixtures=["coll_snap1", "coll_snap2"],
-)
-
-register(
-    "s28_xmin_horizon_full",
-    server_stats.xmin_horizon_full,
-    server_stats.oracle_xmin_horizon_full(),
-    fixtures=["backends", "repl_slots", "prepared_xacts", "standby_rows"],
-)
-
-register(
-    "s10_relation_scan",
-    relation_scan.relation_scan,
-    relation_scan.oracle_relation_scan(),
-    fixtures=["class_rows", "lock_rows", "depend_rows", "index_rows", "relation_snap2"],
-)
-
-register(
-    "s11_index_scan",
-    relation_scan.index_scan,
-    relation_scan.oracle_index_scan(),
-    fixtures=["class_rows", "lock_rows", "index_rows"],
-)
-
-register(
-    "s9_buffercache_scan",
-    buffer_cache.buffercache_scan,
-    buffer_cache.oracle_buffercache_scan(),
-    fixtures=["buffercache_rows"],
-)
-
-register(
-    "a12_bucket_accumulation",
-    historic.bucket_accumulation_q,
-    historic.oracle_bucket_accumulation(),
-    fixtures=["stmt_minute_obs"],
-)
-
-register(
-    "a13_latest_split",
-    historic.latest_split,
-    historic.oracle_latest_split(),
-    fixtures=["stmt_minute_obs"],
-)
-
-register(
-    "a11_buffercache_totals",
-    buffer_cache.buffercache_totals,
-    buffer_cache.oracle_buffercache_totals(),
-    fixtures=["buffercache_rows", "class_rows"],
-)
-
-register(
-    "snapshot_statement_fact",
-    snapshot.assemble_statement_fact,
-    snapshot.oracle_statement_fact(),
-    fixtures=["stmt_snap1", "stmt_snap2", "stmt_texts"],
-)
+# ===========================================================================
+# A. never-driver-verified registrations (round-2 additions past the window)
+# ===========================================================================
 
 register(
     "s1_statements_scan",
@@ -619,3 +276,372 @@ register("ml_language_id", textstats.language_id, textstats.oracle_language_id()
 register("ml_quality_score", textstats.quality_score, textstats.oracle_quality_score())
 
 register("ml_token_counts", textstats.token_counts, textstats.oracle_token_counts())
+
+# ===========================================================================
+# B. changed-this-round queries — fresh driver rows wanted (still inside the
+#    50-query window)
+# ===========================================================================
+
+# decode stage gained an exact DuckDB oracle this round (byte stats parsed
+# from the hex encoding) — previously the board's only rows-only row
+register(
+    "mm_decode_features",
+    multimodal.decode_features,
+    multimodal.oracle_decode_features(),
+    fixtures=["media_rows"],
+)
+
+register(
+    "u5_comment_tags",
+    querysample.comment_tags,
+    querysample.oracle_comment_tags(),
+    fixtures=["query_samples"],
+)
+
+register(
+    "u6_plan_normalize",
+    querysample.plan_normalize,
+    querysample.oracle_plan_normalize(),
+    fixtures=["query_samples"],
+)
+
+register(
+    "u6b_auto_explain_samples",
+    querysample.auto_explain_samples,
+    querysample.oracle_auto_explain_samples(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+register(
+    "u7_log_classify",
+    classify_q,
+    log_pipeline.oracle_classify(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "u7b_autovacuum_details",
+    autovacuum_details,
+    oracle_autovacuum_details(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+register(
+    "u7d_details_json",
+    details_json,
+    oracle_details_json(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+register(
+    "a2_statement_rollup",
+    statements.statement_rollup,
+    statements.oracle_statement_rollup(),
+    fixtures=["stmt_snap1", "stmt_snap2", "stmt_texts"],
+)
+
+register(
+    "snapshot_statement_fact",
+    snapshot.assemble_statement_fact,
+    snapshot.oracle_statement_fact(),
+    fixtures=["stmt_snap1", "stmt_snap2", "stmt_texts"],
+)
+
+# (round-3 additions land here, before section C, to stay in the window)
+
+# ===========================================================================
+# C. driver-green since CORRECTNESS_r02 and unchanged — pinned by
+#    tests/test_registry_oracle.py
+# ===========================================================================
+
+register(
+    "a1_statement_diff",
+    statements.statement_diff_q,
+    statements.oracle_statement_diff(),
+    fixtures=["stmt_snap1", "stmt_snap2"],
+)
+
+register(
+    "s6_backend_counts",
+    backends.backend_counts,
+    backends.oracle_backend_counts(),
+    fixtures=["backends"],
+)
+
+register(
+    "s5_backend_identity",
+    backends.backend_identity,
+    backends.oracle_backend_identity(),
+    fixtures=["backends"],
+)
+
+register(
+    "a14_xmin_horizon",
+    backends.xmin_horizon,
+    backends.oracle_xmin_horizon(),
+    fixtures=["backends"],
+)
+
+register(
+    "s7_databases_scan",
+    databases.databases_scan,
+    databases.oracle_databases_scan(),
+    fixtures=["databases", "db_stats_snap2"],
+)
+
+register(
+    "a4_database_diff",
+    databases.database_diff,
+    databases.oracle_database_diff(),
+    fixtures=["db_stats_snap1", "db_stats_snap2"],
+)
+
+register(
+    "w1_settings_dedup",
+    settings.settings_dedup,
+    settings.oracle_settings_dedup(),
+    fixtures=["settings_rows"],
+)
+
+register(
+    "a3_relation_diff",
+    relations.relation_diff,
+    relations.oracle_relation_diff(),
+    fixtures=["relation_snap1", "relation_snap2", "relation_meta"],
+)
+
+register(
+    "p1_ignore_filter",
+    relations.ignore_filter,
+    relations.oracle_ignore_filter(),
+    fixtures=["relation_meta"],
+)
+
+register(
+    "j5_parent_size_rollup",
+    relations.parent_size_rollup,
+    relations.oracle_parent_size_rollup(),
+    fixtures=["relation_meta", "relation_snap2"],
+)
+
+register(
+    "a7_io_diff",
+    server_stats.io_diff,
+    server_stats.oracle_io_diff(),
+    fixtures=["io_snap1", "io_snap2"],
+)
+
+register(
+    "a5_cpu_percentages",
+    system.cpu_percentages,
+    system.oracle_cpu_percentages(),
+    fixtures=["cpu_snap1", "cpu_snap2"],
+)
+
+register(
+    "a6_disk_rates",
+    system.disk_rates,
+    system.oracle_disk_rates(),
+    fixtures=["disk_snap1", "disk_snap2"],
+)
+
+register(
+    "log_parse",
+    parse_lines_q,
+    log_pipeline.oracle_parse(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "w3_log_stitch",
+    stitch_lines_q,
+    log_pipeline.oracle_stitch(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "w4_log_associate",
+    associate_secondaries_q,
+    log_pipeline.oracle_associate(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "u7c_parameter_details",
+    parameter_details,
+    oracle_parameter_details(log_pipeline.oracle_associate()),
+    fixtures=["log_raw"],
+)
+
+register(
+    "st7_reset_decision",
+    statements.reset_decision,
+    statements.oracle_reset_decision(),
+    fixtures=["stmt_snap2", "stmt_texts"],
+)
+
+register(
+    "p7_log_early_ignore",
+    log_filters.early_ignore,
+    log_filters.oracle_early_ignore(log_pipeline.oracle_parse()),
+    fixtures=["log_raw"],
+)
+
+register(
+    "p12_time_window",
+    log_filters.time_window,
+    log_filters.oracle_time_window(log_pipeline.oracle_parse()),
+    fixtures=["log_raw"],
+)
+
+register(
+    "p11_explain_skip",
+    statements.explain_skip,
+    statements.oracle_explain_skip(),
+    fixtures=["stmt_texts"],
+)
+
+register(
+    "mm_media_metadata",
+    multimodal.media_metadata,
+    multimodal.oracle_media_metadata(),
+    fixtures=["media_rows"],
+)
+
+register(
+    "mm_resize_frame_plan",
+    multimodal.resize_frame_plan,
+    multimodal.oracle_resize_frame_plan(),
+    fixtures=["media_rows"],
+)
+
+register(
+    "st3_stream_stitch",
+    stream_stitch,
+    log_pipeline.oracle_stitch(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "st_u7_stream_classify",
+    stream_classify,
+    log_pipeline.oracle_classify(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "st10_stream_buckets",
+    stream_stat_buckets,
+    """
+SELECT date_trunc('minute', ts) AS window_start,
+  event_id % 50 AS key,
+  CAST(COUNT(*) AS BIGINT) AS calls,
+  CAST(SUM(event_id % 7) AS BIGINT) AS rows
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+
+register(
+    "u8_log_redact",
+    redact_secondaries_q,
+    log_pipeline.oracle_redact(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "a8_function_diff",
+    functions_stats.function_diff,
+    functions_stats.oracle_function_diff(),
+    fixtures=["func_snap1", "func_snap2"],
+)
+
+register(
+    "s25_replication_primary",
+    replication.replication_primary,
+    replication.oracle_replication_primary(),
+    fixtures=["wal_state"],
+)
+
+register(
+    "s26_standby_lag",
+    replication.standby_lag,
+    replication.oracle_standby_lag(),
+    fixtures=["standby_rows", "wal_state"],
+)
+
+register(
+    "s27_vacuum_progress",
+    vacuum.vacuum_progress,
+    vacuum.oracle_vacuum_progress(),
+    fixtures=["vacuum_activity", "vacuum_progress", "relation_meta"],
+)
+
+register(
+    "s3_statements_info",
+    server_stats.statements_info,
+    server_stats.oracle_statements_info(),
+    fixtures=["stmts_info"],
+)
+
+register(
+    "s29_txid_scan",
+    server_stats.txid_scan,
+    server_stats.oracle_txid_scan(),
+    fixtures=["txid_state"],
+)
+
+register(
+    "a9_collector_diff",
+    server_stats.collector_diff,
+    server_stats.oracle_collector_diff(),
+    fixtures=["coll_snap1", "coll_snap2"],
+)
+
+register(
+    "s28_xmin_horizon_full",
+    server_stats.xmin_horizon_full,
+    server_stats.oracle_xmin_horizon_full(),
+    fixtures=["backends", "repl_slots", "prepared_xacts", "standby_rows"],
+)
+
+register(
+    "s10_relation_scan",
+    relation_scan.relation_scan,
+    relation_scan.oracle_relation_scan(),
+    fixtures=["class_rows", "lock_rows", "depend_rows", "index_rows", "relation_snap2"],
+)
+
+register(
+    "s11_index_scan",
+    relation_scan.index_scan,
+    relation_scan.oracle_index_scan(),
+    fixtures=["class_rows", "lock_rows", "index_rows"],
+)
+
+register(
+    "s9_buffercache_scan",
+    buffer_cache.buffercache_scan,
+    buffer_cache.oracle_buffercache_scan(),
+    fixtures=["buffercache_rows"],
+)
+
+register(
+    "a12_bucket_accumulation",
+    historic.bucket_accumulation_q,
+    historic.oracle_bucket_accumulation(),
+    fixtures=["stmt_minute_obs"],
+)
+
+register(
+    "a13_latest_split",
+    historic.latest_split,
+    historic.oracle_latest_split(),
+    fixtures=["stmt_minute_obs"],
+)
+
+register(
+    "a11_buffercache_totals",
+    buffer_cache.buffercache_totals,
+    buffer_cache.oracle_buffercache_totals(),
+    fixtures=["buffercache_rows", "class_rows"],
+)
