@@ -28,7 +28,9 @@ is bounded; at scale, dimensions stay per-server, never global.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from collector_spark.core.dims import dense_index
 from pyspark.sql import functions as F
 
 
@@ -423,20 +425,8 @@ def dimension_upsert(spark: SparkSession) -> DataFrame:
     the backends activity fact.
     """
     b = spark.table("backends")
-    db_dim = (
-        b.select("database_oid").distinct()
-        .withColumn(
-            "database_idx",
-            (F.row_number().over(Window.orderBy("database_oid")) - 1).cast("int"),
-        )
-    )
-    role_dim = (
-        b.select("role_oid").distinct()
-        .withColumn(
-            "role_idx",
-            (F.row_number().over(Window.orderBy("role_oid")) - 1).cast("int"),
-        )
-    )
+    db_dim = dense_index(b, ["database_oid"], "database_idx")
+    role_dim = dense_index(b, ["role_oid"], "role_idx")
     return (
         b.groupBy("database_oid", "role_oid")
         .agg(F.count("*").alias("backend_count"))

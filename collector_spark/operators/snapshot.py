@@ -15,9 +15,10 @@ tenant key — so downstream reads prune partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from collector_spark.core.dims import dense_index
 from collector_spark.operators.statements import (
     oracle_statement_rollup,
     statement_rollup,
@@ -25,10 +26,10 @@ from collector_spark.operators.statements import (
 
 
 def _dense_dim(df: DataFrame, key_cols: list[str], idx_name: str) -> DataFrame:
-    """J10 dense-idx builder: sorted distinct keys -> 0-based int32 idx."""
-    return df.select(*key_cols).distinct().withColumn(
-        idx_name, (F.row_number().over(Window.orderBy(*key_cols)) - 1).cast("int")
-    )
+    """J10 dense-idx builder: sorted distinct keys -> 0-based int32 idx,
+    assigned by the scalable two-level rank (core/dims.py) — no
+    single-partition window even for the fingerprint dim."""
+    return dense_index(df, key_cols, idx_name)
 
 
 def assemble_statement_fact(spark: SparkSession) -> DataFrame:
