@@ -84,8 +84,12 @@ MARKER_SCHEMA = StructType(
 )
 
 # marker kinds (state/logs.go:121-127): quoted statement_text literals and
-# bare token-shaped credentials
-_MARKER_KINDS = (("statement_text", r"'[^']*'"), ("credential", r"\btok_[0-9]+\b"))
+# bare token-shaped credentials. Compiled as BYTES patterns: the marker
+# contract is byte offsets into the UTF-8 content (LogSecretMarker), so the
+# scan runs over content.encode('utf-8') — char offsets would disagree with
+# the reference whenever the line contains multi-byte UTF-8. The patterns
+# are pure ASCII, so byte-wise matching finds the same spans.
+_MARKER_KINDS = (("statement_text", rb"'[^']*'"), ("credential", rb"\btok_[0-9]+\b"))
 
 
 def _mark_and_splice(content: str, needs: bool) -> tuple[list, str]:
@@ -93,9 +97,10 @@ def _mark_and_splice(content: str, needs: bool) -> tuple[list, str]:
 
     if not needs or content is None:
         return [], content
+    data = content.encode("utf-8")
     spans: list[tuple[int, int, str]] = []
     for kind, rx in _MARKER_KINDS:
-        for m in re.finditer(rx, content):
+        for m in re.finditer(rx, data):
             spans.append((m.start(), m.end(), kind))
     # sort + drop spans nested inside an earlier one (replace.go splices
     # sorted, non-overlapping markers)
@@ -107,13 +112,15 @@ def _mark_and_splice(content: str, needs: bool) -> tuple[list, str]:
         kept.append(s)
     out, cursor = [], 0
     for start, end, _ in kept:
-        out.append(content[cursor:start])
-        out.append("[redacted]")
+        out.append(data[cursor:start])
+        out.append(b"[redacted]")
         cursor = end
-    out.append(content[cursor:])
+    out.append(data[cursor:])
+    # span boundaries sit on ASCII quote/token bytes, so the spliced byte
+    # string is always valid UTF-8
     return [
         {"byte_start": s, "byte_end": e, "kind": k} for s, e, k in kept
-    ], "".join(out)
+    ], b"".join(out).decode("utf-8")
 
 
 def redact_with_markers(spark: SparkSession) -> DataFrame:

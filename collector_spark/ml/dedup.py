@@ -184,6 +184,21 @@ ORDER BY doc_a, doc_b
 """
 
 
+# at most ONE pinned shingle relation per session: re-invoking the verify
+# stage (driver sweep, bench loops, notebooks) unpersists the previous copy
+# before caching the new one, so repeated runs can't accumulate storage
+_SHINGLE_CACHE: dict[int, DataFrame] = {}
+
+
+def _persisted_shingles(spark: SparkSession) -> DataFrame:
+    prev = _SHINGLE_CACHE.pop(id(spark), None)
+    if prev is not None:
+        prev.unpersist()
+    sh = _shingle_hashes(spark.table("documents")).persist()
+    _SHINGLE_CACHE[id(spark)] = sh
+    return sh
+
+
 def ngram_jaccard_pairs(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
     """Verify stage: exact shingle Jaccard for LSH candidate pairs.
 
@@ -192,9 +207,10 @@ def ngram_jaccard_pairs(spark: SparkSession, threshold: float = 0.5) -> DataFram
 
     The shingle relation feeds four consumers (signatures, intersection x2,
     sizes); persisting it once keeps the dominant explode+distinct from
-    being recomputed through live lineage at scale.
+    being recomputed through live lineage at scale. The cache is scoped via
+    ``_persisted_shingles`` — one live copy per session, not one per call.
     """
-    sh = _shingle_hashes(spark.table("documents")).persist()
+    sh = _persisted_shingles(spark)
     cand = _candidate_pairs_from(_signatures_from(sh))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (

@@ -268,13 +268,36 @@ ORDER BY oid
 """
 
 
+def _locked_relids(spark: SparkSession) -> DataFrame:
+    """Plain locked_relids CTE (no parent expansion) — the set indexStatsSQL
+    uses, unlike the relation scan's locked_relids_with_parents."""
+    return (
+        spark.table("lock_rows")
+        .filter(
+            (F.col("mode") == "AccessExclusiveLock")
+            & (F.col("locktype") == "relation")
+            & F.col("relation_oid").isNotNull()
+        )
+        .select(F.col("relation_oid").alias("relid"))
+        .distinct()
+    )
+
+
 def index_scan(spark: SparkSession) -> DataFrame:
     """S11: per-index stats with locked placeholders (relation_stats.go:
-    151-177, :258-298)."""
-    locked_wp = _locked_with_parents(spark)
+    151-177).
+
+    Matches the reference's indexStatsSQL exactly: live rows filter on the
+    index's OWN oid against the plain locked set (``s.indexrelid NOT IN
+    locked_relids`` — no parent expansion, unlike S10), and ONE zeroed
+    placeholder row is emitted per locked relid (indexrelid := relid) even
+    when that oid is a table, with the non-oid columns zero-filled the way
+    the reference's literal-0 SELECT does (index_name has no reference
+    counterpart and stays NULL)."""
+    locked = _locked_relids(spark)
     idx = spark.table("index_rows")
     live = idx.join(
-        locked_wp.withColumnRenamed("relid", "indrelid"), on="indrelid", how="left_anti"
+        locked.withColumnRenamed("relid", "index_oid"), on="index_oid", how="left_anti"
     ).select(
         "index_oid",
         "indrelid",
@@ -286,18 +309,16 @@ def index_scan(spark: SparkSession) -> DataFrame:
         "idx_blks_hit",
         F.lit(False).alias("exclusively_locked"),
     )
-    placeholders = idx.join(
-        locked_wp.withColumnRenamed("relid", "indrelid"), on="indrelid", how="inner"
-    ).select(
-        "index_oid",
-        "indrelid",
-        "index_name",
+    placeholders = locked.select(
+        F.col("relid").alias("index_oid"),
+        F.lit(0).cast("long").alias("indrelid"),
+        F.lit(None).cast("string").alias("index_name"),
         *[F.lit(0).cast("long").alias(c) for c in [
             "index_size_bytes", "idx_scan", "idx_tup_fetch", "idx_blks_read", "idx_blks_hit"
         ]],
         F.lit(True).alias("exclusively_locked"),
     )
-    return live.unionByName(placeholders).orderBy("index_oid")
+    return live.unionByName(placeholders).orderBy("index_oid", "exclusively_locked")
 
 
 def oracle_index_scan() -> str:
@@ -309,17 +330,13 @@ def oracle_index_scan() -> str:
 WITH locked AS (
   SELECT DISTINCT relation_oid AS relid FROM lock_rows
   WHERE mode = 'AccessExclusiveLock' AND locktype = 'relation' AND relation_oid IS NOT NULL
-),
-locked_wp AS (
-  SELECT DISTINCT parent_oid AS relid FROM class_rows
-  WHERE parent_oid IS NOT NULL AND oid IN (SELECT relid FROM locked)
-  UNION SELECT relid FROM locked
 )
 SELECT index_oid, indrelid, index_name, index_size_bytes, idx_scan, idx_tup_fetch,
        idx_blks_read, idx_blks_hit, false AS exclusively_locked
-FROM index_rows WHERE indrelid NOT IN (SELECT relid FROM locked_wp)
+FROM index_rows WHERE index_oid NOT IN (SELECT relid FROM locked)
 UNION ALL
-SELECT index_oid, indrelid, index_name, {zeros}, true AS exclusively_locked
-FROM index_rows WHERE indrelid IN (SELECT relid FROM locked_wp)
-ORDER BY index_oid
+SELECT relid AS index_oid, CAST(0 AS BIGINT) AS indrelid, CAST(NULL AS VARCHAR) AS index_name,
+       {zeros}, true AS exclusively_locked
+FROM locked
+ORDER BY index_oid, exclusively_locked
 """

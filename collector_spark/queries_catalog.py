@@ -347,6 +347,15 @@ register(
     fixtures=["stmt_snap1", "stmt_snap2", "stmt_texts"],
 )
 
+# index-lock granularity now matches the reference's indexStatsSQL exactly
+# (own-oid filter, one placeholder per locked relid) — changed this round
+register(
+    "s11_index_scan",
+    relation_scan.index_scan,
+    relation_scan.oracle_index_scan(),
+    fixtures=["class_rows", "lock_rows", "index_rows"],
+)
+
 # (round-3 additions land here, before section C, to stay in the window)
 
 # ===========================================================================
@@ -609,13 +618,6 @@ register(
     relation_scan.relation_scan,
     relation_scan.oracle_relation_scan(),
     fixtures=["class_rows", "lock_rows", "depend_rows", "index_rows", "relation_snap2"],
-)
-
-register(
-    "s11_index_scan",
-    relation_scan.index_scan,
-    relation_scan.oracle_index_scan(),
-    fixtures=["class_rows", "lock_rows", "index_rows"],
 )
 
 register(

@@ -51,3 +51,23 @@ def test_marker_splice_unit():
 
     markers, out = _mark_and_splice("skip 'me'", False)
     assert (markers, out) == ([], "skip 'me'")
+
+
+def test_marker_offsets_are_byte_offsets():
+    """LogSecretMarker offsets are byte positions in the UTF-8 content
+    (state/logs.go:121-127) — multi-byte characters before a span must
+    advance the offsets by their encoded width, not by 1."""
+    from collector_spark.logs.redact import _mark_and_splice
+
+    content = "Benutzer 'Jürgen' größe tok_9"
+    markers, out = _mark_and_splice(content, True)
+    data = content.encode("utf-8")
+    assert out == "Benutzer [redacted] größe [redacted]"
+    assert [m["kind"] for m in markers] == ["statement_text", "credential"]
+    for m in markers:
+        span = data[m["byte_start"]:m["byte_end"]].decode("utf-8")
+        assert span in ("'Jürgen'", "tok_9")
+    # char offset of 'Jürgen' is 9..17 but byte offsets differ past 'ü'
+    assert markers[0]["byte_start"] == data.index(b"'")
+    assert markers[1]["byte_start"] == data.index(b"tok_9")
+    assert markers[1]["byte_start"] != content.index("tok_9")  # ü/ö widen
