@@ -25,7 +25,12 @@ PRIMARY_LEVELS = ("LOG", "ERROR", "FATAL", "WARNING", "PANIC", "NOTICE")
 
 
 def _match(rule: Rule) -> Column:
-    return F.col("content").startswith(rule.prefix) & F.col("content").rlike(rule.regex)
+    # OR over the rule's prefix list (analyze.go attaches several literal
+    # prefixes per rule) — still a cheap short-circuit before the regex
+    pre: Column = F.col("content").startswith(rule.prefixes[0])
+    for p in rule.prefixes[1:]:
+        pre = pre | F.col("content").startswith(p)
+    return pre & F.col("content").rlike(rule.regex)
 
 
 def classify(spark: SparkSession) -> DataFrame:
@@ -221,11 +226,11 @@ def oracle_classify(stitched_cte: str) -> str:
     levels = ", ".join(f"'{lv}'" for lv in PRIMARY_LEVELS)
 
     def match(r: Rule) -> str:
-        p = _sql_quote(r.prefix)
-        rx = _sql_quote(r.regex)
-        return (
-            f"starts_with(content, '{p}') AND regexp_matches(content, '{rx}')"
+        pre = " OR ".join(
+            f"starts_with(content, '{_sql_quote(p)}')" for p in r.prefixes
         )
+        rx = _sql_quote(r.regex)
+        return f"({pre}) AND regexp_matches(content, '{rx}')"
 
     cls = "CASE " + " ".join(
         f"WHEN {match(r)} THEN '{r.classification}'" for r in RULES

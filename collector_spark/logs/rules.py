@@ -29,13 +29,21 @@ _N = "CAST(event_id % 5000 AS STRING)"
 
 @dataclass(frozen=True)
 class Rule:
-    prefix: str          # literal short-circuit (analyze.go:2195-2202)
+    # literal short-circuit(s) (analyze.go:2195-2202). The reference attaches
+    # a *list* of prefixes per rule (e.g. {"checkpoint","restartpoint"},
+    # {"statement: ","execute "}); a single str here is the common 1-element
+    # case. Every consumer goes through ``prefixes``.
+    prefix: str | tuple[str, ...]
     regex: str           # classification + capture regex
     classification: str
     level: str           # log level the sample renders with
     sample: str          # SQL expr producing a matching content body
     num_group: int = 0   # capture group for detail_num (0 = none)
     text_group: int = 0  # capture group for detail_text (0 = none)
+
+    @property
+    def prefixes(self) -> tuple[str, ...]:
+        return self.prefix if isinstance(self.prefix, tuple) else (self.prefix,)
 
 
 RULES: list[Rule] = [
@@ -136,19 +144,21 @@ RULES: list[Rule] = [
     ),
     # --- checkpoint family (analyze.go:126-162) ----------------------------
     Rule(
-        "checkpoint starting: ",
+        ("checkpoint starting: ", "restartpoint starting: "),
         r"^(checkpoint|restartpoint) starting: ([a-z- ]+)",
         "CHECKPOINT_STARTING",
         "LOG",
-        "'checkpoint starting: time'",
+        "CASE WHEN event_id % 2 = 0 THEN 'checkpoint' ELSE 'restartpoint' END"
+        " || ' starting: time'",
         text_group=2,
     ),
     Rule(
-        "checkpoint complete",
+        ("checkpoint complete", "restartpoint complete"),
         r"^(checkpoint|restartpoint) complete: wrote ([0-9]+) buffers \(([0-9.]+)%\)",
         "CHECKPOINT_COMPLETE",
         "LOG",
-        f"'checkpoint complete: wrote ' || {_N} || ' buffers ('"
+        "CASE WHEN event_id % 2 = 0 THEN 'checkpoint' ELSE 'restartpoint' END"
+        f" || ' complete: wrote ' || {_N} || ' buffers ('"
         " || CAST(CAST(event_id % 100 AS DECIMAL(5,1)) AS STRING) || '%)'",
         num_group=2,
     ),
@@ -237,11 +247,12 @@ RULES: list[Rule] = [
         num_group=2,
     ),
     Rule(
-        "could not receive data from client",
+        ("could not receive data from client", "could not send data to client"),
         r"^could not (?:receive data from|send data to) client: [0-9A-Za-z ]+",
         "CLIENT_COMMUNICATION_FAILURE",
         "LOG",
-        "'could not receive data from client: Connection reset by peer'",
+        "'could not ' || CASE WHEN event_id % 2 = 0 THEN 'receive data from'"
+        " ELSE 'send data to' END || ' client: Connection reset by peer'",
     ),
     Rule(
         "too many connections for role",
@@ -394,11 +405,12 @@ RULES: list[Rule] = [
         text_group=2,
     ),
     Rule(
-        "started streaming WAL from primary",
+        ("started streaming WAL from primary", "restarted WAL streaming"),
         r"^(?:started streaming WAL from primary|restarted WAL streaming) at ([0-9A-F]+)/([0-9A-F]+) on timeline ([0-9]+)",
         "WAL_STREAMING_STARTED",
         "LOG",
-        f"'started streaming WAL from primary at 1A/' || {_N}"
+        "CASE WHEN event_id % 2 = 0 THEN 'started streaming WAL from primary'"
+        f" ELSE 'restarted WAL streaming' END || ' at 1A/' || {_N}"
         " || ' on timeline ' || CAST(1 + event_id % 4 AS STRING)",
         num_group=3,
         text_group=2,
@@ -984,11 +996,13 @@ RULES: list[Rule] = [
     ),
     # --- statement logging + collector marker (analyze.go:1112,1136) ------
     Rule(
-        "statement: ",
+        ("statement: ", "execute "),
         r"^(?:statement|(?:execute|execute fetch from) [^:]+): (.*)",
         "STATEMENT_LOG",
         "LOG",
-        f"'statement: UPDATE events SET value = ' || {_MS}"
+        "CASE WHEN event_id % 2 = 0 THEN 'statement: '"
+        f" ELSE 'execute stmt_' || {_EID} || ': ' END"
+        f" || 'UPDATE events SET value = ' || {_MS}"
         f" || ' WHERE event_id = ' || {_EID}",
         text_group=1,
     ),

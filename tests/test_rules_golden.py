@@ -31,7 +31,7 @@ def rendered():
 def test_every_sample_matches_its_rule(rendered):
     for i, r in enumerate(RULES):
         for body in rendered[i]:
-            assert body.startswith(r.prefix), (r.classification, body[:60])
+            assert body.startswith(r.prefixes), (r.classification, body[:60])
             assert re.search(r.regex, body), (r.classification, body[:120])
 
 
@@ -39,7 +39,7 @@ def test_first_match_wins_selects_own_rule(rendered):
     for i, r in enumerate(RULES):
         for body in rendered[i]:
             for other in RULES:
-                if body.startswith(other.prefix) and re.search(other.regex, body):
+                if body.startswith(other.prefixes) and re.search(other.regex, body):
                     assert other.classification == r.classification, (
                         f"{r.classification} sample classified as "
                         f"{other.classification}: {body[:120]}"
@@ -47,6 +47,19 @@ def test_first_match_wins_selects_own_rule(rendered):
                     break
             else:
                 pytest.fail(f"{r.classification}: no rule matched")
+
+
+def test_multi_prefix_rules_cover_every_alternation(rendered):
+    """Rules with a prefix list (reference attaches several literal prefixes,
+    e.g. checkpoint/restartpoint) must render a sample under EACH prefix —
+    otherwise an alternation is dead code the fixture can't catch."""
+    multi = [(i, r) for i, r in enumerate(RULES) if len(r.prefixes) > 1]
+    assert len(multi) >= 5  # checkpoint x2, client-comm, WAL-streaming, statement
+    for i, r in enumerate(RULES):
+        if len(r.prefixes) < 2:
+            continue
+        hit = {p for p in r.prefixes for body in rendered[i] if body.startswith(p)}
+        assert hit == set(r.prefixes), (r.classification, hit)
 
 
 def test_capture_groups_resolve(rendered):
