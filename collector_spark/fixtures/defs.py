@@ -768,13 +768,24 @@ SELECT
     || CASE CAST(o_orderkey % 4 AS INT)
        WHEN 0 THEN ' /*controller=''checkout'',action=''submit%20order'',traceparent=''00-' || CAST(o_orderkey % 100 AS STRING) || '''*/'
        WHEN 1 THEN ' /*app:api,route:orders-' || CAST(o_orderkey % 50 AS STRING) || '*/'
-       WHEN 2 THEN ' /*controller=''search'',framework=''rails%205''*/'
+       WHEN 2 THEN ' /*controller=''search'',framework=''rails%205'',client=''caf%C3%A9+app'',team=''%E6%97%A5%E6%9C%AC''*/'
        ELSE '' END AS query_text,
+  CASE WHEN o_orderkey % 3 = 0 THEN
+  -- depth-5 chain: Gather > Nested Loop > Materialize > Sort > Seq Scan —
+  -- deeper than any fixed-depth schema the engine ever shipped, so the
+  -- fixpoint traversal is provably exercised past the old bound
+  '{"Node Type":"Gather","Output":["o_orderkey"],"Plans":[{"Node Type":"Nested Loop","Plans":[{"Node Type":"Materialize","Plans":[{"Node Type":"Sort","Output":["o_totalprice"],"Plans":[{"Node Type":"Seq Scan","Filter":"(o_totalprice < '
+    || CAST(o_orderkey % 700 AS STRING)
+    || '.25)"}]}]},{"Node Type":"Index Scan","Index Cond":"(o_orderkey = $'
+    || CAST(1 + o_orderkey % 3 AS STRING)
+    || ')"}]}]}'
+  ELSE
   '{"Node Type":"Aggregate","Output":["count(*)"],"Plans":[{"Node Type":"Hash Join","Hash Cond":"(o.o_custkey = c.c_custkey)","Plans":[{"Node Type":"Seq Scan","Filter":"(o_totalprice > '
     || CAST(o_orderkey % 500 AS STRING)
     || '.5)"},{"Node Type":"Index Scan","Index Cond":"(c_custkey = '
     || CAST(o_custkey % 100 AS STRING)
-    || ')"}]}]}' AS plan_json
+    || ')"}]}]}'
+  END AS plan_json
 FROM orders WHERE o_orderkey % 20 = 0
 """
 

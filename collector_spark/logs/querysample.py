@@ -11,12 +11,12 @@ Reference:
       a UDF — documented subset).
   U6  logs/querysample/normalize.go:129-242 — walk the EXPLAIN JSON tree
       normalizing expression fields (Filter, Index Cond, Hash Cond, Output)
-      with the U2 constant-erasure. The reference recurses unbounded; the
-      engine parses with a bounded-depth from_json schema (SURVEY §1.1) and
-      flattens node rows with posexplode, so everything stays JVM-side and
-      oracle-checkable. Depth is a config knob: real auto_explain plans
-      nest deeper — raise the schema depth or fall back to a pandas UDF for
-      pathological trees.
+      with the U2 constant-erasure. The reference recurses unbounded, and
+      so does the engine: the flatten iterates the JSON parse to a fixpoint
+      (child ``Plans`` captured as raw-JSON strings, posexploded per level
+      until a level is empty), so arbitrary-depth auto_explain plans fully
+      normalize — no fixed schema depth, everything JVM-side and
+      oracle-checkable against a recursive-CTE DuckDB oracle.
 
 Scale: both are pure per-row projections (no shuffle, codegen-friendly);
 the plan explode multiplies rows by node count only.
@@ -32,9 +32,22 @@ _COMMENT_RE = r"/\*(.+?)\*/"
 
 
 def _decode(col):
-    # sqlcommenter URL-decode subset exercised by the fixture
-    return F.replace(
-        F.replace(col, F.lit("%20"), F.lit(" ")), F.lit("%27"), F.lit("'")
+    # full sqlcommenter URL-decode (tags.go:62-77 uses url.QueryUnescape):
+    # '+' -> space, any %XX escape, multi-byte UTF-8 sequences — Spark's
+    # native url_decode implements exactly that contract
+    return F.url_decode(col)
+
+
+def _oracle_urldecode(expr: str) -> str:
+    # DuckDB twin of url.QueryUnescape without a url_decode builtin: split
+    # on '%', hex-encode the literal runs, splice the escape bytes back in,
+    # then decode the reassembled byte string as UTF-8 — handles multi-byte
+    # sequences exactly ('caf%C3%A9' -> 'café')
+    seg = f"string_split(replace({expr}, '+', ' '), '%')"
+    # COALESCE: array_to_string of an empty list is NULL, not ''
+    return (
+        f"decode(unhex(hex(encode(({seg})[1])) || COALESCE(array_to_string("
+        f"list_transform(({seg})[2:], p -> substr(p,1,2) || hex(encode(substr(p,3)))), ''), '')))"
     )
 
 
@@ -67,7 +80,12 @@ def comment_tags(spark: SparkSession) -> DataFrame:
 
 
 def oracle_comment_tags() -> str:
-    return r"""
+    key_dec = _oracle_urldecode("trim(regexp_extract(part, '^([^=]*)=(.*)$', 1))")
+    val_dec = _oracle_urldecode(
+        "regexp_replace(trim(regexp_extract(part, '^([^=]*)=(.*)$', 2)),"
+        " '^''(.*)''$', '\\1')"
+    )
+    return rf"""
 WITH parts AS (
   SELECT sample_id,
     trim(unnest(string_split(regexp_extract(query_text, '/\*(.+?)\*/', 1), ','))) AS part
@@ -82,10 +100,10 @@ typed AS (
 )
 SELECT sample_id,
   CASE WHEN is_sqlc
-    THEN replace(replace(trim(regexp_extract(part, '^([^=]*)=(.*)$', 1)), '%20', ' '), '%27', '''')
+    THEN {key_dec}
     ELSE trim(regexp_extract(part, '^([^:]*):(.*)$', 1)) END AS tag_key,
   CASE WHEN is_sqlc
-    THEN replace(replace(regexp_replace(trim(regexp_extract(part, '^([^=]*)=(.*)$', 2)), '^''(.*)''$', '\1'), '%20', ' '), '%27', '''')
+    THEN {val_dec}
     ELSE trim(regexp_extract(part, '^([^:]*):(.*)$', 2)) END AS tag_value
 FROM typed
 WHERE is_sqlc OR is_marg
@@ -170,113 +188,123 @@ ORDER BY pid, seq
 """
 
 
-# bounded-depth EXPLAIN plan schema (U6)
-def _node_schema(depth: int) -> StructType:
-    fields = [
-        StructField("Node Type", StringType()),
-        StructField("Filter", StringType()),
-        StructField("Hash Cond", StringType()),
-        StructField("Index Cond", StringType()),
-        StructField("Output", ArrayType(StringType())),
-    ]
-    if depth > 1:
-        fields.append(StructField("Plans", ArrayType(_node_schema(depth - 1))))
-    return StructType(fields)
-
-
-PLAN_SCHEMA = _node_schema(3)
+# Hard cap on fixpoint iterations — JSON nesting is finite, so this only
+# guards against a traversal bug, never legitimate data.
+_MAX_PLAN_DEPTH = 100
 
 
 def plan_normalize(spark: SparkSession) -> DataFrame:
-    """U6: flattened plan nodes with normalized expression fields."""
+    """U6: flattened plan nodes with normalized expression fields, to
+    UNBOUNDED depth (normalize.go:129-242 recurses arbitrarily).
+
+    Iterates the parse to a fixpoint instead of a fixed-depth schema: each
+    node's ``Plans`` array is parsed as ``array<string>`` — Spark's JSON
+    parser captures non-string values targeted at StringType as their raw
+    JSON text — then posexploded into child rows, level by level, until a
+    level is empty. The number of Spark jobs equals the actual max plan
+    depth in the data; each level is a pure JVM projection."""
     from collector_spark.functions.fingerprint import normalize_query
 
-    q = spark.table("query_samples").withColumn(
-        "plan", F.from_json("plan_json", PLAN_SCHEMA)
+    root = spark.table("query_samples").select(
+        "sample_id", F.col("plan_json").alias("node"), F.lit("").alias("path")
     )
+    levels = [root]
+    frontier = root
+    for _ in range(_MAX_PLAN_DEPTH):
+        frontier = (
+            frontier.select(
+                "sample_id",
+                "path",
+                F.posexplode(
+                    F.from_json(F.get_json_object("node", "$.Plans"), "array<string>")
+                ).alias("i", "child"),
+            )
+            .select(
+                "sample_id",
+                F.col("child").alias("node"),
+                F.concat(
+                    F.when(F.col("path") == "", F.lit("")).otherwise(
+                        F.concat(F.col("path"), F.lit("."))
+                    ),
+                    F.lit("Plans["),
+                    F.col("i").cast("string"),
+                    F.lit("]"),
+                ).alias("path"),
+            )
+        )
+        if frontier.isEmpty():
+            break
+        levels.append(frontier)
+    else:
+        raise RuntimeError(f"plan nesting exceeds {_MAX_PLAN_DEPTH} levels")
 
-    def node_row(df, node, path):
-        return df.select(
+    nodes = levels[0]
+    for lvl in levels[1:]:
+        nodes = nodes.unionByName(lvl)
+
+    def g(field: str):
+        return F.get_json_object("node", f"$['{field}']")
+
+    return (
+        nodes.select(
             "sample_id",
-            path.alias("path"),
-            node["Node Type"].alias("node_type"),
-            normalize_query(node["Filter"]).alias("filter_norm"),
-            normalize_query(node["Hash Cond"]).alias("hash_cond_norm"),
-            normalize_query(node["Index Cond"]).alias("index_cond_norm"),
+            "path",
+            g("Node Type").alias("node_type"),
+            normalize_query(g("Filter")).alias("filter_norm"),
+            normalize_query(g("Hash Cond")).alias("hash_cond_norm"),
+            normalize_query(g("Index Cond")).alias("index_cond_norm"),
             F.array_join(
-                F.transform(node["Output"], normalize_query), ","
+                F.transform(
+                    F.from_json(g("Output"), "array<string>"), normalize_query
+                ),
+                ",",
             ).alias("output_norm"),
         )
-
-    root = node_row(q, F.col("plan"), F.lit(""))
-    l2 = q.select(
-        "sample_id", F.posexplode(F.col("plan")["Plans"]).alias("i", "node")
-    )
-    level2 = node_row(
-        l2, F.col("node"), F.concat(F.lit("Plans["), F.col("i").cast("string"), F.lit("]"))
-    )
-    l3 = l2.select(
-        "sample_id",
-        "i",
-        F.posexplode(F.col("node")["Plans"]).alias("j", "node3"),
-    )
-    level3 = node_row(
-        l3,
-        F.col("node3"),
-        F.concat(
-            F.lit("Plans["),
-            F.col("i").cast("string"),
-            F.lit("].Plans["),
-            F.col("j").cast("string"),
-            F.lit("]"),
-        ),
-    )
-    return (
-        root.unionByName(level2)
-        .unionByName(level3)
         .filter(F.col("node_type").isNotNull())
         .orderBy("sample_id", "path")
     )
 
 
 def oracle_plan_normalize() -> str:
+    """Unbounded-depth oracle: a DuckDB recursive CTE walks the same tree
+    with the same path labels (nested in a subquery so the fixture-CTE
+    prelude can still merge its own WITH chain)."""
     from collector_spark.functions.fingerprint import oracle_normalize
 
-    def sel(path_sql_prefix: str, path_label: str) -> str:
-        nt = f"json_extract_string(plan_json, '$.{path_sql_prefix}\"Node Type\"')"
-        flt = oracle_normalize(
-            f"json_extract_string(plan_json, '$.{path_sql_prefix}Filter')"
-        )
-        hc = oracle_normalize(
-            f'json_extract_string(plan_json, \'$.{path_sql_prefix}"Hash Cond"\')'
-        )
-        ic = oracle_normalize(
-            f'json_extract_string(plan_json, \'$.{path_sql_prefix}"Index Cond"\')'
-        )
-        out = (
-            "array_to_string(list_transform("
-            f"CAST(json_extract(plan_json, '$.{path_sql_prefix}Output') AS VARCHAR[]),"
-            f" x -> {oracle_normalize('x')}), ',')"
-        )
-        return (
-            f"SELECT sample_id, '{path_label}' AS path, {nt} AS node_type,"
-            f" {flt} AS filter_norm, {hc} AS hash_cond_norm, {ic} AS index_cond_norm,"
-            f" {out} AS output_norm FROM query_samples"
-        )
-
-    selects = " UNION ALL ".join(
-        [
-            sel("", ""),
-            sel("Plans[0].", "Plans[0]"),
-            sel("Plans[1].", "Plans[1]"),
-            sel("Plans[2].", "Plans[2]"),
-            sel("Plans[0].Plans[0].", "Plans[0].Plans[0]"),
-            sel("Plans[0].Plans[1].", "Plans[0].Plans[1]"),
-            sel("Plans[0].Plans[2].", "Plans[0].Plans[2]"),
-        ]
+    nt = "json_extract_string(node, '$.\"Node Type\"')"
+    flt = oracle_normalize("json_extract_string(node, '$.Filter')")
+    hc = oracle_normalize("json_extract_string(node, '$.\"Hash Cond\"')")
+    ic = oracle_normalize("json_extract_string(node, '$.\"Index Cond\"')")
+    out = (
+        "array_to_string(list_transform("
+        "CAST(json_extract(node, '$.Output') AS VARCHAR[]),"
+        f" x -> {oracle_normalize('x')}), ',')"
     )
     return f"""
-SELECT * FROM ({selects}) q
+SELECT * FROM (
+  WITH RECURSIVE nodes AS (
+    SELECT sample_id, CAST('' AS VARCHAR) AS path, CAST(plan_json AS JSON) AS node
+    FROM query_samples
+    UNION ALL
+    SELECT sample_id,
+      CASE WHEN path = '' THEN '' ELSE path || '.' END
+        || 'Plans[' || CAST(i AS VARCHAR) || ']',
+      json_extract(node, '$.Plans[' || CAST(i AS VARCHAR) || ']')
+    FROM (
+      SELECT n.sample_id, n.path, n.node,
+        unnest(range(CAST(COALESCE(
+          json_array_length(json_extract(n.node, '$.Plans')), 0) AS BIGINT))) AS i
+      FROM nodes n
+    ) u
+  )
+  SELECT sample_id, path,
+    {nt} AS node_type,
+    {flt} AS filter_norm,
+    {hc} AS hash_cond_norm,
+    {ic} AS index_cond_norm,
+    {out} AS output_norm
+  FROM nodes
+) q
 WHERE node_type IS NOT NULL
 ORDER BY sample_id, path
 """
