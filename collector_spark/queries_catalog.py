@@ -42,6 +42,7 @@ from collector_spark.functions.utility import (
     utility_stmt_scan,
 )
 from collector_spark.operators import (
+    activity,
     backends,
     buffer_cache,
     databases,
@@ -354,6 +355,15 @@ register(
     relation_scan.index_scan,
     relation_scan.oracle_index_scan(),
     fixtures=["class_rows", "lock_rows", "index_rows"],
+)
+
+# activity compact-snapshot assembly (output/transform/activity.go:9) —
+# new this round
+register(
+    "activity_snapshot",
+    activity.activity_snapshot,
+    activity.oracle_activity_snapshot(),
+    fixtures=["backends"],
 )
 
 # (round-3 additions land here, before section C, to stay in the window)
