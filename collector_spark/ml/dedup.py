@@ -26,11 +26,13 @@ from pyspark.sql import functions as F
 P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 # Single tuning knobs: both the Spark plan AND the generated DuckDB oracle
 # derive from these constants, so changing them re-parameterizes both sides
-# consistently. K=16/BANDS=4 keeps the oracle fast at test scale; real
-# near-dedup at 100 TB wants K>=128 with 16+ bands (same plan shape, wider
-# signature row).
-K = 16               # minhash permutations
-BANDS = 4            # 4 bands x 4 rows
+# consistently. K=64 x 8 bands (8 rows/band) is a production-shaped
+# configuration — the (1/b)^(1/r) similarity knee sits near 0.77, so band
+# buckets stay selective at scale; widening further (K=128, 16 bands) is a
+# two-number change with the same plan shape. BIGINT math stays exact:
+# h' < 2^31 and A[i] < 2^31, so h'*A[i] + B[i] < 2^62 in both engines.
+K = 64               # minhash permutations
+BANDS = 8            # 8 bands x 8 rows
 SHINGLE = 3          # word-trigram shingles
 
 # deterministic permutation parameters (odd multipliers, arbitrary offsets)
@@ -85,11 +87,13 @@ def _shingle_hashes(docs: DataFrame) -> DataFrame:
     shingles = F.transform(
         idx, lambda i: F.array_join(F.slice(words, i + 1, SHINGLE), " ")
     )
-    return (
-        docs.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
-        .select("doc_id", (_hash60(F.col("shingle")) % P31).alias("h"))
-        .distinct()
-    )
+    # per-doc dedup happens in array_distinct BEFORE hashing — exactly the
+    # oracle's list_distinct semantics (hash collisions preserved); a
+    # post-hash global distinct would re-shuffle the largest relation in
+    # the pipeline for nothing
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    ).select("doc_id", (_hash60(F.col("shingle")) % P31).alias("h"))
 
 
 _SQL_SHINGLES = f"""
