@@ -32,10 +32,26 @@ def _dense_dim(df: DataFrame, key_cols: list[str], idx_name: str) -> DataFrame:
     return dense_index(df, key_cols, idx_name)
 
 
+# at most ONE pinned rollup per session: the rollup feeds three dimension
+# builds plus the fact join (~7 lineage evaluations of the full statement
+# pipeline otherwise); it is tiny (one row per fingerprint group), so the
+# cache-and-replace pattern bounds storage while cutting the repeated work
+_ROLLUP_CACHE: dict[int, DataFrame] = {}
+
+
+def _persisted_rollup(spark: SparkSession) -> DataFrame:
+    prev = _ROLLUP_CACHE.pop(id(spark), None)
+    if prev is not None:
+        prev.unpersist()
+    rollup = statement_rollup(spark).persist()
+    _ROLLUP_CACHE[id(spark)] = rollup
+    return rollup
+
+
 def assemble_statement_fact(spark: SparkSession) -> DataFrame:
     """The star-schema statement fact: rollup rows with dense dimension
     idx for database, role, and query."""
-    rollup = statement_rollup(spark)
+    rollup = _persisted_rollup(spark)
     db_dim = _dense_dim(rollup, ["database_oid"], "database_idx")
     role_dim = _dense_dim(rollup, ["user_oid"], "role_idx")
     query_dim = _dense_dim(rollup, ["fingerprint"], "query_idx")
