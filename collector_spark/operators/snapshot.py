@@ -35,16 +35,25 @@ def _dense_dim(df: DataFrame, key_cols: list[str], idx_name: str) -> DataFrame:
 # at most ONE pinned rollup per session: the rollup feeds three dimension
 # builds plus the fact join (~7 lineage evaluations of the full statement
 # pipeline otherwise); it is tiny (one row per fingerprint group), so the
-# cache-and-replace pattern bounds storage while cutting the repeated work
-_ROLLUP_CACHE: dict[int, DataFrame] = {}
+# cache-and-replace pattern bounds storage while cutting the repeated work.
+# Keyed by the prepared input dir: same registered views => same rollup, so
+# repeated assembly reuses the pinned copy; re-preparing a different sf_dir
+# invalidates it.
+_ROLLUP_CACHE: dict[int, tuple[str, DataFrame]] = {}
 
 
 def _persisted_rollup(spark: SparkSession) -> DataFrame:
-    prev = _ROLLUP_CACHE.pop(id(spark), None)
-    if prev is not None:
-        prev.unpersist()
+    from collector_spark import registry
+
+    input_key = registry.active_dir(spark)
+    cached = _ROLLUP_CACHE.get(id(spark))
+    if cached is not None:
+        if cached[0] == input_key:
+            return cached[1]
+        cached[1].unpersist()
+        del _ROLLUP_CACHE[id(spark)]
     rollup = statement_rollup(spark).persist()
-    _ROLLUP_CACHE[id(spark)] = rollup
+    _ROLLUP_CACHE[id(spark)] = (input_key, rollup)
     return rollup
 
 

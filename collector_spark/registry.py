@@ -40,11 +40,13 @@ def register(
 
 
 _PREPARED: set[tuple[int, str]] = set()
+_ACTIVE_DIR: dict[int, str] = {}
 
 
 def prepare(spark: SparkSession, sf_dir: str) -> None:
     """Register base-table and fixture views for this (session, sf_dir)."""
     key = (id(spark), sf_dir)
+    _ACTIVE_DIR[id(spark)] = sf_dir
     if key in _PREPARED:
         return
     tables.register_views(spark, sf_dir)
@@ -54,6 +56,13 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     for k in list(_PREPARED):
         if k[0] == id(spark) and k[1] != sf_dir:
             _PREPARED.discard(k)
+
+
+def active_dir(spark: SparkSession) -> str:
+    """The sf_dir most recently prepared for this session ('' if none) —
+    the cache key for operators that pin derived relations (same prepared
+    views => same derivation, so reuse is semantically safe)."""
+    return _ACTIVE_DIR.get(id(spark), "")
 
 
 def driver_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
