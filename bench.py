@@ -48,9 +48,7 @@ HEADLINE = [
 ]
 
 N_RUNS = 3  # median-of-3 per query
-# the streaming run-to-completion query stands up a full source + checkpoint
-# per invocation — one run keeps the bench under budget
-SINGLE_RUN = {"st3_stream_stitch"}
+SINGLE_RUN: set[str] = set()
 
 
 def _sf_from_dir(sf_dir: str) -> float:

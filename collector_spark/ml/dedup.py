@@ -268,6 +268,100 @@ ORDER BY i.doc_a, i.doc_b
 """
 
 
+def dup_clusters(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
+    """Duplicate clusters: connected components over the verified near-dup
+    pair graph, labeling every member with the minimum doc_id reachable
+    (the canonical document a training pipeline keeps).
+
+    Algorithm: iterative min-label propagation — label(v) starts at v; each
+    round takes the min of a node's label and its neighbors' labels until a
+    fixed point. Rounds are one join + one groupBy each, all distributed;
+    ``localCheckpoint`` truncates lineage so the plan doesn't deepen per
+    round. Convergence needs O(diameter) rounds; verified near-dup clusters
+    are short-diameter in practice (they approximate cliques), and the cap
+    asserts rather than silently emitting a partial labeling. For
+    adversarially long chain graphs swap the body for alternating
+    large-star/small-star (same per-round shuffle shape, O(log n) rounds).
+
+    Output: one row per doc participating in >=1 verified pair —
+    (doc_id, cluster_id = min reachable doc_id, cluster_size, is_canonical).
+    """
+    pairs = ngram_jaccard_pairs(spark, threshold).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(20):
+        nbr = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old_label"), "node"
+            )
+            .filter(F.col("label") != F.col("old_label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("dup_clusters: label propagation did not converge")
+    sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_dup_clusters(threshold: float = 0.5) -> str:
+    pairs = oracle_ngram_jaccard_pairs(threshold)
+    pairs_inner = pairs.rsplit("ORDER BY", 1)[0]
+    # reachability closure: walk(node, r) holds every doc r that reaches
+    # node; cluster id = min over reachable (exact CC, fine at oracle scale)
+    return f"""
+WITH RECURSIVE verified AS ({pairs_inner}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+walk(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.node
+),
+cc AS (SELECT node, MIN(r) AS cluster_id FROM walk GROUP BY node),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.node AS doc_id, cc.cluster_id, sizes.cluster_size,
+       cc.node = cc.cluster_id AS is_canonical
+FROM cc JOIN sizes USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
 def simhash(spark: SparkSession, bits: int = 16) -> DataFrame:
     """16-bit SimHash over word hashes: bit j set iff sum over words of
     (2*bit_j(h) - 1) > 0."""

@@ -244,6 +244,10 @@ register(
 
 register("ml_simhash", dedup.simhash, dedup.oracle_simhash())
 
+# duplicate clusters: connected components over verified near-dup pairs
+# (min-label propagation; DuckDB oracle = recursive reachability closure)
+register("ml_dup_clusters", dedup.dup_clusters, dedup.oracle_dup_clusters())
+
 register(
     "ml_brute_force_topk",
     similarity.brute_force_topk,

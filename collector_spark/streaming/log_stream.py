@@ -262,6 +262,7 @@ def _run_stream(
     spark: SparkSession,
     transform,
     max_files_per_trigger: int | None = None,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Source + sentinel setup, run ``transform(raw_stream)`` to completion
     against a memory sink, return the sentinel-filtered result.
@@ -269,6 +270,12 @@ def _run_stream(
     Production deployment differs only in source/trigger: a live file/socket
     source with trigger(processingTime='10 seconds') (ST5) instead of
     trigger(availableNow); maxFilesPerTrigger bounds per-tick intake (ST8).
+
+    ``state_partitions`` sizes the stateful shuffle for THIS query (each
+    state-store partition pays a per-batch commit + a Python worker round
+    trip, so the verification harness right-sizes it down from the session
+    default; a long-lived production stream over many servers raises it —
+    the count is pinned by the first run's checkpoint either way).
     """
     run_id = uuid.uuid4().hex[:12]
     base = os.path.join(tempfile.gettempdir(), "collector_spark_stream")
@@ -301,15 +308,23 @@ def _run_stream(
     raw_stream = reader.parquet(src_dir)
 
     qname = f"stream_{run_id}"
-    query = (
-        transform(raw_stream)
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # streaming pins shuffle.partitions at first-checkpoint time; scope the
+    # override to query start and restore the session default right after
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            transform(raw_stream)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     try:
         query.awaitTermination()
     finally:
