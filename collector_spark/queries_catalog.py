@@ -21,7 +21,7 @@ from __future__ import annotations
 from collector_spark.logs import filters as log_filters
 from collector_spark.logs import pipeline as log_pipeline
 from collector_spark.logs import querysample
-from collector_spark.ml import dedup, multimodal, similarity, textstats
+from collector_spark.ml import curation, dedup, multimodal, similarity, textstats
 from collector_spark.logs.associate import (
     associate_secondaries_q,
     oracle_parameter_details,
@@ -370,7 +370,25 @@ register(
     fixtures=["backends"],
 )
 
-# (round-3 additions land here, before section C, to stay in the window)
+# --- round-3 additions: training-data curation (in-window) -----------------
+
+# benchmark decontamination: word-8-gram overlap vs the eval split,
+# broadcast eval-gram set (the 100 TB-correct plan shape)
+register("ml_decontaminate", curation.decontaminate, curation.oracle_decontaminate())
+
+# deterministic per-stratum quota sampling (data mixing)
+register(
+    "ml_stratified_sample",
+    curation.stratified_sample,
+    curation.oracle_stratified_sample(),
+)
+
+# distinctive terms per source (log-free tf-idf, exactly-rounded score math)
+register(
+    "ml_tfidf_top_terms",
+    curation.tfidf_top_terms,
+    curation.oracle_tfidf_top_terms(),
+)
 
 # ===========================================================================
 # C. driver-green since CORRECTNESS_r02 and unchanged — pinned by
