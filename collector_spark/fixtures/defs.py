@@ -858,6 +858,37 @@ SELECT
 FROM lineitem
 """
 
+# ---------------------------------------------------------------------------
+# F19 — RDS log download portions (input/system/rds/logs.go shape)
+#
+# The reference lists recently-written RDS log files and, per file, loops
+# DownloadDBLogFilePortion from a persisted pagination marker
+# (state.PersistedLogState.AwsMarkers) until no additional data is pending,
+# keeping at most the trailing maxLogParsingSize bytes (logs.go:28,78-104).
+# The fixture models the portion manifest that loop would observe:
+# 8 log files, monotone per-file portion sequence, deterministic sizes.
+# Markers are modeled as the last-consumed seq; files where MAX(seq) % 3
+# = 0 start cold (no marker row — first collector run for that file).
+# ---------------------------------------------------------------------------
+
+RDS_PORTIONS = """
+SELECT
+  'postgresql.log.' || CAST(o_orderkey % 8 AS STRING)    AS file_name,
+  CAST(ROW_NUMBER() OVER (PARTITION BY o_orderkey % 8
+                          ORDER BY o_orderkey) AS BIGINT) AS seq,
+  CAST(512 + (o_orderkey * 37 + o_custkey) % 7000 AS BIGINT) AS byte_len
+FROM orders
+WHERE o_orderkey <= 2000
+"""
+
+RDS_PREV_MARKERS = """
+SELECT file_name,
+  CAST(FLOOR(MAX(seq) / 2) AS BIGINT) AS marker_seq
+FROM rds_portions
+GROUP BY file_name
+HAVING MAX(seq) % 3 <> 0
+"""
+
 
 ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "log_raw": {"spark": _log_raw_sql("spark"), "duckdb": _log_raw_sql("duckdb")},
@@ -910,6 +941,8 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "utility_stmts": UTILITY_STMTS,
     "citus_aux": CITUS_AUX,
     "mem_state": MEM_STATE,
+    "rds_portions": RDS_PORTIONS,
+    "rds_prev_markers": RDS_PREV_MARKERS,
 }
 
 FIXTURES = ALL_FIXTURES  # public alias

@@ -20,7 +20,7 @@ engines: h' = h % P31, sig_i = min((a_i * h' + b_i) % P31).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
@@ -53,29 +53,47 @@ def _words(col: Column) -> Column:
 
 
 def exact_dup_groups(spark: SparkSession) -> DataFrame:
-    """Exact duplicate groups: md5 over whitespace-normalized lowered text."""
+    """Exact dedup decision list: md5 over whitespace-normalized lowered
+    text, one row per document with its group's canonical doc (min doc_id),
+    group size, and whether this doc survives dedup — the keep/drop list a
+    training pipeline consumes directly (singletons included, so the result
+    is total over the corpus).
+
+    One shuffle on content_hash; the per-group aggregate rides the same
+    exchange as the decision join via a window, so scale cost is a single
+    hash partitioning of (doc_id, hash).
+    """
     docs = spark.table("documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    hashed = docs.select(F.col("doc_id"), F.md5(norm).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
     return (
-        docs.select(F.col("doc_id"), F.md5(norm).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(
-            F.min("doc_id").alias("canonical_doc_id"),
-            F.count("*").cast("long").alias("group_size"),
+        hashed.withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w).cast("long"))
+        .select(
+            "doc_id",
+            "content_hash",
+            "canonical_doc_id",
+            "group_size",
+            (F.col("doc_id") == F.col("canonical_doc_id")).alias("keep"),
         )
-        .filter(F.col("group_size") > 1)
-        .orderBy("content_hash")
+        .orderBy("doc_id")
     )
 
 
 def oracle_exact_dup_groups() -> str:
     return """
-SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
-       MIN(doc_id) AS canonical_doc_id,
-       CAST(COUNT(*) AS BIGINT) AS group_size
-FROM documents
-GROUP BY 1 HAVING COUNT(*) > 1
-ORDER BY content_hash
+WITH hashed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+  FROM documents
+)
+SELECT doc_id, content_hash,
+       MIN(doc_id) OVER (PARTITION BY content_hash) AS canonical_doc_id,
+       CAST(COUNT(*) OVER (PARTITION BY content_hash) AS BIGINT) AS group_size,
+       doc_id = MIN(doc_id) OVER (PARTITION BY content_hash) AS keep
+FROM hashed
+ORDER BY doc_id
 """
 
 
@@ -268,25 +286,19 @@ ORDER BY i.doc_a, i.doc_b
 """
 
 
-def dup_clusters(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
-    """Duplicate clusters: connected components over the verified near-dup
-    pair graph, labeling every member with the minimum doc_id reachable
-    (the canonical document a training pipeline keeps).
-
-    Algorithm: iterative min-label propagation — label(v) starts at v; each
-    round takes the min of a node's label and its neighbors' labels until a
-    fixed point. Rounds are one join + one groupBy each, all distributed;
-    ``localCheckpoint`` truncates lineage so the plan doesn't deepen per
-    round. Convergence needs O(diameter) rounds; verified near-dup clusters
-    are short-diameter in practice (they approximate cliques), and the cap
+def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """Min-label propagation over an undirected pair graph: label(v) starts
+    at v; each round takes the min of a node's label and its neighbors'
+    labels until a fixed point. Rounds are one join + one groupBy each, all
+    distributed; ``localCheckpoint`` truncates lineage so the plan doesn't
+    deepen per round. Convergence needs O(diameter) rounds and the cap
     asserts rather than silently emitting a partial labeling. For
     adversarially long chain graphs swap the body for alternating
     large-star/small-star (same per-round shuffle shape, O(log n) rounds).
 
-    Output: one row per doc participating in >=1 verified pair —
-    (doc_id, cluster_id = min reachable doc_id, cluster_size, is_canonical).
+    Input: (doc_a, doc_b) pairs. Output: (node, label) with label = the
+    minimum node id reachable.
     """
-    pairs = ngram_jaccard_pairs(spark, threshold).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -300,7 +312,7 @@ def dup_clusters(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(20):
+    for _ in range(max_rounds):
         nbr = edges.join(
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "label")
@@ -322,7 +334,20 @@ def dup_clusters(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
         if changed == 0:
             break
     else:
-        raise RuntimeError("dup_clusters: label propagation did not converge")
+        raise RuntimeError("connected_components: label propagation did not converge")
+    return labels
+
+
+def dup_clusters(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
+    """Duplicate clusters: connected components over the verified near-dup
+    pair graph, labeling every member with the minimum doc_id reachable
+    (the canonical document a training pipeline keeps).
+
+    Output: one row per doc participating in >=1 verified pair —
+    (doc_id, cluster_id = min reachable doc_id, cluster_size, is_canonical).
+    """
+    pairs = ngram_jaccard_pairs(spark, threshold).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
     sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
     return (
         labels.join(F.broadcast(sizes), "label")

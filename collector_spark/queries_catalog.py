@@ -48,6 +48,7 @@ from collector_spark.operators import (
     databases,
     functions_stats,
     historic,
+    log_transport,
     plans,
     relation_scan,
     relations,
@@ -332,13 +333,6 @@ register(
 )
 
 register(
-    "u7d_details_json",
-    details_json,
-    oracle_details_json(log_pipeline.oracle_stitch()),
-    fixtures=["log_raw"],
-)
-
-register(
     "a2_statement_rollup",
     statements.statement_rollup,
     statements.oracle_statement_rollup(),
@@ -390,10 +384,29 @@ register(
     curation.oracle_tfidf_top_terms(),
 )
 
+# S31 cloud transport: RDS download planner (marker resumption + trailing
+# 10MB cap as pure windows/joins — input/system/rds/logs.go:70-104)
+register(
+    "s31_rds_download_plan",
+    log_transport.rds_download_plan,
+    log_transport.oracle_rds_download_plan(),
+    fixtures=["rds_portions", "rds_prev_markers"],
+)
+
 # ===========================================================================
 # C. driver-green since CORRECTNESS_r02 and unchanged — pinned by
 #    tests/test_registry_oracle.py
 # ===========================================================================
+
+# u7d moved down to make window room for s31_rds_download_plan: its r03
+# delta (rule-prefix tuples) is already driver-covered by u7_log_classify
+# and u7b, and the identical DuckDB comparison pins it in pytest
+register(
+    "u7d_details_json",
+    details_json,
+    oracle_details_json(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
 
 register(
     "a1_statement_diff",

@@ -1,0 +1,92 @@
+"""Semantic unit tests for the curation operators on handcrafted corpora —
+the oracle gate proves Spark==DuckDB on the fixture; these prove the
+*intended* behavior on adversarial inputs (the two can drift together,
+which the oracle cannot catch)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture()
+def docs_view(prepared_spark):
+    """Swap the documents view for a handcrafted corpus; restore after."""
+    from collector_spark import tables
+    from tests.conftest import SF_DIR
+
+    def install(rows):
+        df = prepared_spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.createOrReplaceTempView("documents")
+
+    yield install
+    tables.register_views(prepared_spark, SF_DIR)
+
+
+WORDS8 = "w1 w2 w3 w4 w5 w6 w7 w8"
+
+
+def test_decontaminate_flags_shared_8gram(prepared_spark, docs_view):
+    from collector_spark.ml.curation import decontaminate
+
+    docs_view(
+        [
+            # eval doc (src0) carries the 8-gram
+            (1, f"prefix {WORDS8} suffix", "en", "src0", 0),
+            # train doc embedding the same 8 tokens consecutively -> flagged
+            (2, f"a b {WORDS8} c", "en", "src1", 0),
+            # train doc with 7 of the 8 tokens -> clean
+            (3, "w1 w2 w3 w4 w5 w6 w7 x y z q r s t", "en", "src1", 0),
+            # short train doc (< 8 tokens) -> clean, and must not crash
+            (4, "w1 w2 w3", "en", "src2", 0),
+        ]
+    )
+    got = {r["doc_id"]: r for r in decontaminate(prepared_spark).collect()}
+    assert set(got) == {2, 3, 4}  # eval doc excluded from output
+    assert got[2]["contaminated"] and got[2]["matched_grams"] >= 1
+    assert not got[3]["contaminated"] and got[3]["matched_grams"] == 0
+    assert not got[4]["contaminated"]
+
+
+def test_stratified_sample_quota_and_determinism(prepared_spark, docs_view):
+    from collector_spark.ml.curation import STRATUM_QUOTA, stratified_sample
+
+    rows = [
+        (i, "t", "en" if i % 2 else "de", f"src{i % 3}", 0) for i in range(60)
+    ]
+    docs_view(rows)
+    out1 = stratified_sample(prepared_spark).collect()
+    out2 = stratified_sample(prepared_spark).collect()
+    assert out1 == out2  # pure function of doc_id
+    kept_per_stratum: dict[tuple, int] = {}
+    for r in out1:
+        if r["kept"]:
+            key = (r["lang"], r["source"])
+            kept_per_stratum[key] = kept_per_stratum.get(key, 0) + 1
+    assert kept_per_stratum and all(
+        v <= STRATUM_QUOTA for v in kept_per_stratum.values()
+    )
+    # every stratum with >= quota docs keeps exactly quota
+    from collections import Counter
+
+    sizes = Counter((r["lang"], r["source"]) for r in out1)
+    for key, n in sizes.items():
+        assert kept_per_stratum.get(key, 0) == min(n, STRATUM_QUOTA)
+
+
+def test_tfidf_prefers_source_exclusive_terms(prepared_spark, docs_view):
+    from collector_spark.ml.curation import tfidf_top_terms
+
+    docs_view(
+        [
+            (1, "shared shared unique_a unique_a unique_a", "en", "srcA", 0),
+            (2, "shared shared shared unique_b unique_b", "en", "srcB", 0),
+        ]
+    )
+    out = tfidf_top_terms(prepared_spark, k=1).collect()
+    top = {r["source"]: r["term"] for r in out}
+    # the source-exclusive term (df=1, idf=2) outranks the shared term
+    # (df=2, idf=1) in both sources despite lower raw tf in srcB's case
+    # (unique_b: 2*2=4 vs shared: 3*1=3)
+    assert top == {"srcA": "unique_a", "srcB": "unique_b"}
