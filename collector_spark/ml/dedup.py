@@ -157,26 +157,35 @@ def _band_cols() -> list[tuple[str, list[str]]]:
 
 
 def _candidate_pairs_from(sig: DataFrame) -> DataFrame:
-    bands = []
-    for b, (name, cols) in enumerate(_band_cols()):
-        key = F.md5(
+    # one band-key array exploded per row — the signature aggregate is
+    # computed once, not once per band branch (a UNION of 8 projections
+    # leans on exchange reuse; the explode makes single-pass structural)
+    keys = [
+        F.md5(
             F.concat_ws(",", F.lit(str(b)), *[F.col(c).cast("string") for c in cols])
         )
-        bands.append(sig.select("doc_id", key.alias("bucket")))
-    buckets = bands[0]
-    for df in bands[1:]:
-        buckets = buckets.unionByName(df)
-    left = buckets.alias("l")
-    right = buckets.alias("r")
+        for b, (name, cols) in enumerate(_band_cols())
+    ]
+    buckets = sig.select("doc_id", F.explode(F.array(*keys)).alias("bucket"))
+    # pair generation by per-bucket expansion instead of a bucket self-join:
+    # a self-join recomputes the whole signature subtree per branch (no
+    # exchange reuse across build/probe sides), while groupBy(bucket) +
+    # inline pair transform computes it once and shuffles each (doc, band
+    # key) exactly once. Bucket size stays the skew/blowup knob either way.
     return (
-        left.join(
-            right,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
+        buckets.groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
         .select(
-            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
         )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

@@ -49,6 +49,16 @@ def load(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     for c in _TS_COLS.get(name, ()):
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    # The local test files are single-row-group parquet, so a scan is ONE
+    # task no matter what maxPartitionBytes says — and every per-row stage
+    # before the first shuffle (regex parse, shingle explode, n-gram
+    # fan-out) serializes on one core. Fan narrow scans out to the session's
+    # parallelism; the round-robin shuffle moves only the tiny local file.
+    # At production scale inputs arrive in >= cores splits (many files /
+    # row groups) and this branch never fires.
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 32):
+        df = df.repartition(min(target, 32))
     return df
 
 
