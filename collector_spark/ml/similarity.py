@@ -364,3 +364,55 @@ FROM scored
 QUALIFY rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+
+def embedding_dup_clusters(spark: SparkSession) -> DataFrame:
+    """Near-duplicate clusters in embedding space: connected components
+    (ml/dedup.py min-label propagation) over the verified cosine near-dup
+    pair graph — the embedding-side counterpart of ml_dup_clusters, giving
+    a training pipeline the transitive keep/drop grouping rather than raw
+    pairs. Output: (vec_id, cluster_id = min reachable vec_id,
+    cluster_size, is_canonical)."""
+    from collector_spark.ml.dedup import connected_components
+
+    pairs = embedding_neardup_pairs(spark).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def oracle_embedding_dup_clusters() -> str:
+    pairs = oracle_embedding_neardup_pairs()
+    pairs_inner = pairs.rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH RECURSIVE verified AS ({pairs_inner}),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM verified
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM verified
+),
+walk(node, r) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, w.r FROM walk w JOIN edges e ON e.src = w.node
+),
+cc AS (SELECT node, MIN(r) AS cluster_id FROM walk GROUP BY node),
+sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM cc GROUP BY cluster_id)
+SELECT cc.node AS vec_id, cc.cluster_id, sizes.cluster_size,
+       cc.node = cc.cluster_id AS is_canonical
+FROM cc JOIN sizes USING (cluster_id)
+ORDER BY vec_id
+"""

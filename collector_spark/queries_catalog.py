@@ -692,3 +692,15 @@ register(
     buffer_cache.oracle_buffercache_totals(),
     fixtures=["buffercache_rows", "class_rows"],
 )
+
+# ===========================================================================
+# D. round-4 window candidates — registered past the driver window this
+#    round (it is full); promote to the top next round for driver rows.
+#    Locally oracle-gated by tests/test_registry_oracle.py like everything.
+# ===========================================================================
+
+register(
+    "ml_embedding_dup_clusters",
+    similarity.embedding_dup_clusters,
+    similarity.oracle_embedding_dup_clusters(),
+)

@@ -40,6 +40,14 @@ _TS_COLS = {
     "events": ("ts",),
 }
 
+# tables whose consumers do heavy per-row work (regex parsing of events ->
+# log_raw, shingle/n-gram explosion of documents, vector math on
+# embeddings) or that are the big fact inputs whose pre-shuffle
+# project/filter work benefits from parallel scans (lineitem, orders).
+# Dimension-sized tables stay narrow — they broadcast regardless, and an
+# exchange per scan only adds latency to multi-input plans like S10.
+_WIDEN_TABLES = {"lineitem", "orders", "events", "documents", "embeddings"}
+
 
 def load(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     if name not in TABLE_NAMES:
@@ -52,13 +60,17 @@ def load(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     # The local test files are single-row-group parquet, so a scan is ONE
     # task no matter what maxPartitionBytes says — and every per-row stage
     # before the first shuffle (regex parse, shingle explode, n-gram
-    # fan-out) serializes on one core. Fan narrow scans out to the session's
-    # parallelism; the round-robin shuffle moves only the tiny local file.
-    # At production scale inputs arrive in >= cores splits (many files /
-    # row groups) and this branch never fires.
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(target, 32):
-        df = df.repartition(min(target, 32))
+    # fan-out) serializes on one core. Fan narrow scans of the big/fan-out
+    # tables out to the session's parallelism; the round-robin shuffle moves
+    # only the tiny local file. The small dimension tables stay narrow —
+    # they broadcast anyway, and an exchange per scan only adds latency to
+    # multi-input plans like the S10 megascan. At production scale inputs
+    # arrive in >= cores splits (many files / row groups) and this branch
+    # never fires.
+    if name in _WIDEN_TABLES:
+        target = min(spark.sparkContext.defaultParallelism, 32)
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
     return df
 
 
