@@ -346,13 +346,12 @@ register(
     fixtures=["stmt_snap1", "stmt_snap2", "stmt_texts"],
 )
 
-# index-lock granularity now matches the reference's indexStatsSQL exactly
-# (own-oid filter, one placeholder per locked relid) — changed this round
+# never driver-verified (added after the round-3 window filled) — promoted
+# into the window this round
 register(
-    "s11_index_scan",
-    relation_scan.index_scan,
-    relation_scan.oracle_index_scan(),
-    fixtures=["class_rows", "lock_rows", "index_rows"],
+    "ml_embedding_dup_clusters",
+    similarity.embedding_dup_clusters,
+    similarity.oracle_embedding_dup_clusters(),
 )
 
 # activity compact-snapshot assembly (output/transform/activity.go:9) —
@@ -699,8 +698,13 @@ register(
 #    Locally oracle-gated by tests/test_registry_oracle.py like everything.
 # ===========================================================================
 
+# index-lock granularity changed this round to match the reference's
+# indexStatsSQL exactly (own-oid filter, one placeholder per locked relid);
+# r02-green under the old semantics, locally oracle-gated under the new —
+# displaced from the window by ml_embedding_dup_clusters (never verified).
 register(
-    "ml_embedding_dup_clusters",
-    similarity.embedding_dup_clusters,
-    similarity.oracle_embedding_dup_clusters(),
+    "s11_index_scan",
+    relation_scan.index_scan,
+    relation_scan.oracle_index_scan(),
+    fixtures=["class_rows", "lock_rows", "index_rows"],
 )

@@ -68,12 +68,15 @@ def stream_stat_buckets(spark: SparkSession, sf_dir: str | None = None) -> DataF
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf)
     )
-    ts = (
-        F.timestamp_micros(F.expr("ts DIV 1000"))
-        if dict(zip(raw_schema.names, [f.dataType.simpleString() for f in raw_schema]))
-        .get("ts") == "bigint"
-        else F.col("ts")
-    )
+    ts_type = dict(
+        zip(raw_schema.names, [f.dataType.simpleString() for f in raw_schema])
+    ).get("ts")
+    if ts_type == "bigint":
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        # Watermarks require TIMESTAMP (with tz); the session tz is pinned
+        # UTC, so casting a TIMESTAMP_NTZ parquet column is value-preserving.
+        ts = F.col("ts").cast("timestamp")
     events = raw.select("event_id", ts.alias("ts"))
 
     qname = f"stat_buckets_{run_id}"
