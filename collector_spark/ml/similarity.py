@@ -302,9 +302,18 @@ ORDER BY query_id, rank
 
 
 NEARDUP_THRESHOLD = 0.95
+# The synthetic embeddings are near-orthogonal random vectors (max pairwise
+# cosine ~0.51 at sf0.01), so the production 0.95 threshold matches nothing
+# and a correctness row would be vacuously empty. Verification registers the
+# same operator at a data-calibrated threshold so the bucket join + cosine
+# filter + cluster propagation actually process rows; the threshold is the
+# only knob that differs.
+VERIFY_NEARDUP_THRESHOLD = 0.30
 
 
-def embedding_neardup_pairs(spark: SparkSession) -> DataFrame:
+def embedding_neardup_pairs(
+    spark: SparkSession, threshold: float = NEARDUP_THRESHOLD
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates restricted to
     sign-bit bucket-mates (same shape as the LSH join — no all-pairs cross
     join), kept when cosine >= threshold."""
@@ -321,12 +330,12 @@ def embedding_neardup_pairs(spark: SparkSession) -> DataFrame:
     ).alias("cosine")
     return (
         joined.select("vec_a", "vec_b", cosine)
-        .filter(F.col("cosine") >= NEARDUP_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
 
 
-def oracle_embedding_neardup_pairs() -> str:
+def oracle_embedding_neardup_pairs(threshold: float = NEARDUP_THRESHOLD) -> str:
     bucket = " + ".join(
         f"CASE WHEN embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(HP)
     )
@@ -338,7 +347,7 @@ WITH bk AS (SELECT vec_id, embedding, CAST({bucket} AS INT) AS bucket FROM embed
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ({dot}) / (sqrt({aa}) * sqrt({bb})) AS cosine
 FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE ({dot}) / (sqrt({aa}) * sqrt({bb})) >= {NEARDUP_THRESHOLD}
+WHERE ({dot}) / (sqrt({aa}) * sqrt({bb})) >= {threshold}
 ORDER BY vec_a, vec_b
 """
 
@@ -366,7 +375,9 @@ ORDER BY query_id, rank
 """
 
 
-def embedding_dup_clusters(spark: SparkSession) -> DataFrame:
+def embedding_dup_clusters(
+    spark: SparkSession, threshold: float = NEARDUP_THRESHOLD
+) -> DataFrame:
     """Near-duplicate clusters in embedding space: connected components
     (ml/dedup.py min-label propagation) over the verified cosine near-dup
     pair graph — the embedding-side counterpart of ml_dup_clusters, giving
@@ -375,7 +386,7 @@ def embedding_dup_clusters(spark: SparkSession) -> DataFrame:
     cluster_size, is_canonical)."""
     from collector_spark.ml.dedup import connected_components
 
-    pairs = embedding_neardup_pairs(spark).select(
+    pairs = embedding_neardup_pairs(spark, threshold).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     labels = connected_components(pairs)
@@ -394,8 +405,8 @@ def embedding_dup_clusters(spark: SparkSession) -> DataFrame:
     )
 
 
-def oracle_embedding_dup_clusters() -> str:
-    pairs = oracle_embedding_neardup_pairs()
+def oracle_embedding_dup_clusters(threshold: float = NEARDUP_THRESHOLD) -> str:
+    pairs = oracle_embedding_neardup_pairs(threshold)
     pairs_inner = pairs.rsplit("ORDER BY", 1)[0]
     return f"""
 WITH RECURSIVE verified AS ({pairs_inner}),

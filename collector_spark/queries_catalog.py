@@ -18,6 +18,8 @@ REGISTRATION ORDER MATTERS: the driver's correctness sweep verifies the first
 
 from __future__ import annotations
 
+from functools import partial
+
 from collector_spark.logs import filters as log_filters
 from collector_spark.logs import pipeline as log_pipeline
 from collector_spark.logs import querysample
@@ -265,10 +267,16 @@ register(
 
 register("ml_ivf_topk", similarity.ivf_topk, similarity.oracle_ivf_topk())
 
+# verified at a data-calibrated threshold — the synthetic embeddings are
+# near-orthogonal, so the production 0.95 default matches nothing and the
+# row would be vacuously empty (see similarity.VERIFY_NEARDUP_THRESHOLD)
 register(
     "ml_embedding_neardup",
-    similarity.embedding_neardup_pairs,
-    similarity.oracle_embedding_neardup_pairs(),
+    partial(
+        similarity.embedding_neardup_pairs,
+        threshold=similarity.VERIFY_NEARDUP_THRESHOLD,
+    ),
+    similarity.oracle_embedding_neardup_pairs(similarity.VERIFY_NEARDUP_THRESHOLD),
 )
 
 register(
@@ -350,8 +358,11 @@ register(
 # into the window this round
 register(
     "ml_embedding_dup_clusters",
-    similarity.embedding_dup_clusters,
-    similarity.oracle_embedding_dup_clusters(),
+    partial(
+        similarity.embedding_dup_clusters,
+        threshold=similarity.VERIFY_NEARDUP_THRESHOLD,
+    ),
+    similarity.oracle_embedding_dup_clusters(similarity.VERIFY_NEARDUP_THRESHOLD),
 )
 
 # activity compact-snapshot assembly (output/transform/activity.go:9) —
