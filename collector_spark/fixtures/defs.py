@@ -890,6 +890,237 @@ HAVING MAX(seq) % 3 <> 0
 """
 
 
+# ---------------------------------------------------------------------------
+# F20 — cloud log transport envelopes (S31 receivers)
+#
+# The reference receives Postgres log lines through transport-specific
+# envelopes and normalizes each to the common pre-parse stream item
+# (occurred_at, backend_pid, log_line_number/chunk, content):
+#   - RFC5424 syslog server  (input/system/selfhosted/syslog_handler.go)
+#   - Heroku logplex drain, octet-counting framed
+#     (input/system/heroku/http_syslog_parser.go, logs.go)
+#   - GCP Pub/Sub JSON messages (input/system/google_cloudsql/logs.go)
+#   - Azure Event Hub JSON record batches (input/system/azure/logs.go)
+#   - OTel / jsonlog structured records
+#     (input/system/selfhosted/otel_handler.go:303-357)
+# The fixtures render those envelopes deterministically from the events
+# table; every byte is ASCII so char length == byte length (the Heroku
+# octet counts depend on it).
+# ---------------------------------------------------------------------------
+
+# message bodies: JSON-safe (no quotes/backslashes), spanning several
+# classification families so transport output feeds the downstream pipeline
+_TR_MSG = """CASE CAST(event_id % 5 AS INT)
+    WHEN 0 THEN 'duration: ' || CAST(event_id % 5000 AS STRING) || '.'
+      || CAST(event_id % 10 AS STRING) || ' ms  statement: SELECT 1'
+    WHEN 1 THEN 'connection received: host=10.0.' || CAST(event_id % 256 AS STRING)
+      || '.1 port=' || CAST(10000 + event_id % 50000 AS STRING)
+    WHEN 2 THEN 'checkpoint starting: time'
+    WHEN 3 THEN 'automatic vacuum of table db1.public.t'
+      || CAST(event_id % 40 AS STRING) || ': index scans: 1'
+    ELSE 'temporary file: path base/pgsql_tmp/pgsql_tmp'
+      || CAST(event_id % 100 AS STRING) || '.0, size ' || CAST(event_id AS STRING)
+  END"""
+
+_TR_PID = "CAST(1000 + user_id % 200 AS STRING)"
+_TR_N = "CAST(1 + event_id % 900 AS STRING)"
+_TR_C = "CAST(1 + event_id % 3 AS STRING)"
+
+
+def _ts_iso(dialect: str) -> str:
+    if dialect == "spark":
+        return "date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss''Z''')"
+    return "strftime(ts, '%Y-%m-%dT%H:%M:%SZ')"
+
+
+def _ts_log(dialect: str) -> str:
+    if dialect == "spark":
+        return "date_format(ts, 'yyyy-MM-dd HH:mm:ss') || ' UTC'"
+    return "strftime(ts, '%Y-%m-%d %H:%M:%S') || ' UTC'"
+
+
+def _syslog_frames_sql(dialect: str) -> str:
+    ts = _ts_iso(dialect)
+    marker = f"'[' || {_TR_N} || '-' || {_TR_C} || '] '"
+    return f"""
+SELECT event_id AS frame_id,
+  CASE
+    WHEN event_id % 13 = 0 THEN 'stray unframed line ' || CAST(event_id AS STRING)
+    WHEN event_id % 13 = 1 THEN '<134>1 ' || {ts} || ' db-host postgres ' || {_TR_PID}
+      || ' - - ' || {_TR_MSG}
+    WHEN event_id % 7 = 0 THEN '<134>1 ' || {ts} || ' db-host postgres ' || {_TR_PID}
+      || ' - ' || {marker} || {_TR_MSG}
+    ELSE '<134>1 ' || {ts} || ' db-host postgres ' || {_TR_PID}
+      || ' - - ' || {marker} || {_TR_MSG}
+  END AS line
+FROM events
+"""
+
+
+def _heroku_bodies_sql(dialect: str) -> str:
+    ts = _ts_iso(dialect)
+    pg_frame = (
+        f"'<190>1 ' || {ts} || ' host app postgres.' || {_TR_PID} || ' - [GOLD] ['"
+        f" || {_TR_N} || '-' || {_TR_C} || '] ' || {_TR_MSG}"
+    )
+    sys_frame = (
+        f"'<190>1 ' || {ts} || ' host app heroku-postgres - "
+        "source=GOLD sample#load-avg-1m=0.' || CAST(event_id % 90 AS STRING)"
+        " || ' sample#memory-postgres=' || CAST(10000 + event_id % 5000 AS STRING)"
+        " || 'kB sample#read-iops=' || CAST(event_id % 300 AS STRING)"
+        " || ' sample#write-iops=' || CAST(event_id % 120 AS STRING)"
+    )
+    other_frame = (
+        f"'<158>1 ' || {ts} || ' host heroku router - at=info method=GET path=/x'"
+    )
+    return f"""
+SELECT CAST(FLOOR(event_id / 2) AS BIGINT) AS body_id,
+  -- octet-counting framing: "<len> <frame>" concatenated per drain POST
+  -- (collect_list order is not guaranteed; sort by event_id for determinism)
+  CONCAT_WS('', TRANSFORM(
+    ARRAY_SORT(COLLECT_LIST(STRUCT(event_id AS k,
+      CAST(length(frame) AS STRING) || ' ' || frame AS part))),
+    x -> x.part)) AS body
+FROM (
+  SELECT event_id,
+    CASE
+      WHEN event_id % 11 = 0 THEN {sys_frame}
+      WHEN event_id % 17 = 0 THEN {other_frame}
+      ELSE {pg_frame}
+    END AS frame
+  FROM events
+) f
+GROUP BY CAST(FLOOR(event_id / 2) AS BIGINT)
+"""
+
+
+def _heroku_bodies_duck_sql() -> str:
+    # DuckDB: string_agg with deterministic ORDER BY replaces collect_list
+    body = _heroku_bodies_sql("duckdb")
+    spark_agg = """CONCAT_WS('', TRANSFORM(
+    ARRAY_SORT(COLLECT_LIST(STRUCT(event_id AS k,
+      CAST(length(frame) AS STRING) || ' ' || frame AS part))),
+    x -> x.part))"""
+    return body.replace(
+        spark_agg,
+        "string_agg(CAST(length(frame) AS VARCHAR) || ' ' || frame, '' ORDER BY event_id)",
+    )
+
+
+def _gcp_messages_sql(dialect: str) -> str:
+    ts = _ts_iso(dialect)
+    return f"""
+SELECT event_id AS msg_id,
+  CASE
+    WHEN event_id % 9 = 0 THEN
+      '{{"insertId":"i' || CAST(event_id AS STRING)
+      || '","logName":"projects/p1/logs/cloudaudit.googleapis.com%2Factivity"'
+      || ',"receiveTimestamp":"' || {ts} || '"'
+      || ',"resource":{{"type":"cloudsql_database","labels":{{"database_id":"p1:inst-'
+      || CAST(event_id % 3 AS STRING) || '"}}}},"severity":"INFO","textPayload":"'
+      || {_TR_MSG} || '","timestamp":"' || {ts} || '"}}'
+    WHEN event_id % 5 = 0 THEN
+      '{{"insertId":"i' || CAST(event_id AS STRING)
+      || '","logName":"projects/p1/logs/alloydb.googleapis.com%2Fpostgres.log"'
+      || ',"receiveTimestamp":"' || {ts} || '"'
+      || ',"resource":{{"type":"alloydb.googleapis.com/Instance","labels":{{"cluster_id":"c'
+      || CAST(event_id % 2 AS STRING) || '","instance_id":"n'
+      || CAST(event_id % 4 AS STRING) || '"}}}},"labels":{{"CONSUMER_PROJECT":"p1"}}'
+      || ',"severity":"INFO","textPayload":"' || {_TR_MSG}
+      || '","timestamp":"' || {ts} || '"}}'
+    ELSE
+      '{{"insertId":"i' || CAST(event_id AS STRING)
+      || '","logName":"projects/p1/logs/cloudsql.googleapis.com%2Fpostgres.log"'
+      || ',"receiveTimestamp":"' || {ts} || '"'
+      || ',"resource":{{"type":"cloudsql_database","labels":{{"database_id":"p1:inst-'
+      || CAST(event_id % 3 AS STRING) || '"}}}},"severity":"INFO","textPayload":"'
+      || {_TR_MSG} || '","timestamp":"' || {ts} || '"}}'
+  END AS payload
+FROM events
+"""
+
+
+def _azure_batches_sql(dialect: str) -> str:
+    ts = _ts_iso(dialect)
+    ts_log = _ts_log(dialect)
+    # single-server messages include the Azure-modified shapes the reference
+    # repairs (azure/logs.go:62-64); detail present on every 4th record
+    amsg = f"""CASE CAST(event_id % 4 AS INT)
+      WHEN 0 THEN 'connection received: host=10.0.' || CAST(event_id % 256 AS STRING)
+        || '.1 port=' || CAST(10000 + event_id % 50000 AS STRING)
+        || ' pid=' || {_TR_PID}
+      WHEN 1 THEN 'connection authorized: user=app' || CAST(event_id % 9 AS STRING)
+        || 'database=db' || CAST(event_id % 5 AS STRING)
+      WHEN 2 THEN 'checkpoint complete (' || CAST(event_id % 50 AS STRING)
+        || '): wrote ' || CAST(event_id % 900 AS STRING) || ' buffers'
+      ELSE 'duration: ' || CAST(event_id % 5000 AS STRING) || '.0 ms'
+    END"""
+    detail = (
+        "CASE WHEN event_id % 4 = 0 THEN 'Failed on request of size '"
+        " || CAST(event_id % 8192 AS STRING) || '.' ELSE '' END"
+    )
+    record = f"""'{{"LogicalServerName":"srv' || CAST(event_id % 6 AS STRING)
+      || '","SubscriptionId":"sub1","ResourceGroup":"rg1","time":"' || {ts}
+      || '","resourceId":"/subscriptions/sub1/resourceGroups/rg1/providers/Microsoft.DBforPostgreSQL/'
+      || CASE CAST(event_id % 3 AS INT)
+           WHEN 0 THEN 'servers/Srv' || CAST(event_id % 6 AS STRING)
+           WHEN 1 THEN 'flexibleServers/Fsrv' || CAST(event_id % 6 AS STRING)
+           ELSE 'serverGroupsv2/Cosmos' || CAST(event_id % 6 AS STRING)
+         END
+      || '","category":"PostgreSQLLogs","operationName":"LogEvent","properties":{{"prefix":"'
+      || {ts_log} || ' [' || {_TR_PID} || ']: ","message":"'
+      -- Cosmos DB delivers prefix-embedded messages (the reference splits
+      -- them back apart via GetPrefixAndContent); Single/Flexible deliver
+      -- the bare message with prefix carried separately
+      || CASE WHEN event_id % 3 = 2
+              THEN {ts_log} || ' [' || {_TR_PID} || ']: ' || {amsg}
+              ELSE {amsg} END
+      || '","detail":"' || {detail}
+      || '","errorLevel":"' || CASE WHEN event_id % 10 = 0 THEN 'ERROR' ELSE 'LOG' END
+      || '","domain":"postgres"}}}}'"""
+    return f"""
+SELECT CAST(FLOOR(event_id / 2) AS BIGINT) AS batch_id,
+  -- exactly-2-record batches; MIN/MAX on distinct ASCII strings gives the
+  -- same deterministic pair order in both engines
+  '{{"records":[' || MIN(rec) || ',' || MAX(rec) || ']}}' AS payload
+FROM (
+  SELECT event_id, {record} AS rec
+  FROM events
+) r
+GROUP BY CAST(FLOOR(event_id / 2) AS BIGINT)
+HAVING COUNT(*) = 2
+"""
+
+
+def _otel_records_sql(dialect: str) -> str:
+    ts_log = _ts_log(dialect)
+    # process_id/session_line_num alternate int and string JSON encodings —
+    # the reference accepts both (otel_handler.go:359-369)
+    pid_enc = (
+        f"CASE WHEN event_id % 2 = 0 THEN '\"' || {_TR_PID} || '\"' ELSE {_TR_PID} END"
+    )
+    num_enc = (
+        f"CASE WHEN event_id % 2 = 0 THEN '\"' || {_TR_N} || '\"' ELSE {_TR_N} END"
+    )
+    detail = (
+        "CASE WHEN event_id % 4 = 0 THEN ',\"detail\":\"parameters: $1 = '"
+        " || CAST(event_id % 1000 AS STRING) || '\"' ELSE '' END"
+    )
+    return f"""
+SELECT event_id AS rec_id,
+  '{{"log_time":"' || {ts_log} || '","user_name":"u' || CAST(user_id % 50 AS STRING)
+  || '","database_name":"db' || CAST(user_id % 5 AS STRING)
+  || '","process_id":' || {pid_enc}
+  || ',"application_name":"app-' || CAST(user_id % 7 AS STRING)
+  || '","session_line_num":' || {num_enc}
+  || ',"message":"' || {_TR_MSG} || '"'
+  || {detail}
+  || ',"error_severity":"' || CASE WHEN event_id % 10 = 0 THEN 'ERROR' ELSE 'LOG' END
+  || '"}}' AS payload
+FROM events
+"""
+
+
 ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "log_raw": {"spark": _log_raw_sql("spark"), "duckdb": _log_raw_sql("duckdb")},
     "stmt_snap1": STMT_SNAP1,
@@ -943,6 +1174,26 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "mem_state": MEM_STATE,
     "rds_portions": RDS_PORTIONS,
     "rds_prev_markers": RDS_PREV_MARKERS,
+    "syslog_frames": {
+        "spark": _syslog_frames_sql("spark"),
+        "duckdb": _syslog_frames_sql("duckdb"),
+    },
+    "heroku_drain_bodies": {
+        "spark": _heroku_bodies_sql("spark"),
+        "duckdb": _heroku_bodies_duck_sql(),
+    },
+    "gcp_pubsub_messages": {
+        "spark": _gcp_messages_sql("spark"),
+        "duckdb": _gcp_messages_sql("duckdb"),
+    },
+    "azure_eventhub_batches": {
+        "spark": _azure_batches_sql("spark"),
+        "duckdb": _azure_batches_sql("duckdb"),
+    },
+    "otel_log_records": {
+        "spark": _otel_records_sql("spark"),
+        "duckdb": _otel_records_sql("duckdb"),
+    },
 }
 
 FIXTURES = ALL_FIXTURES  # public alias
@@ -975,6 +1226,9 @@ def oracle_query(body: str, fixtures: list[str] | None = None) -> str:
         return body
     prelude = fixture_cte(fixtures, "duckdb")
     stripped = body.lstrip()
+    if stripped.upper().startswith("WITH RECURSIVE "):
+        # hoist RECURSIVE onto the merged WITH (legal for mixed CTE lists)
+        return f"WITH RECURSIVE {prelude[5:]},\n{stripped[15:]}"
     if stripped.upper().startswith("WITH "):
         return f"{prelude},\n{stripped[5:]}"
     return f"{prelude}\n{body}"

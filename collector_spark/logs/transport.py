@@ -1,0 +1,677 @@
+"""Cloud log transport envelope normalizers (S31 receivers).
+
+The reference accepts Postgres log lines over five transport envelopes and
+normalizes each to the common pre-parse stream item shape
+(occurred_at, backend_pid, log_line_number/chunk, content) consumed by the
+stitch/parse pipeline:
+
+  - RFC5424 syslog server      input/system/selfhosted/syslog_handler.go:122-174
+  - Heroku logplex drain       input/system/heroku/http_syslog_parser.go:24-108,
+                               logs.go:124-171 (octet-counting framing)
+  - GCP Pub/Sub JSON           input/system/google_cloudsql/logs.go:25-180
+  - Azure Event Hub JSON       input/system/azure/logs.go:24-64,258-316
+  - OTel / jsonlog records     input/system/selfhosted/otel_handler.go:303-357
+
+Spark-first design: every normalizer is a declarative projection
+(regexp_extract / from_json / explode) that Catalyst pushes into the scan —
+no shuffle, full codegen. The single exception is the Heroku octet-counting
+de-framer: frame boundaries are byte offsets carried in the stream itself,
+inherently sequential *within one drain body* but embarrassingly parallel
+across bodies, so it runs as an Arrow-batched ``mapInPandas`` over the body
+column (one pass per body, no driver involvement). Its DuckDB oracle walks
+the same offsets with a recursive CTE.
+
+At 100 TB: transports are per-line/per-message maps with no wide
+dependencies — they scale linearly with input splits. The de-framer's unit
+of work is one HTTP POST body (kilobytes), so no partition-skew risk.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from collector_spark.fixtures.defs import oracle_query
+
+# ---------------------------------------------------------------------------
+# RFC5424 syslog (selfhosted/syslog_handler.go)
+# ---------------------------------------------------------------------------
+
+# generic RFC5424 frame: <PRI>1 TS HOST APP PROCID SD MSG (MSGID folded into
+# the PROCID-adjacent token walk; the fixture always renders MSGID "-")
+_RFC5424 = r"^<\d+>1 (\S+) \S+ \S+ (\S+) \S+ (\S+) (.*)$"
+# Postgres [seqno-chunk] marker prepended to the message (syslog_handler.go:23)
+_MSG_MARKER = r"^\s*\[(\d+)-(\d+)\] (.*)"
+# marker carried in STRUCTURED-DATA instead (syslog_handler.go:24)
+_SD_MARKER = r"^\[(\d+)-(\d+)\]$"
+
+
+def syslog_items(spark: SparkSession) -> DataFrame:
+    """Normalize RFC5424-framed syslog lines to pre-parse stream items.
+
+    Mirrors logStreamItemFromSyslogParts (syslog_handler.go:137-174):
+    proc_id -> backend_pid; a ``[n-c]`` marker is taken from the message
+    when present, else from STRUCTURED-DATA; unframed lines pass through
+    with content only (parseSyslogLine:124-135 returns ok=false).
+    """
+    frames = spark.table("syslog_frames")
+    line = F.col("line")
+    ts_s = F.regexp_extract(line, _RFC5424, 1)
+    framed = ts_s != ""
+    msg = F.regexp_extract(line, _RFC5424, 4)
+    sd = F.regexp_extract(line, _RFC5424, 3)
+    mm_n = F.regexp_extract(msg, _MSG_MARKER, 1)
+    sd_n = F.regexp_extract(sd, _SD_MARKER, 1)
+    n = F.when(mm_n != "", mm_n).when(sd_n != "", sd_n).otherwise(F.lit(None))
+    c = (
+        F.when(mm_n != "", F.regexp_extract(msg, _MSG_MARKER, 2))
+        .when(sd_n != "", F.regexp_extract(sd, _SD_MARKER, 2))
+        .otherwise(F.lit(None))
+    )
+    content = F.when(mm_n != "", F.regexp_extract(msg, _MSG_MARKER, 3)).otherwise(msg)
+    return frames.select(
+        "frame_id",
+        F.when(framed, F.to_timestamp(ts_s, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .otherwise(F.lit(None))
+        .alias("occurred_at"),
+        F.when(framed, F.regexp_extract(line, _RFC5424, 2).cast("int"))
+        .otherwise(F.lit(None))
+        .alias("backend_pid"),
+        n.cast("int").alias("log_line_number"),
+        c.cast("int").alias("log_line_chunk"),
+        F.when(framed, content).otherwise(line).alias("content"),
+        framed.alias("framed"),
+    ).orderBy("frame_id")
+
+
+def oracle_syslog_items() -> str:
+    rfc = _RFC5424
+    body = f"""
+SELECT frame_id,
+  CASE WHEN ts_s <> '' THEN strptime(ts_s, '%Y-%m-%dT%H:%M:%SZ') END AS occurred_at,
+  CASE WHEN ts_s <> '' THEN CAST(regexp_extract(line, '{rfc}', 2) AS INT) END AS backend_pid,
+  CAST(NULLIF(CASE WHEN mm_n <> '' THEN mm_n
+       WHEN regexp_extract(sd, '{_SD_MARKER}', 1) <> '' THEN regexp_extract(sd, '{_SD_MARKER}', 1) END, '') AS INT) AS log_line_number,
+  CAST(NULLIF(CASE WHEN mm_n <> '' THEN regexp_extract(msg, '{_MSG_MARKER}', 2)
+       WHEN regexp_extract(sd, '{_SD_MARKER}', 1) <> '' THEN regexp_extract(sd, '{_SD_MARKER}', 2) END, '') AS INT) AS log_line_chunk,
+  CASE WHEN ts_s = '' THEN line
+       WHEN mm_n <> '' THEN regexp_extract(msg, '{_MSG_MARKER}', 3)
+       ELSE msg END AS content,
+  ts_s <> '' AS framed
+FROM (
+  SELECT frame_id, line,
+    regexp_extract(line, '{rfc}', 1) AS ts_s,
+    regexp_extract(line, '{rfc}', 3) AS sd,
+    regexp_extract(line, '{rfc}', 4) AS msg,
+    regexp_extract(regexp_extract(line, '{rfc}', 4), '{_MSG_MARKER}', 1) AS mm_n
+  FROM syslog_frames
+) p
+ORDER BY frame_id
+"""
+    return oracle_query(body, ["syslog_frames"])
+
+
+# ---------------------------------------------------------------------------
+# Heroku logplex drain (heroku/http_syslog_parser.go + logs.go)
+# ---------------------------------------------------------------------------
+
+_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("body_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("header_timestamp", T.StringType()),
+        T.StructField("proc_id", T.StringType()),
+        T.StructField("content", T.StringType()),
+    ]
+)
+
+
+def _deframe_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Octet-counting de-framer (http_syslog_parser.go:24-108): each frame
+    is ``<len> <PRI/VER> <TS> <HOST> <APP> <PROCID> <MSGID> <content>``
+    where <len> counts the bytes after its trailing space. Keeps only
+    app="app" frames from heroku-postgres / postgres.N processes."""
+    for pdf in batches:
+        out: dict[str, list] = {k.name: [] for k in _FRAMES_SCHEMA}
+        for body_id, body in zip(pdf["body_id"], pdf["body"]):
+            data = body.encode("utf-8")
+            pos = 0
+            idx = 0
+            while pos < len(data):
+                sp = data.find(b" ", pos)
+                if sp < 0:
+                    break
+                try:
+                    length = int(data[pos:sp])
+                except ValueError:
+                    break
+                frame = data[sp + 1 : sp + 1 + length]
+                pos = sp + 1 + length
+                parts = frame.split(b" ", 6)
+                if len(parts) != 7:
+                    continue
+                _, ts, _, app, procid, _, content = parts
+                app_s = app.decode()
+                procid_s = procid.decode()
+                if app_s == "app" and (
+                    procid_s == "heroku-postgres" or procid_s.startswith("postgres.")
+                ):
+                    out["body_id"].append(body_id)
+                    out["frame_idx"].append(idx)
+                    out["header_timestamp"].append(ts.decode())
+                    out["proc_id"].append(procid_s)
+                    out["content"].append(content.decode())
+                    idx += 1
+        yield pd.DataFrame(out)
+
+
+def heroku_frames(spark: SparkSession) -> DataFrame:
+    """De-frame logplex drain bodies into per-frame records."""
+    bodies = spark.table("heroku_drain_bodies")
+    return bodies.mapInPandas(_deframe_batch, _FRAMES_SCHEMA).orderBy(
+        "body_id", "frame_idx"
+    )
+
+
+# recursive walk over the same octet offsets; idx counts kept frames only,
+# matching the reference's out-list order
+_HEROKU_SPLIT_CTE = """
+split(body_id, rest, raw_idx, frame) AS (
+  SELECT body_id, body, 0, CAST(NULL AS VARCHAR) FROM heroku_drain_bodies
+  UNION ALL
+  SELECT body_id,
+    substr(rest, strpos(rest, ' ') + 1 + CAST(substr(rest, 1, strpos(rest, ' ') - 1) AS INT)),
+    raw_idx + 1,
+    substr(rest, strpos(rest, ' ') + 1, CAST(substr(rest, 1, strpos(rest, ' ') - 1) AS INT))
+  FROM split
+  WHERE length(rest) > 0 AND strpos(rest, ' ') > 0
+),
+frames AS (
+  SELECT body_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY body_id ORDER BY raw_idx) - 1 AS INT) AS frame_idx,
+    regexp_extract(frame, '^<\\d+>1 (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (.*)$', 1) AS header_timestamp,
+    regexp_extract(frame, '^<\\d+>1 (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (.*)$', 4) AS proc_id,
+    regexp_extract(frame, '^<\\d+>1 (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (.*)$', 6) AS content
+  FROM split
+  WHERE frame IS NOT NULL
+    AND regexp_extract(frame, '^<\\d+>1 (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (.*)$', 3) = 'app'
+    AND (regexp_extract(frame, '^<\\d+>1 (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (.*)$', 4) = 'heroku-postgres'
+         OR regexp_extract(frame, '^<\\d+>1 (\\S+) (\\S+) (\\S+) (\\S+) (\\S+) (.*)$', 4) LIKE 'postgres.%')
+)"""
+
+
+def oracle_heroku_frames() -> str:
+    body = f"""
+WITH RECURSIVE {_HEROKU_SPLIT_CTE}
+SELECT body_id, frame_idx, header_timestamp, proc_id, content
+FROM frames
+ORDER BY body_id, frame_idx
+"""
+    return oracle_query(body, ["heroku_drain_bodies"])
+
+
+_HEROKU_LINE = r"^\[(\w+)\] \[(\d+)-(\d+)\](?: (.+))?"
+
+
+def heroku_items(spark: SparkSession) -> DataFrame:
+    """Logplex frames -> pre-parse log items (heroku/logs.go:124-171):
+    postgres.N frames only, pid from the proc id, ``[COLOR] [n-c]`` header
+    giving the HEROKU_POSTGRESQL_COLOR source and stitch marker."""
+    frames = heroku_frames(spark)
+    pid = F.regexp_extract("proc_id", r"^postgres\.(\d+)$", 1)
+    color = F.regexp_extract("content", _HEROKU_LINE, 1)
+    return (
+        frames.filter(pid != "")
+        .filter(color != "")
+        .select(
+            "body_id",
+            "frame_idx",
+            F.to_timestamp("header_timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+                "occurred_at"
+            ),
+            pid.cast("int").alias("backend_pid"),
+            F.regexp_extract("content", _HEROKU_LINE, 2)
+            .cast("int")
+            .alias("log_line_number"),
+            F.regexp_extract("content", _HEROKU_LINE, 3)
+            .cast("int")
+            .alias("log_line_chunk"),
+            F.concat(F.lit("HEROKU_POSTGRESQL_"), color).alias("source_name"),
+            F.regexp_extract("content", _HEROKU_LINE, 4).alias("content"),
+        )
+        .orderBy("body_id", "frame_idx")
+    )
+
+
+def oracle_heroku_items() -> str:
+    line = _HEROKU_LINE
+    body = f"""
+WITH RECURSIVE {_HEROKU_SPLIT_CTE}
+SELECT body_id, frame_idx,
+  strptime(header_timestamp, '%Y-%m-%dT%H:%M:%SZ') AS occurred_at,
+  CAST(regexp_extract(proc_id, '^postgres\\.(\\d+)$', 1) AS INT) AS backend_pid,
+  CAST(regexp_extract(content, '{line}', 2) AS INT) AS log_line_number,
+  CAST(regexp_extract(content, '{line}', 3) AS INT) AS log_line_chunk,
+  'HEROKU_POSTGRESQL_' || regexp_extract(content, '{line}', 1) AS source_name,
+  regexp_extract(content, '{line}', 4) AS content
+FROM frames
+WHERE regexp_extract(proc_id, '^postgres\\.(\\d+)$', 1) <> ''
+  AND regexp_extract(content, '{line}', 1) <> ''
+ORDER BY body_id, frame_idx
+"""
+    return oracle_query(body, ["heroku_drain_bodies"])
+
+
+def heroku_system_samples(spark: SparkSession) -> DataFrame:
+    """heroku-postgres system metric frames -> logfmt sample columns
+    (heroku/logs.go:19-31 SystemSample)."""
+    frames = heroku_frames(spark)
+    c = F.col("content")
+    return (
+        frames.filter(F.col("proc_id") == "heroku-postgres")
+        .select(
+            "body_id",
+            "frame_idx",
+            F.concat(
+                F.lit("HEROKU_POSTGRESQL_"),
+                F.regexp_extract(c, r"source=(\w+)", 1),
+            ).alias("source_name"),
+            F.regexp_extract(c, r"sample#load-avg-1m=([0-9.]+)", 1)
+            .cast("double")
+            .alias("load_avg_1m"),
+            F.regexp_extract(c, r"sample#memory-postgres=(\d+)kB", 1)
+            .cast("long")
+            .alias("memory_postgres_kb"),
+            F.regexp_extract(c, r"sample#read-iops=(\d+)", 1)
+            .cast("double")
+            .alias("read_iops"),
+            F.regexp_extract(c, r"sample#write-iops=(\d+)", 1)
+            .cast("double")
+            .alias("write_iops"),
+        )
+        .orderBy("body_id", "frame_idx")
+    )
+
+
+def oracle_heroku_system_samples() -> str:
+    body = f"""
+WITH RECURSIVE {_HEROKU_SPLIT_CTE}
+SELECT body_id, frame_idx,
+  'HEROKU_POSTGRESQL_' || regexp_extract(content, 'source=(\\w+)', 1) AS source_name,
+  CAST(regexp_extract(content, 'sample#load-avg-1m=([0-9.]+)', 1) AS DOUBLE) AS load_avg_1m,
+  CAST(regexp_extract(content, 'sample#memory-postgres=(\\d+)kB', 1) AS BIGINT) AS memory_postgres_kb,
+  CAST(regexp_extract(content, 'sample#read-iops=(\\d+)', 1) AS DOUBLE) AS read_iops,
+  CAST(regexp_extract(content, 'sample#write-iops=(\\d+)', 1) AS DOUBLE) AS write_iops
+FROM frames
+WHERE proc_id = 'heroku-postgres'
+ORDER BY body_id, frame_idx
+"""
+    return oracle_query(body, ["heroku_drain_bodies"])
+
+
+# ---------------------------------------------------------------------------
+# GCP Pub/Sub (google_cloudsql/logs.go)
+# ---------------------------------------------------------------------------
+
+_GCP_SCHEMA = T.StructType(
+    [
+        T.StructField("insertId", T.StringType()),
+        T.StructField("logName", T.StringType()),
+        T.StructField("receiveTimestamp", T.StringType()),
+        T.StructField(
+            "resource",
+            T.StructType(
+                [
+                    T.StructField("type", T.StringType()),
+                    T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
+                ]
+            ),
+        ),
+        T.StructField("severity", T.StringType()),
+        T.StructField("textPayload", T.StringType()),
+        T.StructField("timestamp", T.StringType()),
+        T.StructField("labels", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def gcp_items(spark: SparkSession) -> DataFrame:
+    """Pub/Sub messages -> log stream items (google_cloudsql/logs.go:89-180):
+    postgres.log entries only; Cloud SQL routes on resource.labels
+    database_id = project:instance, AlloyDB on cluster/instance labels plus
+    the CONSUMER_PROJECT message label."""
+    msgs = spark.table("gcp_pubsub_messages")
+    m = F.from_json("payload", _GCP_SCHEMA).alias("m")
+    df = msgs.select("msg_id", m).select(
+        "msg_id",
+        F.col("m.logName").alias("log_name"),
+        F.col("m.resource.type").alias("rtype"),
+        F.col("m.resource.labels").alias("rlabels"),
+        F.col("m.labels").alias("mlabels"),
+        F.col("m.textPayload").alias("content"),
+        F.col("m.timestamp").alias("ts_s"),
+    )
+    df = df.filter(F.col("log_name").endswith("postgres.log"))
+    db_id = F.col("rlabels").getItem("database_id")
+    is_cloudsql = (F.col("rtype") == "cloudsql_database") & (
+        F.size(F.split(db_id, ":")) == 2
+    )
+    is_alloydb = (
+        (F.col("rtype") == "alloydb.googleapis.com/Instance")
+        & F.col("rlabels").getItem("cluster_id").isNotNull()
+        & F.col("rlabels").getItem("instance_id").isNotNull()
+        & F.col("mlabels").getItem("CONSUMER_PROJECT").isNotNull()
+    )
+    return (
+        df.filter(is_cloudsql | is_alloydb)
+        .select(
+            "msg_id",
+            F.to_timestamp("ts_s", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("occurred_at"),
+            F.when(is_cloudsql, F.split(db_id, ":").getItem(0))
+            .otherwise(F.col("mlabels").getItem("CONSUMER_PROJECT"))
+            .alias("project_id"),
+            F.when(is_cloudsql, F.split(db_id, ":").getItem(1)).alias("instance_id"),
+            F.when(is_alloydb, F.col("rlabels").getItem("cluster_id")).alias(
+                "cluster_id"
+            ),
+            is_alloydb.alias("is_alloydb"),
+            "content",
+        )
+        .orderBy("msg_id")
+    )
+
+
+def oracle_gcp_items() -> str:
+    body = """
+SELECT msg_id,
+  strptime(json_extract_string(payload, '$.timestamp'), '%Y-%m-%dT%H:%M:%SZ') AS occurred_at,
+  CASE WHEN is_cloudsql THEN split_part(db_id, ':', 1)
+       ELSE json_extract_string(payload, '$.labels.CONSUMER_PROJECT') END AS project_id,
+  CASE WHEN is_cloudsql THEN split_part(db_id, ':', 2) END AS instance_id,
+  CASE WHEN NOT is_cloudsql THEN json_extract_string(payload, '$.resource.labels.cluster_id') END AS cluster_id,
+  NOT is_cloudsql AS is_alloydb,
+  json_extract_string(payload, '$.textPayload') AS content
+FROM (
+  SELECT msg_id, payload,
+    json_extract_string(payload, '$.resource.labels.database_id') AS db_id,
+    json_extract_string(payload, '$.resource.type') = 'cloudsql_database'
+      AND length(json_extract_string(payload, '$.resource.labels.database_id'))
+          - length(replace(json_extract_string(payload, '$.resource.labels.database_id'), ':', '')) = 1
+      AS is_cloudsql,
+    json_extract_string(payload, '$.resource.type') = 'alloydb.googleapis.com/Instance'
+      AND json_extract_string(payload, '$.resource.labels.cluster_id') IS NOT NULL
+      AND json_extract_string(payload, '$.resource.labels.instance_id') IS NOT NULL
+      AND json_extract_string(payload, '$.labels.CONSUMER_PROJECT') IS NOT NULL
+      AS is_alloydb_m
+  FROM gcp_pubsub_messages
+  WHERE json_extract_string(payload, '$.logName') LIKE '%postgres.log'
+) p
+WHERE is_cloudsql OR is_alloydb_m
+ORDER BY msg_id
+"""
+    return oracle_query(body, ["gcp_pubsub_messages"])
+
+
+# ---------------------------------------------------------------------------
+# Azure Event Hub (azure/logs.go)
+# ---------------------------------------------------------------------------
+
+_AZURE_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "records",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("LogicalServerName", T.StringType()),
+                        T.StructField("time", T.StringType()),
+                        T.StructField("resourceId", T.StringType()),
+                        T.StructField("category", T.StringType()),
+                        T.StructField(
+                            "properties",
+                            T.StructType(
+                                [
+                                    T.StructField("prefix", T.StringType()),
+                                    T.StructField("message", T.StringType()),
+                                    T.StructField("detail", T.StringType()),
+                                    T.StructField("errorLevel", T.StringType()),
+                                    T.StructField("domain", T.StringType()),
+                                ]
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+# Azure-modified message repairs (azure/logs.go:62-64)
+_CONN_RECEIVED = r"^(connection received: host=[^ ]+( port=\w+)?) pid=\d+"
+_CONN_AUTHORIZED = r"^(connection authorized: user=\w+)(database=\w+)"
+_CKPT_COMPLETE = r"^(checkpoint complete) \(\d+\)(:)"
+# Cosmos DB prefix/content split (fixture prefix shape: "ts UTC [pid]: ")
+_COSMOS_PREFIX = r"^(.*? UTC \[\d+\]: )(.*)$"
+
+
+def azure_items(spark: SparkSession) -> DataFrame:
+    """Event Hub record batches -> normalized log lines
+    (azure/logs.go:258-316): Single Server messages are repaired back to
+    standard Postgres text and re-joined with their prefix and level;
+    Cosmos DB messages get the level spliced between prefix and content;
+    Flexible Server passes through. A non-empty properties.detail emits an
+    additional DETAIL line."""
+    batches = spark.table("azure_eventhub_batches")
+    rec = F.posexplode(F.from_json("payload", _AZURE_SCHEMA).getField("records"))
+    df = batches.select("batch_id", rec.alias("rec_idx", "r"))
+    parts = F.split(F.col("r.resourceId"), "/")
+    rtype = F.lower(F.element_at(parts, -2))
+    single = rtype == F.lit("servers")
+    cosmos = rtype == F.lit("servergroupsv2")
+    msg = F.col("r.properties.message")
+    repaired = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(msg, _CONN_RECEIVED, "$1"),
+            _CONN_AUTHORIZED,
+            "$1 $2",
+        ),
+        _CKPT_COMPLETE,
+        "$1$2",
+    )
+    level = F.col("r.properties.errorLevel")
+    content = (
+        F.when(
+            single,
+            F.concat(F.col("r.properties.prefix"), level, F.lit(":  "), repaired),
+        )
+        .when(
+            cosmos,
+            F.concat(
+                F.regexp_extract(msg, _COSMOS_PREFIX, 1),
+                level,
+                F.lit(":  "),
+                F.regexp_extract(msg, _COSMOS_PREFIX, 2),
+            ),
+        )
+        .otherwise(msg)
+    )
+    server_name = F.when(single, F.col("r.LogicalServerName")).otherwise(
+        F.lower(F.element_at(parts, -1))
+    )
+    base = df.select(
+        "batch_id",
+        "rec_idx",
+        server_name.alias("server_name"),
+        F.to_timestamp("r.time", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("occurred_at"),
+        level.alias("log_level"),
+        content.alias("content"),
+        F.col("r.properties.detail").alias("detail"),
+    )
+    main = base.select(
+        "batch_id",
+        "rec_idx",
+        F.lit(0).alias("line_idx"),
+        "server_name",
+        "occurred_at",
+        "log_level",
+        "content",
+    )
+    details = base.filter(F.col("detail") != "").select(
+        "batch_id",
+        "rec_idx",
+        F.lit(1).alias("line_idx"),
+        "server_name",
+        "occurred_at",
+        F.lit("DETAIL").alias("log_level"),
+        F.col("detail").alias("content"),
+    )
+    return main.unionAll(details).orderBy("batch_id", "rec_idx", "line_idx")
+
+
+def oracle_azure_items() -> str:
+    # the fixture guarantees exactly two records per batch, so the oracle
+    # extracts $.records[0] and $.records[1] explicitly
+    rec_exprs = ",\n  ".join(
+        f"json_extract(payload, '$.records[{i}]') AS r{i}" for i in (0, 1)
+    )
+    per_rec = []
+    for i in (0, 1):
+        per_rec.append(f"""
+SELECT batch_id, {i} AS rec_idx,
+  json_extract_string(r{i}, '$.LogicalServerName') AS lsn,
+  json_extract_string(r{i}, '$.resourceId') AS rid,
+  json_extract_string(r{i}, '$.time') AS time_s,
+  json_extract_string(r{i}, '$.properties.prefix') AS prefix,
+  json_extract_string(r{i}, '$.properties.message') AS msg,
+  json_extract_string(r{i}, '$.properties.detail') AS detail,
+  json_extract_string(r{i}, '$.properties.errorLevel') AS lvl
+FROM recs""")
+    union = " UNION ALL ".join(per_rec)
+    body = f"""
+WITH recs AS (
+  SELECT batch_id, {rec_exprs} FROM azure_eventhub_batches
+),
+flat AS ({union}),
+typed AS (
+  SELECT batch_id, rec_idx, lsn, time_s, prefix, msg, detail, lvl,
+    lower(list_extract(string_split(rid, '/'), len(string_split(rid, '/')) - 1)) AS rtype,
+    lower(list_extract(string_split(rid, '/'), len(string_split(rid, '/')))) AS last_part
+  FROM flat
+),
+shaped AS (
+  SELECT batch_id, rec_idx,
+    CASE WHEN rtype = 'servers' THEN lsn ELSE last_part END AS server_name,
+    strptime(time_s, '%Y-%m-%dT%H:%M:%SZ') AS occurred_at,
+    lvl AS log_level,
+    CASE
+      WHEN rtype = 'servers' THEN prefix || lvl || ':  ' ||
+        regexp_replace(regexp_replace(regexp_replace(msg,
+          '{_CONN_RECEIVED}', '\\1'),
+          '{_CONN_AUTHORIZED}', '\\1 \\2'),
+          '{_CKPT_COMPLETE}', '\\1\\2')
+      WHEN rtype = 'servergroupsv2' THEN
+        regexp_extract(msg, '{_COSMOS_PREFIX}', 1) || lvl || ':  ' ||
+        regexp_extract(msg, '{_COSMOS_PREFIX}', 2)
+      ELSE msg
+    END AS content,
+    detail
+  FROM typed
+)
+SELECT batch_id, rec_idx, 0 AS line_idx, server_name, occurred_at, log_level, content
+FROM shaped
+UNION ALL
+SELECT batch_id, rec_idx, 1 AS line_idx, server_name, occurred_at,
+  'DETAIL' AS log_level, detail AS content
+FROM shaped WHERE detail <> ''
+ORDER BY batch_id, rec_idx, line_idx
+"""
+    return oracle_query(body, ["azure_eventhub_batches"])
+
+
+# ---------------------------------------------------------------------------
+# OTel / jsonlog (selfhosted/otel_handler.go)
+# ---------------------------------------------------------------------------
+
+
+def otel_items(spark: SparkSession) -> DataFrame:
+    """jsonlog key/value records -> log lines + DETAIL secondaries
+    (otel_handler.go:303-357). ``get_json_object`` reads process_id /
+    session_line_num whether JSON-encoded as string or int, matching
+    anyValueInt (otel_handler.go:359-369)."""
+    recs = spark.table("otel_log_records")
+
+    def jf(path: str):  # noqa: ANN202
+        return F.get_json_object("payload", f"$.{path}")
+
+    base = recs.select(
+        "rec_id",
+        F.to_timestamp(
+            F.replace(jf("log_time"), F.lit(" UTC"), F.lit("")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("occurred_at"),
+        jf("user_name").alias("username"),
+        jf("database_name").alias("database_name"),
+        jf("process_id").cast("int").alias("backend_pid"),
+        jf("application_name").alias("application"),
+        jf("session_line_num").cast("int").alias("log_line_number"),
+        jf("message").alias("content"),
+        jf("detail").alias("detail"),
+        jf("error_severity").alias("log_level"),
+    )
+    main = base.select(
+        "rec_id",
+        F.lit(0).alias("line_idx"),
+        "occurred_at",
+        "username",
+        "database_name",
+        "backend_pid",
+        "application",
+        "log_line_number",
+        "log_level",
+        "content",
+    )
+    details = base.filter(F.col("detail").isNotNull()).select(
+        "rec_id",
+        F.lit(1).alias("line_idx"),
+        "occurred_at",
+        "username",
+        "database_name",
+        "backend_pid",
+        "application",
+        "log_line_number",
+        F.lit("DETAIL").alias("log_level"),
+        F.col("detail").alias("content"),
+    )
+    return main.unionAll(details).orderBy("rec_id", "line_idx")
+
+
+def oracle_otel_items() -> str:
+    body = """
+WITH base AS (
+  SELECT rec_id,
+    strptime(replace(json_extract_string(payload, '$.log_time'), ' UTC', ''),
+             '%Y-%m-%d %H:%M:%S') AS occurred_at,
+    json_extract_string(payload, '$.user_name') AS username,
+    json_extract_string(payload, '$.database_name') AS database_name,
+    CAST(json_extract_string(payload, '$.process_id') AS INT) AS backend_pid,
+    json_extract_string(payload, '$.application_name') AS application,
+    CAST(json_extract_string(payload, '$.session_line_num') AS INT) AS log_line_number,
+    json_extract_string(payload, '$.message') AS content,
+    json_extract_string(payload, '$.detail') AS detail,
+    json_extract_string(payload, '$.error_severity') AS log_level
+  FROM otel_log_records
+)
+SELECT rec_id, 0 AS line_idx, occurred_at, username, database_name, backend_pid,
+  application, log_line_number, log_level, content
+FROM base
+UNION ALL
+SELECT rec_id, 1 AS line_idx, occurred_at, username, database_name, backend_pid,
+  application, log_line_number, 'DETAIL' AS log_level, detail AS content
+FROM base WHERE detail IS NOT NULL
+ORDER BY rec_id, line_idx
+"""
+    return oracle_query(body, ["otel_log_records"])

@@ -22,7 +22,7 @@ from functools import partial
 
 from collector_spark.logs import filters as log_filters
 from collector_spark.logs import pipeline as log_pipeline
-from collector_spark.logs import querysample
+from collector_spark.logs import querysample, transport
 from collector_spark.ml import curation, dedup, multimodal, similarity, textstats
 from collector_spark.logs.associate import (
     associate_secondaries_q,
@@ -719,3 +719,27 @@ register(
     relation_scan.oracle_index_scan(),
     fixtures=["class_rows", "lock_rows", "index_rows"],
 )
+
+# --- S31 cloud log transport envelope normalizers (new this round) ---------
+# syslog RFC5424 / Heroku logplex octet framing / GCP Pub/Sub JSON /
+# Azure Event Hub JSON / OTel jsonlog — the "What's missing #1" adapters.
+
+register("tr_syslog_items", transport.syslog_items, transport.oracle_syslog_items())
+
+register(
+    "tr_heroku_frames", transport.heroku_frames, transport.oracle_heroku_frames()
+)
+
+register("tr_heroku_items", transport.heroku_items, transport.oracle_heroku_items())
+
+register(
+    "tr_heroku_system_samples",
+    transport.heroku_system_samples,
+    transport.oracle_heroku_system_samples(),
+)
+
+register("tr_gcp_items", transport.gcp_items, transport.oracle_gcp_items())
+
+register("tr_azure_items", transport.azure_items, transport.oracle_azure_items())
+
+register("tr_otel_items", transport.otel_items, transport.oracle_otel_items())

@@ -53,6 +53,12 @@ def assert_frames_match(spark_df, duck_rel, context: str = "") -> None:
 def _eq(a, b) -> bool:
     if a is None and b is None:
         return True
+    try:
+        # covers pd.NaT (and other pandas missing scalars) on both sides
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
     if isinstance(a, float) and isinstance(b, float):
         return a == b or (math.isnan(a) and math.isnan(b))
     if isinstance(a, bool) or isinstance(b, bool):
