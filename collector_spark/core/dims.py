@@ -19,11 +19,16 @@ for a dozen databases; a scale-killer for millions of query fingerprints.
      no driver collect, fully lazy);
   4. idx = offset + local rank - 1.
 
-The result is identical to the global window for any partition boundaries,
-so range-sampling nondeterminism cannot change the output. The plan contains
-no ``Exchange SinglePartition`` (pinned by tests/test_dense_dim.py) and the
-range exchange is shared between the rank and count branches via Spark's
-exchange reuse.
+The result is identical to the global window for any partition boundaries —
+PROVIDED the rank and count branches observe the *same* boundaries. Exchange
+reuse usually guarantees that, but it is not a correctness primitive: with a
+cached relation upstream (core/pinned.py) plus AQE, the two branches were
+observed to re-sample different range boundaries, silently producing
+duplicate/missing idx values. The range-partitioned keys are therefore
+materialized once via ``localCheckpoint`` (JVM-side, small — dim keys only)
+so both branches read one physical partitioning; consistency no longer
+depends on plan-identity heuristics. The plan contains no
+``Exchange SinglePartition`` (pinned by tests/test_dense_dim.py).
 """
 
 from __future__ import annotations
@@ -46,8 +51,14 @@ def dense_index(
     """Distinct ``key_cols`` of ``df`` with a dense int32 ``idx_name`` column
     equal to each key's 0-based global sorted rank."""
     keys = df.select(*key_cols).distinct()
-    ranged = keys.repartitionByRange(num_parts, *key_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # materialized once: both consumers below MUST see the same (_pid, key)
+    # assignment; see module docstring. Dim key sets are O(distinct keys),
+    # orders of magnitude smaller than facts, so the checkpoint is cheap and
+    # its storage is reclaimed when the RDD is garbage-collected.
+    ranged = (
+        keys.repartitionByRange(num_parts, *key_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     local = ranged.withColumn(
         "_lrn",

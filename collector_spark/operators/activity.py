@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from collector_spark.core.dims import dense_index
+from collector_spark.core.pinned import pinned
 from collector_spark.functions.fingerprint import fingerprint, oracle_fingerprint
 
 
@@ -51,44 +52,55 @@ def _query_text() -> F.Column:
 
 
 def activity_snapshot(spark: SparkSession) -> DataFrame:
-    b = spark.table("backends")
+    # The per-backend fact feeds three dimension builds plus the final
+    # join — pin its projection once so the backends derivation (a lazy
+    # fixture view) evaluates a single time instead of once per branch.
+    # Bounded: per-connection rows, O(max_connections) per server, never
+    # O(data).
+    fact = pinned(
+        spark,
+        "activity_fact",
+        lambda: spark.table("backends").select(
+            "backend_id",
+            "pid",
+            "state",
+            "backend_type",
+            _role_name().alias("role_name"),
+            _db_name().alias("database_name"),
+            F.col("query").alias("query_raw"),
+            _query_text().alias("query_text"),
+        ),
+    )
     # dim builds read column-pruned projections; the fingerprint chain runs
     # ONLY over the distinct query texts (a few hundred rows), broadcast as
     # a text->fp map to both the query dim build and the fact join — the
     # fact side never evaluates a hash. Dim partition counts stay small:
     # dimension key sets are parallelism-sized, not data-sized.
     role_dim = dense_index(
-        b.select(_role_name().alias("role_name")).filter(
-            F.col("role_name").isNotNull()
-        ),
+        fact.select("role_name").filter(F.col("role_name").isNotNull()),
         ["role_name"],
         "role_idx",
         num_parts=8,
     )
     db_dim = dense_index(
-        b.select(_db_name().alias("database_name")),
+        fact.select("database_name"),
         ["database_name"],
         "database_idx",
         num_parts=8,
     )
     fp_map = (
-        b.filter(F.col("backend_type") == "client backend")
-        .select("backend_type", "query")
+        fact.filter(F.col("query_text").isNotNull())
+        .select("query_raw", "query_text")
         .distinct()
         .select(
-            F.col("query").alias("query_raw"),
-            fingerprint(_query_text()).alias("fp"),
+            "query_raw",
+            fingerprint(F.col("query_text")).alias("fp"),
         )
     )
     qkeys = (
-        b.filter(F.col("backend_type") == "client backend")
-        .select("backend_type", "role_oid", "database_oid", "query")
+        fact.filter(F.col("query_text").isNotNull())
+        .select("role_name", "database_name", "query_raw")
         .distinct()
-        .select(
-            _role_name().alias("role_name"),
-            _db_name().alias("database_name"),
-            F.col("query").alias("query_raw"),
-        )
         .join(F.broadcast(fp_map), on="query_raw")
         .join(F.broadcast(role_dim), on="role_name", how="left")
         .join(F.broadcast(db_dim), on="database_name")
@@ -96,17 +108,6 @@ def activity_snapshot(spark: SparkSession) -> DataFrame:
     )
     query_dim = dense_index(
         qkeys, ["q_role_idx", "database_idx", "fp"], "query_idx", num_parts=16
-    )
-
-    fact = b.select(
-        "backend_id",
-        "pid",
-        "state",
-        "backend_type",
-        _role_name().alias("role_name"),
-        _db_name().alias("database_name"),
-        F.col("query").alias("query_raw"),
-        _query_text().alias("query_text"),
     )
     return (
         fact.join(F.broadcast(role_dim), on="role_name", how="left")

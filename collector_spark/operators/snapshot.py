@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from collector_spark.core.dims import dense_index
+from collector_spark.core.pinned import pinned
 from collector_spark.operators.statements import (
     oracle_statement_rollup,
     statement_rollup,
@@ -32,29 +33,12 @@ def _dense_dim(df: DataFrame, key_cols: list[str], idx_name: str) -> DataFrame:
     return dense_index(df, key_cols, idx_name)
 
 
-# at most ONE pinned rollup per session: the rollup feeds three dimension
-# builds plus the fact join (~7 lineage evaluations of the full statement
-# pipeline otherwise); it is tiny (one row per fingerprint group), so the
-# cache-and-replace pattern bounds storage while cutting the repeated work.
-# Keyed by the prepared input dir: same registered views => same rollup, so
-# repeated assembly reuses the pinned copy; re-preparing a different sf_dir
-# invalidates it.
-_ROLLUP_CACHE: dict[int, tuple[str, DataFrame]] = {}
-
-
+# The rollup feeds three dimension builds plus the fact join (~7 lineage
+# evaluations of the full statement pipeline otherwise); it is tiny (one
+# row per fingerprint group), so pin it via the shared input-keyed cache
+# (core/pinned.py).
 def _persisted_rollup(spark: SparkSession) -> DataFrame:
-    from collector_spark import registry
-
-    input_key = registry.active_dir(spark)
-    cached = _ROLLUP_CACHE.get(id(spark))
-    if cached is not None:
-        if cached[0] == input_key:
-            return cached[1]
-        cached[1].unpersist()
-        del _ROLLUP_CACHE[id(spark)]
-    rollup = statement_rollup(spark).persist()
-    _ROLLUP_CACHE[id(spark)] = (input_key, rollup)
-    return rollup
+    return pinned(spark, "statement_rollup", lambda: statement_rollup(spark))
 
 
 def assemble_statement_fact(spark: SparkSession) -> DataFrame:
