@@ -1121,6 +1121,31 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# F21 — PII-bearing documents (ml/curation.py pii_scrub input)
+#
+# The synthetic documents corpus contains no PII, so a scrub over it would
+# be vacuous. This fixture splices deterministic emails / IPv4s / phone
+# numbers into a subset of documents; ~1/5 of rows stay clean so the
+# had_pii=false path is exercised too.
+# ---------------------------------------------------------------------------
+
+PII_DOCS = """
+SELECT doc_id,
+  text
+  || CASE WHEN doc_id % 5 = 1 THEN ' contact user' || CAST(doc_id % 100 AS STRING)
+       || '@example.com for details' ELSE '' END
+  || CASE WHEN doc_id % 5 = 2 THEN ' server at 10.' || CAST(doc_id % 200 AS STRING)
+       || '.0.' || CAST(doc_id % 250 AS STRING) || ' responded' ELSE '' END
+  || CASE WHEN doc_id % 5 = 3 THEN ' call +1-555-' || CAST(1000 + doc_id % 9000 AS STRING)
+       || ' now' ELSE '' END
+  || CASE WHEN doc_id % 5 = 4 THEN ' mail a.b' || CAST(doc_id % 50 AS STRING)
+       || '@mail.example.org or ping 192.168.' || CAST(doc_id % 200 AS STRING)
+       || '.1' ELSE '' END AS text
+FROM documents
+"""
+
+
 ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "log_raw": {"spark": _log_raw_sql("spark"), "duckdb": _log_raw_sql("duckdb")},
     "stmt_snap1": STMT_SNAP1,
@@ -1194,6 +1219,7 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
         "spark": _otel_records_sql("spark"),
         "duckdb": _otel_records_sql("duckdb"),
     },
+    "pii_docs": PII_DOCS,
 }
 
 FIXTURES = ALL_FIXTURES  # public alias

@@ -220,3 +220,231 @@ SELECT source, term, tf, df, score, term_rank
 FROM ranked WHERE term_rank <= {k}
 ORDER BY source, term_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality signals (Gopher-style)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(spark: SparkSession) -> DataFrame:
+    """Per-document repetition statistics used as LLM-pretraining quality
+    filters (the Gopher/MassiveText rules): distinct-word fraction, the
+    fraction of word occurrences claimed by the most frequent unigram and
+    bigram, and the duplicate-trigram fraction.
+
+    Every aggregate is keyed by doc_id, so the explodes stream map-side and
+    the shuffles carry one row per (doc, gram) — combinable, skew bounded
+    by the longest document, never all-pairs.
+    """
+    docs = spark.table("documents").select(
+        "doc_id", F.split(F.col("text"), " ").alias("t")
+    )
+    uni = (
+        docs.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.max("c").cast("long").alias("top_uni"),
+            F.count("*").cast("long").alias("n_distinct"),
+        )
+    )
+    big = (
+        docs.select("doc_id", F.explode(_word_ngrams("t", 2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_bi"))
+    )
+    tri = (
+        docs.select("doc_id", F.explode(_word_ngrams("t", 3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tri"),
+            F.count("*").cast("long").alias("d_tri"),
+        )
+    )
+    return (
+        uni.join(big, "doc_id", "left")
+        .join(tri, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.col("n_distinct").cast("double") / F.col("n_words")).alias(
+                "distinct_word_frac"
+            ),
+            (F.col("top_uni").cast("double") / F.col("n_words")).alias(
+                "top_unigram_frac"
+            ),
+            F.coalesce(
+                F.col("top_bi").cast("double") * 2 / F.col("n_words"), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+            F.coalesce(
+                (F.col("n_tri") - F.col("d_tri")).cast("double") / F.col("n_tri"),
+                F.lit(0.0),
+            ).alias("dup_trigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_repetition_signals() -> str:
+    return """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+uni0 AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(t) AS w FROM toks) u
+  GROUP BY doc_id, w
+),
+uni AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(MAX(c) AS BIGINT) AS top_uni,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM uni0 GROUP BY doc_id
+),
+big0 AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks
+),
+big AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bi
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM big0 GROUP BY doc_id, g) b
+  GROUP BY doc_id
+),
+tri0 AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM toks
+),
+tri AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tri, CAST(COUNT(*) AS BIGINT) AS d_tri
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM tri0 GROUP BY doc_id, g) b
+  GROUP BY doc_id
+)
+SELECT uni.doc_id, uni.n_words,
+  CAST(uni.n_distinct AS DOUBLE) / uni.n_words AS distinct_word_frac,
+  CAST(uni.top_uni AS DOUBLE) / uni.n_words AS top_unigram_frac,
+  COALESCE(CAST(big.top_bi AS DOUBLE) * 2 / uni.n_words, 0.0) AS top_bigram_frac,
+  COALESCE(CAST(tri.n_tri - tri.d_tri AS DOUBLE) / tri.n_tri, 0.0) AS dup_trigram_frac
+FROM uni LEFT JOIN big USING (doc_id) LEFT JOIN tri USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4-style heuristic filters
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS = 20
+C4_MEAN_WORD_LEN_LO = 3.0
+C4_MEAN_WORD_LEN_HI = 10.0
+
+
+def c4_filters(spark: SparkSession) -> DataFrame:
+    """C4-style document keep/drop heuristics: minimum word count, mean
+    word length inside [3, 10], and stopword presence — each emitted as a
+    flag plus the conjunction, so a pipeline can audit *why* a document
+    was dropped. Pure per-row expressions: codegen, no shuffle."""
+    docs = spark.table("documents")
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("long")
+    # mean word length from the char count net of separators — avoids a
+    # second pass over the tokens
+    mean_wl = (F.col("n_chars") - (n_words - 1)).cast("double") / n_words
+    has_stop = F.col("text").rlike(r"(^| )(the|a|of|and|to) ")
+    min_words_ok = n_words >= C4_MIN_WORDS
+    word_len_ok = (mean_wl >= C4_MEAN_WORD_LEN_LO) & (mean_wl <= C4_MEAN_WORD_LEN_HI)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        min_words_ok.alias("min_words_ok"),
+        word_len_ok.alias("word_len_ok"),
+        has_stop.alias("has_stopword"),
+        (min_words_ok & word_len_ok & has_stop).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def oracle_c4_filters() -> str:
+    return f"""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+  CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+    / len(string_split(text, ' ')) AS mean_word_len,
+  len(string_split(text, ' ')) >= {C4_MIN_WORDS} AS min_words_ok,
+  (CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+     / len(string_split(text, ' ')) >= {C4_MEAN_WORD_LEN_LO}
+   AND CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+     / len(string_split(text, ' ')) <= {C4_MEAN_WORD_LEN_HI}) AS word_len_ok,
+  regexp_matches(text, '(^| )(the|a|of|and|to) ') AS has_stopword,
+  (len(string_split(text, ' ')) >= {C4_MIN_WORDS}
+   AND CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+     / len(string_split(text, ' ')) >= {C4_MEAN_WORD_LEN_LO}
+   AND CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+     / len(string_split(text, ' ')) <= {C4_MEAN_WORD_LEN_HI}
+   AND regexp_matches(text, '(^| )(the|a|of|and|to) ')) AS keep
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.]+"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d[\d-]{6,}\d"
+
+
+def pii_scrub(spark: SparkSession) -> DataFrame:
+    """Scrub emails / IPv4 addresses / phone numbers from document text
+    (the standard pre-training PII pass), emitting the redacted text plus
+    per-category match counts for audit. Order matters: emails first (they
+    embed dots and digits), then IPs, then phones. Pure regexp_replace /
+    regexp_count — JVM codegen, linear scan."""
+    docs = spark.table("pii_docs")
+    t = F.col("text")
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL)).cast("long")
+    after_email = F.regexp_replace(t, PII_EMAIL, "[EMAIL]")
+    n_ip = F.regexp_count(after_email, F.lit(PII_IP)).cast("long")
+    after_ip = F.regexp_replace(after_email, PII_IP, "[IP]")
+    n_phone = F.regexp_count(after_ip, F.lit(PII_PHONE)).cast("long")
+    scrubbed = F.regexp_replace(after_ip, PII_PHONE, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("text"),
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+        ((n_email + n_ip + n_phone) > 0).alias("had_pii"),
+    ).orderBy("doc_id")
+
+
+def oracle_pii_scrub() -> str:
+    from collector_spark.fixtures.defs import oracle_query
+
+    email, ip, phone = PII_EMAIL, PII_IP, PII_PHONE
+    body = f"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{email}', '[EMAIL]', 'g'), '{ip}', '[IP]', 'g'), '{phone}', '[PHONE]', 'g') AS text,
+  CAST(len(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(regexp_replace(text, '{email}', '[EMAIL]', 'g'),
+    '{ip}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(regexp_replace(regexp_replace(text,
+    '{email}', '[EMAIL]', 'g'), '{ip}', '[IP]', 'g'), '{phone}')) AS BIGINT) AS n_phones,
+  (len(regexp_extract_all(text, '{email}'))
+   + len(regexp_extract_all(regexp_replace(text, '{email}', '[EMAIL]', 'g'), '{ip}'))
+   + len(regexp_extract_all(regexp_replace(regexp_replace(text,
+       '{email}', '[EMAIL]', 'g'), '{ip}', '[IP]', 'g'), '{phone}'))) > 0 AS had_pii
+FROM pii_docs
+ORDER BY doc_id
+"""
+    return oracle_query(body, ["pii_docs"])

@@ -743,3 +743,17 @@ register("tr_gcp_items", transport.gcp_items, transport.oracle_gcp_items())
 register("tr_azure_items", transport.azure_items, transport.oracle_azure_items())
 
 register("tr_otel_items", transport.otel_items, transport.oracle_otel_items())
+
+# --- training-data quality operators (new this round) ----------------------
+# Gopher-style repetition signals, C4 heuristic filters, PII scrub.
+
+register(
+    "ml_repetition_signals",
+    curation.repetition_signals,
+    curation.oracle_repetition_signals(),
+)
+
+register("ml_c4_filters", curation.c4_filters, curation.oracle_c4_filters())
+
+# oracle_pii_scrub embeds its own fixture CTE (like the transport oracles)
+register("ml_pii_scrub", curation.pii_scrub, curation.oracle_pii_scrub())
