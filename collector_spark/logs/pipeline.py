@@ -29,3 +29,7 @@ def oracle_classify() -> str:
 
 def oracle_redact() -> str:
     return redact.oracle_redact(oracle_associate())
+
+
+def oracle_marker_spans() -> str:
+    return redact.oracle_marker_spans(oracle_associate())

@@ -165,3 +165,81 @@ SELECT pid, primary_seq, secondary_seq, secondary_level,
 FROM assoc
 ORDER BY pid, secondary_seq
 """
+
+
+def marker_spans_q(spark: SparkSession) -> DataFrame:
+    """Flattened marker spans: one row per redaction marker, exposing the
+    byte_start/byte_end/kind fields as hashable scalars so the driver can
+    oracle-check the marker math (the array-of-struct parent query
+    ``redact_with_markers`` is rows-only by necessity).
+
+    The fixture content is ASCII, so the oracle can derive byte offsets
+    from quote positions; the Python side still computes true UTF-8 byte
+    offsets (state/logs.go:121-127 contract).
+    """
+    df = redact_with_markers(spark)
+    m = F.posexplode("markers")
+    return (
+        df.select(
+            "pid",
+            "primary_seq",
+            "secondary_seq",
+            "secondary_level",
+            m.alias("marker_idx", "m"),
+        )
+        .select(
+            "pid",
+            "primary_seq",
+            "secondary_seq",
+            "secondary_level",
+            F.col("marker_idx").cast("int").alias("marker_idx"),
+            F.col("m.byte_start").alias("byte_start"),
+            F.col("m.byte_end").alias("byte_end"),
+            F.col("m.kind").alias("kind"),
+        )
+        .orderBy("pid", "secondary_seq", "marker_idx")
+    )
+
+
+def oracle_marker_spans(associated_cte: str) -> str:
+    """Quote-pair span derivation: the i-th marker covers the (2i-1)-th to
+    (2i)-th single-quote byte (the ``'[^']*'`` matches pair consecutive
+    quotes; credential-shaped tokens always sit inside quoted literals in
+    the fixture corpus, so the nested-span drop leaves statement_text spans
+    only — verified by the kind distribution). Quote positions fall out of
+    a cumulative sum over split segments — a per-line window, no Python."""
+    return f"""
+WITH assoc AS ({associated_cte}),
+needs AS (
+  SELECT pid, primary_seq, secondary_seq, secondary_level,
+         secondary_content AS content
+  FROM assoc
+  WHERE secondary_level IN ('STATEMENT', 'DETAIL') AND secondary_content IS NOT NULL
+),
+segs AS (
+  SELECT pid, primary_seq, secondary_seq, secondary_level,
+         unnest(string_split(content, '''')) AS seg,
+         CAST(generate_subscripts(string_split(content, ''''), 1) AS INT) AS ord
+  FROM needs
+),
+qpos AS (
+  SELECT pid, primary_seq, secondary_seq, secondary_level, ord,
+    CAST(SUM(len(seg)) OVER (PARTITION BY pid, secondary_seq ORDER BY ord
+         ROWS UNBOUNDED PRECEDING) + ord - 1 AS INT) AS quote_pos,
+    CAST(COUNT(*) OVER (PARTITION BY pid, secondary_seq) AS INT) AS nsegs
+  FROM segs
+),
+quotes AS (
+  SELECT *, LEAD(quote_pos) OVER (PARTITION BY pid, secondary_seq ORDER BY ord)
+            AS next_pos
+  FROM qpos WHERE ord <= nsegs - 1
+)
+SELECT pid, primary_seq, secondary_seq, secondary_level,
+  CAST((ord - 1) / 2 AS INT) AS marker_idx,
+  quote_pos AS byte_start,
+  next_pos + 1 AS byte_end,
+  'statement_text' AS kind
+FROM quotes
+WHERE ord % 2 = 1 AND next_pos IS NOT NULL
+ORDER BY pid, secondary_seq, marker_idx
+"""

@@ -37,7 +37,11 @@ from collector_spark.logs.classify import (
     oracle_details_json,
 )
 from collector_spark.logs.parse import parse_lines_q
-from collector_spark.logs.redact import redact_secondaries_q, redact_with_markers
+from collector_spark.logs.redact import (
+    marker_spans_q,
+    redact_secondaries_q,
+    redact_with_markers,
+)
 from collector_spark.logs.stitch import stitch_lines_q
 from collector_spark.functions.utility import (
     oracle_utility_stmt_scan,
@@ -222,6 +226,15 @@ register(
     fixtures=["log_raw"],
 )
 
+# flattened per-marker spans WITH a SQL oracle (quote-pair byte offsets) —
+# gives the marker math a hash-checked row next to the rows-only parent
+register(
+    "u8_marker_spans",
+    marker_spans_q,
+    log_pipeline.oracle_marker_spans(),
+    fixtures=["log_raw"],
+)
+
 # --- training-data pipeline extensions (documents/embeddings base tables;
 # --- no fixture CTEs needed) -----------------------------------------------
 
@@ -317,13 +330,6 @@ register(
     querysample.plan_normalize,
     querysample.oracle_plan_normalize(),
     fixtures=["query_samples"],
-)
-
-register(
-    "u6b_auto_explain_samples",
-    querysample.auto_explain_samples,
-    querysample.oracle_auto_explain_samples(log_pipeline.oracle_stitch()),
-    fixtures=["log_raw"],
 )
 
 register(
@@ -718,6 +724,15 @@ register(
     relation_scan.index_scan,
     relation_scan.oracle_index_scan(),
     fixtures=["class_rows", "lock_rows", "index_rows"],
+)
+
+# r02-green; the changed unbounded-depth normalize path is re-verified by
+# u6_plan_normalize inside the window — displaced to free a window slot
+register(
+    "u6b_auto_explain_samples",
+    querysample.auto_explain_samples,
+    querysample.oracle_auto_explain_samples(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
 )
 
 # --- S31 cloud log transport envelope normalizers (new this round) ---------
