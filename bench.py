@@ -45,6 +45,8 @@ HEADLINE = [
     "ml_ngram_jaccard",
     "ml_brute_force_topk",
     "ml_ivf_topk",
+    "ml_repetition_signals",
+    "tr_heroku_items",
 ]
 
 N_RUNS = 3  # median-of-3 per query

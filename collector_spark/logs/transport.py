@@ -675,3 +675,38 @@ FROM base WHERE detail IS NOT NULL
 ORDER BY rec_id, line_idx
 """
     return oracle_query(body, ["otel_log_records"])
+
+
+# ---------------------------------------------------------------------------
+# Transport -> pipeline composition
+# ---------------------------------------------------------------------------
+
+
+def syslog_classified(spark: SparkSession) -> DataFrame:
+    """End-to-end transport composition: RFC5424 frames -> normalized items
+    -> the 110-family classification engine. Proves the transport output
+    shape slots straight into the shared log pipeline (runner/logs.go feeds
+    every receiver through the same AnalyzeStreamInGroups) — and the
+    classify projection is stateless, so the identical plan also runs on a
+    streaming source."""
+    from collector_spark.logs.classify import classify_df
+
+    items = syslog_items(spark).filter(F.col("framed"))
+    shaped = items.select(
+        F.col("backend_pid").alias("pid"),
+        F.col("frame_id").alias("seq"),
+        F.lit("LOG").alias("log_level"),
+        "content",
+    )
+    return classify_df(shaped).orderBy("pid", "seq")
+
+
+def oracle_syslog_classified() -> str:
+    from collector_spark.logs.classify import oracle_classify
+
+    inner = oracle_syslog_items()
+    shaped = f"""
+SELECT backend_pid AS pid, frame_id AS seq, 'LOG' AS log_level, content
+FROM ({inner}) s WHERE framed
+"""
+    return oracle_classify(shaped)

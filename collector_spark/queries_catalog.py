@@ -759,6 +759,14 @@ register("tr_azure_items", transport.azure_items, transport.oracle_azure_items()
 
 register("tr_otel_items", transport.otel_items, transport.oracle_otel_items())
 
+# transport -> classification engine composition (same pipeline contract
+# every receiver feeds in runner/logs.go)
+register(
+    "tr_syslog_classify",
+    transport.syslog_classified,
+    transport.oracle_syslog_classified(),
+)
+
 # --- training-data quality operators (new this round) ----------------------
 # Gopher-style repetition signals, C4 heuristic filters, PII scrub.
 
