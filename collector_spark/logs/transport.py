@@ -58,7 +58,14 @@ def syslog_items(spark: SparkSession) -> DataFrame:
     when present, else from STRUCTURED-DATA; unframed lines pass through
     with content only (parseSyslogLine:124-135 returns ok=false).
     """
-    frames = spark.table("syslog_frames")
+    return syslog_items_df(spark.table("syslog_frames")).orderBy("frame_id")
+
+
+def syslog_items_df(frames: DataFrame) -> DataFrame:
+    """The normalizer as a frame-relation transform — a stateless
+    projection, so the identical plan runs on a batch view or a
+    ``readStream`` source (the syslog server is a live socket in the
+    reference; Structured Streaming is its Spark-native form)."""
     line = F.col("line")
     ts_s = F.regexp_extract(line, _RFC5424, 1)
     framed = ts_s != ""
@@ -85,7 +92,7 @@ def syslog_items(spark: SparkSession) -> DataFrame:
         c.cast("int").alias("log_line_chunk"),
         F.when(framed, content).otherwise(line).alias("content"),
         framed.alias("framed"),
-    ).orderBy("frame_id")
+    )
 
 
 def oracle_syslog_items() -> str:
@@ -710,3 +717,53 @@ SELECT backend_pid AS pid, frame_id AS seq, 'LOG' AS log_level, content
 FROM ({inner}) s WHERE framed
 """
     return oracle_classify(shaped)
+
+
+def stream_syslog_classified(spark: SparkSession) -> DataFrame:
+    """The syslog receiver as a LIVE stream: frames arrive through a file
+    source (the test stand-in for the TCP/TLS listener), the RFC5424
+    normalizer and the full 110-family classification chain run as
+    stateless streaming projections, and the sink sees classified rows per
+    micro-batch — the Spark-native form of the reference's always-on
+    syslog server feeding AnalyzeStreamInGroups.
+
+    Verification runs trigger(availableNow) to completion and must equal
+    the batch oracle exactly (same projection, same rows)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from collector_spark.logs.classify import classify_df
+
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), "collector_spark_syslog", run_id)
+    src_dir = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    frames = spark.table("syslog_frames")
+    frames.write.mode("overwrite").parquet(src_dir)
+
+    raw = spark.readStream.schema(frames.schema).parquet(src_dir)
+    items = syslog_items_df(raw).filter(F.col("framed"))
+    shaped = items.select(
+        F.col("backend_pid").alias("pid"),
+        F.col("frame_id").alias("seq"),
+        F.lit("LOG").alias("log_level"),
+        "content",
+    )
+    qname = f"syslog_stream_{run_id}"
+    q = (
+        classify_df(shaped)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.table(qname).orderBy("pid", "seq")

@@ -767,6 +767,14 @@ register(
     transport.oracle_syslog_classified(),
 )
 
+# the same composition as a LIVE streaming query (file source stand-in for
+# the TCP listener); availableNow run-to-completion equals the batch oracle
+register(
+    "st_tr_syslog_stream",
+    transport.stream_syslog_classified,
+    transport.oracle_syslog_classified(),
+)
+
 # --- training-data quality operators (new this round) ----------------------
 # Gopher-style repetition signals, C4 heuristic filters, PII scrub.
 
