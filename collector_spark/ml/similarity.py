@@ -199,9 +199,10 @@ def ivf_topk(spark: SparkSession) -> DataFrame:
     centroid set substitutes for sign-bit buckets.
 
     Centroids here are a fixed deterministic subset of the corpus (vec_id
-    in [N_QUERIES, N_QUERIES + N_CENTROIDS)); production would k-means
-    offline and broadcast the trained centroids — the assignment/probe/join
-    plan is identical. Assignment ties break by centroid_id via the
+    in [N_QUERIES, N_QUERIES + N_CENTROIDS)); ``kmeans_assign`` below
+    trains real Lloyd centroids from the same init with an exact oracle —
+    swap its cent table in and the assignment/probe/join plan is
+    identical. Assignment ties break by centroid_id via the
     row_number ordering, keeping both engines aligned."""
     from pyspark.sql import Window
 
@@ -426,4 +427,157 @@ SELECT cc.node AS vec_id, cc.cluster_id, sizes.cluster_size,
        cc.node = cc.cluster_id AS is_canonical
 FROM cc JOIN sizes USING (cluster_id)
 ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# K-means training (closes the IVF "production would k-means offline" IOU)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = N_CENTROIDS
+KMEANS_ITERS = 2
+# quantization scale: components become exact multiples of 2^-20, so every
+# partial SUM over <= ~2^11 rows is exactly representable in a double and
+# the centroid update is order-insensitive — the property that lets a
+# distributed fold match a single-threaded oracle bit-for-bit. (Fixed-point
+# accumulation is also how production distributed trainers get run-to-run
+# determinism.)
+KMEANS_SCALE = 1 << 20
+
+_DIM = 64
+
+
+def _quantize(col: Column) -> Column:
+    return F.transform(
+        col,
+        lambda x: F.round(x.cast("double") * KMEANS_SCALE) / F.lit(float(KMEANS_SCALE)),
+    )
+
+
+def _sqdist(v: Column, c: Column) -> Column:
+    diffs = F.zip_with(v, c, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_assign(spark: SparkSession) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, expressed entirely in
+    DataFrame ops: per-iteration broadcast of the K centroids, exact
+    argmin assignment (ties -> lower centroid_id), centroid update via 64
+    per-dimension SUM aggregates over quantized components (exact, see
+    KMEANS_SCALE). KMEANS_ITERS unrolled into one lazy plan.
+
+    Scale: each iteration is one broadcast cross join (K rows) + one
+    combinable groupBy(cluster) — shuffle carries K*DIM partial sums per
+    map task, never the vectors. Same init as ivf_topk, so the trained
+    centroids drop into the same assignment/probe/join plan.
+    """
+    emb = spark.table("embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("v")
+    )
+    centroids = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + KMEANS_K)
+    ).select((F.col("vec_id") - N_QUERIES).cast("int").alias("cid"), F.col("v").alias("c"))
+
+    def assign(cent: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        scored = emb.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "v", "cid", _sqdist(F.col("v"), F.col("c")).alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("vec_id", "v", "cid", "d2")
+        )
+
+    cent = centroids
+    assigned = None
+    for _ in range(KMEANS_ITERS):
+        assigned = assign(cent)
+        sums = assigned.groupBy("cid").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.element_at("v", d)).alias(f"s{d}")
+                for d in range(1, _DIM + 1)
+            ],
+        )
+        updated = sums.select(
+            "cid",
+            F.array(
+                *[F.col(f"s{d}") / F.col("n") for d in range(1, _DIM + 1)]
+            ).alias("c"),
+        )
+        # an emptied cluster keeps its previous centroid
+        cent = (
+            cent.select("cid", F.col("c").alias("c_prev"))
+            .join(updated, "cid", "left")
+            .select("cid", F.coalesce(F.col("c"), F.col("c_prev")).alias("c"))
+        )
+    final = assign(cent)
+    sizes = final.groupBy("cid").agg(F.count("*").cast("long").alias("cluster_size"))
+    return (
+        final.join(F.broadcast(sizes), "cid")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.col("d2").alias("sq_dist"),
+            "cluster_size",
+        )
+        .orderBy("vec_id")
+    )
+
+
+def oracle_kmeans_assign() -> str:
+    dims = range(1, _DIM + 1)
+    q = (
+        "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * "
+        f"{KMEANS_SCALE}) / {KMEANS_SCALE}.0)"
+    )
+    d2 = " + ".join(f"(s.v[{d}] - c.c[{d}]) * (s.v[{d}] - c.c[{d}])" for d in dims)
+    sums = ", ".join(f"SUM(v[{d}]) AS s{d}" for d in dims)
+    mean_list = ", ".join(f"s{d} / n" for d in dims)
+
+    def assign_cte(cent: str, name: str) -> str:
+        return f"""{name}0 AS (
+  SELECT s.vec_id, s.v, c.cid, {d2} AS d2,
+    ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {d2} ASC, c.cid ASC) AS rn
+  FROM scaled s CROSS JOIN {cent} c
+),
+{name} AS (SELECT vec_id, v, cid, d2 FROM {name}0 WHERE rn = 1)"""
+
+    def update_cte(assigned: str, prev: str, name: str) -> str:
+        return f"""{name}_sums AS (
+  SELECT cid, COUNT(*) AS n, {sums} FROM {assigned} GROUP BY cid
+),
+{name} AS (
+  SELECT p.cid, COALESCE(u.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, [{mean_list}] AS c FROM {name}_sums
+  ) u USING (cid)
+)"""
+
+    parts = [
+        f"scaled AS (SELECT vec_id, {q} AS v FROM embeddings)",
+        f"""cent0 AS (
+  SELECT CAST(vec_id - {N_QUERIES} AS INT) AS cid, v AS c
+  FROM scaled WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + KMEANS_K}
+)""",
+    ]
+    prev = "cent0"
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(assign_cte(prev, f"a{it}"))
+        parts.append(update_cte(f"a{it}", prev, f"cent{it}"))
+        prev = f"cent{it}"
+    parts.append(assign_cte(prev, "afinal"))
+    parts.append(
+        "sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size "
+        "FROM afinal GROUP BY cid)"
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT a.vec_id, a.cid AS cluster_id, a.d2 AS sq_dist, s.cluster_size
+FROM afinal a JOIN sizes s USING (cid)
+ORDER BY a.vec_id
 """

@@ -786,5 +786,13 @@ register(
 
 register("ml_c4_filters", curation.c4_filters, curation.oracle_c4_filters())
 
+# Lloyd k-means expressed in DataFrame ops with an exactly-matching
+# unrolled-SQL oracle (quantized components make the update order-exact)
+register(
+    "ml_kmeans_assign",
+    similarity.kmeans_assign,
+    similarity.oracle_kmeans_assign(),
+)
+
 # oracle_pii_scrub embeds its own fixture CTE (like the transport oracles)
 register("ml_pii_scrub", curation.pii_scrub, curation.oracle_pii_scrub())
