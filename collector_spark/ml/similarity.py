@@ -459,48 +459,37 @@ def _sqdist(v: Column, c: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def kmeans_assign(spark: SparkSession) -> DataFrame:
-    """Lloyd's k-means over the embedding corpus, expressed entirely in
-    DataFrame ops: per-iteration broadcast of the K centroids, exact
-    argmin assignment (ties -> lower centroid_id), centroid update via 64
-    per-dimension SUM aggregates over quantized components (exact, see
-    KMEANS_SCALE). KMEANS_ITERS unrolled into one lazy plan.
+def _kmeans_train(spark: SparkSession):
+    """Shared Lloyd training plan: returns (quantized embeddings, trained
+    centroid relation, assign(cent, n) -> n-nearest-centroid rows)."""
+    from pyspark.sql import Window
 
-    Scale: each iteration is one broadcast cross join (K rows) + one
-    combinable groupBy(cluster) — shuffle carries K*DIM partial sums per
-    map task, never the vectors. Same init as ivf_topk, so the trained
-    centroids drop into the same assignment/probe/join plan.
-    """
     emb = spark.table("embeddings").select(
         "vec_id", _quantize(F.col("embedding")).alias("v")
     )
     centroids = emb.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + KMEANS_K)
-    ).select((F.col("vec_id") - N_QUERIES).cast("int").alias("cid"), F.col("v").alias("c"))
+    ).select(
+        (F.col("vec_id") - N_QUERIES).cast("int").alias("cid"), F.col("v").alias("c")
+    )
 
-    def assign(cent: DataFrame) -> DataFrame:
-        from pyspark.sql import Window
-
+    def assign(cent: DataFrame, n: int) -> DataFrame:
         scored = emb.crossJoin(F.broadcast(cent)).select(
             "vec_id", "v", "cid", _sqdist(F.col("v"), F.col("c")).alias("d2")
         )
         w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
         return (
             scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("vec_id", "v", "cid", "d2")
+            .filter(F.col("__r") <= n)
+            .select("vec_id", "v", "cid", "d2", "__r")
         )
 
     cent = centroids
-    assigned = None
     for _ in range(KMEANS_ITERS):
-        assigned = assign(cent)
+        assigned = assign(cent, 1)
         sums = assigned.groupBy("cid").agg(
             F.count("*").alias("n"),
-            *[
-                F.sum(F.element_at("v", d)).alias(f"s{d}")
-                for d in range(1, _DIM + 1)
-            ],
+            *[F.sum(F.element_at("v", d)).alias(f"s{d}") for d in range(1, _DIM + 1)],
         )
         updated = sums.select(
             "cid",
@@ -514,7 +503,23 @@ def kmeans_assign(spark: SparkSession) -> DataFrame:
             .join(updated, "cid", "left")
             .select("cid", F.coalesce(F.col("c"), F.col("c_prev")).alias("c"))
         )
-    final = assign(cent)
+    return emb, cent, assign
+
+
+def kmeans_assign(spark: SparkSession) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, expressed entirely in
+    DataFrame ops: per-iteration broadcast of the K centroids, exact
+    argmin assignment (ties -> lower centroid_id), centroid update via 64
+    per-dimension SUM aggregates over quantized components (exact, see
+    KMEANS_SCALE). KMEANS_ITERS unrolled into one lazy plan.
+
+    Scale: each iteration is one broadcast cross join (K rows) + one
+    combinable groupBy(cluster) — shuffle carries K*DIM partial sums per
+    map task, never the vectors. Same init as ivf_topk, so the trained
+    centroids drop into the same assignment/probe/join plan.
+    """
+    emb, cent, assign = _kmeans_train(spark)
+    final = assign(cent, 1).select("vec_id", "v", "cid", "d2")
     sizes = final.groupBy("cid").agg(F.count("*").cast("long").alias("cluster_size"))
     return (
         final.join(F.broadcast(sizes), "cid")
@@ -529,6 +534,67 @@ def kmeans_assign(spark: SparkSession) -> DataFrame:
 
 
 def oracle_kmeans_assign() -> str:
+    parts, _ = _oracle_kmeans_parts()
+    parts.append(
+        "sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size "
+        "FROM afinal GROUP BY cid)"
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT a.vec_id, a.cid AS cluster_id, a.d2 AS sq_dist, s.cluster_size
+FROM afinal a JOIN sizes s USING (cid)
+ORDER BY a.vec_id
+"""
+
+
+def ivf_trained_topk(spark: SparkSession) -> DataFrame:
+    """IVF ANN over TRAINED centroids: the k-means plan above feeds its
+    final centroid relation straight into the inverted-list/probe/join
+    shape of ivf_topk — the composition its docstring promises. Corpus
+    lists and query probes assign by the training metric (exact quantized
+    L2); candidate ranking uses the same cosine as every other top-k."""
+    from pyspark.sql import Window
+
+    emb_raw = spark.table("embeddings")
+    _, cent, assign = _kmeans_train(spark)
+    corpus_lists = assign(cent, 1).select(
+        F.col("vec_id").alias("corpus_id"), "cid"
+    )
+    probes = (
+        assign(cent, IVF_PROBES)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "cid")
+    )
+    qv = emb_raw.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cv = emb_raw.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv")
+    )
+    joined = (
+        corpus_lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select("query_id", "corpus_id")
+        .distinct()
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "corpus_id")
+    )
+    cosine = (
+        _fold_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    ).alias("cosine")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        joined.select("query_id", "corpus_id", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _oracle_kmeans_parts() -> tuple[list, str]:
+    """The shared CTE chain of the k-means oracle: quantize, init, ITERS
+    assign/update rounds. Returns (parts, final centroid CTE name)."""
     dims = range(1, _DIM + 1)
     q = (
         "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * "
@@ -539,18 +605,21 @@ def oracle_kmeans_assign() -> str:
     mean_list = ", ".join(f"s{d} / n" for d in dims)
 
     def assign_cte(cent: str, name: str) -> str:
-        return f"""{name}0 AS (
+        # MATERIALIZED stops DuckDB's default CTE inlining, which would
+        # otherwise duplicate the whole upstream iteration chain once per
+        # dimension reference — exponential plan growth across iterations
+        return f"""{name}0 AS MATERIALIZED (
   SELECT s.vec_id, s.v, c.cid, {d2} AS d2,
     ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {d2} ASC, c.cid ASC) AS rn
   FROM scaled s CROSS JOIN {cent} c
 ),
-{name} AS (SELECT vec_id, v, cid, d2 FROM {name}0 WHERE rn = 1)"""
+{name} AS MATERIALIZED (SELECT vec_id, v, cid, d2 FROM {name}0 WHERE rn = 1)"""
 
     def update_cte(assigned: str, prev: str, name: str) -> str:
         return f"""{name}_sums AS (
   SELECT cid, COUNT(*) AS n, {sums} FROM {assigned} GROUP BY cid
 ),
-{name} AS (
+{name} AS MATERIALIZED (
   SELECT p.cid, COALESCE(u.c, p.c) AS c
   FROM {prev} p LEFT JOIN (
     SELECT cid, [{mean_list}] AS c FROM {name}_sums
@@ -558,7 +627,7 @@ def oracle_kmeans_assign() -> str:
 )"""
 
     parts = [
-        f"scaled AS (SELECT vec_id, {q} AS v FROM embeddings)",
+        f"scaled AS MATERIALIZED (SELECT vec_id, {q} AS v FROM embeddings)",
         f"""cent0 AS (
   SELECT CAST(vec_id - {N_QUERIES} AS INT) AS cid, v AS c
   FROM scaled WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + KMEANS_K}
@@ -570,14 +639,43 @@ def oracle_kmeans_assign() -> str:
         parts.append(update_cte(f"a{it}", prev, f"cent{it}"))
         prev = f"cent{it}"
     parts.append(assign_cte(prev, "afinal"))
+    return parts, prev
+
+
+def oracle_ivf_trained_topk() -> str:
+    parts, cent = _oracle_kmeans_parts()
+    dims = range(1, _DIM + 1)
+    d2 = " + ".join(f"(s.v[{d}] - c.c[{d}]) * (s.v[{d}] - c.c[{d}])" for d in dims)
+    dot = _sql_dot("eq.embedding", "ec.embedding")
+    qq = _sql_dot("eq.embedding", "eq.embedding")
+    cc = _sql_dot("ec.embedding", "ec.embedding")
     parts.append(
-        "sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size "
-        "FROM afinal GROUP BY cid)"
+        f"""probes0 AS (
+  SELECT s.vec_id, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY {d2} ASC, c.cid ASC) AS rn
+  FROM scaled s CROSS JOIN {cent} c
+  WHERE s.vec_id < {N_QUERIES}
+),
+probes AS (SELECT vec_id AS query_id, cid FROM probes0 WHERE rn <= {IVF_PROBES}),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS corpus_id
+  FROM afinal a JOIN probes p USING (cid)
+  WHERE p.query_id <> a.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.corpus_id,
+    ({dot}) / (sqrt({qq}) * sqrt({cc})) AS cosine
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.query_id
+  JOIN embeddings ec ON ec.vec_id = cand.corpus_id
+)"""
     )
     body = ",\n".join(parts)
     return f"""
 WITH {body}
-SELECT a.vec_id, a.cid AS cluster_id, a.d2 AS sq_dist, s.cluster_size
-FROM afinal a JOIN sizes s USING (cid)
-ORDER BY a.vec_id
+SELECT query_id, corpus_id, cosine,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= {TOP_K}
+ORDER BY query_id, rank
 """

@@ -49,6 +49,7 @@ from collector_spark.functions.utility import (
 )
 from collector_spark.operators import (
     activity,
+    log_snapshot,
     backends,
     buffer_cache,
     databases,
@@ -786,12 +787,29 @@ register(
 
 register("ml_c4_filters", curation.c4_filters, curation.oracle_c4_filters())
 
+# compact LOG snapshot assembly (output/transform/logs.go) — the third
+# compact snapshot type, star-wired like the statement/activity facts
+register(
+    "log_snapshot_samples",
+    log_snapshot.assemble_log_snapshot,
+    log_snapshot.oracle_log_snapshot(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
 # Lloyd k-means expressed in DataFrame ops with an exactly-matching
 # unrolled-SQL oracle (quantized components make the update order-exact)
 register(
     "ml_kmeans_assign",
     similarity.kmeans_assign,
     similarity.oracle_kmeans_assign(),
+)
+
+# IVF over the TRAINED centroids — the composition the ivf_topk docstring
+# promises (trained cent table -> same inverted-list/probe/join plan)
+register(
+    "ml_ivf_trained_topk",
+    similarity.ivf_trained_topk,
+    similarity.oracle_ivf_trained_topk(),
 )
 
 # oracle_pii_scrub embeds its own fixture CTE (like the transport oracles)
