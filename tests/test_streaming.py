@@ -167,3 +167,68 @@ def test_file_tail_feeds_spark_stream_across_restarts(tail_dirs, spark, tmp_path
     second = run_query()
     # exactly-once across the restart: every line once, none twice
     assert sorted(second) == sorted(all_lines)
+
+
+def test_stream_buckets_append_mode_emits_only_closed_windows(prepared_spark):
+    """ST9 eviction, observed directly: in ``append`` output mode a window
+    row reaches the sink only after the watermark passes window end +
+    delay — so the append run must emit exactly the complete-mode result
+    MINUS windows the final watermark never closed. The state store cannot
+    retain evicted windows, which is the bounded-state contract at scale."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from collector_spark.streaming import stat_buckets as SB
+
+    spark = prepared_spark
+    complete = SB.stream_stat_buckets(spark, None).collect()
+
+    run_id = uuid.uuid4().hex[:12]
+    ckpt = os.path.join(tempfile.gettempdir(), "collector_spark_buckets_append", run_id)
+    sf = __import__("collector_spark.tables", fromlist=["LAST_SF_DIR"]).LAST_SF_DIR
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    ts_type = dict(zip(raw_schema.names, [f.dataType.simpleString() for f in raw_schema])).get("ts")
+    if ts_type == "bigint":
+        ts = F.timestamp_micros(F.expr("ts DIV 1000"))
+    else:
+        ts = F.col("ts").cast("timestamp")
+    events = raw.select("event_id", ts.alias("ts"))
+    qname = f"buckets_append_{run_id}"
+    q = (
+        SB.windowed_counts(events)
+        .select(F.col("w.start").alias("window_start"), "key", "calls", "rows")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    appended = spark.table(qname).collect()
+
+    ckey = {(r["window_start"], r["key"]): (r["calls"], r["rows"]) for r in complete}
+    akey = {(r["window_start"], r["key"]): (r["calls"], r["rows"]) for r in appended}
+    # every appended (closed) window must match the complete-mode value
+    for k, v in akey.items():
+        assert ckey[k] == v, k
+    # the only missing windows are the ones the final watermark left open:
+    # at or after (max event time - watermark delay) truncated to the window
+    missing = set(ckey) - set(akey)
+    assert missing, "append run should have at least one still-open window"
+    max_open_start = max(ws for ws, _ in missing)
+    for ws, key in missing:
+        # all missing windows cluster at the stream tail
+        assert (max_open_start - ws).total_seconds() <= 120, (ws, key)
