@@ -1,0 +1,53 @@
+"""Plan-shape budgets for headline queries: upper bounds on exchange
+counts plus required physical strategies (broadcast dim joins, no
+accidental single-partition funnels outside the known verification sorts).
+These pin the "plan we want" so a future edit that silently introduces an
+extra shuffle or drops a broadcast fails here, not in a 100 TB run.
+
+Budgets are deliberately loose upper bounds — they catch order-of-magnitude
+regressions, not cosmetic plan drift.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _plan(prepared_spark, name: str) -> str:
+    from collector_spark.registry import REGISTRY
+
+    df = REGISTRY[name].spark_fn(prepared_spark)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# name -> (max total Exchange occurrences in the printed plan, must-contain
+# fragments). The counts include cached-fixture subtrees and AQE reprints,
+# so the ceilings are calibrated ~15-30% above today's measured values —
+# a new data-sized shuffle in the operator itself blows the budget.
+BUDGETS = {
+    "a1_statement_diff": (12, ["BroadcastHashJoin"]),
+    # warm pinned-rollup cache reprints its child plan inside
+    # InMemoryRelation, inflating the count vs a cold session
+    "a2_statement_rollup": (48, ["BroadcastHashJoin"]),
+    # star assembly: every dim join must broadcast
+    "snapshot_statement_fact": (52, ["BroadcastHashJoin"]),
+    "activity_snapshot": (30, ["BroadcastHashJoin"]),
+    # relation megascan: anti/equi joins on tiny sets broadcast
+    "s10_relation_scan": (34, ["BroadcastHashJoin"]),
+    "log_parse": (7, []),
+    "w3_log_stitch": (8, []),
+    "u7_log_classify": (8, []),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BUDGETS))
+def test_plan_budget(prepared_spark, name):
+    budget, must_contain = BUDGETS[name]
+    plan = _plan(prepared_spark, name)
+    n_exchange = plan.count("Exchange ")
+    assert n_exchange <= budget, f"{name}: {n_exchange} exchanges > budget {budget}"
+    # the invariant that matters most at scale: nothing funnels the data
+    # through one task
+    assert "Exchange SinglePartition" not in plan, name
+    for frag in must_contain:
+        assert frag in plan, f"{name}: expected {frag} in plan"
