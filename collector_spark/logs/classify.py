@@ -268,3 +268,91 @@ FROM stitched
 WHERE log_level IN ({levels})
 ORDER BY pid, seq
 """
+
+
+# checkpoint/restartpoint completion stat vector (analyze.go:130-141,
+# detail mapping at analyze.go:1367-1407): 17 groups incl. the PG18 SLRU
+# clause and lsn pair as optionals
+CHECKPOINT_DETAIL_RE = (
+    r"^(checkpoint|restartpoint) complete: wrote (\d+) buffers \(([\d.]+)%\)"
+    r"(?:, wrote (\d+) SLRU buffers)?; "
+    r"(\d+) (?:transaction log|WAL) file\(s\) added, (\d+) removed, (\d+) recycled; "
+    r"write=([\d.]+) s, sync=([\d.]+) s, total=([\d.]+) s; "
+    r"sync files=(\d+), longest=([\d.]+) s, average=([\d.]+) s"
+    r"; distance=(\d+) kB, estimate=(\d+) kB"
+    r"(?:; lsn=([A-F0-9]+/[A-F0-9]+), redo lsn=([A-F0-9]+/[A-F0-9]+))?"
+)
+
+_CKPT_GROUPS = [
+    (1, "kind", "string", False),
+    (2, "bufs_written", "long", False),
+    (3, "bufs_written_pct", "double", False),
+    (4, "slru_buffers", "long", True),
+    (5, "segs_added", "long", False),
+    (6, "segs_removed", "long", False),
+    (7, "segs_recycled", "long", False),
+    (8, "write_secs", "double", False),
+    (9, "sync_secs", "double", False),
+    (10, "total_secs", "double", False),
+    (11, "sync_rels", "long", False),
+    (12, "longest_secs", "double", False),
+    (13, "average_secs", "double", False),
+    (14, "distance_kb", "long", False),
+    (15, "estimate_kb", "long", False),
+    (16, "lsn", "optstring", True),
+    (17, "redo_lsn", "optstring", True),
+]
+
+
+def checkpoint_details(spark: SparkSession) -> DataFrame:
+    """U7 depth: the full checkpoint-complete detail vector — the
+    reference's richest numeric extraction. One prefix filter + one shared
+    regex; optional groups surface as NULL (SLRU pre-PG18, lsn pair)."""
+    lines = stitch_lines(spark).filter(
+        (
+            F.col("content").startswith("checkpoint complete")
+            | F.col("content").startswith("restartpoint complete")
+        )
+        & F.col("content").rlike(CHECKPOINT_DETAIL_RE)
+    )
+    cols: list[Column] = [F.col("pid"), F.col("seq")]
+    for gi, name, typ, optional in _CKPT_GROUPS:
+        e = F.regexp_extract(F.col("content"), CHECKPOINT_DETAIL_RE, gi)
+        if typ in ("string", "optstring"):
+            cols.append(
+                F.nullif(e, F.lit("")).alias(name) if optional else e.alias(name)
+            )
+        else:
+            e2 = F.nullif(e, F.lit("")) if optional else e
+            cols.append(e2.cast(typ).alias(name))
+    return lines.select(*cols).orderBy("pid", "seq")
+
+
+def oracle_checkpoint_details(stitched_cte: str) -> str:
+    rx = _sql_quote(CHECKPOINT_DETAIL_RE)
+    names = ", ".join(f"'{name}'" for _, name, _, _ in _CKPT_GROUPS)
+    cols = []
+    for _, name, typ, optional in _CKPT_GROUPS:
+        e = f"g.{name}"
+        if typ in ("string", "optstring"):
+            cols.append((f"NULLIF({e}, '') AS {name}") if optional else f"{e} AS {name}")
+        else:
+            sql_t = {"long": "BIGINT", "double": "DOUBLE"}[typ]
+            if optional:
+                e = f"NULLIF({e}, '')"
+            cols.append(f"CAST({e} AS {sql_t}) AS {name}")
+    col_sql = ",\n  ".join(cols)
+    return f"""
+WITH stitched AS ({stitched_cte}),
+matched AS (
+  SELECT pid, seq, regexp_extract(content, '{rx}', [{names}]) AS g
+  FROM stitched
+  WHERE (starts_with(content, 'checkpoint complete')
+         OR starts_with(content, 'restartpoint complete'))
+    AND regexp_matches(content, '{rx}')
+)
+SELECT pid, seq,
+  {col_sql}
+FROM matched
+ORDER BY pid, seq
+"""

@@ -157,9 +157,31 @@ RULES: list[Rule] = [
         r"^(checkpoint|restartpoint) complete: wrote ([0-9]+) buffers \(([0-9.]+)%\)",
         "CHECKPOINT_COMPLETE",
         "LOG",
+        # full completion stat vector (analyze.go:130-141): SLRU clause on
+        # PG18-style rows, transaction-log wording on old-PG rows, lsn pair
+        # on every 4th row — so u7e's optional groups exercise both paths
         "CASE WHEN event_id % 2 = 0 THEN 'checkpoint' ELSE 'restartpoint' END"
         f" || ' complete: wrote ' || {_N} || ' buffers ('"
-        " || CAST(CAST(event_id % 100 AS DECIMAL(5,1)) AS STRING) || '%)'",
+        " || CAST(CAST(event_id % 100 AS DECIMAL(5,1)) AS STRING) || '%)'"
+        " || CASE WHEN event_id % 3 = 0 THEN ', wrote '"
+        "      || CAST(event_id % 50 AS STRING) || ' SLRU buffers' ELSE '' END"
+        " || '; ' || CAST(event_id % 9 AS STRING)"
+        " || CASE WHEN event_id % 5 = 0 THEN ' transaction log file(s) added, '"
+        "         ELSE ' WAL file(s) added, ' END"
+        " || CAST(event_id % 7 AS STRING) || ' removed, '"
+        " || CAST(event_id % 11 AS STRING) || ' recycled'"
+        " || '; write=' || CAST(event_id % 300 AS STRING) || '.'"
+        " || CAST(event_id % 10 AS STRING) || ' s'"
+        " || ', sync=' || CAST(event_id % 30 AS STRING) || '.0 s'"
+        " || ', total=' || CAST(event_id % 310 AS STRING) || '.5 s'"
+        " || '; sync files=' || CAST(event_id % 120 AS STRING)"
+        " || ', longest=' || CAST(event_id % 3 AS STRING) || '.2 s'"
+        " || ', average=0.' || CAST(event_id % 10 AS STRING) || ' s'"
+        " || '; distance=' || CAST(event_id % 90000 AS STRING) || ' kB'"
+        " || ', estimate=' || CAST(event_id % 95000 AS STRING) || ' kB'"
+        " || CASE WHEN event_id % 4 = 0 THEN '; lsn=1/'"
+        "      || CAST(event_id % 100000 AS STRING) || ', redo lsn=1/'"
+        "      || CAST((event_id * 7) % 100000 AS STRING) ELSE '' END",
         num_group=2,
     ),
     Rule(

@@ -31,6 +31,8 @@ from collector_spark.logs.associate import (
 )
 from collector_spark.logs.classify import (
     autovacuum_details,
+    checkpoint_details,
+    oracle_checkpoint_details,
     classify_q,
     details_json,
     oracle_autovacuum_details,
@@ -733,6 +735,15 @@ register(
     "u6b_auto_explain_samples",
     querysample.auto_explain_samples,
     querysample.oracle_auto_explain_samples(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+# checkpoint-complete detail vector (analyze.go:1367-1407) — the
+# reference's richest numeric extraction, with PG18 SLRU + lsn optionals
+register(
+    "u7e_checkpoint_details",
+    checkpoint_details,
+    oracle_checkpoint_details(log_pipeline.oracle_stitch()),
     fixtures=["log_raw"],
 )
 
