@@ -356,3 +356,91 @@ SELECT pid, seq,
 FROM matched
 ORDER BY pid, seq
 """
+
+
+# disconnection session-time arithmetic (analyze.go:1342-1348: h*3600 +
+# m*60 + s) and lock acquisition/wait details (analyze.go:370-393)
+DISCONNECT_RE = (
+    r"^disconnection: session time: (\d+):(\d+):([\d.]+) "
+    r"user=([0-9A-Za-z_]+) database=([0-9A-Za-z_]+) host=([^ ]+)"
+)
+LOCK_RE = (
+    r"^process (\d+) (acquired|still waiting|avoided deadlock|"
+    r"detected deadlock while waiting)(?: for)? ([0-9A-Za-z]+) on "
+    r"([0-9A-Za-z]+)(?: [0-9(), ]+)? after ([\d.]+) ms"
+)
+
+
+def session_details(spark: SparkSession) -> DataFrame:
+    """Disconnection details: the reference folds the H:MM:SS.ss session
+    time into one seconds figure — same exactly-rounded arithmetic here
+    (integer-valued doubles times 3600/60 plus a two-decimal seconds
+    term)."""
+    lines = stitch_lines(spark).filter(
+        F.col("content").startswith("disconnection: ")
+        & F.col("content").rlike(DISCONNECT_RE)
+    )
+    g = lambda i: F.regexp_extract(F.col("content"), DISCONNECT_RE, i)  # noqa: E731
+    secs = (
+        g(1).cast("double") * 3600 + g(2).cast("double") * 60 + g(3).cast("double")
+    )
+    return lines.select(
+        "pid",
+        "seq",
+        secs.alias("session_time_secs"),
+        g(4).alias("username"),
+        g(5).alias("database_name"),
+        g(6).alias("host"),
+    ).orderBy("pid", "seq")
+
+
+def oracle_session_details(stitched_cte: str) -> str:
+    rx = _sql_quote(DISCONNECT_RE)
+    return f"""
+WITH stitched AS ({stitched_cte})
+SELECT pid, seq,
+  CAST(regexp_extract(content, '{rx}', 1) AS DOUBLE) * 3600
+    + CAST(regexp_extract(content, '{rx}', 2) AS DOUBLE) * 60
+    + CAST(regexp_extract(content, '{rx}', 3) AS DOUBLE) AS session_time_secs,
+  regexp_extract(content, '{rx}', 4) AS username,
+  regexp_extract(content, '{rx}', 5) AS database_name,
+  regexp_extract(content, '{rx}', 6) AS host
+FROM stitched
+WHERE starts_with(content, 'disconnection: ') AND regexp_matches(content, '{rx}')
+ORDER BY pid, seq
+"""
+
+
+def lock_details(spark: SparkSession) -> DataFrame:
+    """Lock acquisition/wait details: blocked pid, outcome, lock mode,
+    lock-on type, wait milliseconds — one shared regex over both the
+    LOCK_ACQUIRED and LOCK_WAITING families."""
+    lines = stitch_lines(spark).filter(
+        F.col("content").startswith("process ") & F.col("content").rlike(LOCK_RE)
+    )
+    g = lambda i: F.regexp_extract(F.col("content"), LOCK_RE, i)  # noqa: E731
+    return lines.select(
+        "pid",
+        "seq",
+        g(1).cast("int").alias("lock_pid"),
+        g(2).alias("outcome"),
+        g(3).alias("lock_mode"),
+        g(4).alias("lock_type"),
+        g(5).cast("double").alias("after_ms"),
+    ).orderBy("pid", "seq")
+
+
+def oracle_lock_details(stitched_cte: str) -> str:
+    rx = _sql_quote(LOCK_RE)
+    return f"""
+WITH stitched AS ({stitched_cte})
+SELECT pid, seq,
+  CAST(regexp_extract(content, '{rx}', 1) AS INT) AS lock_pid,
+  regexp_extract(content, '{rx}', 2) AS outcome,
+  regexp_extract(content, '{rx}', 3) AS lock_mode,
+  regexp_extract(content, '{rx}', 4) AS lock_type,
+  CAST(regexp_extract(content, '{rx}', 5) AS DOUBLE) AS after_ms
+FROM stitched
+WHERE starts_with(content, 'process ') AND regexp_matches(content, '{rx}')
+ORDER BY pid, seq
+"""

@@ -32,7 +32,11 @@ from collector_spark.logs.associate import (
 from collector_spark.logs.classify import (
     autovacuum_details,
     checkpoint_details,
+    lock_details,
     oracle_checkpoint_details,
+    oracle_lock_details,
+    oracle_session_details,
+    session_details,
     classify_q,
     details_json,
     oracle_autovacuum_details,
@@ -744,6 +748,21 @@ register(
     "u7e_checkpoint_details",
     checkpoint_details,
     oracle_checkpoint_details(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+# disconnection session-time fold + lock wait/acquire details
+register(
+    "u7f_session_details",
+    session_details,
+    oracle_session_details(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+register(
+    "u7g_lock_details",
+    lock_details,
+    oracle_lock_details(log_pipeline.oracle_stitch()),
     fixtures=["log_raw"],
 )
 
