@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from collector_spark.logs.rules import sample_case
+from collector_spark.logs.rules import RULES, rule_index, sample_case
 
 # ---------------------------------------------------------------------------
 # F1 — statement_stats snapshots (pg_stat_statements shape)
@@ -343,6 +343,31 @@ FROM events
 DISK_SNAP1 = _DISK_AGG + " WHERE event_id % 10 < 6 GROUP BY 1"
 DISK_SNAP2 = _DISK_AGG + " GROUP BY 1"
 
+# network interface counters (gopsutil net.IOCounters shape,
+# input/system/selfhosted/system.go:164-180): includes 'lo' and an
+# all-zero interface so the scan-time drop filters are exercised
+_NET_AGG = """
+SELECT
+  CASE CAST(user_id % 4 AS INT)
+    WHEN 0 THEN 'eth0' WHEN 1 THEN 'eth1'
+    WHEN 2 THEN 'lo' ELSE 'docker0' END AS interface,
+  CAST(SUM(CASE WHEN user_id % 4 = 3 THEN 0 ELSE event_id % 1500 END) * 64 AS BIGINT) AS bytes_recv,
+  CAST(SUM(CASE WHEN user_id % 4 = 3 THEN 0 ELSE event_id % 900 END) * 64 AS BIGINT)  AS bytes_sent
+FROM events
+"""
+
+NET_SNAP1 = _NET_AGG + " WHERE event_id % 10 < 6 GROUP BY 1"
+NET_SNAP2 = _NET_AGG + " GROUP BY 1"
+
+# load-average gauges (gopsutil load.Avg shape, system.go:75-82)
+LOAD_STATE = """
+SELECT CAST(COUNT(*) % 400 AS DOUBLE) / 100.0 AS loadavg_1min,
+       CAST(COUNT(*) % 300 AS DOUBLE) / 100.0 AS loadavg_5min,
+       CAST(COUNT(*) % 200 AS DOUBLE) / 100.0 AS loadavg_15min,
+       CAST(MAX(user_id) % 64 + 1 AS INT)     AS cpu_count
+FROM events
+"""
+
 # ---------------------------------------------------------------------------
 # F6 — log_raw: the raw log-line stream
 #
@@ -370,6 +395,9 @@ def _log_raw_sql(dialect: str) -> str:
         " || ',db=db_' || CAST(user_id % 5 AS STRING)"
         " || ',app=app-' || CAST(user_id % 7 AS STRING) || '] '"
     )
+    n_rules = len(RULES)
+    lock_wait_idx = rule_index("LOCK_WAITING")
+    deadlock_idx = rule_index("DEADLOCK_DETECTED")
     return f"""
 SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
        event_id * 10 AS seq,
@@ -401,6 +429,52 @@ SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
        event_id * 10 + 1 AS seq,
        chr(9) || 'continuation detail line ' || CAST(event_id AS STRING) AS raw_line
 FROM events WHERE event_type = 'view' AND user_id % 5 = 0
+
+UNION ALL
+
+-- lock-wait DETAIL secondary (lockWait.detail, analyze.go:380-383):
+-- holder/waiter pid lists for events whose primary is the LOCK_WAITING family
+SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
+       event_id * 10 + 2 AS seq,
+       {prefix} || 'DETAIL:  Processes holding the lock: '
+       || CAST(1000 + event_id % 150 AS STRING) || ', '
+       || CAST(1000 + (event_id + 7) % 150 AS STRING)
+       || '. Wait queue: ' || CAST(1000 + (event_id + 3) % 150 AS STRING) || '.'
+       AS raw_line
+FROM events WHERE event_id % {n_rules} = {lock_wait_idx}
+
+UNION ALL
+
+-- deadlock DETAIL + unprefixed continuations (deadlock.detail,
+-- analyze.go:385-397): the multi-line participant block the reference
+-- scans with its (?m) regex; waits-shaped lines first, statement last
+SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
+       event_id * 10 + 2 AS seq,
+       {prefix} || 'DETAIL:  Process ' || CAST(1000 + event_id % 150 AS STRING)
+       || ' waits for ShareLock on transaction ' || CAST(1 + event_id % 900 AS STRING)
+       || '; blocked by process ' || CAST(1000 + (event_id + 7) % 150 AS STRING) || '.'
+       AS raw_line
+FROM events WHERE event_id % {n_rules} = {deadlock_idx}
+
+UNION ALL
+
+SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
+       event_id * 10 + 3 AS seq,
+       'Process ' || CAST(1000 + (event_id + 7) % 150 AS STRING)
+       || ' waits for ShareLock on transaction ' || CAST(1 + (event_id + 11) % 900 AS STRING)
+       || '; blocked by process ' || CAST(1000 + event_id % 150 AS STRING) || '.'
+       AS raw_line
+FROM events WHERE event_id % {n_rules} = {deadlock_idx}
+
+UNION ALL
+
+SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
+       event_id * 10 + 4 AS seq,
+       'Process ' || CAST(1000 + event_id % 150 AS STRING)
+       || ': UPDATE accounts SET abalance = abalance + ' || CAST(1 + event_id % 900 AS STRING)
+       || ' WHERE aid = ' || CAST(1 + (event_id + 11) % 900 AS STRING)
+       AS raw_line
+FROM events WHERE event_id % {n_rules} = {deadlock_idx}
 """
 
 
@@ -889,6 +963,28 @@ GROUP BY file_name
 HAVING MAX(seq) % 3 <> 0
 """
 
+# ---------------------------------------------------------------------------
+# F19b — pg_read_file polling inputs (input/postgres/log_pg_read_file.go):
+# pg_ls_logdir file manifest (name, size, staleness) + persisted byte-offset
+# markers. Sizes straddle the 10 MB trailing cap so GREATEST(size-cap, prev)
+# takes both branches; some files are stale (> 2 min) and get filtered; some
+# have no marker row (first run).
+# ---------------------------------------------------------------------------
+
+PG_LOG_FILES = """
+SELECT 'postgresql-' || CAST(s_suppkey % 40 AS STRING) || '.log' AS file_name,
+  CAST(SUM(s_suppkey * 7919) % 30000000 AS BIGINT) AS size_bytes,
+  CAST(MIN(s_suppkey) % 300 AS BIGINT)             AS modified_secs_ago
+FROM supplier
+GROUP BY 1
+"""
+
+PG_PREV_OFFSETS = """
+SELECT file_name, CAST(FLOOR(size_bytes / 3) AS BIGINT) AS prev_offset
+FROM pg_log_files
+WHERE size_bytes % 5 <> 0
+"""
+
 
 # ---------------------------------------------------------------------------
 # F20 — cloud log transport envelopes (S31 receivers)
@@ -928,9 +1024,17 @@ _TR_C = "CAST(1 + event_id % 3 AS STRING)"
 
 
 def _ts_iso(dialect: str) -> str:
+    # full RFC3339 variety (the reference parses fractional seconds and
+    # numeric offsets, e.g. Heroku logplex '2024-01-01T00:00:00.000000+00:00');
+    # literal fraction/offset suffixes keep the two dialects byte-identical
     if dialect == "spark":
-        return "date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss''Z''')"
-    return "strftime(ts, '%Y-%m-%dT%H:%M:%SZ')"
+        base = "date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss')"
+    else:
+        base = "strftime(ts, '%Y-%m-%dT%H:%M:%S')"
+    return (
+        f"({base} || CASE CAST(event_id % 3 AS INT)"
+        " WHEN 0 THEN 'Z' WHEN 1 THEN '.250000Z' ELSE '+00:00' END)"
+    )
 
 
 def _ts_log(dialect: str) -> str:
@@ -1092,6 +1196,28 @@ HAVING COUNT(*) = 2
 """
 
 
+def _docker_lines_sql(dialect: str) -> str:
+    # docker-logs tail frames (input/system/selfhosted/logs.go:401-434):
+    # raw postgres stderr lines — PG-prefixed primaries, tab continuations,
+    # and non-postgres container noise the downstream parser leaves UNKNOWN
+    ts_log = _ts_log(dialect)
+    prefix = (
+        f"{ts_log} || ' [' || {_TR_PID} || ']'"
+        " || ' [user=u' || CAST(user_id % 50 AS STRING)"
+        " || ',db=db_' || CAST(user_id % 5 AS STRING)"
+        " || ',app=app-' || CAST(user_id % 7 AS STRING) || '] '"
+    )
+    return f"""
+SELECT event_id AS line_id,
+  CASE
+    WHEN event_id % 19 = 0 THEN 'container boot noise ' || CAST(event_id AS STRING)
+    WHEN event_id % 7 = 0 THEN chr(9) || 'continuation detail ' || CAST(event_id AS STRING)
+    ELSE {prefix} || 'LOG:  ' || {_TR_MSG}
+  END AS line
+FROM events
+"""
+
+
 def _otel_records_sql(dialect: str) -> str:
     ts_log = _ts_log(dialect)
     # process_id/session_line_num alternate int and string JSON encodings —
@@ -1165,6 +1291,9 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "cpu_snap2": CPU_SNAP2,
     "disk_snap1": DISK_SNAP1,
     "disk_snap2": DISK_SNAP2,
+    "net_snap1": NET_SNAP1,
+    "net_snap2": NET_SNAP2,
+    "load_state": LOAD_STATE,
     "func_snap1": FUNC_SNAP1,
     "func_snap2": FUNC_SNAP2,
     "standby_rows": STANDBY_ROWS,
@@ -1199,6 +1328,12 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "mem_state": MEM_STATE,
     "rds_portions": RDS_PORTIONS,
     "rds_prev_markers": RDS_PREV_MARKERS,
+    "pg_log_files": PG_LOG_FILES,
+    "pg_prev_offsets": PG_PREV_OFFSETS,
+    "docker_lines": {
+        "spark": _docker_lines_sql("spark"),
+        "duckdb": _docker_lines_sql("duckdb"),
+    },
     "syslog_frames": {
         "spark": _syslog_frames_sql("spark"),
         "duckdb": _syslog_frames_sql("duckdb"),

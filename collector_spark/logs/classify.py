@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from collector_spark.logs.associate import associate_secondaries
 from collector_spark.logs.rules import RULES, Rule
 from collector_spark.logs.stitch import stitch_lines
 
@@ -411,36 +412,303 @@ ORDER BY pid, seq
 """
 
 
+# pg_locks.locktype normalization the reference applies to the WAIT family
+# only (analyze.go:1483-1490) — acquired lines keep the raw log token
+_LOCK_TYPE_MAP = (
+    ("extension", "extend"),
+    ("transaction", "transactionid"),
+    ("virtual", "virtualxid"),
+)
+
+
 def lock_details(spark: SparkSession) -> DataFrame:
     """Lock acquisition/wait details: blocked pid, outcome, lock mode,
     lock-on type, wait milliseconds — one shared regex over both the
-    LOCK_ACQUIRED and LOCK_WAITING families."""
+    LOCK_ACQUIRED and LOCK_WAITING families. Wait-family lock types are
+    remapped to pg_locks.locktype names (analyze.go:1483-1490); acquired
+    rows pass through unmapped, as in the reference's lockAcquired branch."""
     lines = stitch_lines(spark).filter(
         F.col("content").startswith("process ") & F.col("content").rlike(LOCK_RE)
     )
     g = lambda i: F.regexp_extract(F.col("content"), LOCK_RE, i)  # noqa: E731
+    raw_type = g(4)
+    mapped = raw_type
+    for src, dst in reversed(_LOCK_TYPE_MAP):
+        mapped = F.when(raw_type == src, F.lit(dst)).otherwise(mapped)
+    lock_type = F.when(g(2) == "acquired", raw_type).otherwise(mapped)
     return lines.select(
         "pid",
         "seq",
         g(1).cast("int").alias("lock_pid"),
         g(2).alias("outcome"),
         g(3).alias("lock_mode"),
-        g(4).alias("lock_type"),
+        lock_type.alias("lock_type"),
         g(5).cast("double").alias("after_ms"),
     ).orderBy("pid", "seq")
 
 
 def oracle_lock_details(stitched_cte: str) -> str:
     rx = _sql_quote(LOCK_RE)
+    remap = " ".join(
+        f"WHEN '{src}' THEN '{dst}'" for src, dst in _LOCK_TYPE_MAP
+    )
     return f"""
 WITH stitched AS ({stitched_cte})
 SELECT pid, seq,
   CAST(regexp_extract(content, '{rx}', 1) AS INT) AS lock_pid,
   regexp_extract(content, '{rx}', 2) AS outcome,
   regexp_extract(content, '{rx}', 3) AS lock_mode,
-  regexp_extract(content, '{rx}', 4) AS lock_type,
+  CASE WHEN regexp_extract(content, '{rx}', 2) = 'acquired'
+       THEN regexp_extract(content, '{rx}', 4)
+       ELSE CASE regexp_extract(content, '{rx}', 4) {remap}
+            ELSE regexp_extract(content, '{rx}', 4) END
+  END AS lock_type,
   CAST(regexp_extract(content, '{rx}', 5) AS DOUBLE) AS after_ms
 FROM stitched
 WHERE starts_with(content, 'process ') AND regexp_matches(content, '{rx}')
 ORDER BY pid, seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Temp-file, connection, deadlock-participant, and lock-queue detail
+# extraction (analyze.go:1960-1968, :1321-1337, :1517-1529, :1498-1514).
+# ---------------------------------------------------------------------------
+
+TEMPFILE_RE = r'^temporary file: path "(.+?)", size (\d+)'
+
+
+def tempfile_details(spark: SparkSession) -> DataFrame:
+    """Temp-file details (analyze.go:1960-1968): file path + byte size from
+    SERVER_TEMP_FILE_CREATED lines."""
+    lines = stitch_lines(spark).filter(
+        F.col("content").startswith("temporary file: path ")
+        & F.col("content").rlike(TEMPFILE_RE)
+    )
+    g = lambda i: F.regexp_extract(F.col("content"), TEMPFILE_RE, i)  # noqa: E731
+    return lines.select(
+        "pid",
+        "seq",
+        g(1).alias("file"),
+        g(2).cast("long").alias("size"),
+    ).orderBy("pid", "seq")
+
+
+def oracle_tempfile_details(stitched_cte: str) -> str:
+    rx = _sql_quote(TEMPFILE_RE)
+    return f"""
+WITH stitched AS ({stitched_cte})
+SELECT pid, seq,
+  regexp_extract(content, '{rx}', 1) AS file,
+  CAST(regexp_extract(content, '{rx}', 2) AS BIGINT) AS size
+FROM stitched
+WHERE starts_with(content, 'temporary file: path ') AND regexp_matches(content, '{rx}')
+ORDER BY pid, seq
+"""
+
+
+CONN_RECEIVED_RE = r"^connection received: host=([^ ]+)( port=[0-9]+)?"
+CONN_AUTHORIZED_RE = (
+    r"^connection authorized: user=[0-9A-Za-z_]+( database=[0-9A-Za-z_]+)?"
+    r"( application_name=.+?)?"
+    r"( SSL enabled \(protocol=([0-9A-Za-z.]+), cipher=[0-9A-Za-z-]+,"
+    r" compression=[0-9A-Za-z]+\))?$"
+)
+
+
+def connection_details(spark: SparkSession) -> DataFrame:
+    """Connection received/authorized details (analyze.go:1321-1337): the
+    reference emits host for CONNECTION_RECEIVED and ssl_protocol (when the
+    SSL clause is present) for CONNECTION_AUTHORIZED. One row per matching
+    line with the kind discriminator; absent details are NULL."""
+    lines = stitch_lines(spark).filter(
+        F.col("content").startswith("connection received: ")
+        | F.col("content").startswith("connection authorized: ")
+    )
+    received = F.col("content").rlike(CONN_RECEIVED_RE)
+    authorized = F.col("content").rlike(CONN_AUTHORIZED_RE)
+    host = F.regexp_extract(F.col("content"), CONN_RECEIVED_RE, 1)
+    ssl = F.regexp_extract(F.col("content"), CONN_AUTHORIZED_RE, 4)
+    return (
+        lines.filter(received | authorized)
+        .select(
+            "pid",
+            "seq",
+            F.when(received, F.lit("received")).otherwise(F.lit("authorized")).alias("kind"),
+            F.when(received, F.nullif(host, F.lit(""))).alias("host"),
+            F.when(~received, F.nullif(ssl, F.lit(""))).alias("ssl_protocol"),
+        )
+        .orderBy("pid", "seq")
+    )
+
+
+def oracle_connection_details(stitched_cte: str) -> str:
+    rrx = _sql_quote(CONN_RECEIVED_RE)
+    arx = _sql_quote(CONN_AUTHORIZED_RE)
+    return f"""
+WITH stitched AS ({stitched_cte}),
+conn AS (
+  SELECT pid, seq, content,
+    regexp_matches(content, '{rrx}') AS received,
+    regexp_matches(content, '{arx}') AS authorized
+  FROM stitched
+  WHERE starts_with(content, 'connection received: ')
+     OR starts_with(content, 'connection authorized: ')
+)
+SELECT pid, seq,
+  CASE WHEN received THEN 'received' ELSE 'authorized' END AS kind,
+  CASE WHEN received THEN NULLIF(regexp_extract(content, '{rrx}', 1), '') END AS host,
+  CASE WHEN NOT received
+       THEN NULLIF(regexp_extract(content, '{arx}', 4), '') END AS ssl_protocol
+FROM conn
+WHERE received OR authorized
+ORDER BY pid, seq
+"""
+
+
+# deadlock participant block (deadlock.detail, analyze.go:392-393): the
+# (?m) scan over the stitched DETAIL content; group 1 = participant pid per
+# matched line, group 2 = the statement when the line is statement-shaped
+DEADLOCK_DETAIL_RE = (
+    r"(?m)^Process (\d+)"
+    r"(?: waits for \w+ on transaction \d+; blocked by process \d+.\s+|: (.+))"
+)
+
+
+def deadlock_details(spark: SparkSession) -> DataFrame:
+    """Deadlock participants (analyze.go:1517-1529): DETAIL secondaries of
+    'deadlock detected' primaries, scanned with the reference's multiline
+    regex; one row per matched participant line in match order (the
+    RelatedPids contract). Statement-shaped lines carry the query text."""
+    primaries = (
+        stitch_lines(spark)
+        .filter(F.col("content").startswith("deadlock detected"))
+        .select("pid", F.col("seq").alias("primary_seq"))
+    )
+    sec = associate_secondaries(spark).filter(F.col("secondary_level") == "DETAIL")
+    dl = sec.join(primaries, ["pid", "primary_seq"])
+    pids = F.regexp_extract_all("secondary_content", F.lit(DEADLOCK_DETAIL_RE), 1)
+    stmts = F.regexp_extract_all("secondary_content", F.lit(DEADLOCK_DETAIL_RE), 2)
+    pairs = F.arrays_zip(pids.alias("p"), stmts.alias("s"))
+    e = dl.select(
+        "pid", "primary_seq", "secondary_seq", F.posexplode(pairs).alias("entry_idx", "m")
+    )
+    return e.select(
+        "pid",
+        "primary_seq",
+        "secondary_seq",
+        F.col("entry_idx").cast("int").alias("entry_idx"),
+        F.col("m.p").cast("int").alias("participant_pid"),
+        F.nullif(F.col("m.s"), F.lit("")).alias("participant_query"),
+    ).orderBy("pid", "secondary_seq", "entry_idx")
+
+
+def oracle_deadlock_details(stitched_cte: str) -> str:
+    """Oracle re-derives the association window inline over the one
+    stitched CTE (avoids shadowed nested WITH names), then joins the
+    DETAIL secondaries back to 'deadlock detected' primaries."""
+    rx = _sql_quote(DEADLOCK_DETAIL_RE)
+    levels = ", ".join(f"'{lv}'" for lv in ("DETAIL", "HINT", "CONTEXT", "STATEMENT", "QUERY"))
+    return f"""
+WITH stitched AS ({stitched_cte}),
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY pid ORDER BY seq) AS rn
+  FROM stitched
+),
+tagged AS (
+  SELECT *,
+    MAX(CASE WHEN log_level NOT IN ({levels}) THEN seq END)
+      OVER (PARTITION BY pid ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS primary_seq,
+    MAX(CASE WHEN log_level NOT IN ({levels}) THEN rn END)
+      OVER (PARTITION BY pid ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS primary_rn
+  FROM numbered
+),
+assoc AS (
+  SELECT pid, primary_seq, seq AS secondary_seq,
+         log_level AS secondary_level, content AS secondary_content
+  FROM tagged
+  WHERE log_level IN ({levels})
+    AND primary_rn IS NOT NULL AND rn - primary_rn <= 4
+),
+prim AS (
+  SELECT pid, seq AS primary_seq FROM stitched
+  WHERE starts_with(content, 'deadlock detected')
+),
+dl AS (
+  SELECT a.pid, a.primary_seq, a.secondary_seq, a.secondary_content
+  FROM assoc a
+  JOIN prim p ON a.pid = p.pid AND a.primary_seq = p.primary_seq
+  WHERE a.secondary_level = 'DETAIL'
+),
+exploded AS (
+  SELECT pid, primary_seq, secondary_seq,
+    unnest(regexp_extract_all(secondary_content, '{rx}', 1)) AS p,
+    unnest(regexp_extract_all(secondary_content, '{rx}', 2)) AS s,
+    CAST(generate_subscripts(regexp_extract_all(secondary_content, '{rx}', 1), 1) - 1 AS INT) AS entry_idx
+  FROM dl
+)
+SELECT pid, primary_seq, secondary_seq, entry_idx,
+  CAST(p AS INT) AS participant_pid,
+  NULLIF(s, '') AS participant_query
+FROM exploded
+ORDER BY pid, secondary_seq, entry_idx
+"""
+
+
+LOCK_QUEUE_RE = r"^Process(?:es)? holding the lock: ([\d, ]+). Wait queue: ([\d, ]+)\.?"
+
+
+def lock_queue_details(spark: SparkSession) -> DataFrame:
+    """Lock holder/waiter pid lists (lockWait.detail, analyze.go:1498-1514):
+    the DETAIL line under a lock-wait primary explodes into one row per pid
+    with its role — the reference's lock_holders/lock_waiters arrays."""
+    sec = associate_secondaries(spark).filter(
+        (F.col("secondary_level") == "DETAIL")
+        & F.col("secondary_content").rlike(LOCK_QUEUE_RE)
+    )
+    holders = F.split(
+        F.regexp_extract("secondary_content", LOCK_QUEUE_RE, 1), ", "
+    )
+    waiters = F.split(
+        F.regexp_extract("secondary_content", LOCK_QUEUE_RE, 2), ", "
+    )
+    both = sec.select(
+        "pid",
+        "primary_seq",
+        "secondary_seq",
+        F.explode(
+            F.concat(
+                F.transform(holders, lambda x: F.struct(F.lit("holder").alias("role"), x.alias("v"))),
+                F.transform(waiters, lambda x: F.struct(F.lit("waiter").alias("role"), x.alias("v"))),
+            )
+        ).alias("e"),
+    )
+    return both.select(
+        "pid",
+        "primary_seq",
+        "secondary_seq",
+        F.col("e.role").alias("role"),
+        F.col("e.v").cast("int").alias("member_pid"),
+    ).orderBy("pid", "secondary_seq", "role", "member_pid")
+
+
+def oracle_lock_queue_details(associated_cte: str) -> str:
+    rx = _sql_quote(LOCK_QUEUE_RE)
+    return f"""
+WITH assoc AS ({associated_cte}),
+ql AS (
+  SELECT pid, primary_seq, secondary_seq,
+    string_split(regexp_extract(secondary_content, '{rx}', 1), ', ') AS holders,
+    string_split(regexp_extract(secondary_content, '{rx}', 2), ', ') AS waiters
+  FROM assoc
+  WHERE secondary_level = 'DETAIL' AND regexp_matches(secondary_content, '{rx}')
+),
+members AS (
+  SELECT pid, primary_seq, secondary_seq, 'holder' AS role, unnest(holders) AS v FROM ql
+  UNION ALL
+  SELECT pid, primary_seq, secondary_seq, 'waiter' AS role, unnest(waiters) AS v FROM ql
+)
+SELECT pid, primary_seq, secondary_seq, role, CAST(v AS INT) AS member_pid
+FROM members
+ORDER BY pid, secondary_seq, role, member_pid
 """

@@ -33,3 +33,7 @@ def oracle_redact() -> str:
 
 def oracle_marker_spans() -> str:
     return redact.oracle_marker_spans(oracle_associate())
+
+
+def oracle_redact_markers_json() -> str:
+    return redact.oracle_redact_markers_json(oracle_associate())

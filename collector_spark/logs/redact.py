@@ -167,6 +167,83 @@ ORDER BY pid, secondary_seq
 """
 
 
+def redact_markers_json_q(spark: SparkSession) -> DataFrame:
+    """Driver-facing rendering of ``redact_with_markers``: the
+    array<struct> marker column serialized with ``to_json`` so the result
+    is all-scalar (the driver's pandas canonicalizer cannot factorize
+    array cells). Same rows, same marker math — only the rendering
+    differs; the struct form stays available for pipeline composition."""
+    df = redact_with_markers(spark)
+    return df.select(
+        "pid",
+        "primary_seq",
+        "secondary_seq",
+        "secondary_level",
+        F.to_json("markers").alias("markers_json"),
+        "redacted_content",
+    ).orderBy("pid", "secondary_seq")
+
+
+def oracle_redact_markers_json(associated_cte: str) -> str:
+    """Oracle for the JSON rendering: the quote-pair span derivation from
+    ``oracle_marker_spans`` (hash-verified in r3), aggregated per line into
+    the exact ``to_json`` byte layout, left-joined onto the redaction
+    CASE. Lines with no spans render '[]' (to_json of an empty array)."""
+    rx = _SECRET_RE.replace("'", "''")
+    span_json = (
+        "'{\"byte_start\":' || byte_start || ',\"byte_end\":' || byte_end"
+        " || ',\"kind\":\"statement_text\"}'"
+    )
+    return f"""
+WITH assoc AS ({associated_cte}),
+needs AS (
+  SELECT pid, primary_seq, secondary_seq, secondary_level,
+         secondary_content AS content
+  FROM assoc
+  WHERE secondary_level IN ('STATEMENT', 'DETAIL') AND secondary_content IS NOT NULL
+),
+segs AS (
+  SELECT pid, secondary_seq,
+         unnest(string_split(content, '''')) AS seg,
+         CAST(generate_subscripts(string_split(content, ''''), 1) AS INT) AS ord
+  FROM needs
+),
+qpos AS (
+  SELECT pid, secondary_seq, ord,
+    CAST(SUM(len(seg)) OVER (PARTITION BY pid, secondary_seq ORDER BY ord
+         ROWS UNBOUNDED PRECEDING) + ord - 1 AS INT) AS quote_pos,
+    CAST(COUNT(*) OVER (PARTITION BY pid, secondary_seq) AS INT) AS nsegs
+  FROM segs
+),
+quotes AS (
+  SELECT *, LEAD(quote_pos) OVER (PARTITION BY pid, secondary_seq ORDER BY ord)
+            AS next_pos
+  FROM qpos WHERE ord <= nsegs - 1
+),
+spans AS (
+  SELECT pid, secondary_seq,
+    CAST((ord - 1) / 2 AS INT) AS marker_idx,
+    quote_pos AS byte_start,
+    next_pos + 1 AS byte_end
+  FROM quotes
+  WHERE ord % 2 = 1 AND next_pos IS NOT NULL
+),
+mjson AS (
+  SELECT pid, secondary_seq,
+    '[' || string_agg({span_json}, ',' ORDER BY marker_idx) || ']' AS markers_json
+  FROM spans GROUP BY pid, secondary_seq
+)
+SELECT a.pid, a.primary_seq, a.secondary_seq, a.secondary_level,
+  COALESCE(m.markers_json, '[]') AS markers_json,
+  CASE WHEN a.secondary_level IN ('STATEMENT', 'DETAIL')
+       THEN regexp_replace(a.secondary_content, '{rx}', '[redacted]', 'g')
+       ELSE a.secondary_content END AS redacted_content
+FROM assoc a
+LEFT JOIN mjson m ON a.pid = m.pid AND a.secondary_seq = m.secondary_seq
+ORDER BY a.pid, a.secondary_seq
+"""
+
+
 def marker_spans_q(spark: SparkSession) -> DataFrame:
     """Flattened marker spans: one row per redaction marker, exposing the
     byte_start/byte_end/kind fields as hashable scalars so the driver can

@@ -216,7 +216,11 @@ RULES: list[Rule] = [
         r"^connection authorized: user=[0-9A-Za-z_]+( database=[0-9A-Za-z_]+)?",
         "CONNECTION_AUTHORIZED",
         "LOG",
-        f"'connection authorized: user=u' || {_UID} || ' database=db_' || {_DB}",
+        f"'connection authorized: user=u' || {_UID} || ' database=db_' || {_DB}"
+        " || CASE WHEN event_id % 3 = 0 THEN ' SSL enabled (protocol=TLSv1.'"
+        " || CAST(2 + event_id % 2 AS STRING)"
+        " || ', cipher=ECDHE-RSA-AES256-GCM-SHA384, compression=off)'"
+        " ELSE '' END",
     ),
     Rule(
         "connection authenticated: ",
@@ -1037,6 +1041,17 @@ RULES: list[Rule] = [
         text_group=1,
     ),
 ]
+
+
+def rule_index(classification: str) -> int:
+    """Position of the (unique-classification) rule in RULES — the fixture
+    emits family ``i`` for events with event_id % len(RULES) == i, so
+    secondary-line fixtures key off this to attach family-correct DETAIL
+    rows (deadlock participants, lock queues)."""
+    for i, r in enumerate(RULES):
+        if r.classification == classification:
+            return i
+    raise KeyError(classification)
 
 
 def sample_case(level_expr_prefix: str = "") -> str:

@@ -82,7 +82,7 @@ def syslog_items_df(frames: DataFrame) -> DataFrame:
     content = F.when(mm_n != "", F.regexp_extract(msg, _MSG_MARKER, 3)).otherwise(msg)
     return frames.select(
         "frame_id",
-        F.when(framed, F.to_timestamp(ts_s, "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        F.when(framed, F.try_to_timestamp(ts_s))
         .otherwise(F.lit(None))
         .alias("occurred_at"),
         F.when(framed, F.regexp_extract(line, _RFC5424, 2).cast("int"))
@@ -99,7 +99,7 @@ def oracle_syslog_items() -> str:
     rfc = _RFC5424
     body = f"""
 SELECT frame_id,
-  CASE WHEN ts_s <> '' THEN strptime(ts_s, '%Y-%m-%dT%H:%M:%SZ') END AS occurred_at,
+  CASE WHEN ts_s <> '' THEN CAST(TRY_CAST(ts_s AS TIMESTAMPTZ) AS TIMESTAMP) END AS occurred_at,
   CASE WHEN ts_s <> '' THEN CAST(regexp_extract(line, '{rfc}', 2) AS INT) END AS backend_pid,
   CAST(NULLIF(CASE WHEN mm_n <> '' THEN mm_n
        WHEN regexp_extract(sd, '{_SD_MARKER}', 1) <> '' THEN regexp_extract(sd, '{_SD_MARKER}', 1) END, '') AS INT) AS log_line_number,
@@ -237,9 +237,7 @@ def heroku_items(spark: SparkSession) -> DataFrame:
         .select(
             "body_id",
             "frame_idx",
-            F.to_timestamp("header_timestamp", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
-                "occurred_at"
-            ),
+            F.try_to_timestamp(F.col("header_timestamp")).alias("occurred_at"),
             pid.cast("int").alias("backend_pid"),
             F.regexp_extract("content", _HEROKU_LINE, 2)
             .cast("int")
@@ -259,7 +257,7 @@ def oracle_heroku_items() -> str:
     body = f"""
 WITH RECURSIVE {_HEROKU_SPLIT_CTE}
 SELECT body_id, frame_idx,
-  strptime(header_timestamp, '%Y-%m-%dT%H:%M:%SZ') AS occurred_at,
+  CAST(TRY_CAST(header_timestamp AS TIMESTAMPTZ) AS TIMESTAMP) AS occurred_at,
   CAST(regexp_extract(proc_id, '^postgres\\.(\\d+)$', 1) AS INT) AS backend_pid,
   CAST(regexp_extract(content, '{line}', 2) AS INT) AS log_line_number,
   CAST(regexp_extract(content, '{line}', 3) AS INT) AS log_line_chunk,
@@ -377,7 +375,7 @@ def gcp_items(spark: SparkSession) -> DataFrame:
         df.filter(is_cloudsql | is_alloydb)
         .select(
             "msg_id",
-            F.to_timestamp("ts_s", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("occurred_at"),
+            F.try_to_timestamp(F.col("ts_s")).alias("occurred_at"),
             F.when(is_cloudsql, F.split(db_id, ":").getItem(0))
             .otherwise(F.col("mlabels").getItem("CONSUMER_PROJECT"))
             .alias("project_id"),
@@ -395,7 +393,7 @@ def gcp_items(spark: SparkSession) -> DataFrame:
 def oracle_gcp_items() -> str:
     body = """
 SELECT msg_id,
-  strptime(json_extract_string(payload, '$.timestamp'), '%Y-%m-%dT%H:%M:%SZ') AS occurred_at,
+  CAST(TRY_CAST(json_extract_string(payload, '$.timestamp') AS TIMESTAMPTZ) AS TIMESTAMP) AS occurred_at,
   CASE WHEN is_cloudsql THEN split_part(db_id, ':', 1)
        ELSE json_extract_string(payload, '$.labels.CONSUMER_PROJECT') END AS project_id,
   CASE WHEN is_cloudsql THEN split_part(db_id, ':', 2) END AS instance_id,
@@ -496,7 +494,10 @@ def azure_items(spark: SparkSession) -> DataFrame:
             F.concat(F.col("r.properties.prefix"), level, F.lit(":  "), repaired),
         )
         .when(
-            cosmos,
+            # gate on the prefix shape: the reference only splices the level
+            # in when GetPrefixAndContent succeeds (azure/logs.go
+            # ParseRecordToLogLines); otherwise the message passes through
+            cosmos & msg.rlike(_COSMOS_PREFIX),
             F.concat(
                 F.regexp_extract(msg, _COSMOS_PREFIX, 1),
                 level,
@@ -513,7 +514,7 @@ def azure_items(spark: SparkSession) -> DataFrame:
         "batch_id",
         "rec_idx",
         server_name.alias("server_name"),
-        F.to_timestamp("r.time", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("occurred_at"),
+        F.try_to_timestamp(F.col("r.time")).alias("occurred_at"),
         level.alias("log_level"),
         content.alias("content"),
         F.col("r.properties.detail").alias("detail"),
@@ -572,7 +573,7 @@ typed AS (
 shaped AS (
   SELECT batch_id, rec_idx,
     CASE WHEN rtype = 'servers' THEN lsn ELSE last_part END AS server_name,
-    strptime(time_s, '%Y-%m-%dT%H:%M:%SZ') AS occurred_at,
+    CAST(TRY_CAST(time_s AS TIMESTAMPTZ) AS TIMESTAMP) AS occurred_at,
     lvl AS log_level,
     CASE
       WHEN rtype = 'servers' THEN prefix || lvl || ':  ' ||
@@ -580,7 +581,7 @@ shaped AS (
           '{_CONN_RECEIVED}', '\\1'),
           '{_CONN_AUTHORIZED}', '\\1 \\2'),
           '{_CKPT_COMPLETE}', '\\1\\2')
-      WHEN rtype = 'servergroupsv2' THEN
+      WHEN rtype = 'servergroupsv2' AND regexp_matches(msg, '{_COSMOS_PREFIX}') THEN
         regexp_extract(msg, '{_COSMOS_PREFIX}', 1) || lvl || ':  ' ||
         regexp_extract(msg, '{_COSMOS_PREFIX}', 2)
       ELSE msg
@@ -717,6 +718,64 @@ SELECT backend_pid AS pid, frame_id AS seq, 'LOG' AS log_level, content
 FROM ({inner}) s WHERE framed
 """
     return oracle_classify(shaped)
+
+
+# ---------------------------------------------------------------------------
+# Docker log tail (selfhosted/logs.go:401-434)
+# ---------------------------------------------------------------------------
+
+
+def docker_items(spark: SparkSession) -> DataFrame:
+    """Docker-tailed container lines -> pre-parse stream items. The
+    reference pipes ``docker logs -f --tail 0`` straight into the standard
+    per-line prefix parser (setupLogTransformer, selfhosted/logs.go:449-470)
+    — no envelope, so the normalizer IS the prefix parse: PG-prefixed lines
+    yield (occurred_at_text, backend_pid, log_level, content); container
+    noise and tab continuations stay UNKNOWN with raw content, for the
+    stitcher to fold or drop downstream."""
+    return docker_items_df(spark.table("docker_lines")).orderBy("line_id")
+
+
+def docker_items_df(frames: DataFrame) -> DataFrame:
+    from collector_spark.logs.parse import _MARK, _SEP, PARSE_GROUPS, PARSE_REGEX
+
+    # single-pass rewrite, same trick as parse_df: one regex evaluation per
+    # tailed line (the hottest per-row path); docker lines carry no outer
+    # pid column, so the [%p] prefix group supplies backend_pid
+    replacement = _MARK + "".join(f"{_SEP}${i + 1}" for i in range(len(PARSE_GROUPS)))
+    rewritten = F.regexp_replace(F.col("line"), PARSE_REGEX, replacement)
+    matched = F.startswith(rewritten, F.lit(_MARK))
+    parts = F.split(rewritten, _SEP)
+
+    def grp(name: str):
+        return F.get(parts, PARSE_GROUPS.index(name) + 1)
+
+    return frames.select(
+        "line_id",
+        F.when(matched, grp("occurred_at")).alias("occurred_at_text"),
+        F.when(matched, grp("pid").cast("int")).alias("backend_pid"),
+        F.when(matched, grp("log_level")).otherwise(F.lit("UNKNOWN")).alias("log_level"),
+        F.when(matched, grp("content")).otherwise(F.col("line")).alias("content"),
+        matched.alias("parsed"),
+    )
+
+
+def oracle_docker_items() -> str:
+    from collector_spark.logs.parse import PARSE_GROUPS, _oracle_regex
+
+    rx = _oracle_regex()
+    idx = {name: i + 1 for i, name in enumerate(PARSE_GROUPS)}
+    body = f"""
+SELECT line_id,
+  CASE WHEN regexp_matches(line, '{rx}') THEN regexp_extract(line, '{rx}', {idx['occurred_at']}) END AS occurred_at_text,
+  CASE WHEN regexp_matches(line, '{rx}') THEN CAST(regexp_extract(line, '{rx}', {idx['pid']}) AS INT) END AS backend_pid,
+  CASE WHEN regexp_matches(line, '{rx}') THEN regexp_extract(line, '{rx}', {idx['log_level']}) ELSE 'UNKNOWN' END AS log_level,
+  CASE WHEN regexp_matches(line, '{rx}') THEN regexp_extract(line, '{rx}', {idx['content']}) ELSE line END AS content,
+  regexp_matches(line, '{rx}') AS parsed
+FROM docker_lines
+ORDER BY line_id
+"""
+    return oracle_query(body, ["docker_lines"])
 
 
 def stream_syslog_classified(spark: SparkSession) -> DataFrame:

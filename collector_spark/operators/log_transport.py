@@ -93,6 +93,57 @@ def rds_download_plan(spark: SparkSession) -> DataFrame:
     )
 
 
+# trailing read cap for pg_read_file (10 MB, log_pg_read_file.go:17-24);
+# fixture-scaled so the GREATEST branch is actually exercised
+PG_READ_CAP_BYTES = 10 * 1024 * 1024
+
+
+def pg_read_file_plan(spark: SparkSession) -> DataFrame:
+    """S31 self-hosted source: the ``pg_read_file`` polling planner
+    (input/postgres/log_pg_read_file.go:15-124). Per recently-modified log
+    file (pg_ls_logdir, modified within 2 minutes) the reference reads from
+    GREATEST(size - 10MB, previous marker) for at most 10 MB and persists
+    the file's current size as the new marker. Pure projection + one
+    co-partitioned left join — the whole poll across all files/servers is
+    one map stage."""
+    files = spark.table("pg_log_files").filter(F.col("modified_secs_ago") <= 120)
+    markers = spark.table("pg_prev_offsets")
+    cap = F.lit(PG_READ_CAP_BYTES).cast("long")
+    prev = F.coalesce(F.col("prev_offset"), F.lit(0)).cast("long")
+    offset = F.greatest(F.col("size_bytes") - cap, prev)
+    read_len = F.greatest(
+        F.least(cap, F.col("size_bytes") - offset), F.lit(0).cast("long")
+    )
+    return (
+        files.join(markers, "file_name", "left")
+        .select(
+            "file_name",
+            offset.alias("read_offset"),
+            read_len.alias("read_len"),
+            (F.col("size_bytes") - prev > cap).alias("skipped_to_tail"),
+            F.col("size_bytes").alias("new_marker"),
+        )
+        .orderBy("file_name")
+    )
+
+
+def oracle_pg_read_file_plan() -> str:
+    cap = PG_READ_CAP_BYTES
+    return f"""
+SELECT f.file_name,
+  GREATEST(f.size_bytes - {cap}, COALESCE(m.prev_offset, 0)) AS read_offset,
+  GREATEST(LEAST(CAST({cap} AS BIGINT),
+           f.size_bytes - GREATEST(f.size_bytes - {cap}, COALESCE(m.prev_offset, 0))),
+           0) AS read_len,
+  f.size_bytes - COALESCE(m.prev_offset, 0) > {cap} AS skipped_to_tail,
+  f.size_bytes AS new_marker
+FROM pg_log_files f
+LEFT JOIN pg_prev_offsets m USING (file_name)
+WHERE f.modified_secs_ago <= 120
+ORDER BY f.file_name
+"""
+
+
 def oracle_rds_download_plan() -> str:
     cap = MAX_KEEP_BYTES
     return f"""

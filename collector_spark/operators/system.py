@@ -74,6 +74,68 @@ FROM ({inner}) d ORDER BY device
 """
 
 
+NET_COUNTERS = ["bytes_recv", "bytes_sent"]
+
+
+def net_rates(spark: SparkSession) -> DataFrame:
+    """S32 (network rates): per-interface byte-counter deltas folded into
+    per-second throughput (input/system/selfhosted/system.go:164-180 scan,
+    state/system.go:350-355 DiffSince). The reference drops 'lo' and
+    all-zero interfaces at scan time and divides the delta by the interval
+    in integer math (uint64) — mirrored with an explicit floor."""
+    cur = spark.table("net_snap2").filter(
+        (F.col("interface") != "lo")
+        & ~((F.col("bytes_recv") == 0) & (F.col("bytes_sent") == 0))
+    )
+    d = diff_counters(cur, spark.table("net_snap1"), ["interface"], NET_COUNTERS)
+    per_sec = lambda c: F.floor(  # noqa: E731
+        F.col(c).cast("double") / INTERVAL_SECS
+    ).cast("long")
+    return d.select(
+        "interface",
+        per_sec("bytes_recv").alias("receive_bytes_per_sec"),
+        per_sec("bytes_sent").alias("transmit_bytes_per_sec"),
+    ).orderBy("interface")
+
+
+def oracle_net_rates() -> str:
+    cur = (
+        "SELECT * FROM net_snap2 WHERE interface <> 'lo'"
+        " AND NOT (bytes_recv = 0 AND bytes_sent = 0)"
+    )
+    inner = oracle_diff_sql(f"({cur})", "net_snap1", ["interface"], NET_COUNTERS)
+    return f"""
+SELECT interface,
+  CAST(FLOOR(CAST(bytes_recv AS DOUBLE) / {INTERVAL_SECS}) AS BIGINT) AS receive_bytes_per_sec,
+  CAST(FLOOR(CAST(bytes_sent AS DOUBLE) / {INTERVAL_SECS}) AS BIGINT) AS transmit_bytes_per_sec
+FROM ({inner}) d ORDER BY interface
+"""
+
+
+def load_scan(spark: SparkSession) -> DataFrame:
+    """S32 (scheduler gauges): 1/5/15-minute load averages passed through
+    as gauges (system.go:75-82) plus the per-core normalization the
+    dashboards derive."""
+    s = spark.table("load_state")
+    return s.select(
+        "loadavg_1min",
+        "loadavg_5min",
+        "loadavg_15min",
+        "cpu_count",
+        (F.col("loadavg_1min") / F.col("cpu_count").cast("double")).alias(
+            "load_per_core_1min"
+        ),
+    )
+
+
+def oracle_load_scan() -> str:
+    return """
+SELECT loadavg_1min, loadavg_5min, loadavg_15min, cpu_count,
+  loadavg_1min / CAST(cpu_count AS DOUBLE) AS load_per_core_1min
+FROM load_state
+"""
+
+
 def memory_scan(spark: SparkSession) -> DataFrame:
     """S32 (memory gauges): /proc meminfo-shaped projection
     (input/system/selfhosted/system.go:30-117) — used/available derived

@@ -49,6 +49,10 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     _ACTIVE_DIR[id(spark)] = sf_dir
     if key in _PREPARED:
         return
+    # normalize-to-UTC ingest contract (session.py builder pins the same;
+    # driver-supplied sessions arrive unpinned): offset-aware timestamp
+    # parsing (RFC3339 transports) must resolve in UTC on both engines
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     tables.register_views(spark, sf_dir)
     register_fixture_views(spark)
     # Materialize the heaviest fixture derivation once per input dir: the

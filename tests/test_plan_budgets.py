@@ -34,9 +34,12 @@ BUDGETS = {
     "activity_snapshot": (30, ["BroadcastHashJoin"]),
     # relation megascan: anti/equi joins on tiny sets broadcast
     "s10_relation_scan": (34, ["BroadcastHashJoin"]),
-    "log_parse": (7, []),
-    "w3_log_stitch": (8, []),
-    "u7_log_classify": (8, []),
+    # the printed plan embeds the pinned log_raw InMemoryRelation subtree:
+    # 8 fixture union branches (deadlock/lock-queue DETAIL rows added in r4),
+    # each with its one materialization-time repartition — not per-query work
+    "log_parse": (11, []),
+    "w3_log_stitch": (12, []),
+    "u7_log_classify": (12, []),
 }
 
 
