@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from collector_spark.core.diff import diff_counters, oracle_diff_sql
 from collector_spark.functions.fingerprint import (
+    FP_UNAVAILABLE,
     fingerprint,
     is_collector_query,
     normalize_query,
@@ -85,10 +86,30 @@ def statement_rollup(spark: SparkSession) -> DataFrame:
     # KEYS from its own join, so Catalyst reuses that exchange here and the
     # text join costs one shuffle of the texts side only; AQE may still
     # choose a broadcast at runtime when texts is genuinely small.
-    j = d.join(texts, on=KEYS, how="left")
+    # The fingerprint/normalize chain is ~10 regexp passes over the full
+    # query text — by far the most expensive scalar work in the pipeline.
+    # Many query_ids share one text (the rollup's whole point), so compute
+    # it once per DISTINCT text and map back, instead of once per joined
+    # row (r3 bench showed the per-row form regressing a2 by 43% after the
+    # repair/IN-collapse passes were added; the distinct set is ~6x smaller
+    # than the fact at every measured SF). The map-back join keys on the
+    # text itself — at scale both sides hash-partition on query_text and
+    # the distinct side is the post-aggregation (small) one.
+    fp_lookup = (
+        texts.select("query_text")
+        .distinct()
+        .select(
+            "query_text",
+            fingerprint(F.col("query_text")).alias("fingerprint"),
+            normalize_query(F.col("query_text")).alias("normalized_query"),
+        )
+    )
+    texts_fp = texts.join(fp_lookup, on="query_text", how="left")
+    j = d.join(texts_fp, on=KEYS, how="left")
     j = j.filter(~F.coalesce(is_collector_query(F.col("query_text")), F.lit(False)))
-    j = j.withColumn("fingerprint", fingerprint(F.col("query_text"))).withColumn(
-        "normalized_query", normalize_query(F.col("query_text"))
+    # rows with no text never hit the lookup: restore the sentinel group
+    j = j.withColumn(
+        "fingerprint", F.coalesce(F.col("fingerprint"), F.lit(FP_UNAVAILABLE))
     )
     group = ["database_oid", "user_oid", "fingerprint", "toplevel"]
     aggs = [

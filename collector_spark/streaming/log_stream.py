@@ -34,6 +34,7 @@ groupBy(pid) exchange, identical to the batch stitcher's.
 from __future__ import annotations
 
 import os
+import pickle
 import shutil
 import tempfile
 import uuid
@@ -44,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -79,36 +81,19 @@ OUT_SCHEMA = StructType(
     ]
 )
 
-STATE_SCHEMA = StructType(
-    [
-        StructField("seqs", StringType()),  # json-ish packed columns
-        StructField("cts", StringType()),
-        StructField("levels", StringType()),
-        StructField("users", StringType()),
-        StructField("dbs", StringType()),
-        StructField("apps", StringType()),
-        StructField("contents", StringType()),
-    ]
-)
-
-_SEP = "\x1f"
-_NULL = "\x00"
+# Buffered lines ride in ONE binary cell: pickled tuple of 7 parallel
+# lists. Replaces the r3 \x1f-packed per-column string codec — pickle
+# round-trips the lists directly (no str()/int()/split per value per
+# microbatch) and the state row stays a single Arrow binary scalar.
+STATE_SCHEMA = StructType([StructField("buf", BinaryType())])
 
 
-def _pack(vals: list) -> str:
-    return _SEP.join(_NULL if v is None else str(v) for v in vals)
+def _pack(cols: tuple) -> bytes:
+    return pickle.dumps(cols, protocol=pickle.HIGHEST_PROTOCOL)
 
 
-def _unpack(s: str, as_int: bool = False) -> list:
-    if s == "":
-        return []
-    out = []
-    for v in s.split(_SEP):
-        if v == _NULL:
-            out.append(None)
-        else:
-            out.append(int(v) if as_int else v)
-    return out
+def _unpack(b) -> tuple:
+    return pickle.loads(bytes(b))
 
 
 def _stitch_state_fn(
@@ -116,14 +101,8 @@ def _stitch_state_fn(
 ) -> Iterator[pd.DataFrame]:
     (pid,) = key
     if state.exists:
-        (p_seqs, p_cts, p_levels, p_users, p_dbs, p_apps, p_contents) = state.get
-        seqs = _unpack(p_seqs, as_int=True)
-        cts = _unpack(p_cts, as_int=True)
-        levels = _unpack(p_levels)
-        users = _unpack(p_users)
-        dbs = _unpack(p_dbs)
-        apps = _unpack(p_apps)
-        contents = _unpack(p_contents)
+        (buf,) = state.get
+        seqs, cts, levels, users, dbs, apps, contents = _unpack(buf)
     else:
         seqs, cts, levels, users, dbs, apps, contents = [], [], [], [], [], [], []
 
@@ -184,13 +163,17 @@ def _stitch_state_fn(
         flat = [i for g in keep for i in g]
         state.update(
             (
-                _pack([seqs[i] for i in flat]),
-                _pack([cts[i] for i in flat]),
-                _pack([levels[i] for i in flat]),
-                _pack([users[i] for i in flat]),
-                _pack([dbs[i] for i in flat]),
-                _pack([apps[i] for i in flat]),
-                _pack([contents[i] for i in flat]),
+                _pack(
+                    (
+                        [seqs[i] for i in flat],
+                        [cts[i] for i in flat],
+                        [levels[i] for i in flat],
+                        [users[i] for i in flat],
+                        [dbs[i] for i in flat],
+                        [apps[i] for i in flat],
+                        [contents[i] for i in flat],
+                    )
+                ),
             )
         )
         # ST9: fire when the EARLIEST kept group becomes ready
