@@ -40,6 +40,21 @@ BUDGETS = {
     "log_parse": (11, []),
     "w3_log_stitch": (12, []),
     "u7_log_classify": (12, []),
+    # --- ml dedup/ANN set: K/banding tuning must not add an exchange ---
+    # banded LSH: explode -> one groupBy(bucket) -> self-join rides the
+    # same partitioning; an extra exchange here means the bucket join
+    # stopped being co-partitioned
+    "ml_minhash_candidate_pairs": (7, []),
+    "ml_exact_dup": (4, []),
+    # candidates-only verify: the doc-shingle side joins candidates twice;
+    # centroid/eval sides must stay broadcast
+    "ml_ngram_jaccard": (19, ["BroadcastHashJoin"]),
+    "ml_ivf_topk": (14, ["BroadcastHashJoin"]),
+    "ml_lsh_topk": (7, ["BroadcastHashJoin"]),
+    # one iteration of min-label propagation (the registered fixed-point
+    # variant re-plans per iteration; budget pins the per-iteration shape)
+    "ml_dup_clusters": (4, ["BroadcastHashJoin"]),
+    "ml_embedding_dup_clusters": (4, ["BroadcastHashJoin"]),
 }
 
 
