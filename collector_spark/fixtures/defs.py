@@ -398,6 +398,7 @@ def _log_raw_sql(dialect: str) -> str:
     n_rules = len(RULES)
     lock_wait_idx = rule_index("LOCK_WAITING")
     deadlock_idx = rule_index("DEADLOCK_DETECTED")
+    archive_idx = rule_index("WAL_ARCHIVE_COMMAND_FAILED")
     return f"""
 SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
        event_id * 10 AS seq,
@@ -442,6 +443,19 @@ SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
        || '. Wait queue: ' || CAST(1000 + (event_id + 3) % 150 AS STRING) || '.'
        AS raw_line
 FROM events WHERE event_id % {n_rules} = {lock_wait_idx}
+
+UNION ALL
+
+-- archive-command failure DETAIL secondary (archiveCommandFailed.detail,
+-- analyze.go:349-352): the failed command text, an ops-secret field
+SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,
+       event_id * 10 + 2 AS seq,
+       {prefix} || 'DETAIL:  The failed archive command was:'
+       || ' test ! -f /archive/0000000100000' || CAST(event_id % 100 AS STRING)
+       || ' && cp pg_wal/0000000100000' || CAST(event_id % 100 AS STRING)
+       || ' /archive/'
+       AS raw_line
+FROM events WHERE event_id % {n_rules} = {archive_idx}
 
 UNION ALL
 
@@ -838,9 +852,22 @@ FROM region
 QUERY_SAMPLES = """
 SELECT
   o_orderkey AS sample_id,
+  -- sample context for the trace-span exporter (tracing.go:21-34):
+  -- epoch-seconds occurred_at + integer runtime keep both engines exact
+  CAST(1704067200 + o_orderkey % 86400 AS BIGINT) AS occurred_at_unix,
+  CAST(1 + o_orderkey % 900 AS BIGINT)            AS runtime_ms,
+  'db_' || CAST(o_custkey % 5 AS STRING)          AS database_name,
+  'u' || CAST(o_custkey % 50 AS STRING)           AS username,
   'SELECT * FROM orders WHERE o_custkey = ' || CAST(o_custkey % 100 AS STRING)
     || CASE CAST(o_orderkey % 4 AS INT)
-       WHEN 0 THEN ' /*controller=''checkout'',action=''submit%20order'',traceparent=''00-' || CAST(o_orderkey % 100 AS STRING) || '''*/'
+       WHEN 0 THEN ' /*controller=''checkout'',action=''submit%20order'',traceparent=''00-'
+         || substr(md5(CAST(o_orderkey AS STRING)), 1, 32) || '-'
+         || substr(md5('s' || CAST(o_orderkey AS STRING)), 1, 16) || '-01'''
+         || CASE WHEN o_orderkey % 8 = 0
+            THEN ',tracestate=''pganalyze=t:'
+              || CAST(1697666000 + o_orderkey % 1000 AS STRING) || '.5'''
+            ELSE '' END
+         || '*/'
        WHEN 1 THEN ' /*app:api,route:orders-' || CAST(o_orderkey % 50 AS STRING) || '*/'
        WHEN 2 THEN ' /*controller=''search'',framework=''rails%205'',client=''caf%C3%A9+app'',team=''%E6%97%A5%E6%9C%AC''*/'
        ELSE '' END AS query_text,

@@ -66,8 +66,13 @@ def classify_df(stitched: DataFrame) -> DataFrame:
     for r in reversed(RULES):
         m = F.col("classification") == r.classification
         if r.num_group:
+            # nullif: the num group may be an unmatched alternate (e.g. the
+            # wraparound OID-vs-name alternation) — NULL, not a '' cast
             num = F.when(
-                m, F.regexp_extract(F.col("content"), r.regex, r.num_group).cast("double")
+                m,
+                F.nullif(
+                    F.regexp_extract(F.col("content"), r.regex, r.num_group), F.lit("")
+                ).cast("double"),
             ).otherwise(num)
         if r.text_group:
             txt = F.when(
@@ -240,7 +245,10 @@ def oracle_classify(stitched_cte: str) -> str:
         (
             f"WHEN {match(r)} THEN "
             + (
-                f"CAST(regexp_extract(content, '{_sql_quote(r.regex)}', {r.num_group}) AS DOUBLE)"
+                # NULLIF: with full-alternation rules (wraparound OID-vs-
+                # name) the num group can be legitimately unmatched; Spark's
+                # cast('') yields NULL, DuckDB's errors without the NULLIF
+                f"CAST(NULLIF(regexp_extract(content, '{_sql_quote(r.regex)}', {r.num_group}), '') AS DOUBLE)"
                 if r.num_group
                 else "CAST(NULL AS DOUBLE)"
             )
@@ -711,4 +719,304 @@ members AS (
 SELECT pid, primary_seq, secondary_seq, role, CAST(v AS INT) AS member_pid
 FROM members
 ORDER BY pid, secondary_seq, role, member_pid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Worker-exit, wraparound, and archiver-failure detail extraction
+# (analyze.go:1986-2016, :1634-1668, :1438-1455).
+# ---------------------------------------------------------------------------
+
+WORKER_EXIT_RE = (
+    r"^worker process: (.+?) \(PID ([0-9]+)\)"
+    r" (?:exited with exit code ([0-9]+)|was terminated by signal ([0-9]+))"
+)
+# analyze.go:1183 — when the worker text names a parallel worker, the
+# reference rewrites process_type and records the parent as a related pid
+PARALLEL_WORKER_RE = r"^parallel worker for PID ([0-9]+)"
+
+
+def worker_exit_details(spark: SparkSession) -> DataFrame:
+    """Worker-process-exited details (analyze.go:1986-2016): process type,
+    the exited worker's pid, exit code or signal (whichever alternate
+    matched), and — for parallel workers — the parent backend pid with the
+    process_type normalized to 'parallel worker'."""
+    lines = stitch_lines(spark).filter(
+        F.col("content").startswith("worker process: ")
+        & F.col("content").rlike(WORKER_EXIT_RE)
+    )
+    g = lambda i: F.regexp_extract(F.col("content"), WORKER_EXIT_RE, i)  # noqa: E731
+    raw_type = g(1)
+    parent = F.regexp_extract(raw_type, PARALLEL_WORKER_RE, 1)
+    is_parallel = raw_type.rlike(PARALLEL_WORKER_RE)
+    return lines.select(
+        "pid",
+        "seq",
+        F.when(is_parallel, F.lit("parallel worker")).otherwise(raw_type).alias(
+            "process_type"
+        ),
+        g(2).cast("int").alias("process_pid"),
+        F.nullif(g(3), F.lit("")).cast("int").alias("exit_code"),
+        F.nullif(g(4), F.lit("")).cast("int").alias("signal"),
+        F.when(is_parallel, parent.cast("long")).alias("parent_pid"),
+    ).orderBy("pid", "seq")
+
+
+def oracle_worker_exit_details(stitched_cte: str) -> str:
+    rx = _sql_quote(WORKER_EXIT_RE)
+    prx = _sql_quote(PARALLEL_WORKER_RE)
+    t = f"regexp_extract(content, '{rx}', 1)"
+    return f"""
+WITH stitched AS ({stitched_cte})
+SELECT pid, seq,
+  CASE WHEN regexp_matches({t}, '{prx}') THEN 'parallel worker' ELSE {t} END AS process_type,
+  CAST(regexp_extract(content, '{rx}', 2) AS INT) AS process_pid,
+  CAST(NULLIF(regexp_extract(content, '{rx}', 3), '') AS INT) AS exit_code,
+  CAST(NULLIF(regexp_extract(content, '{rx}', 4), '') AS INT) AS signal,
+  CASE WHEN regexp_matches({t}, '{prx}')
+       THEN CAST(regexp_extract({t}, '{prx}', 1) AS BIGINT) END AS parent_pid
+FROM stitched
+WHERE starts_with(content, 'worker process: ') AND regexp_matches(content, '{rx}')
+ORDER BY pid, seq
+"""
+
+
+WRAP_WARN_RE = (
+    r'^database (with OID ([0-9]+)|"([^"]+)") must be vacuumed within'
+    r" ([0-9]+) transactions"
+)
+WRAP_ERR_RE = (
+    r"^database is not accepting commands to avoid wraparound data loss"
+    r' in database (with OID ([0-9]+)|"([^"]+)")'
+)
+
+
+def wraparound_details(spark: SparkSession) -> DataFrame:
+    """Transaction-ID wraparound details (analyze.go:1634-1668): the
+    database either by OID or by name (whichever alternate the server
+    rendered) plus, for the warning form, the remaining transaction
+    budget."""
+    lines = stitch_lines(spark).filter(
+        F.col("content").rlike(WRAP_WARN_RE) | F.col("content").rlike(WRAP_ERR_RE)
+    )
+    is_err = F.col("content").startswith(
+        "database is not accepting commands to avoid wraparound"
+    )
+
+    def g(i: int) -> Column:
+        return F.when(
+            is_err, F.regexp_extract(F.col("content"), WRAP_ERR_RE, i)
+        ).otherwise(F.regexp_extract(F.col("content"), WRAP_WARN_RE, i))
+    return lines.select(
+        "pid",
+        "seq",
+        F.when(is_err, F.lit("error")).otherwise(F.lit("warning")).alias("kind"),
+        F.nullif(g(2), F.lit("")).cast("long").alias("database_oid"),
+        F.nullif(g(3), F.lit("")).alias("database_name"),
+        F.when(~is_err, g(4).cast("long")).alias("remaining_xids"),
+    ).orderBy("pid", "seq")
+
+
+def oracle_wraparound_details(stitched_cte: str) -> str:
+    wrx = _sql_quote(WRAP_WARN_RE)
+    erx = _sql_quote(WRAP_ERR_RE)
+    err = "starts_with(content, 'database is not accepting commands to avoid wraparound')"
+    def pick(i: int) -> str:
+        return (
+            f"CASE WHEN {err} THEN regexp_extract(content, '{erx}', {i})"
+            f" ELSE regexp_extract(content, '{wrx}', {i}) END"
+        )
+    return f"""
+WITH stitched AS ({stitched_cte})
+SELECT pid, seq,
+  CASE WHEN {err} THEN 'error' ELSE 'warning' END AS kind,
+  CAST(NULLIF({pick(2)}, '') AS BIGINT) AS database_oid,
+  NULLIF({pick(3)}, '') AS database_name,
+  CASE WHEN NOT {err}
+       THEN CAST(regexp_extract(content, '{wrx}', 4) AS BIGINT) END AS remaining_xids
+FROM stitched
+WHERE regexp_matches(content, '{wrx}') OR regexp_matches(content, '{erx}')
+ORDER BY pid, seq
+"""
+
+
+ARCHIVE_RE = (
+    r"^archive command (?:failed with exit code ([0-9]+)"
+    r"|was terminated by signal ([0-9]+)(: [\w ]+)?)"
+)
+ARCHIVE_DETAIL_RE = r"^The failed archive command was: (.+)"
+
+
+def archiver_details(spark: SparkSession) -> DataFrame:
+    """WAL archive-command failure details (analyze.go:1438-1455): exit
+    code or signal from the primary, plus the failed command text from the
+    associated DETAIL secondary (an ops-secret field in the reference's
+    redaction taxonomy)."""
+    prim = stitch_lines(spark).filter(
+        F.col("content").startswith("archive command ")
+        & F.col("content").rlike(ARCHIVE_RE)
+    )
+    g = lambda i: F.regexp_extract(F.col("content"), ARCHIVE_RE, i)  # noqa: E731
+    cmds = (
+        associate_secondaries(spark)
+        .filter(
+            (F.col("secondary_level") == "DETAIL")
+            & F.col("secondary_content").rlike(ARCHIVE_DETAIL_RE)
+        )
+        .select(
+            "pid",
+            F.col("primary_seq").alias("seq"),
+            F.regexp_extract("secondary_content", ARCHIVE_DETAIL_RE, 1).alias(
+                "failed_command"
+            ),
+        )
+    )
+    return (
+        prim.select(
+            "pid",
+            "seq",
+            F.nullif(g(1), F.lit("")).cast("int").alias("exit_code"),
+            F.nullif(g(2), F.lit("")).cast("int").alias("signal"),
+        )
+        .join(cmds, ["pid", "seq"], "left")
+        .orderBy("pid", "seq")
+    )
+
+
+def oracle_archiver_details(stitched_cte: str) -> str:
+    """Re-derives the association window inline over the one stitched CTE
+    (like oracle_deadlock_details — avoids shadowed nested WITH names)."""
+    rx = _sql_quote(ARCHIVE_RE)
+    drx = _sql_quote(ARCHIVE_DETAIL_RE)
+    levels = ", ".join(
+        f"'{lv}'" for lv in ("DETAIL", "HINT", "CONTEXT", "STATEMENT", "QUERY")
+    )
+    return f"""
+WITH stitched AS ({stitched_cte}),
+numbered AS (
+  SELECT *, row_number() OVER (PARTITION BY pid ORDER BY seq) AS rn
+  FROM stitched
+),
+tagged AS (
+  SELECT *,
+    MAX(CASE WHEN log_level NOT IN ({levels}) THEN seq END)
+      OVER (PARTITION BY pid ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS primary_seq,
+    MAX(CASE WHEN log_level NOT IN ({levels}) THEN rn END)
+      OVER (PARTITION BY pid ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS primary_rn
+  FROM numbered
+),
+assoc AS (
+  SELECT pid, primary_seq, seq AS secondary_seq,
+         log_level AS secondary_level, content AS secondary_content
+  FROM tagged
+  WHERE log_level IN ({levels})
+    AND primary_rn IS NOT NULL AND rn - primary_rn <= 4
+),
+prim AS (
+  SELECT pid, seq,
+    CAST(NULLIF(regexp_extract(content, '{rx}', 1), '') AS INT) AS exit_code,
+    CAST(NULLIF(regexp_extract(content, '{rx}', 2), '') AS INT) AS signal
+  FROM stitched
+  WHERE starts_with(content, 'archive command ') AND regexp_matches(content, '{rx}')
+),
+cmds AS (
+  SELECT pid, primary_seq AS seq,
+    regexp_extract(secondary_content, '{drx}', 1) AS failed_command
+  FROM assoc
+  WHERE secondary_level = 'DETAIL' AND regexp_matches(secondary_content, '{drx}')
+)
+SELECT p.pid, p.seq, p.exit_code, p.signal, c.failed_command
+FROM prim p LEFT JOIN cmds c ON p.pid = c.pid AND p.seq = c.seq
+ORDER BY p.pid, p.seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Autoanalyze completion details (analyze.go:111-122 regex, detail mapping
+# at :1863-1911): db.schema.relation split from the table token, rusage
+# from whichever CPU alternate matched (legacy s/u vs PG14+ user/system),
+# optional PG14+ I/O, rate, and buffer clauses.
+# ---------------------------------------------------------------------------
+
+AUTOANALYZE_RE = (
+    r'^automatic analyze of table "(.+?)"\s*'
+    r"(?:I/O timings: read: ([\d.]+) ms, write: ([\d.]+) ms)?\s*"
+    r"(?:avg read rate: ([\d.]+) MB/s, avg write rate: ([\d.]+) MB/s)?\s*"
+    r"(?:buffer usage: (\d+) hits, (\d+) (?:misses|reads), (\d+) dirtied)?\s*"
+    r"system usage: CPU(?:(?: ([\d.]+)s/([\d.]+)u sec elapsed ([\d.]+) sec)"
+    r"|(?:: user: ([\d.]+) s, system: ([\d.]+) s, elapsed: ([\d.]+) s))"
+)
+
+
+def autoanalyze_details(spark: SparkSession) -> DataFrame:
+    """AUTOANALYZE_COMPLETED detail vector: group 9 non-empty selects the
+    legacy rusage alternate (kernel=9, user=10, elapsed=11), else the PG14+
+    one (user=12, kernel=13, elapsed=14) — exactly analyze.go:1867-1888."""
+    lines = stitch_lines(spark).filter(
+        F.col("content").startswith("automatic analyze of table")
+        & F.col("content").rlike(AUTOANALYZE_RE)
+    )
+    g = lambda i: F.regexp_extract(F.col("content"), AUTOANALYZE_RE, i)  # noqa: E731
+    opt_d = lambda i: F.nullif(g(i), F.lit("")).cast("double")  # noqa: E731
+    opt_l = lambda i: F.nullif(g(i), F.lit("")).cast("long")  # noqa: E731
+    legacy = g(9) != ""
+    return lines.select(
+        "pid",
+        "seq",
+        F.split_part(g(1), F.lit("."), F.lit(1)).alias("database"),
+        F.nullif(F.split_part(g(1), F.lit("."), F.lit(2)), F.lit("")).alias(
+            "schema_name"
+        ),
+        F.nullif(F.split_part(g(1), F.lit("."), F.lit(3)), F.lit("")).alias(
+            "relation_name"
+        ),
+        F.when(legacy, g(9)).otherwise(g(13)).cast("double").alias("rusage_kernel"),
+        F.when(legacy, g(10)).otherwise(g(12)).cast("double").alias("rusage_user"),
+        F.when(legacy, g(11)).otherwise(g(14)).cast("double").alias("elapsed_secs"),
+        opt_d(2).alias("blk_read_time"),
+        opt_d(3).alias("blk_write_time"),
+        opt_d(4).alias("read_rate_mb"),
+        opt_d(5).alias("write_rate_mb"),
+        opt_l(6).alias("analyze_page_hit"),
+        opt_l(7).alias("analyze_page_miss"),
+        opt_l(8).alias("analyze_page_dirty"),
+    ).orderBy("pid", "seq")
+
+
+def oracle_autoanalyze_details(stitched_cte: str) -> str:
+    # DuckDB's numeric regexp_extract caps group index at 9 (14 groups
+    # here) — the list-of-names form returns a struct over all of them
+    rx = _sql_quote(AUTOANALYZE_RE)
+    names = [
+        "tbl", "io_r", "io_w", "rate_r", "rate_w", "hits", "misses",
+        "dirtied", "old_s", "old_u", "old_e", "new_u", "new_s", "new_e",
+    ]
+    name_list = ", ".join(f"'{n}'" for n in names)
+    opt_d = lambda n: f"CAST(NULLIF(g.{n}, '') AS DOUBLE)"  # noqa: E731
+    opt_l = lambda n: f"CAST(NULLIF(g.{n}, '') AS BIGINT)"  # noqa: E731
+    legacy = "g.old_s <> ''"
+    return f"""
+WITH stitched AS ({stitched_cte}),
+matched AS (
+  SELECT pid, seq, regexp_extract(content, '{rx}', [{name_list}]) AS g
+  FROM stitched
+  WHERE starts_with(content, 'automatic analyze of table')
+    AND regexp_matches(content, '{rx}')
+)
+SELECT pid, seq,
+  split_part(g.tbl, '.', 1) AS database,
+  NULLIF(split_part(g.tbl, '.', 2), '') AS schema_name,
+  NULLIF(split_part(g.tbl, '.', 3), '') AS relation_name,
+  CAST(CASE WHEN {legacy} THEN g.old_s ELSE g.new_s END AS DOUBLE) AS rusage_kernel,
+  CAST(CASE WHEN {legacy} THEN g.old_u ELSE g.new_u END AS DOUBLE) AS rusage_user,
+  CAST(CASE WHEN {legacy} THEN g.old_e ELSE g.new_e END AS DOUBLE) AS elapsed_secs,
+  {opt_d('io_r')} AS blk_read_time,
+  {opt_d('io_w')} AS blk_write_time,
+  {opt_d('rate_r')} AS read_rate_mb,
+  {opt_d('rate_w')} AS write_rate_mb,
+  {opt_l('hits')} AS analyze_page_hit,
+  {opt_l('misses')} AS analyze_page_miss,
+  {opt_l('dirtied')} AS analyze_page_dirty
+FROM matched
+ORDER BY pid, seq
 """

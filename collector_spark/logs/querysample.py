@@ -308,3 +308,102 @@ SELECT * FROM (
 WHERE node_type IS NOT NULL
 ORDER BY sample_id, path
 """
+
+
+# ---------------------------------------------------------------------------
+# U5b — query samples as OTel-style trace spans (tracing.go:19-104): the
+# reference's sink-side span export, re-expressed as a relational projection
+# so a cluster pipeline can hand the rows to any OTLP forwarder.
+# ---------------------------------------------------------------------------
+
+# neutral stand-in for the configured app URL (tracing.go serverUrl param)
+SERVER_URL = "https://pganalyze.local"
+SPAN_NAME = "EXPLAIN Plan"  # tracing.go:19
+
+# tracestate member logic (tracing.go:37-59): take the 'pganalyze' vendor
+# value, split on ';', use the part keyed 't' as the client-side send time
+_TRACESTATE_T_RE = r"pganalyze=(?:[^;]*;)*?\s*t:([0-9.]+)"
+
+
+def trace_spans(spark: SparkSession) -> DataFrame:
+    """One span per EXPLAIN-bearing sample whose tags carry a W3C
+    traceparent (tracing.go:69-95): trace/parent-span ids from the
+    traceparent, timing from the pganalyze tracestate 't' member when
+    present (client send time + runtime) else occurred_at - runtime, and
+    the sample deep-link URL (tracing.go:21-34) with the 64-bit fingerprint
+    hex-encoded. Times are epoch microseconds (exact integers on both
+    engines)."""
+    from collector_spark.functions.fingerprint import fingerprint
+
+    tags = comment_tags(spark)
+    tp = tags.filter(F.col("tag_key") == "traceparent").select(
+        "sample_id", F.col("tag_value").alias("traceparent")
+    )
+    ts = tags.filter(F.col("tag_key") == "tracestate").select(
+        "sample_id", F.col("tag_value").alias("tracestate")
+    )
+    s = spark.table("query_samples").filter(F.col("plan_json").isNotNull())
+    j = s.join(tp, "sample_id").join(ts, "sample_id", "left")
+
+    t_sec = F.regexp_extract(F.coalesce("tracestate", F.lit("")), _TRACESTATE_T_RE, 1)
+    has_t = t_sec != ""
+    client_start_us = F.round(t_sec.cast("double") * 1_000_000).cast("long")
+    start_us = F.when(has_t, client_start_us).otherwise(
+        (F.col("occurred_at_unix") - F.lit(0)) * 1_000_000 - F.col("runtime_ms") * 1_000
+    )
+    end_us = F.when(has_t, client_start_us + F.col("runtime_ms") * 1_000).otherwise(
+        F.col("occurred_at_unix") * 1_000_000
+    )
+    fp_hex = F.lower(F.lpad(F.hex(fingerprint(F.col("query_text"))), 16, "0"))
+    url = F.concat(
+        F.lit(SERVER_URL + "/databases/"),
+        F.col("database_name"),
+        F.lit("/queries/"),
+        fp_hex,
+        F.lit("/samples/"),
+        F.col("occurred_at_unix").cast("string"),
+        F.lit("?role="),
+        F.col("username"),
+    )
+    return j.select(
+        "sample_id",
+        F.substring("traceparent", 4, 32).alias("trace_id"),
+        F.substring("traceparent", 37, 16).alias("parent_span_id"),
+        F.lit(SPAN_NAME).alias("span_name"),
+        start_us.cast("long").alias("start_us"),
+        end_us.cast("long").alias("end_us"),
+        F.lit("postgresql").alias("db_system"),
+        url.alias("plan_url"),
+    ).orderBy("sample_id")
+
+
+def oracle_trace_spans() -> str:
+    from collector_spark.functions.fingerprint import oracle_fingerprint
+
+    trx = _TRACESTATE_T_RE.replace("'", "''")
+    tags = oracle_comment_tags()
+    t_sec = f"regexp_extract(COALESCE(ts.tracestate, ''), '{trx}', 1)"
+    start_client = f"CAST(round(CAST({t_sec} AS DOUBLE) * 1000000) AS BIGINT)"
+    fp_hex = f"lpad(lower(hex({oracle_fingerprint('s.query_text')})), 16, '0')"
+    return f"""
+WITH tags AS ({tags}),
+tp AS (SELECT sample_id, tag_value AS traceparent FROM tags WHERE tag_key = 'traceparent'),
+ts AS (SELECT sample_id, tag_value AS tracestate FROM tags WHERE tag_key = 'tracestate')
+SELECT s.sample_id,
+  substr(tp.traceparent, 4, 32) AS trace_id,
+  substr(tp.traceparent, 37, 16) AS parent_span_id,
+  '{SPAN_NAME}' AS span_name,
+  CASE WHEN {t_sec} <> '' THEN {start_client}
+       ELSE s.occurred_at_unix * 1000000 - s.runtime_ms * 1000 END AS start_us,
+  CASE WHEN {t_sec} <> '' THEN {start_client} + s.runtime_ms * 1000
+       ELSE s.occurred_at_unix * 1000000 END AS end_us,
+  'postgresql' AS db_system,
+  '{SERVER_URL}/databases/' || s.database_name || '/queries/' || {fp_hex}
+    || '/samples/' || CAST(s.occurred_at_unix AS VARCHAR) || '?role=' || s.username
+    AS plan_url
+FROM query_samples s
+JOIN tp ON s.sample_id = tp.sample_id
+LEFT JOIN ts ON s.sample_id = ts.sample_id
+WHERE s.plan_json IS NOT NULL
+ORDER BY s.sample_id
+"""

@@ -118,12 +118,39 @@ RULES: list[Rule] = [
         num_group=2,
         text_group=1,
     ),
+    # full reference regex (analyze.go:111-122): optional PG14+ I/O-timing /
+    # read-rate / buffer-usage clauses, then either the legacy
+    # 'CPU 0.01s/0.02u sec elapsed 0.05 sec' or the PG14+
+    # 'CPU: user: … s, system: … s, elapsed: … s' rusage shape — the
+    # fixture cycles all combinations
     Rule(
         "automatic analyze of table",
-        r'^automatic analyze of table "([^"]+)"',
+        r'^automatic analyze of table "(.+?)"\s*'
+        r"(?:I/O timings: read: ([\d.]+) ms, write: ([\d.]+) ms)?\s*"
+        r"(?:avg read rate: ([\d.]+) MB/s, avg write rate: ([\d.]+) MB/s)?\s*"
+        r"(?:buffer usage: (\d+) hits, (\d+) (?:misses|reads), (\d+) dirtied)?\s*"
+        r"system usage: CPU(?:(?: ([\d.]+)s/([\d.]+)u sec elapsed ([\d.]+) sec)"
+        r"|(?:: user: ([\d.]+) s, system: ([\d.]+) s, elapsed: ([\d.]+) s))",
         "AUTOANALYZE_COMPLETED",
         "LOG",
-        f"'automatic analyze of table \"db_' || {_DB} || '.public.rel_' || {_EID} || '\"'",
+        f"'automatic analyze of table \"db_' || {_DB} || '.public.rel_' || {_EID} || '\" '"
+        " || CASE WHEN event_id % 3 = 0 THEN"
+        "   'I/O timings: read: ' || CAST(event_id % 40 AS STRING) || '.25 ms,"
+        " write: ' || CAST(event_id % 9 AS STRING) || '.5 ms"
+        " avg read rate: ' || CAST(event_id % 80 AS STRING) || '.125 MB/s,"
+        " avg write rate: ' || CAST(event_id % 20 AS STRING) || '.75 MB/s"
+        " buffer usage: ' || CAST(event_id % 4000 AS STRING) || ' hits, '"
+        " || CAST(event_id % 300 AS STRING) || ' misses, '"
+        " || CAST(event_id % 200 AS STRING) || ' dirtied '"
+        " ELSE '' END"
+        " || 'system usage: CPU' || CASE WHEN event_id % 2 = 0"
+        " THEN ': user: 0.' || CAST(10 + event_id % 80 AS STRING)"
+        "   || ' s, system: 0.0' || CAST(1 + event_id % 9 AS STRING)"
+        "   || ' s, elapsed: 1.' || CAST(10 + event_id % 90 AS STRING) || ' s'"
+        " ELSE ' 0.0' || CAST(1 + event_id % 9 AS STRING)"
+        "   || 's/0.' || CAST(10 + event_id % 80 AS STRING)"
+        "   || 'u sec elapsed 1.' || CAST(10 + event_id % 90 AS STRING) || ' sec'"
+        " END",
         text_group=1,
     ),
     Rule(
@@ -342,24 +369,33 @@ RULES: list[Rule] = [
         "'deadlock detected'",
     ),
     # --- wraparound family (analyze.go:410-423) ----------------------------
+    # full reference alternation (analyze.go:406-412): databases referenced
+    # by OID render 'with OID n', known ones the quoted name; the fixture
+    # cycles both variants so the OID branch is exercised
     Rule(
-        "database \"",
-        r'^database "([^"]+)" must be vacuumed within ([0-9]+) transactions',
+        "database ",
+        r'^database (with OID ([0-9]+)|"([^"]+)") must be vacuumed within ([0-9]+) transactions',
         "TXID_WRAPAROUND_WARNING",
         "WARNING",
-        f"'database \"db_' || {_DB} || '\" must be vacuumed within '"
+        "'database ' || CASE WHEN event_id % 3 = 0"
+        f" THEN 'with OID ' || CAST(16000 + user_id % 5 AS STRING)"
+        f" ELSE '\"db_' || {_DB} || '\"' END"
+        " || ' must be vacuumed within '"
         " || CAST(1000000 + event_id AS STRING) || ' transactions'",
-        num_group=2,
-        text_group=1,
+        num_group=4,
+        text_group=3,
     ),
     Rule(
         "database is not accepting commands to avoid wraparound data loss",
-        r'^database is not accepting commands to avoid wraparound data loss in database "([^"]+)"',
+        r'^database is not accepting commands to avoid wraparound data loss in database (with OID ([0-9]+)|"([^"]+)")',
         "TXID_WRAPAROUND_ERROR",
         "ERROR",
-        f"'database is not accepting commands to avoid wraparound data loss"
-        f" in database \"db_' || {_DB} || '\"'",
-        text_group=1,
+        "'database is not accepting commands to avoid wraparound data loss"
+        " in database ' || CASE WHEN event_id % 3 = 0"
+        f" THEN 'with OID ' || CAST(16000 + user_id % 5 AS STRING)"
+        f" ELSE '\"db_' || {_DB} || '\"' END",
+        num_group=2,
+        text_group=3,
     ),
     # --- server lifecycle / crash family (analyze.go:446-521) --------------
     Rule(
@@ -406,12 +442,18 @@ RULES: list[Rule] = [
         text_group=1,
     ),
     # --- WAL / archiver family (analyze.go:321-357,639-669) ----------------
+    # full reference alternation (analyze.go:341-352): exit-code and
+    # signal terminations (signal rows may carry a ': Name' suffix); the
+    # fixture cycles all three shapes
     Rule(
-        "archive command failed with exit code",
-        r"^archive command failed with exit code ([0-9]+)",
+        "archive command ",
+        r"^archive command (?:failed with exit code ([0-9]+)|was terminated by signal ([0-9]+)(: [\w ]+)?)",
         "WAL_ARCHIVE_COMMAND_FAILED",
         "LOG",
-        "'archive command failed with exit code ' || CAST(1 + event_id % 3 AS STRING)",
+        "'archive command ' || CASE WHEN event_id % 3 = 0"
+        " THEN 'was terminated by signal ' || CAST(6 + event_id % 10 AS STRING)"
+        "   || CASE WHEN event_id % 6 = 0 THEN ': Killed' ELSE '' END"
+        " ELSE 'failed with exit code ' || CAST(1 + event_id % 3 AS STRING) END",
         num_group=1,
     ),
     Rule(
@@ -537,14 +579,21 @@ RULES: list[Rule] = [
         "'parameter \"work_mem\" changed to \"' || CAST(64 + event_id % 192 AS STRING) || 'MB\"'",
         text_group=1,
     ),
+    # fixture cycles process type (parallel worker vs named background
+    # worker) and termination shape (exit code vs signal) so the detail
+    # extractor's parallel-worker parent-pid remap (analyze.go:2005-2013)
+    # and both alternates are exercised
     Rule(
         "worker process: ",
         r"^worker process: (.+?) \(PID ([0-9]+)\) (?:exited with exit code ([0-9]+)|was terminated by signal ([0-9]+))",
         "WORKER_PROCESS_EXITED",
         "LOG",
-        "'worker process: parallel worker for PID '"
-        " || CAST(1000 + user_id % 200 AS STRING) || ' (PID '"
-        " || CAST(2000 + event_id % 500 AS STRING) || ') exited with exit code 1'",
+        "'worker process: ' || CASE WHEN event_id % 3 = 0"
+        " THEN 'logical replication launcher'"
+        " ELSE 'parallel worker for PID ' || CAST(1000 + user_id % 200 AS STRING) END"
+        " || ' (PID ' || CAST(2000 + event_id % 500 AS STRING) || ') '"
+        " || CASE WHEN event_id % 2 = 0 THEN 'exited with exit code 1'"
+        " ELSE 'was terminated by signal 9' END",
         num_group=2,
         text_group=1,
     ),

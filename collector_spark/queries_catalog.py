@@ -31,7 +31,15 @@ from collector_spark.logs.associate import (
     parameter_details,
 )
 from collector_spark.logs.classify import (
+    archiver_details,
+    autoanalyze_details,
     autovacuum_details,
+    oracle_archiver_details,
+    oracle_autoanalyze_details,
+    oracle_worker_exit_details,
+    oracle_wraparound_details,
+    worker_exit_details,
+    wraparound_details,
     checkpoint_details,
     connection_details,
     deadlock_details,
@@ -258,6 +266,49 @@ register(
     connection_details,
     oracle_connection_details(log_pipeline.oracle_stitch()),
     fixtures=["log_raw"],
+)
+
+# worker-exit / wraparound / archiver-failure detail extractors
+# (analyze.go:1986-2016, :1634-1668, :1438-1455) — with the rule-table
+# regexes widened to the reference's full alternations (OID-vs-name
+# database references, exit-code-vs-signal terminations)
+register(
+    "u7l_worker_exit_details",
+    worker_exit_details,
+    oracle_worker_exit_details(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+register(
+    "u7m_wraparound_details",
+    wraparound_details,
+    oracle_wraparound_details(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+register(
+    "u7n_archiver_details",
+    archiver_details,
+    oracle_archiver_details(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+# autoanalyze completion vector with the either-or rusage alternates and
+# optional PG14+ I/O clauses (analyze.go:111-122, :1863-1911)
+register(
+    "u7v_autoanalyze_details",
+    autoanalyze_details,
+    oracle_autoanalyze_details(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+# sink-side OTel trace-span export as a relational projection
+# (logs/querysample/tracing.go:19-104)
+register(
+    "u5b_trace_spans",
+    querysample.trace_spans,
+    querysample.oracle_trace_spans(),
+    fixtures=["query_samples"],
 )
 
 # S32 completion: network interface rate kernel + load-average gauge scan

@@ -63,10 +63,19 @@ def test_multi_prefix_rules_cover_every_alternation(rendered):
 
 
 def test_capture_groups_resolve(rendered):
+    """Each declared capture group must resolve in at least one rendered
+    variant (full-alternation rules — wraparound OID-vs-name, archiver
+    exit-vs-signal — legitimately leave a group empty in the OTHER
+    variant, so per-body emptiness is allowed)."""
     for i, r in enumerate(RULES):
-        for body in rendered[i]:
-            m = re.search(r.regex, body)
-            if r.num_group:
-                assert m.group(r.num_group), (r.classification, "num group empty")
-            if r.text_group:
-                assert m.group(r.text_group), (r.classification, "text group empty")
+        matches = [re.search(r.regex, body) for body in rendered[i]]
+        if r.num_group:
+            assert any(m.group(r.num_group) for m in matches), (
+                r.classification,
+                "num group empty in every variant",
+            )
+        if r.text_group:
+            assert any(m.group(r.text_group) for m in matches), (
+                r.classification,
+                "text group empty in every variant",
+            )
