@@ -1020,3 +1020,387 @@ SELECT pid, seq,
 FROM matched
 ORDER BY pid, seq
 """
+
+
+# ---------------------------------------------------------------------------
+# Full autovacuum detail vector (analyze.go:81-108 regex, :1668-1862 mapping):
+# every PostgreSQL-version-dependent clause of the 62-group completion line,
+# resolved with the reference's either-or semantics. The PG14-subset
+# extractor above (autovacuum_details / u7b) stays as the legacy-shape path;
+# this one covers PG10-18 + AlloyDB shape tolerance.
+# ---------------------------------------------------------------------------
+
+AUTOVACUUM_FULL_RE = (
+    r'^automatic (aggressive )?vacuum (to prevent wraparound )?of table "(.+?)":'
+    r" index scans: ([0-9]+),?\s*"
+    r"(?:elapsed time: [0-9]+ \w+, index vacuum time: [0-9]+ \w+,)?\s*"
+    r"pages: ([0-9]+) removed, ([0-9]+) remain,\s*"
+    r"(?:([0-9]+) scanned \(([0-9.]+)% of total\)(?:, ([0-9]+) eagerly scanned)?)?\s*,?\s*"
+    r"(?:([0-9]+) skipped due to pins)?(?:, ([0-9]+) skipped frozen)?\s*"
+    r"(?:[0-9]+ skipped using mintxid(?: [0-9]+ skipped pages due to vm all-visible, [0-9]+ nonempty pages)?,?)?\s*"
+    r"tuples: ([0-9]+) removed, ([0-9]+) remain, ([0-9]+) are dead but not yet removable"
+    r"(?:, oldest xmin: ([0-9]+))?,?\s*"
+    r"(?:tuples missed: ([0-9]+) dead from ([0-9]+) pages not removed due to cleanup lock contention)?,?\s*"
+    r"(?:removable cutoff: ([0-9]+), which was ([0-9]+) XIDs old when operation ended)?,?\s*"
+    r"(?:new relfrozenxid: ([0-9]+), which is ([0-9]+) XIDs ahead of previous value)?,?\s*"
+    r"(?:new relminmxid: ([0-9]+), which is ([0-9]+) MXIDs ahead of previous value)?,?\s*"
+    r"(?:frozen: ([0-9]+) pages from table \(([0-9.]+)% of total\) had ([0-9]+) tuples frozen)?,?\s*"
+    r"(?:visibility map: ([0-9]+) pages set all-visible, ([0-9]+) pages set all-frozen \(([0-9]+) were all-visible\))?\s*"
+    r"(?:index scan (not needed|needed|bypassed|bypassed by failsafe): ([0-9]+) pages from table"
+    r" \(([0-9.]+)% of total\) (?:have|had) ([0-9]+) dead item identifiers(?: removed)?)?,?\s*"
+    r"(?:max_dead_tuples:[0-9]+,\s*)?"
+    r'((?:index ".+?": pages: [0-9]+ in total, [0-9]+ newly deleted, [0-9]+ currently deleted, [0-9]+ reusable,?\s*)*)'
+    r"(?:I/O timings: read: ([0-9.]+) ms, write: ([0-9.]+) ms)?,?\s*"
+    r"(?:avg read rate: ([0-9.]+) MB/s, avg write rate: ([0-9.]+) MB/s)?,?\s*"
+    r"buffer usage: ([0-9]+) hits, ([0-9]+) (?:misses|reads), ([0-9]+) dirtied,?\s*"
+    r"(?:avg read rate: ([0-9.]+) MB/s, avg write rate: ([0-9.]+) MB/s)?,?\s*"
+    r"(?:WAL usage: ([0-9]+) records, ([0-9]+) full page images, ([0-9]+) bytes)?,?\s*"
+    r"(?:([0-9]+) buffers full)?\s*"
+    r"system usage: CPU(?:(?: ([0-9.]+)s/([0-9.]+)u sec elapsed ([0-9.]+) sec)"
+    r"|(?:: user: ([0-9.]+) s, system: ([0-9.]+) s, elapsed: ([0-9.]+) s))"
+)
+
+# capture-group order of AUTOVACUUM_FULL_RE (1-based)
+_AV_FULL_NAMES = [
+    "aggressive", "wraparound", "relname", "idx_scans",
+    "pages_removed", "pages_remain",
+    "pages_scanned", "pages_scanned_pct", "pages_eagerly_scanned",
+    "pages_skipped_pins", "pages_skipped_frozen",
+    "tuples_removed", "tuples_remain", "tuples_new_dead", "oldest_xmin",
+    "missed_dead_tuples", "missed_dead_pages",
+    "cutoff", "cutoff_age",
+    "new_frozenxid", "new_frozenxid_diff", "new_minmxid", "new_minmxid_diff",
+    "frozen_pages", "frozen_pages_pct", "frozen_tuples",
+    "vm_all_visible", "vm_all_frozen", "vm_all_visible_prev",
+    "idxscan_status", "idxscan_pages", "idxscan_pages_pct", "idxscan_dead",
+    "idx_details",
+    "io_read_ms", "io_write_ms",
+    "io_read_rate", "io_write_rate",
+    "buffer_hits", "buffer_misses", "buffers_dirtied",
+    "io_read_rate_13", "io_write_rate_13",
+    "wal_records", "wal_fpis", "wal_bytes", "wal_buffers_full",
+    "cpu_s", "cpu_u", "cpu_tot",
+    "cpu_user", "cpu_system", "cpu_elapsed",
+]
+_AV_IDX = {n: i + 1 for i, n in enumerate(_AV_FULL_NAMES)}
+
+
+def autovacuum_full_details(spark: SparkSession) -> DataFrame:
+    """Full AUTOVACUUM_COMPLETED detail vector with the reference's
+    version-dependent resolution (analyze.go:1668-1862):
+
+      - PG15+ 'scanned' clause vs PG<=14 pinskipped/frozenskipped (absent
+        counters default to 0, mirroring the reference's ParseInt-on-empty)
+      - oldest xmin directly (PG10-14) or via removable cutoff + age (PG15+)
+      - read/write MB/s rate from the PG14+ position before buffer usage,
+        falling back to the PG13 position after it, else 0.0
+      - legacy 'CPU 0.1s/0.2u sec' vs modern 'user/system/elapsed' rusage
+      - anti_wraparound emitted only when the wraparound marker matched or
+        the WAL clause proves PG13+ (analyze.go:1748-1757)
+    Optional version clauses come out as NULL columns when absent, exactly
+    where the reference omits the Details key."""
+    lines = stitch_lines(spark).filter(
+        F.col("content").startswith("automatic ")
+        & F.col("content").rlike(AUTOVACUUM_FULL_RE)
+    )
+
+    def g(name: str) -> Column:
+        return F.regexp_extract(F.col("content"), AUTOVACUUM_FULL_RE, _AV_IDX[name])
+
+    def opt(name: str, typ: str) -> Column:
+        return F.nullif(g(name), F.lit("")).cast(typ)
+
+    def gated(cond: Column, name: str, typ: str) -> Column:
+        return F.when(cond, g(name).cast(typ))
+
+    has_scanned = g("pages_scanned") != ""
+    has_xmin = g("oldest_xmin") != ""
+    has_cutoff = g("cutoff") != ""
+    legacy_cpu = g("cpu_u") != ""
+    has_wal = g("wal_records") != ""
+    has_wrap = g("wraparound") != ""
+    return lines.select(
+        "pid",
+        "seq",
+        (g("aggressive") != "").alias("aggressive"),
+        F.when(has_wrap | has_wal, has_wrap).alias("anti_wraparound"),
+        F.split_part(g("relname"), F.lit("."), F.lit(1)).alias("database"),
+        F.nullif(F.split_part(g("relname"), F.lit("."), F.lit(2)), F.lit("")).alias(
+            "schema_name"
+        ),
+        F.nullif(F.split_part(g("relname"), F.lit("."), F.lit(3)), F.lit("")).alias(
+            "relation_name"
+        ),
+        g("idx_scans").cast("long").alias("num_index_scans"),
+        g("pages_removed").cast("long").alias("pages_removed"),
+        g("pages_remain").cast("long").alias("rel_pages"),
+        opt("pages_scanned", "long").alias("scanned_pages"),
+        gated(has_scanned, "pages_scanned_pct", "double").alias(
+            "scanned_pages_percent"
+        ),
+        F.when(has_scanned, opt("pages_eagerly_scanned", "long")).alias(
+            "eagerly_scanned_pages"
+        ),
+        F.when(
+            ~has_scanned, F.coalesce(opt("pages_skipped_pins", "long"), F.lit(0))
+        ).alias("pinskipped_pages"),
+        F.when(
+            ~has_scanned, F.coalesce(opt("pages_skipped_frozen", "long"), F.lit(0))
+        ).alias("frozenskipped_pages"),
+        g("tuples_removed").cast("long").alias("tuples_deleted"),
+        g("tuples_remain").cast("long").alias("new_rel_tuples"),
+        g("tuples_new_dead").cast("long").alias("new_dead_tuples"),
+        F.when(has_xmin, g("oldest_xmin").cast("long"))
+        .when(has_cutoff, g("cutoff").cast("long"))
+        .alias("oldest_xmin"),
+        F.when(~has_xmin & has_cutoff, g("cutoff_age").cast("long")).alias(
+            "oldest_xmin_age"
+        ),
+        opt("missed_dead_tuples", "long").alias("missed_dead_tuples"),
+        gated(g("missed_dead_tuples") != "", "missed_dead_pages", "long").alias(
+            "missed_dead_pages"
+        ),
+        opt("new_frozenxid", "long").alias("new_relfrozenxid"),
+        gated(g("new_frozenxid") != "", "new_frozenxid_diff", "long").alias(
+            "new_relfrozenxid_diff"
+        ),
+        opt("new_minmxid", "long").alias("new_relminmxid"),
+        gated(g("new_minmxid") != "", "new_minmxid_diff", "long").alias(
+            "new_relminmxid_diff"
+        ),
+        opt("frozen_pages", "long").alias("frozen_pages"),
+        gated(g("frozen_pages") != "", "frozen_pages_pct", "double").alias(
+            "frozen_page_percent"
+        ),
+        gated(g("frozen_pages") != "", "frozen_tuples", "long").alias(
+            "tuples_frozen"
+        ),
+        opt("vm_all_visible", "long").alias("vm_all_visible_pages"),
+        gated(g("vm_all_visible") != "", "vm_all_frozen", "long").alias(
+            "vm_all_frozen_pages"
+        ),
+        gated(g("vm_all_visible") != "", "vm_all_visible_prev", "long").alias(
+            "vm_prev_all_visible_pages"
+        ),
+        F.nullif(g("idxscan_status"), F.lit("")).alias("lpdead_index_scan"),
+        gated(g("idxscan_status") != "", "idxscan_pages", "long").alias(
+            "lpdead_item_pages"
+        ),
+        gated(g("idxscan_status") != "", "idxscan_pages_pct", "double").alias(
+            "lpdead_item_page_percent"
+        ),
+        gated(g("idxscan_status") != "", "idxscan_dead", "long").alias(
+            "lpdead_items"
+        ),
+        opt("io_read_ms", "double").alias("blk_read_time"),
+        gated(g("io_read_ms") != "", "io_write_ms", "double").alias(
+            "blk_write_time"
+        ),
+        F.coalesce(
+            opt("io_read_rate", "double"),
+            opt("io_read_rate_13", "double"),
+            F.lit(0.0),
+        ).alias("read_rate_mb"),
+        F.coalesce(
+            opt("io_write_rate", "double"),
+            opt("io_write_rate_13", "double"),
+            F.lit(0.0),
+        ).alias("write_rate_mb"),
+        g("buffer_hits").cast("long").alias("vacuum_page_hit"),
+        g("buffer_misses").cast("long").alias("vacuum_page_miss"),
+        g("buffers_dirtied").cast("long").alias("vacuum_page_dirty"),
+        opt("wal_records", "long").alias("wal_records"),
+        gated(has_wal, "wal_fpis", "long").alias("wal_fpi"),
+        gated(has_wal, "wal_bytes", "long").alias("wal_bytes"),
+        opt("wal_buffers_full", "long").alias("wal_buffers_full"),
+        F.when(legacy_cpu, g("cpu_s")).otherwise(g("cpu_system")).cast(
+            "double"
+        ).alias("rusage_kernel"),
+        F.when(legacy_cpu, g("cpu_u")).otherwise(g("cpu_user")).cast(
+            "double"
+        ).alias("rusage_user"),
+        F.when(legacy_cpu, g("cpu_tot")).otherwise(g("cpu_elapsed")).cast(
+            "double"
+        ).alias("elapsed_secs"),
+    ).orderBy("pid", "seq")
+
+
+def oracle_autovacuum_full_details(stitched_cte: str) -> str:
+    rx = _sql_quote(AUTOVACUUM_FULL_RE)
+    name_list = ", ".join(f"'{n}'" for n in _AV_FULL_NAMES)
+    has_scanned = "g.pages_scanned <> ''"
+    has_xmin = "g.oldest_xmin <> ''"
+    has_cutoff = "g.cutoff <> ''"
+    legacy = "g.cpu_u <> ''"
+    has_wal = "g.wal_records <> ''"
+    has_wrap = "g.wraparound <> ''"
+    return f"""
+WITH stitched AS ({stitched_cte}),
+matched AS (
+  SELECT pid, seq, regexp_extract(content, '{rx}', [{name_list}]) AS g
+  FROM stitched
+  WHERE starts_with(content, 'automatic ') AND regexp_matches(content, '{rx}')
+)
+SELECT pid, seq,
+  g.aggressive <> '' AS aggressive,
+  CASE WHEN {has_wrap} OR {has_wal} THEN {has_wrap} END AS anti_wraparound,
+  split_part(g.relname, '.', 1) AS database,
+  NULLIF(split_part(g.relname, '.', 2), '') AS schema_name,
+  NULLIF(split_part(g.relname, '.', 3), '') AS relation_name,
+  CAST(g.idx_scans AS BIGINT) AS num_index_scans,
+  CAST(g.pages_removed AS BIGINT) AS pages_removed,
+  CAST(g.pages_remain AS BIGINT) AS rel_pages,
+  CAST(NULLIF(g.pages_scanned, '') AS BIGINT) AS scanned_pages,
+  CASE WHEN {has_scanned} THEN CAST(g.pages_scanned_pct AS DOUBLE) END AS scanned_pages_percent,
+  CASE WHEN {has_scanned} THEN CAST(NULLIF(g.pages_eagerly_scanned, '') AS BIGINT) END AS eagerly_scanned_pages,
+  CASE WHEN NOT {has_scanned} THEN COALESCE(CAST(NULLIF(g.pages_skipped_pins, '') AS BIGINT), 0) END AS pinskipped_pages,
+  CASE WHEN NOT {has_scanned} THEN COALESCE(CAST(NULLIF(g.pages_skipped_frozen, '') AS BIGINT), 0) END AS frozenskipped_pages,
+  CAST(g.tuples_removed AS BIGINT) AS tuples_deleted,
+  CAST(g.tuples_remain AS BIGINT) AS new_rel_tuples,
+  CAST(g.tuples_new_dead AS BIGINT) AS new_dead_tuples,
+  CASE WHEN {has_xmin} THEN CAST(g.oldest_xmin AS BIGINT)
+       WHEN {has_cutoff} THEN CAST(g.cutoff AS BIGINT) END AS oldest_xmin,
+  CASE WHEN NOT {has_xmin} AND {has_cutoff} THEN CAST(g.cutoff_age AS BIGINT) END AS oldest_xmin_age,
+  CAST(NULLIF(g.missed_dead_tuples, '') AS BIGINT) AS missed_dead_tuples,
+  CASE WHEN g.missed_dead_tuples <> '' THEN CAST(g.missed_dead_pages AS BIGINT) END AS missed_dead_pages,
+  CAST(NULLIF(g.new_frozenxid, '') AS BIGINT) AS new_relfrozenxid,
+  CASE WHEN g.new_frozenxid <> '' THEN CAST(g.new_frozenxid_diff AS BIGINT) END AS new_relfrozenxid_diff,
+  CAST(NULLIF(g.new_minmxid, '') AS BIGINT) AS new_relminmxid,
+  CASE WHEN g.new_minmxid <> '' THEN CAST(g.new_minmxid_diff AS BIGINT) END AS new_relminmxid_diff,
+  CAST(NULLIF(g.frozen_pages, '') AS BIGINT) AS frozen_pages,
+  CASE WHEN g.frozen_pages <> '' THEN CAST(g.frozen_pages_pct AS DOUBLE) END AS frozen_page_percent,
+  CASE WHEN g.frozen_pages <> '' THEN CAST(g.frozen_tuples AS BIGINT) END AS tuples_frozen,
+  CAST(NULLIF(g.vm_all_visible, '') AS BIGINT) AS vm_all_visible_pages,
+  CASE WHEN g.vm_all_visible <> '' THEN CAST(g.vm_all_frozen AS BIGINT) END AS vm_all_frozen_pages,
+  CASE WHEN g.vm_all_visible <> '' THEN CAST(g.vm_all_visible_prev AS BIGINT) END AS vm_prev_all_visible_pages,
+  NULLIF(g.idxscan_status, '') AS lpdead_index_scan,
+  CASE WHEN g.idxscan_status <> '' THEN CAST(g.idxscan_pages AS BIGINT) END AS lpdead_item_pages,
+  CASE WHEN g.idxscan_status <> '' THEN CAST(g.idxscan_pages_pct AS DOUBLE) END AS lpdead_item_page_percent,
+  CASE WHEN g.idxscan_status <> '' THEN CAST(g.idxscan_dead AS BIGINT) END AS lpdead_items,
+  CAST(NULLIF(g.io_read_ms, '') AS DOUBLE) AS blk_read_time,
+  CASE WHEN g.io_read_ms <> '' THEN CAST(g.io_write_ms AS DOUBLE) END AS blk_write_time,
+  COALESCE(CAST(NULLIF(g.io_read_rate, '') AS DOUBLE),
+           CAST(NULLIF(g.io_read_rate_13, '') AS DOUBLE), 0.0) AS read_rate_mb,
+  COALESCE(CAST(NULLIF(g.io_write_rate, '') AS DOUBLE),
+           CAST(NULLIF(g.io_write_rate_13, '') AS DOUBLE), 0.0) AS write_rate_mb,
+  CAST(g.buffer_hits AS BIGINT) AS vacuum_page_hit,
+  CAST(g.buffer_misses AS BIGINT) AS vacuum_page_miss,
+  CAST(g.buffers_dirtied AS BIGINT) AS vacuum_page_dirty,
+  CAST(NULLIF(g.wal_records, '') AS BIGINT) AS wal_records,
+  CASE WHEN {has_wal} THEN CAST(g.wal_fpis AS BIGINT) END AS wal_fpi,
+  CASE WHEN {has_wal} THEN CAST(g.wal_bytes AS BIGINT) END AS wal_bytes,
+  CAST(NULLIF(g.wal_buffers_full, '') AS BIGINT) AS wal_buffers_full,
+  CAST(CASE WHEN {legacy} THEN g.cpu_s ELSE g.cpu_system END AS DOUBLE) AS rusage_kernel,
+  CAST(CASE WHEN {legacy} THEN g.cpu_u ELSE g.cpu_user END AS DOUBLE) AS rusage_user,
+  CAST(CASE WHEN {legacy} THEN g.cpu_tot ELSE g.cpu_elapsed END AS DOUBLE) AS elapsed_secs
+FROM matched
+ORDER BY pid, seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-index vacuum details (analyze.go:1826-1843): the PG14+ idx_details
+# block ('index "x": pages: N in total, ...' repeated per index) exploded to
+# one row per (vacuum line, index), the relational form of the reference's
+# nested index_vacuums map.
+# ---------------------------------------------------------------------------
+
+INDEX_VACUUM_ENTRY_RE = (
+    r'index "(.+?)": pages: ([0-9]+) in total, ([0-9]+) newly deleted,'
+    r" ([0-9]+) currently deleted, ([0-9]+) reusable"
+)
+
+
+def index_vacuum_details(spark: SparkSession) -> DataFrame:
+    """Explode the per-index blocks out of autovacuum completion lines.
+    Map-only: regexp_extract_all + explode, one row per index entry; the
+    entry pattern is specific enough to run against the whole line without
+    first isolating the idx_details group."""
+    lines = stitch_lines(spark).filter(
+        F.col("content").startswith("automatic ")
+        & F.col("content").rlike(INDEX_VACUUM_ENTRY_RE)
+    )
+    exploded = lines.select(
+        "pid",
+        "seq",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("content"), F.lit(INDEX_VACUUM_ENTRY_RE), F.lit(0)
+            )
+        ).alias("entry"),
+    )
+    g = lambda i: F.regexp_extract(F.col("entry"), INDEX_VACUUM_ENTRY_RE, i)  # noqa: E731
+    return exploded.select(
+        "pid",
+        "seq",
+        g(1).alias("index_name"),
+        g(2).cast("long").alias("num_pages"),
+        g(3).cast("long").alias("pages_newly_deleted"),
+        g(4).cast("long").alias("pages_deleted"),
+        g(5).cast("long").alias("pages_free"),
+    ).orderBy("pid", "seq", "index_name")
+
+
+def oracle_index_vacuum_details(stitched_cte: str) -> str:
+    rx = _sql_quote(INDEX_VACUUM_ENTRY_RE)
+    return f"""
+WITH stitched AS ({stitched_cte}),
+exploded AS (
+  SELECT pid, seq, unnest(regexp_extract_all(content, '{rx}', 0)) AS entry
+  FROM stitched
+  WHERE starts_with(content, 'automatic ') AND regexp_matches(content, '{rx}')
+)
+SELECT pid, seq,
+  regexp_extract(entry, '{rx}', 1) AS index_name,
+  CAST(regexp_extract(entry, '{rx}', 2) AS BIGINT) AS num_pages,
+  CAST(regexp_extract(entry, '{rx}', 3) AS BIGINT) AS pages_newly_deleted,
+  CAST(regexp_extract(entry, '{rx}', 4) AS BIGINT) AS pages_deleted,
+  CAST(regexp_extract(entry, '{rx}', 5) AS BIGINT) AS pages_free
+FROM exploded
+ORDER BY pid, seq, index_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Server-crash details (analyze.go:1917-1949): SERVER_CRASHED and
+# SERVER_OUT_OF_MEMORY both emit process_type/process_pid/signal; the OOM
+# class is the signal-9 termination (rules.py mirrors the reference's
+# two-rule dispatch on the signal number).
+# ---------------------------------------------------------------------------
+
+CRASH_RE = r"^server process \(PID ([0-9]+)\) was terminated by signal ([0-9]+)"
+
+
+def crash_details(spark: SparkSession) -> DataFrame:
+    lines = stitch_lines(spark).filter(
+        F.col("content").startswith("server process (PID ")
+        & F.col("content").rlike(CRASH_RE)
+    )
+    g = lambda i: F.regexp_extract(F.col("content"), CRASH_RE, i)  # noqa: E731
+    signal = g(2).cast("int")
+    return lines.select(
+        "pid",
+        "seq",
+        F.when(signal == 9, F.lit("SERVER_OUT_OF_MEMORY"))
+        .otherwise(F.lit("SERVER_CRASHED"))
+        .alias("classification"),
+        F.lit("server process").alias("process_type"),
+        g(1).cast("int").alias("process_pid"),
+        signal.alias("signal"),
+    ).orderBy("pid", "seq")
+
+
+def oracle_crash_details(stitched_cte: str) -> str:
+    rx = _sql_quote(CRASH_RE)
+    return f"""
+WITH stitched AS ({stitched_cte})
+SELECT pid, seq,
+  CASE WHEN CAST(regexp_extract(content, '{rx}', 2) AS INT) = 9
+       THEN 'SERVER_OUT_OF_MEMORY' ELSE 'SERVER_CRASHED' END AS classification,
+  'server process' AS process_type,
+  CAST(regexp_extract(content, '{rx}', 1) AS INT) AS process_pid,
+  CAST(regexp_extract(content, '{rx}', 2) AS INT) AS signal
+FROM stitched
+WHERE starts_with(content, 'server process (PID ') AND regexp_matches(content, '{rx}')
+ORDER BY pid, seq
+"""

@@ -46,6 +46,178 @@ class Rule:
         return self.prefix if isinstance(self.prefix, tuple) else (self.prefix,)
 
 
+def _autovacuum_sample() -> str:
+    """Autovacuum completion body cycling SIX PostgreSQL-version shapes by
+    event_id % 6 — the clause combinations the reference's 62-group regex
+    (analyze.go:81-108) tolerates:
+
+      v0  legacy-hybrid (the repo's original PG14-subset shape; keeps the
+          u7b subset extractor exercised)
+      v1  PG10-12: pinskipped/frozenskipped pages, oldest xmin, rates after
+          buffer usage, no WAL clause, legacy 'CPU 0.1s/0.2u sec' rusage
+      v2  PG14: scanned pages, lpdead index-scan status, per-index vacuum
+          details, I/O timings, rates before buffers, WAL usage
+      v3  PG15: missed dead tuples, removable cutoff + age, new
+          relfrozenxid/relminmxid advancement
+      v4  PG16/18: eagerly-scanned pages, frozen-pages clause, visibility
+          map clause, WAL buffers-full counter
+      v5  AlloyDB: elapsed-time clause, mintxid skip clause,
+          max_dead_tuples, prefetch suffix (shape tolerance; no details)
+
+    The full-vector extractor (classify.autovacuum_full_details) resolves
+    every version-dependent either-or over these lines.
+    """
+    head = (
+        "'automatic ' || CASE WHEN event_id % 11 = 0 THEN 'aggressive ' ELSE '' END"
+        " || 'vacuum ' || CASE WHEN event_id % 5 = 0 THEN 'to prevent wraparound ' ELSE '' END"
+        f" || 'of table \"db_' || {_DB} || '.public.rel_' || {_EID}"
+        " || '\": index scans: ' || CAST(event_id % 4 AS STRING) || ','"
+    )
+    pages = (
+        "' pages: ' || CAST(event_id % 100 AS STRING) || ' removed, '"
+        " || CAST(1000 + event_id % 9000 AS STRING) || ' remain,'"
+    )
+    scanned = (
+        "' ' || CAST(800 + event_id % 5000 AS STRING) || ' scanned ('"
+        " || CAST(CAST(event_id % 100 AS DECIMAL(5,2)) AS STRING) || '% of total)'"
+    )
+    eagerly = "', ' || CAST(event_id % 60 AS STRING) || ' eagerly scanned'"
+    pins = (
+        "' ' || CAST(event_id % 9 AS STRING) || ' skipped due to pins, '"
+        " || CAST(event_id % 17 AS STRING) || ' skipped frozen'"
+    )
+    tuples = (
+        "' tuples: ' || CAST(event_id % 500 AS STRING) || ' removed, '"
+        " || CAST(2000 + event_id % 8000 AS STRING) || ' remain, '"
+        " || CAST(event_id % 50 AS STRING) || ' are dead but not yet removable'"
+    )
+    oldxmin = "', oldest xmin: ' || CAST(100000 + event_id AS STRING)"
+    missed = (
+        "' tuples missed: ' || CAST(event_id % 40 AS STRING) || ' dead from '"
+        " || CAST(event_id % 20 AS STRING)"
+        " || ' pages not removed due to cleanup lock contention,'"
+    )
+    cutoff = (
+        "' removable cutoff: ' || CAST(200000 + event_id AS STRING)"
+        " || ', which was ' || CAST(event_id % 999 AS STRING)"
+        " || ' XIDs old when operation ended,'"
+    )
+    frozenxid = (
+        "' new relfrozenxid: ' || CAST(150000 + event_id AS STRING)"
+        " || ', which is ' || CAST(1 + event_id % 5000 AS STRING)"
+        " || ' XIDs ahead of previous value,'"
+    )
+    minmxid = (
+        "' new relminmxid: ' || CAST(90000 + event_id AS STRING)"
+        " || ', which is ' || CAST(1 + event_id % 700 AS STRING)"
+        " || ' MXIDs ahead of previous value,'"
+    )
+    frozen = (
+        "' frozen: ' || CAST(event_id % 300 AS STRING)"
+        " || ' pages from table (' || CAST(CAST(event_id % 90 AS DECIMAL(5,2)) AS STRING)"
+        " || '% of total) had ' || CAST(event_id % 4000 AS STRING) || ' tuples frozen,'"
+    )
+    vm = (
+        "' visibility map: ' || CAST(event_id % 500 AS STRING)"
+        " || ' pages set all-visible, ' || CAST(event_id % 450 AS STRING)"
+        " || ' pages set all-frozen (' || CAST(event_id % 200 AS STRING)"
+        " || ' were all-visible)'"
+    )
+    idxscan = (
+        "' index scan ' || CASE CAST(event_id % 4 AS INT)"
+        " WHEN 0 THEN 'not needed' WHEN 1 THEN 'needed'"
+        " WHEN 2 THEN 'bypassed' ELSE 'bypassed by failsafe' END"
+        " || ': ' || CAST(event_id % 800 AS STRING)"
+        " || ' pages from table (' || CAST(CAST(event_id % 70 AS DECIMAL(5,2)) AS STRING)"
+        " || '% of total) had ' || CAST(event_id % 900 AS STRING)"
+        " || ' dead item identifiers removed,'"
+    )
+    idxdet = (
+        "' index \"rel_' || " + _EID + " || '_pkey\": pages: '"
+        " || CAST(100 + event_id % 900 AS STRING) || ' in total, '"
+        " || CAST(event_id % 30 AS STRING) || ' newly deleted, '"
+        " || CAST(event_id % 40 AS STRING) || ' currently deleted, '"
+        " || CAST(event_id % 25 AS STRING) || ' reusable,'"
+        " || ' index \"rel_' || " + _EID + " || '_ix2\": pages: '"
+        " || CAST(50 + event_id % 400 AS STRING) || ' in total, '"
+        " || CAST(event_id % 7 AS STRING) || ' newly deleted, '"
+        " || CAST(event_id % 11 AS STRING) || ' currently deleted, '"
+        " || CAST(event_id % 5 AS STRING) || ' reusable,'"
+    )
+    iotim = (
+        "' I/O timings: read: ' || CAST(CAST(event_id % 700 AS DECIMAL(7,3)) AS STRING)"
+        " || ' ms, write: ' || CAST(CAST(event_id % 300 AS DECIMAL(7,3)) AS STRING) || ' ms,'"
+    )
+    rates = (
+        "' avg read rate: ' || CAST(CAST(event_id % 80 AS DECIMAL(6,1)) AS STRING)"
+        " || ' MB/s, avg write rate: ' || CAST(CAST(event_id % 40 AS DECIMAL(6,1)) AS STRING)"
+        " || ' MB/s,'"
+    )
+    buffers = (
+        "' buffer usage: ' || CAST(event_id % 4000 AS STRING) || ' hits, '"
+        " || CAST(event_id % 300 AS STRING)"
+        " || CASE WHEN event_id % 2 = 0 THEN ' misses, ' ELSE ' reads, ' END"
+        " || CAST(event_id % 200 AS STRING) || ' dirtied,'"
+    )
+    wal = (
+        "' WAL usage: ' || CAST(event_id % 7000 AS STRING) || ' records, '"
+        " || CAST(event_id % 90 AS STRING) || ' full page images, '"
+        " || CAST(event_id * 13 % 100000 AS STRING) || ' bytes,'"
+    )
+    walfull = "' ' || CAST(event_id % 64 AS STRING) || ' buffers full'"
+    cpu_new = (
+        "' system usage: CPU: user: ' || CAST(CAST(event_id % 10 AS DECIMAL(5,2)) AS STRING)"
+        " || ' s, system: ' || CAST(CAST(event_id % 5 AS DECIMAL(5,2)) AS STRING)"
+        " || ' s, elapsed: ' || CAST(CAST(event_id % 30 AS DECIMAL(5,2)) AS STRING) || ' s'"
+    )
+    cpu_old = (
+        "' system usage: CPU ' || CAST(CAST(event_id % 5 AS DECIMAL(4,2)) AS STRING)"
+        " || 's/' || CAST(CAST(event_id % 9 AS DECIMAL(4,2)) AS STRING)"
+        " || 'u sec elapsed ' || CAST(CAST(event_id % 30 AS DECIMAL(4,2)) AS STRING) || ' sec'"
+    )
+    alloy_elapsed = (
+        "' elapsed time: ' || CAST(event_id % 90 AS STRING)"
+        " || ' s, index vacuum time: ' || CAST(event_id % 30 AS STRING) || ' s,'"
+    )
+    alloy_mintxid = (
+        "' ' || CAST(event_id % 70 AS STRING) || ' skipped using mintxid '"
+        " || CAST(event_id % 50 AS STRING) || ' skipped pages due to vm all-visible, '"
+        " || CAST(event_id % 600 AS STRING) || ' nonempty pages,'"
+    )
+    alloy_maxdead = "' max_dead_tuples:' || CAST(1000 + event_id % 9000 AS STRING) || ','"
+    alloy_prefetch = (
+        "' prefetch hit: ' || CAST(event_id % 100 AS STRING)"
+        " || ' prefetch io: ' || CAST(event_id % 60 AS STRING)"
+        " || ' second prefetch hit: ' || CAST(event_id % 30 AS STRING)"
+        " || ' second prefetch io: ' || CAST(event_id % 15 AS STRING)"
+    )
+
+    def cat(*parts: str) -> str:
+        return " || ".join(parts)
+
+    v0 = cat(pages, tuples,
+             f"CASE WHEN event_id % 2 = 0 THEN {oldxmin} ELSE '' END",
+             "','", buffers, rates, wal, cpu_new)
+    v1 = cat(pages, pins, tuples, oldxmin, "','", buffers, rates, cpu_old)
+    v2 = cat(pages, scanned, "','", tuples, oldxmin, "','", idxscan, idxdet,
+             iotim, rates, buffers, wal, cpu_new)
+    v3 = cat(pages, scanned, "','", tuples, missed, cutoff, frozenxid,
+             minmxid, idxscan, iotim, rates, buffers, wal, cpu_new)
+    v4 = cat(pages, scanned, eagerly, "','", tuples, cutoff, frozen, vm,
+             idxscan, idxdet, rates, buffers, wal, walfull, cpu_new)
+    v5 = cat(alloy_elapsed, pages, scanned, "','", alloy_mintxid, tuples,
+             oldxmin, "','", alloy_maxdead, buffers, rates, cpu_new,
+             alloy_prefetch)
+
+    cases = "".join(
+        f" WHEN {i} THEN {v}" for i, v in enumerate([v0, v1, v2, v3, v4, v5])
+    )
+    # variant selector must be independent of the rule-assignment modulus
+    # (event_id % len(RULES)): gcd(111, 6) = 3 would leave four variants
+    # never rendered — user_id is uncorrelated with the rule index
+    return f"{head} || CASE CAST(user_id % 6 AS INT){cases} END"
+
+
 RULES: list[Rule] = [
     # --- statement / cancellation (analyze.go:37,46,1087) ------------------
     # auto_explain precedes plain duration (analyze.go orders the same way);
@@ -91,30 +263,11 @@ RULES: list[Rule] = [
         r'^automatic (?:aggressive )?vacuum (?:to prevent wraparound )?of table "([^"]+)": index scans: ([0-9]+)',
         "AUTOVACUUM_COMPLETED",
         "LOG",
-        # full PG14-style completion body (analyze.go:81-108 subset); the
-        # dedicated detail extractor (classify.autovacuum_details) parses
-        # every numeric field out of this line
-        "'automatic ' || CASE WHEN event_id % 11 = 0 THEN 'aggressive ' ELSE '' END"
-        " || 'vacuum ' || CASE WHEN event_id % 5 = 0 THEN 'to prevent wraparound ' ELSE '' END"
-        f" || 'of table \"db_' || {_DB} || '.public.rel_' || {_EID}"
-        " || '\": index scans: ' || CAST(event_id % 4 AS STRING)"
-        " || ', pages: ' || CAST(event_id % 100 AS STRING) || ' removed, '"
-        " || CAST(1000 + event_id % 9000 AS STRING) || ' remain,'"
-        " || ' tuples: ' || CAST(event_id % 500 AS STRING) || ' removed, '"
-        " || CAST(2000 + event_id % 8000 AS STRING) || ' remain, '"
-        " || CAST(event_id % 50 AS STRING) || ' are dead but not yet removable'"
-        " || CASE WHEN event_id % 2 = 0 THEN ', oldest xmin: ' || CAST(100000 + event_id AS STRING) ELSE '' END"
-        " || ', buffer usage: ' || CAST(event_id % 4000 AS STRING) || ' hits, '"
-        " || CAST(event_id % 300 AS STRING) || ' misses, '"
-        " || CAST(event_id % 200 AS STRING) || ' dirtied,'"
-        " || ' avg read rate: ' || CAST(CAST(event_id % 80 AS DECIMAL(6,1)) AS STRING) || ' MB/s,'"
-        " || ' avg write rate: ' || CAST(CAST(event_id % 40 AS DECIMAL(6,1)) AS STRING) || ' MB/s,'"
-        " || ' WAL usage: ' || CAST(event_id % 7000 AS STRING) || ' records, '"
-        " || CAST(event_id % 90 AS STRING) || ' full page images, '"
-        " || CAST(event_id * 13 % 100000 AS STRING) || ' bytes,'"
-        " || ' system usage: CPU: user: ' || CAST(CAST(event_id % 10 AS DECIMAL(5,2)) AS STRING)"
-        " || ' s, system: ' || CAST(CAST(event_id % 5 AS DECIMAL(5,2)) AS STRING)"
-        " || ' s, elapsed: ' || CAST(CAST(event_id % 30 AS DECIMAL(5,2)) AS STRING) || ' s'",
+        # completion body cycling six PG-version shapes (analyze.go:81-108);
+        # the PG14-subset extractor (classify.autovacuum_details) parses the
+        # v0 shape, the full-vector extractor (autovacuum_full_details)
+        # resolves every version-dependent clause across all six
+        _autovacuum_sample(),
         num_group=2,
         text_group=1,
     ),

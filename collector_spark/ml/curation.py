@@ -448,3 +448,58 @@ FROM pii_docs
 ORDER BY doc_id
 """
     return oracle_query(body, ["pii_docs"])
+
+
+# ---------------------------------------------------------------------------
+# Corpus distribution profile: per-source document-length quantiles — the
+# summary a data-mixing step reads before setting sampling quotas.
+# ---------------------------------------------------------------------------
+
+_QUANTILES = (0.25, 0.5, 0.75, 0.9)
+
+
+def source_quantiles(spark: SparkSession) -> DataFrame:
+    """Per-source length profile: count, char total, min/max and exact
+    interpolated quantiles of n_chars. Registered with EXACT percentiles
+    (Spark `percentile` and DuckDB `quantile_cont` share the (n-1)*p linear
+    interpolation) so the oracle can value-match; at 100 TB the same plan
+    swaps `percentile` for `approx_percentile` (t-digest, map-side
+    combinable) — a one-expression change that removes the per-group sort.
+    """
+    docs = spark.table("documents")
+    qs = F.percentile(F.col("n_chars"), F.array(*[F.lit(q) for q in _QUANTILES]))
+    agg = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        qs.alias("q"),
+    )
+    return agg.select(
+        "source",
+        "docs",
+        "total_chars",
+        "min_chars",
+        F.col("q")[0].alias("p25"),
+        F.col("q")[1].alias("p50"),
+        F.col("q")[2].alias("p75"),
+        F.col("q")[3].alias("p90"),
+        "max_chars",
+    ).orderBy("source")
+
+
+def oracle_source_quantiles() -> str:
+    return """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(n_chars) AS min_chars,
+       quantile_cont(n_chars, 0.25) AS p25,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.75) AS p75,
+       quantile_cont(n_chars, 0.9) AS p90,
+       MAX(n_chars) AS max_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""

@@ -433,3 +433,104 @@ WITH ex AS (
 bs AS (SELECT doc_id, {sums} FROM ex GROUP BY doc_id)
 SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM bs ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better"): fixed-width word windows hashed and matched
+# across documents; a document whose text is mostly covered by windows that
+# also appear in OTHER documents is dropped. Catches partial/embedded
+# duplication that whole-document hashing (E1) misses and MinHash (E2-E4)
+# only scores approximately.
+# ---------------------------------------------------------------------------
+
+SPAN_W = 16              # words per window (the paper uses 50 BPE tokens)
+SPAN_DROP_FRACTION = 0.5  # drop when >= half the windows are cross-doc dups
+
+
+def ngram_span_dedup(spark: SparkSession) -> DataFrame:
+    """Per-document span-duplication decision: every overlapping SPAN_W-word
+    window is hashed (portable md5-60bit), a window hash is 'shared' when it
+    occurs in more than one document, and the doc's dup_fraction is the
+    share of its window positions that are shared.
+
+    Scale shape: explode -> ONE shuffle on the 8-byte window hash (the
+    min!=max window rides that exchange; no countDistinct, no self-join,
+    grams never shuffled as strings) -> ONE groupBy(doc_id) reduce. Both
+    aggregations are map-side combinable; the suffix-array machinery of the
+    paper is replaced by hash equality, exact for fixed W. Docs shorter
+    than W words re-enter via the left join with zero windows (keep).
+    """
+    docs = spark.table("documents")
+    words = _words(F.col("text"))
+    n = F.size(words)
+    idx = F.when(
+        n >= SPAN_W, F.sequence(F.lit(1), n - SPAN_W + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(idx, lambda i: F.array_join(F.slice(words, i, SPAN_W), " "))
+        ).alias("gram"),
+    ).select("doc_id", _hash60(F.col("gram")).alias("h"))
+    w = Window.partitionBy("h")
+    flagged = grams.withColumn(
+        "shared", F.min("doc_id").over(w) != F.max("doc_id").over(w)
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("shared"), 1).otherwise(0)).cast("long").alias(
+            "dup_windows"
+        ),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.col("dup_windows").cast("double") / F.col("n_windows"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_fraction"),
+        )
+        .withColumn("keep", F.col("dup_fraction") < SPAN_DROP_FRACTION)
+        .orderBy("doc_id")
+    )
+
+
+def oracle_ngram_span_dedup() -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS wl FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         {_sql_hash60(f"array_to_string(wl[gs.i : gs.i + {SPAN_W} - 1], ' ')")} AS h
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(wl) - {SPAN_W} + 1)) AS i) gs
+  WHERE len(wl) >= {SPAN_W}
+),
+flagged AS (
+  SELECT doc_id,
+         MIN(doc_id) OVER (PARTITION BY h) <> MAX(doc_id) OVER (PARTITION BY h) AS shared
+  FROM grams
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN shared THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_windows, 0) AS n_windows,
+       COALESCE(p.dup_windows, 0) AS dup_windows,
+       CASE WHEN COALESCE(p.n_windows, 0) > 0
+            THEN CAST(p.dup_windows AS DOUBLE) / p.n_windows ELSE 0.0 END AS dup_fraction,
+       CASE WHEN COALESCE(p.n_windows, 0) > 0
+            THEN CAST(p.dup_windows AS DOUBLE) / p.n_windows ELSE 0.0 END
+         < {SPAN_DROP_FRACTION} AS keep
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""

@@ -34,6 +34,12 @@ from collector_spark.logs.classify import (
     archiver_details,
     autoanalyze_details,
     autovacuum_details,
+    autovacuum_full_details,
+    crash_details,
+    index_vacuum_details,
+    oracle_autovacuum_full_details,
+    oracle_crash_details,
+    oracle_index_vacuum_details,
     oracle_archiver_details,
     oracle_autoanalyze_details,
     oracle_worker_exit_details,
@@ -302,6 +308,49 @@ register(
     fixtures=["log_raw"],
 )
 
+# full autovacuum completion vector (analyze.go:81-108 regex, :1668-1862
+# mapping): all PG10-18 + AlloyDB clause shapes with the reference's
+# version-dependent either-or resolution; per-index vacuum blocks exploded
+# to rows (the relational form of the nested index_vacuums map). The log
+# fixture now cycles six version shapes, so the generic classify surface
+# (u7/u7b/u7d) gets fresh driver rows below.
+register(
+    "u7w_autovacuum_full",
+    autovacuum_full_details,
+    oracle_autovacuum_full_details(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+register(
+    "u7x_index_vacuums",
+    index_vacuum_details,
+    oracle_index_vacuum_details(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+# server-crash / OOM details (analyze.go:1917-1949)
+register(
+    "u7p_crash_details",
+    crash_details,
+    oracle_crash_details(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+# input changed this round (six-shape autovacuum fixture) — fresh rows
+register(
+    "u7b_autovacuum_details",
+    autovacuum_details,
+    oracle_autovacuum_details(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
+register(
+    "u7d_details_json",
+    details_json,
+    oracle_details_json(log_pipeline.oracle_stitch()),
+    fixtures=["log_raw"],
+)
+
 # sink-side OTel trace-span export as a relational projection
 # (logs/querysample/tracing.go:19-104)
 register(
@@ -338,6 +387,20 @@ register(
     log_transport.pg_read_file_plan,
     log_transport.oracle_pg_read_file_plan(),
     fixtures=["pg_log_files", "pg_prev_offsets"],
+)
+
+# training-data additions this round: exact-substring span dedup (the
+# Lee-et-al window-hash form) and the per-source length-quantile profile
+register(
+    "ml_ngram_span_dedup",
+    dedup.ngram_span_dedup,
+    dedup.oracle_ngram_span_dedup(),
+)
+
+register(
+    "ml_source_quantiles",
+    curation.source_quantiles,
+    curation.oracle_source_quantiles(),
 )
 
 # plan changed this round (fingerprint precompute per distinct text — the
@@ -608,13 +671,6 @@ register(
 )
 
 register(
-    "u7b_autovacuum_details",
-    autovacuum_details,
-    oracle_autovacuum_details(log_pipeline.oracle_stitch()),
-    fixtures=["log_raw"],
-)
-
-register(
     "snapshot_statement_fact",
     snapshot.assemble_statement_fact,
     snapshot.oracle_statement_fact(),
@@ -663,13 +719,6 @@ register(
     log_transport.rds_download_plan,
     log_transport.oracle_rds_download_plan(),
     fixtures=["rds_portions", "rds_prev_markers"],
-)
-
-register(
-    "u7d_details_json",
-    details_json,
-    oracle_details_json(log_pipeline.oracle_stitch()),
-    fixtures=["log_raw"],
 )
 
 register(

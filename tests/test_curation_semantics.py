@@ -90,3 +90,48 @@ def test_tfidf_prefers_source_exclusive_terms(prepared_spark, docs_view):
     # (df=2, idf=1) in both sources despite lower raw tf in srcB's case
     # (unique_b: 2*2=4 vs shared: 3*1=3)
     assert top == {"srcA": "unique_a", "srcB": "unique_b"}
+
+
+def test_ngram_span_dedup_partial_and_exact_overlap(prepared_spark, docs_view):
+    from collector_spark.ml.dedup import SPAN_W, ngram_span_dedup
+
+    base = " ".join(f"w{i}" for i in range(SPAN_W))          # exactly W words
+    long_uniq = " ".join(f"u{i}" for i in range(3 * SPAN_W))
+    docs_view(
+        [
+            # exact pair: every window shared -> fraction 1.0, both flagged,
+            # keep=False for both (span dedup is not canonical-keeper dedup)
+            (1, base, "en", "s", 0),
+            (2, base, "en", "s", 0),
+            # doc embedding the duplicated span inside unique context:
+            # some windows shared, most not -> 0 < fraction < 0.5 -> keep
+            (3, f"{long_uniq} {base} {long_uniq.replace('u', 'v')}", "en", "s", 0),
+            # fully unique doc -> fraction 0.0
+            (4, " ".join(f"z{i}" for i in range(2 * SPAN_W)), "en", "s", 0),
+            # shorter than one window -> zero windows, kept
+            (5, "a b c", "en", "s", 0),
+        ]
+    )
+    got = {r["doc_id"]: r for r in ngram_span_dedup(prepared_spark).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1]["dup_fraction"] == 1.0 and not got[1]["keep"]
+    assert got[2]["dup_fraction"] == 1.0 and not got[2]["keep"]
+    # doc 3 shares exactly the windows fully inside the embedded span
+    assert 0 < got[3]["dup_windows"] < got[3]["n_windows"]
+    assert got[3]["keep"]
+    assert got[4]["dup_fraction"] == 0.0 and got[4]["keep"]
+    assert got[5]["n_windows"] == 0 and got[5]["keep"]
+
+
+def test_source_quantiles_interpolation_matches_definition(
+    prepared_spark, docs_view
+):
+    from collector_spark.ml.curation import source_quantiles
+
+    # 4 docs: (n-1)*p interpolation -> p25 over [10,20,30,40] = 17.5
+    docs_view(
+        [(i, "t", "en", "s", 10 * (i + 1)) for i in range(4)]
+    )
+    row = source_quantiles(prepared_spark).collect()[0]
+    assert row["docs"] == 4 and row["total_chars"] == 100
+    assert row["p25"] == 17.5 and row["p50"] == 25.0 and row["p90"] == 37.0

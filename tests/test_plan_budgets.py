@@ -55,6 +55,13 @@ BUDGETS = {
     # variant re-plans per iteration; budget pins the per-iteration shape)
     "ml_dup_clusters": (4, ["BroadcastHashJoin"]),
     "ml_embedding_dup_clusters": (4, ["BroadcastHashJoin"]),
+    # span dedup: one exchange on the window hash (the shared-flag window
+    # rides it), one groupBy(doc_id), one join back, ordering — a budget
+    # blow here means grams started shuffling as strings or twice
+    "ml_ngram_span_dedup": (8, []),
+    # quantile profile: one partial+final agg pair per grouping; the exact
+    # percentile sorts within groups, not through one partition
+    "ml_source_quantiles": (4, []),
 }
 
 

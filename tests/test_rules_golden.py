@@ -79,3 +79,65 @@ def test_capture_groups_resolve(rendered):
                 r.classification,
                 "text group empty in every variant",
             )
+
+
+def _render_autovacuum(eids_uids):
+    from collector_spark.logs.rules import _autovacuum_sample
+
+    con = duckdb.connect()
+    sql = _autovacuum_sample().replace("AS STRING", "AS VARCHAR")
+    values = ", ".join(f"({e}, {u}, 1.5)" for e, u in eids_uids)
+    rows = con.execute(
+        f"SELECT {sql} FROM (VALUES {values}) events(event_id, user_id, value)"
+    ).fetchall()
+    con.close()
+    return [r[0] for r in rows]
+
+
+def test_autovacuum_full_regex_covers_every_variant():
+    """Each of the six PG-version shapes must match the full 53-group regex,
+    and every capture group must resolve in at least one variant — the
+    version-dependent either-ors (scanned-vs-pinskipped, xmin-vs-cutoff,
+    rates position, legacy-vs-modern rusage) all get exercised."""
+    from collector_spark.logs.classify import _AV_FULL_NAMES, AUTOVACUUM_FULL_RE
+
+    pat = re.compile(AUTOVACUUM_FULL_RE)
+    assert pat.groups == len(_AV_FULL_NAMES)
+    # event_ids chosen so aggressive (%11) and wraparound (%5) both flip;
+    # user_id cycles the six variant shapes
+    bodies = _render_autovacuum(
+        [(e, u) for u in range(6) for e in (120, 121, 125, 132, 143)]
+    )
+    seen = set()
+    for body in bodies:
+        m = pat.search(body)
+        assert m, body[:160]
+        for gi in range(1, pat.groups + 1):
+            if m.group(gi):
+                seen.add(gi)
+    missing = [
+        _AV_FULL_NAMES[gi - 1] for gi in range(1, pat.groups + 1) if gi not in seen
+    ]
+    assert not missing, f"groups never resolved: {missing}"
+
+
+def test_autovacuum_v0_still_matches_pg14_subset():
+    """The u7b legacy-shape extractor must keep matching variant 0 (the
+    original fixture shape) so its driver rows stay non-vacuous."""
+    from collector_spark.logs.classify import AUTOVACUUM_DETAIL_RE
+
+    for body in _render_autovacuum([(120, 0), (121, 6), (125, 12)]):
+        assert re.search(AUTOVACUUM_DETAIL_RE, body), body[:160]
+
+
+def test_autovacuum_variant_selector_independent_of_rule_modulus():
+    """The variant CASE must key on user_id, not event_id: autovacuum lines
+    all share event_id % len(RULES), and gcd(len(RULES), 6) > 1 would leave
+    variants unreachable in the generated fixture."""
+    from collector_spark.logs.rules import _autovacuum_sample
+
+    import math
+
+    assert math.gcd(len(RULES), 6) > 1  # the trap this guards against
+    av = next(r for r in RULES if r.classification == "AUTOVACUUM_COMPLETED")
+    assert "CASE CAST(user_id % 6 AS INT)" in av.sample
