@@ -64,9 +64,20 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     # measured work (regex parse onward) still runs per query.
     from collector_spark.core.pinned import pinned as _pinned
 
+    # The corpus is a UNION of (currently 9) rendering branches, each fanned
+    # out to the session's core count, so the cached relation holds
+    # branches x cores partitions — most tiny — and every downstream pass
+    # would pay per-task overhead hundreds of times. The view is therefore a
+    # coalesce ON TOP of the cached relation: the cached plan stays a strict
+    # subtree (so cache substitution still fires — a Repartition/round-robin
+    # ROOT would defeat the deterministic plan lookup), and coalesce merges
+    # the tiny cached blocks into session-parallelism read tasks with no
+    # shuffle. Production ingests get the same sizing from
+    # maxPartitionBytes at the source.
+    _par = spark.sparkContext.defaultParallelism
     _pinned(
         spark, "log_raw_lines", lambda: spark.table("log_raw")
-    ).createOrReplaceTempView("log_raw")
+    ).coalesce(_par).createOrReplaceTempView("log_raw")
     _PREPARED.add(key)
     # a new sf_dir invalidates any previous registration for this session
     for k in list(_PREPARED):
