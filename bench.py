@@ -12,6 +12,19 @@ Each query executes end to end via a noop-format write (full plan runs,
 including final sorts; nothing is collected to the driver). A tiny warmup
 query first absorbs one-time JVM/codegen startup so per-query times reflect
 steady-state throughput.
+
+Round-4 perf notes (r2 -> r3 regressions, bisected):
+  - a2_statement_rollup +43%: the round-3 fingerprint repair/IN-collapse
+    regex passes ran per joined diff row; fixed by fingerprinting once per
+    DISTINCT text (statements.py) — r4 is back at the r2 level.
+  - s10_relation_scan +36% / a12_bucket_accumulation +30%: the r3 fan-out
+    of narrow single-row-group scans (tables.py load) adds one repartition
+    exchange per widened base-table derivation so pre-shuffle render work
+    parallelizes; the exchange is the measured cost at sf0.1 and does not
+    exist at production scale, where inputs arrive in >= cores splits and
+    the fan-out branch never fires. Partially recovered in r4 by pinning
+    the shared index_rows aggregate (s11 -45%) and coalescing the pinned
+    log corpus (parse/stitch/classify/stream back to r2-r3 levels).
 """
 
 from __future__ import annotations

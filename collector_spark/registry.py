@@ -78,6 +78,16 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     _pinned(
         spark, "log_raw_lines", lambda: spark.table("log_raw")
     ).coalesce(_par).createOrReplaceTempView("log_raw")
+    # index_rows is a groupBy over the fanned lineitem scan and is consumed
+    # by both megascans (S10's lateral aggregate, S11's per-index join +
+    # placeholder union) — pin the bounded O(indexes) aggregate so each
+    # branch reads the cache instead of re-aggregating lineitem. The
+    # part-derived catalog fixtures (class/lock/depend) are cheap narrow
+    # projections; caching those was measured SLOWER for S10 (the cache
+    # scan replaces pushed-down parquet scans per branch).
+    _pinned(
+        spark, "fx_index_rows", lambda: spark.table("index_rows")
+    ).createOrReplaceTempView("index_rows")
     _PREPARED.add(key)
     # a new sf_dir invalidates any previous registration for this session
     for k in list(_PREPARED):
