@@ -1299,6 +1299,37 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# F23 — log-based EXPLAIN workflow inputs (input/postgres/explain.go:18-99).
+# explain_samples models RunExplain's input batch: query samples from the
+# log pipeline with routing variety — collector-marker queries, backup
+# commands, utility statements (the parse guard), auto_explain rows that
+# already carry a plan, and plain queries that need a live EXPLAIN. The
+# live-PG stand-in for that EXPLAIN call is the plan_rows fixture keyed by
+# (database_oid, query_id); a missing plan row models the
+# connection/permission failure path (runExplainForDb returns nil).
+# ---------------------------------------------------------------------------
+
+EXPLAIN_SAMPLES = """
+SELECT o_orderkey AS sample_id,
+  o_orderkey % 5  AS database_oid,
+  o_orderkey % 500 AS query_id,
+  CASE CAST(o_orderkey % 7 AS INT)
+    WHEN 0 THEN '/* pganalyze-collector */ SELECT 1'
+    WHEN 1 THEN 'SELECT pg_start_backup(''b' || CAST(o_orderkey % 9 AS STRING) || ''')'
+    WHEN 2 THEN 'SELECT pg_stop_backup()'
+    WHEN 3 THEN 'VACUUM ANALYZE rel_' || CAST(o_orderkey % 40 AS STRING)
+    ELSE 'SELECT * FROM orders WHERE o_custkey = ' || CAST(o_custkey % 100 AS STRING)
+  END AS query_text,
+  o_orderkey % 3 = 0 AS has_explain,
+  CASE WHEN o_orderkey % 3 = 0
+       THEN '{"Node Type":"Seq Scan","Relation Name":"orders","Filter":"(o_custkey = '
+         || CAST(o_custkey % 100 AS STRING) || ')"}'
+  END AS plan_json
+FROM orders WHERE o_orderkey % 25 = 0
+"""
+
+
 ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "log_raw": {"spark": _log_raw_sql("spark"), "duckdb": _log_raw_sql("duckdb")},
     "stmt_snap1": STMT_SNAP1,
@@ -1382,6 +1413,7 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
         "duckdb": _otel_records_sql("duckdb"),
     },
     "pii_docs": PII_DOCS,
+    "explain_samples": EXPLAIN_SAMPLES,
 }
 
 FIXTURES = ALL_FIXTURES  # public alias

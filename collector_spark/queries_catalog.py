@@ -98,6 +98,7 @@ from collector_spark.operators import (
     vacuum,
 )
 from collector_spark.registry import register
+from collector_spark.streaming import doc_stream
 from collector_spark.streaming.log_stream import stream_classify, stream_stitch
 from collector_spark.streaming.stat_buckets import stream_stat_buckets
 
@@ -390,7 +391,9 @@ register(
 )
 
 # training-data additions this round: exact-substring span dedup (the
-# Lee-et-al window-hash form) and the per-source length-quantile profile
+# Lee-et-al window-hash form), the per-source length-quantile profile, and
+# the streaming twin of E1 (stateful per-hash fold, batch-equal by
+# construction)
 register(
     "ml_ngram_span_dedup",
     dedup.ngram_span_dedup,
@@ -401,6 +404,22 @@ register(
     "ml_source_quantiles",
     curation.source_quantiles,
     curation.oracle_source_quantiles(),
+)
+
+register(
+    "st_ml_stream_dedup",
+    doc_stream.stream_exact_dedup,
+    doc_stream.oracle_stream_exact_dedup(),
+)
+
+# J11: the log-based EXPLAIN workflow (explain.go:18-99) as relational
+# routing — auto_explain passthrough, utility parse guard, live-EXPLAIN
+# stand-in join, failure path
+register(
+    "j11_explain_workflow",
+    plans.explain_workflow,
+    plans.oracle_explain_workflow(),
+    fixtures=["explain_samples", "plan_rows"],
 )
 
 # plan changed this round (fingerprint precompute per distinct text — the

@@ -1,0 +1,111 @@
+"""Streaming incremental corpus dedup — the training-data ingest shape.
+
+A production pipeline deduplicates documents AS THEY ARRIVE: each batch of
+crawled/ingested docs folds into a running per-content-hash state instead
+of re-running a full-corpus groupBy. This is the streaming twin of the E1
+exact-dedup operator (ml/dedup.py exact_dup_groups): same md5 content hash
+over whitespace-normalized lowered text, same canonical = min(doc_id)
+semantics — expressed as a Structured Streaming stateful aggregation, so
+the final state equals the batch answer regardless of arrival batching
+(min/count are order-insensitive monotone folds; that equivalence is what
+the DuckDB oracle checks).
+
+Scale notes: state is O(distinct hashes) in the state store, keyed and
+shuffled once per microbatch on the 16-byte hash; at 100 TB the same query
+runs with RocksDB state store + watermark-based state TTL if the dedup
+horizon is bounded (dropDuplicatesWithinWatermark is the bounded-horizon
+variant). The verification harness runs trigger(availableNow) to
+completion; production uses trigger(processingTime=...) with an update-mode
+sink feeding the keep/drop decision table.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stream_exact_dedup(spark: SparkSession, n_arrival_batches: int = 8) -> DataFrame:
+    """Run the streaming dedup aggregation to completion over the documents
+    table delivered as ``n_arrival_batches`` arrival-ordered files, and
+    return the final per-hash state (content_hash, canonical_doc_id,
+    group_size) — batch-equal by construction."""
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), "collector_spark_docstream")
+    src_dir = os.path.join(base, run_id, "src")
+    ckpt_dir = os.path.join(base, run_id, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+
+    # arrival order = doc_id order (a crawler's append log): range-partition
+    # by doc_id and stagger file mtimes so the file source replays the
+    # batches oldest-first
+    (
+        spark.table("documents")
+        .repartitionByRange(n_arrival_batches, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(src_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base_mtime = os.path.getmtime(src_dir)
+    for i, name in enumerate(parts):
+        p = os.path.join(src_dir, name)
+        os.utime(p, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one arrival batch per microbatch
+        .parquet(src_dir)
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    dedup_state = (
+        raw.select(F.col("doc_id"), F.md5(norm).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").cast("long").alias("group_size"),
+        )
+    )
+
+    qname = f"docdedup_{run_id}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            dedup_state.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+        shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
+
+    return spark.table(qname).orderBy("canonical_doc_id")
+
+
+def oracle_stream_exact_dedup() -> str:
+    return """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS canonical_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS group_size
+FROM documents
+GROUP BY 1
+ORDER BY canonical_doc_id
+"""
