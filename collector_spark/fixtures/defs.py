@@ -1330,6 +1330,86 @@ FROM orders WHERE o_orderkey % 25 = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# F24 — RDS enhanced-monitoring events (input/system/rds/system.go:144-250,
+# enhanced_monitoring.go): one CloudWatch RDSOSMetrics log event per
+# instance, the nested-JSON OS snapshot the reference json.Unmarshals.
+# The rdsdev disk entry alternates array position so the device SCAN (not a
+# fixed index) is exercised; one instance omits swap to take the
+# missing-field path.
+# ---------------------------------------------------------------------------
+
+def _rds_os_events_sql() -> str:
+    k = "CAST(n_nationkey AS STRING)"
+    num = lambda base, mod: f"CAST({base} + n_nationkey % {mod} AS STRING)"  # noqa: E731
+    pct = lambda mod: f"CAST(CAST(n_nationkey % {mod} AS DECIMAL(5,1)) AS STRING)"  # noqa: E731
+    disk_rdsdev = (
+        "'{\"device\":\"rdsdev\",\"util\":' || " + pct(90)
+        + " || ',\"readIOsPS\":' || " + num(10, 400)
+        + " || ',\"writeIOsPS\":' || " + num(5, 200) + " || '}'"
+    )
+    disk_other = (
+        "'{\"device\":\"filesystem\",\"util\":' || " + pct(40)
+        + " || ',\"readIOsPS\":' || " + num(1, 50)
+        + " || ',\"writeIOsPS\":' || " + num(1, 30) + " || '}'"
+    )
+    fs = (
+        "'[{\"mountPoint\":\"/rdsdbdata\",\"name\":\"rdsfilesys\",\"total\":'"
+        f" || {num(10000000, 5000000)} || ',\"used\":' || {num(1000000, 4000000)}"
+        " || ',\"usedPercent\":' || " + pct(95)
+        + " || '},{\"mountPoint\":\"/\",\"name\":\"rootfs\",\"total\":'"
+        f" || {num(8000000, 100000)} || ',\"used\":' || {num(500000, 700000)}"
+        " || ',\"usedPercent\":' || " + pct(60) + " || '}]'"
+    )
+    mem = ",".join(
+        f'"{f}":\' || {num(b, m)} || \''
+        for f, b, m in (
+            ("active", 500000, 300000), ("buffers", 20000, 9000),
+            ("cached", 800000, 400000), ("dirty", 100, 900),
+            ("free", 200000, 150000), ("hugePagesFree", 0, 30),
+            ("hugePagesRsvd", 0, 7), ("hugePagesSize", 2048, 1),
+            ("hugePagesSurp", 0, 3), ("hugePagesTotal", 0, 60),
+            ("inactive", 300000, 200000), ("mapped", 40000, 20000),
+            ("pageTables", 5000, 3000), ("slab", 60000, 30000),
+            ("total", 4000000, 1), ("writeback", 0, 500),
+        )
+    )
+    swap = (
+        "CASE WHEN n_nationkey % 7 = 0 THEN '' ELSE"
+        " ',\"swap\":{\"total\":' || " + num(1000000, 1)
+        + " || ',\"free\":' || " + num(400000, 500000)
+        + " || ',\"cached\":' || " + num(0, 9000) + " || '}' END"
+    )
+    return (
+        "SELECT 'db-inst-' || " + k + " AS instance_id,\n"
+        "  '{\"engine\":\"POSTGRES\",\"instanceID\":\"db-inst-' || " + k + " || '\","
+        "\"numVCPUs\":' || " + num(2, 14) + " || ',"
+        "\"cpuUtilization\":{"
+        "\"guest\":' || " + pct(5) + " || ',"
+        "\"idle\":' || " + pct(70) + " || ',"
+        "\"irq\":' || " + pct(3) + " || ',"
+        "\"nice\":' || " + pct(8) + " || ',"
+        "\"steal\":' || " + pct(6) + " || ',"
+        "\"system\":' || " + pct(25) + " || ',"
+        "\"total\":' || " + pct(95) + " || ',"
+        "\"user\":' || " + pct(60) + " || ',"
+        "\"wait\":' || " + pct(15) + " || '},"
+        "\"loadAverageMinute\":{\"one\":' || " + pct(9) + " || ',"
+        "\"five\":' || " + pct(7) + " || ',\"fifteen\":' || " + pct(4) + " || '},"
+        "\"memory\":{" + mem + "}' || " + swap + " || ',"
+        "\"network\":[{\"interface\":\"eth0\",\"rx\":' || " + num(1000, 90000)
+        + " || ',\"tx\":' || " + num(800, 70000) + " || '}],"
+        "\"diskIO\":' || CASE WHEN n_nationkey % 2 = 0 THEN '[' || "
+        + disk_rdsdev + " || ',' || " + disk_other + " || ']'"
+        " ELSE '[' || " + disk_other + " || ',' || " + disk_rdsdev + " || ']' END"
+        " || ',\"fileSys\":' || " + fs + " || '}' AS message\n"
+        "FROM nation"
+    )
+
+
+RDS_OS_EVENTS = _rds_os_events_sql()
+
+
 ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "log_raw": {"spark": _log_raw_sql("spark"), "duckdb": _log_raw_sql("duckdb")},
     "stmt_snap1": STMT_SNAP1,
@@ -1414,6 +1494,7 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     },
     "pii_docs": PII_DOCS,
     "explain_samples": EXPLAIN_SAMPLES,
+    "rds_os_events": RDS_OS_EVENTS,
 }
 
 FIXTURES = ALL_FIXTURES  # public alias

@@ -165,3 +165,164 @@ SELECT total_bytes, free_bytes, cached_bytes, buffers_bytes, swap_used_bytes,
   CAST(total_bytes - free_bytes AS DOUBLE) / CAST(total_bytes AS DOUBLE) * 100.0 AS used_pct
 FROM mem_state
 """
+
+
+# ---------------------------------------------------------------------------
+# S32 (RDS enhanced monitoring): the CloudWatch RDSOSMetrics log event — a
+# nested-JSON OS snapshot per instance — decoded and mapped exactly as
+# input/system/rds/system.go:139-250 does from the enhanced_monitoring.go
+# struct: cpu percents pass through (DiffedOnInput), memory kilobyte fields
+# scale x1024, swap_used = total - free, and the rdsdev disk entry is found
+# by scanning the diskIO array for its device name, not by position.
+# ---------------------------------------------------------------------------
+
+RDS_OS_SCHEMA = """
+    numVCPUs int,
+    cpuUtilization struct<guest double, idle double, irq double, nice double,
+                          steal double, system double, total double,
+                          user double, wait double>,
+    loadAverageMinute struct<one double, five double, fifteen double>,
+    memory struct<active long, buffers long, cached long, dirty long,
+                  free long, hugePagesFree long, hugePagesRsvd long,
+                  hugePagesSize long, hugePagesSurp long, hugePagesTotal long,
+                  inactive long, mapped long, pageTables long, slab long,
+                  total long, writeback long>,
+    swap struct<total long, free long, cached long>,
+    network array<struct<interface string, rx double, tx double>>,
+    diskIO array<struct<device string, util double, readIOsPS double,
+                        writeIOsPS double>>,
+    fileSys array<struct<mountPoint string, name string, total long,
+                         used long, usedPercent double>>
+"""
+
+
+def rds_enhanced_scan(spark: SparkSession) -> DataFrame:
+    """Per-instance OS metrics from the enhanced-monitoring JSON event.
+    Map-only: from_json with an explicit nested schema (column pruning
+    reaches inside the struct), the rdsdev utilization via a filter() over
+    the parsed array — no explode, no shuffle. Instances without a swap
+    section (MonitoringInterval edge) surface NULL swap bytes, matching the
+    reference's absent-field zero-value distinction."""
+    ev = spark.table("rds_os_events")
+    j = F.from_json(F.col("message"), RDS_OS_SCHEMA)
+    mem = j["memory"]
+    rdsdev = F.filter(j["diskIO"], lambda d: d["device"] == F.lit("rdsdev"))
+    kb = lambda c: (c * 1024).cast("long")  # noqa: E731
+    return ev.select(
+        "instance_id",
+        j["numVCPUs"].alias("logical_core_count"),
+        j["cpuUtilization"]["user"].alias("cpu_user_pct"),
+        j["cpuUtilization"]["system"].alias("cpu_system_pct"),
+        j["cpuUtilization"]["idle"].alias("cpu_idle_pct"),
+        j["cpuUtilization"]["wait"].alias("cpu_iowait_pct"),
+        j["cpuUtilization"]["irq"].alias("cpu_irq_pct"),
+        j["cpuUtilization"]["nice"].alias("cpu_nice_pct"),
+        j["cpuUtilization"]["steal"].alias("cpu_steal_pct"),
+        j["cpuUtilization"]["guest"].alias("cpu_guest_pct"),
+        j["loadAverageMinute"]["one"].alias("loadavg_1min"),
+        j["loadAverageMinute"]["five"].alias("loadavg_5min"),
+        j["loadAverageMinute"]["fifteen"].alias("loadavg_15min"),
+        kb(mem["total"]).alias("memory_total_bytes"),
+        kb(mem["free"]).alias("memory_free_bytes"),
+        kb(mem["cached"]).alias("memory_cached_bytes"),
+        kb(mem["buffers"]).alias("memory_buffers_bytes"),
+        kb(mem["dirty"]).alias("memory_dirty_bytes"),
+        kb(mem["active"]).alias("memory_active_bytes"),
+        kb(mem["inactive"]).alias("memory_inactive_bytes"),
+        kb(mem["mapped"]).alias("memory_mapped_bytes"),
+        kb(mem["pageTables"]).alias("memory_page_tables_bytes"),
+        kb(mem["slab"]).alias("memory_slab_bytes"),
+        kb(mem["writeback"]).alias("memory_writeback_bytes"),
+        mem["hugePagesTotal"].alias("huge_pages_total"),
+        mem["hugePagesFree"].alias("huge_pages_free"),
+        kb(j["swap"]["total"]).alias("swap_total_bytes"),
+        kb(j["swap"]["total"] - j["swap"]["free"]).alias("swap_used_bytes"),
+        F.element_at(j["network"], 1)["interface"].alias("network_interface"),
+        F.element_at(rdsdev, 1)["util"].alias("data_disk_utilization_pct"),
+    ).orderBy("instance_id")
+
+
+def oracle_rds_enhanced_scan() -> str:
+    x = lambda p: f"json_extract(message, '$.{p}')"  # noqa: E731
+    d = lambda p, a: f"CAST({x(p)} AS DOUBLE) AS {a}"  # noqa: E731
+    kb = lambda p, a: f"CAST({x(p)} AS BIGINT) * 1024 AS {a}"  # noqa: E731
+    l = lambda p, a: f"CAST({x(p)} AS BIGINT) AS {a}"  # noqa: E731
+    # the 2-entry fixture array: position of rdsdev alternates; the general
+    # device-name scan is the Spark-side filter() — here a positional CASE
+    # expresses the same lookup over the fixture shape
+    rdsdev = (
+        "CASE WHEN json_extract_string(message, '$.diskIO[0].device') = 'rdsdev'"
+        f" THEN CAST({x('diskIO[0].util')} AS DOUBLE)"
+        f" ELSE CAST({x('diskIO[1].util')} AS DOUBLE) END"
+    )
+    return f"""
+SELECT instance_id,
+  CAST({x('numVCPUs')} AS INT) AS logical_core_count,
+  {d('cpuUtilization.user', 'cpu_user_pct')},
+  {d('cpuUtilization.system', 'cpu_system_pct')},
+  {d('cpuUtilization.idle', 'cpu_idle_pct')},
+  {d('cpuUtilization.wait', 'cpu_iowait_pct')},
+  {d('cpuUtilization.irq', 'cpu_irq_pct')},
+  {d('cpuUtilization.nice', 'cpu_nice_pct')},
+  {d('cpuUtilization.steal', 'cpu_steal_pct')},
+  {d('cpuUtilization.guest', 'cpu_guest_pct')},
+  {d('loadAverageMinute.one', 'loadavg_1min')},
+  {d('loadAverageMinute.five', 'loadavg_5min')},
+  {d('loadAverageMinute.fifteen', 'loadavg_15min')},
+  {kb('memory.total', 'memory_total_bytes')},
+  {kb('memory.free', 'memory_free_bytes')},
+  {kb('memory.cached', 'memory_cached_bytes')},
+  {kb('memory.buffers', 'memory_buffers_bytes')},
+  {kb('memory.dirty', 'memory_dirty_bytes')},
+  {kb('memory.active', 'memory_active_bytes')},
+  {kb('memory.inactive', 'memory_inactive_bytes')},
+  {kb('memory.mapped', 'memory_mapped_bytes')},
+  {kb('memory.pageTables', 'memory_page_tables_bytes')},
+  {kb('memory.slab', 'memory_slab_bytes')},
+  {kb('memory.writeback', 'memory_writeback_bytes')},
+  {l('memory.hugePagesTotal', 'huge_pages_total')},
+  {l('memory.hugePagesFree', 'huge_pages_free')},
+  {kb('swap.total', 'swap_total_bytes')},
+  (CAST({x('swap.total')} AS BIGINT) - CAST({x('swap.free')} AS BIGINT)) * 1024 AS swap_used_bytes,
+  json_extract_string(message, '$.network[0].interface') AS network_interface,
+  {rdsdev} AS data_disk_utilization_pct
+FROM rds_os_events
+ORDER BY instance_id
+"""
+
+
+def rds_partitions_scan(spark: SparkSession) -> DataFrame:
+    """The fileSys array exploded to disk partitions (system.go:236-250):
+    one row per (instance, mount point) with kilobyte fields scaled to
+    bytes — the DiskPartitionMap the snapshot carries."""
+    ev = spark.table("rds_os_events")
+    j = F.from_json(F.col("message"), RDS_OS_SCHEMA)
+    fs = ev.select(
+        "instance_id", F.explode(j["fileSys"]).alias("f")
+    )
+    return fs.select(
+        "instance_id",
+        F.col("f")["mountPoint"].alias("mount_point"),
+        F.col("f")["name"].alias("partition_name"),
+        (F.col("f")["used"] * 1024).cast("long").alias("used_bytes"),
+        (F.col("f")["total"] * 1024).cast("long").alias("total_bytes"),
+        F.col("f")["usedPercent"].alias("used_percent"),
+    ).orderBy("instance_id", "mount_point")
+
+
+def oracle_rds_partitions_scan() -> str:
+    def one(i: int) -> str:
+        x = lambda p: f"json_extract(message, '$.fileSys[{i}].{p}')"  # noqa: E731
+        return f"""
+SELECT instance_id,
+  json_extract_string(message, '$.fileSys[{i}].mountPoint') AS mount_point,
+  json_extract_string(message, '$.fileSys[{i}].name') AS partition_name,
+  CAST({x('used')} AS BIGINT) * 1024 AS used_bytes,
+  CAST({x('total')} AS BIGINT) * 1024 AS total_bytes,
+  CAST({x('usedPercent')} AS DOUBLE) AS used_percent
+FROM rds_os_events"""
+
+    return f"""
+SELECT * FROM ({one(0)} UNION ALL {one(1)})
+ORDER BY instance_id, mount_point
+"""

@@ -361,6 +361,22 @@ register(
     fixtures=["query_samples"],
 )
 
+# S32 (RDS enhanced monitoring): the CloudWatch RDSOSMetrics nested-JSON
+# snapshot decoded per instance + the fileSys array exploded to partitions
+register(
+    "s32_rds_enhanced",
+    system.rds_enhanced_scan,
+    system.oracle_rds_enhanced_scan(),
+    fixtures=["rds_os_events"],
+)
+
+register(
+    "s32_rds_partitions",
+    system.rds_partitions_scan,
+    system.oracle_rds_partitions_scan(),
+    fixtures=["rds_os_events"],
+)
+
 # S32 completion: network interface rate kernel + load-average gauge scan
 register(
     "a6b_net_rates",
