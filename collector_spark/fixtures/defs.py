@@ -1410,6 +1410,51 @@ def _rds_os_events_sql() -> str:
 RDS_OS_EVENTS = _rds_os_events_sql()
 
 
+# ---------------------------------------------------------------------------
+# F25 — Crunchy Bridge metric API shapes (input/system/crunchy_bridge/
+# client.go, system.go): per-cluster metric SERIES of (name, point, value)
+# that the reference reduces with a NaN-skipping average per series, plus
+# the cluster-info record (cpu/memory/storage budget) the derived byte
+# values scale against. NULL values model NaN points (skipped by AVG in
+# both engines); every 3rd cluster has a parent (system.go:28-31).
+# ---------------------------------------------------------------------------
+
+CB_CLUSTER_INFO = """
+SELECT 'cb-' || CAST(n_nationkey AS STRING) AS cluster_id,
+  'cluster-' || n_name                      AS cluster_name,
+  'plan-' || CAST(n_nationkey % 4 AS STRING) AS plan_id,
+  CASE WHEN n_nationkey % 2 = 0 THEN 'aws' ELSE 'azure' END AS provider_id,
+  'region-' || CAST(n_regionkey AS STRING)  AS region_id,
+  CAST(2 + n_nationkey % 14 AS INT)         AS cpu_units,
+  CAST(100 + n_nationkey % 900 AS INT)      AS storage_gb,
+  CAST(4 + n_nationkey % 60 AS INT)         AS memory_gb,
+  CASE WHEN n_nationkey % 3 = 0
+       THEN 'cb-parent-' || CAST(n_nationkey % 5 AS STRING) END AS parent_id
+FROM nation WHERE n_nationkey < 8
+"""
+
+CB_METRIC_POINTS = """
+-- cluster selector divides out the row filter's modulus first: o_orderkey
+-- is always a multiple of 40 here, so a plain % 8 would collapse every
+-- point onto one cluster
+SELECT 'cb-' || CAST(CAST(FLOOR(o_orderkey / 40) AS BIGINT) % 8 AS STRING) AS cluster_id,
+  CASE CAST(o_custkey % 11 AS INT)
+    WHEN 0 THEN 'cpu_load_iowait' WHEN 1 THEN 'cpu_load_system'
+    WHEN 2 THEN 'cpu_load_user'   WHEN 3 THEN 'cpu_load_steal'
+    WHEN 4 THEN 'load_average_one' WHEN 5 THEN 'memory_used_pct'
+    WHEN 6 THEN 'swap_used_pct'   WHEN 7 THEN 'iops_reads'
+    WHEN 8 THEN 'iops_writes'     WHEN 9 THEN 'database_size_bytes'
+    ELSE 'wal_size_bytes' END AS series_name,
+  CAST(o_orderkey AS BIGINT) AS point_seq,
+  CASE WHEN o_orderkey % 13 = 0 THEN NULL  -- NaN point, skipped by avg
+       ELSE CAST(o_orderkey % 400 AS DOUBLE) / 4.0
+         + CASE WHEN o_custkey % 11 = 9 THEN 1000000.0
+                WHEN o_custkey % 11 = 10 THEN 200000.0 ELSE 0.0 END
+  END AS value
+FROM orders WHERE o_orderkey % 40 = 0
+"""
+
+
 ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "log_raw": {"spark": _log_raw_sql("spark"), "duckdb": _log_raw_sql("duckdb")},
     "stmt_snap1": STMT_SNAP1,
@@ -1495,6 +1540,8 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "pii_docs": PII_DOCS,
     "explain_samples": EXPLAIN_SAMPLES,
     "rds_os_events": RDS_OS_EVENTS,
+    "cb_cluster_info": CB_CLUSTER_INFO,
+    "cb_metric_points": CB_METRIC_POINTS,
 }
 
 FIXTURES = ALL_FIXTURES  # public alias

@@ -326,3 +326,105 @@ FROM rds_os_events"""
 SELECT * FROM ({one(0)} UNION ALL {one(1)})
 ORDER BY instance_id, mount_point
 """
+
+
+# ---------------------------------------------------------------------------
+# S32 (Crunchy Bridge): cluster metrics via the Bridge API
+# (input/system/crunchy_bridge/client.go:120-265, system.go:12-134). The
+# reference reduces each metric series with a NaN-skipping average, then
+# derives: idle% = 100 - iowait - system - user - steal (system.go:57),
+# memory/swap bytes = pct of the cluster's memory budget, disk totals from
+# the storage budget, and the effective cluster id prefers the parent.
+# ---------------------------------------------------------------------------
+
+_CB_SERIES = (
+    "cpu_load_iowait", "cpu_load_system", "cpu_load_user", "cpu_load_steal",
+    "load_average_one", "memory_used_pct", "swap_used_pct",
+    "iops_reads", "iops_writes", "database_size_bytes", "wal_size_bytes",
+)
+
+
+def crunchy_bridge_scan(spark: SparkSession) -> DataFrame:
+    """One shuffle: groupBy(cluster) with conditional AVG per series (AVG
+    skips NULL points exactly as the reference's average() skips NaN;
+    map-side combinable sum/count partials), then a broadcast join against
+    the 8-row cluster-info dimension for the budget-derived byte values."""
+    pts = spark.table("cb_metric_points")
+    aggs = [
+        F.avg(F.when(F.col("series_name") == s, F.col("value"))).alias(s)
+        for s in _CB_SERIES
+    ]
+    series = pts.groupBy("cluster_id").agg(*aggs)
+    info = F.broadcast(spark.table("cb_cluster_info"))
+    j = series.join(info, "cluster_id")
+    mem_total = (F.col("memory_gb").cast("long") * 1024 * 1024 * 1024)
+    disk_total = (F.col("storage_gb").cast("long") * 1024 * 1024 * 1024)
+    to_bytes = lambda pct: F.floor(  # noqa: E731
+        mem_total.cast("double") * pct / 100.0
+    ).cast("long")
+    return j.select(
+        "cluster_id",
+        F.coalesce("parent_id", "cluster_id").alias("effective_cluster_id"),
+        "cluster_name",
+        "plan_id",
+        "provider_id",
+        "region_id",
+        F.col("cpu_units").alias("logical_core_count"),
+        F.col("cpu_load_user").alias("cpu_user_pct"),
+        F.col("cpu_load_system").alias("cpu_system_pct"),
+        F.col("cpu_load_iowait").alias("cpu_iowait_pct"),
+        F.col("cpu_load_steal").alias("cpu_steal_pct"),
+        (
+            F.lit(100.0)
+            - F.col("cpu_load_iowait")
+            - F.col("cpu_load_system")
+            - F.col("cpu_load_user")
+            - F.col("cpu_load_steal")
+        ).alias("cpu_idle_pct"),
+        F.col("load_average_one").alias("loadavg_1min"),
+        mem_total.alias("memory_total_bytes"),
+        to_bytes(F.col("memory_used_pct")).alias("memory_application_bytes"),
+        to_bytes(F.col("swap_used_pct")).alias("swap_used_bytes"),
+        F.col("iops_reads").alias("disk_read_ops_per_sec"),
+        F.col("iops_writes").alias("disk_write_ops_per_sec"),
+        F.floor("database_size_bytes").cast("long").alias("data_used_bytes"),
+        disk_total.alias("data_total_bytes"),
+        F.floor("wal_size_bytes").cast("long").alias("xlog_used_bytes"),
+    ).orderBy("cluster_id")
+
+
+def oracle_crunchy_bridge_scan() -> str:
+    avgs = ",\n  ".join(
+        f"AVG(CASE WHEN series_name = '{s}' THEN value END) AS {s}"
+        for s in _CB_SERIES
+    )
+    return f"""
+WITH series AS (
+  SELECT cluster_id, {avgs}
+  FROM cb_metric_points GROUP BY cluster_id
+),
+j AS (SELECT * FROM series JOIN cb_cluster_info USING (cluster_id))
+SELECT cluster_id,
+  COALESCE(parent_id, cluster_id) AS effective_cluster_id,
+  cluster_name, plan_id, provider_id, region_id,
+  cpu_units AS logical_core_count,
+  cpu_load_user   AS cpu_user_pct,
+  cpu_load_system AS cpu_system_pct,
+  cpu_load_iowait AS cpu_iowait_pct,
+  cpu_load_steal  AS cpu_steal_pct,
+  100.0 - cpu_load_iowait - cpu_load_system - cpu_load_user - cpu_load_steal
+    AS cpu_idle_pct,
+  load_average_one AS loadavg_1min,
+  CAST(memory_gb AS BIGINT) * 1024 * 1024 * 1024 AS memory_total_bytes,
+  CAST(FLOOR(CAST(CAST(memory_gb AS BIGINT) * 1024 * 1024 * 1024 AS DOUBLE)
+       * memory_used_pct / 100.0) AS BIGINT) AS memory_application_bytes,
+  CAST(FLOOR(CAST(CAST(memory_gb AS BIGINT) * 1024 * 1024 * 1024 AS DOUBLE)
+       * swap_used_pct / 100.0) AS BIGINT) AS swap_used_bytes,
+  iops_reads  AS disk_read_ops_per_sec,
+  iops_writes AS disk_write_ops_per_sec,
+  CAST(FLOOR(database_size_bytes) AS BIGINT) AS data_used_bytes,
+  CAST(storage_gb AS BIGINT) * 1024 * 1024 * 1024 AS data_total_bytes,
+  CAST(FLOOR(wal_size_bytes) AS BIGINT) AS xlog_used_bytes
+FROM j
+ORDER BY cluster_id
+"""

@@ -377,6 +377,15 @@ register(
     fixtures=["rds_os_events"],
 )
 
+# S32 (Crunchy Bridge): NaN-skipping series averages pivoted per cluster +
+# budget-derived byte values from the cluster-info dimension
+register(
+    "s32_crunchy_scan",
+    system.crunchy_bridge_scan,
+    system.oracle_crunchy_bridge_scan(),
+    fixtures=["cb_metric_points", "cb_cluster_info"],
+)
+
 # S32 completion: network interface rate kernel + load-average gauge scan
 register(
     "a6b_net_rates",
