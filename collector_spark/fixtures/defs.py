@@ -1455,6 +1455,56 @@ FROM orders WHERE o_orderkey % 40 = 0
 """
 
 
+# ---------------------------------------------------------------------------
+# F26 — Azure Database metric API shapes (input/system/azure/system.go:18-283):
+# per-server info records (Flexible Server vs Cosmos DB for PostgreSQL —
+# different storage budgets; replicas carry a source server) and the
+# 1-minute metric averages the QueryResource call returns. Flexible servers
+# expose the disk metric family; Cosmos servers do not (the reference
+# gates on resourceType, :179-185, :268-275).
+# ---------------------------------------------------------------------------
+
+AZ_SERVER_INFO = """
+SELECT 'pg-az-' || CAST(n_nationkey AS STRING) AS server_name,
+  'rg-' || CAST(n_regionkey AS STRING)         AS resource_group,
+  CASE WHEN n_nationkey % 3 = 2 THEN 'serverGroupsv2'
+       ELSE 'flexibleServers' END              AS resource_type,
+  CASE WHEN n_nationkey % 3 = 2 THEN 0
+       ELSE CAST(128 + n_nationkey % 900 AS INT) END AS storage_gb,
+  CASE WHEN n_nationkey % 3 = 2
+       THEN CAST(512000 + n_nationkey % 90000 AS INT) ELSE 0 END AS coordinator_storage_mb,
+  CASE WHEN n_nationkey % 4 = 1 THEN 'rg-src-' || CAST(n_regionkey AS STRING) END AS source_resource_group,
+  CASE WHEN n_nationkey % 4 = 1 THEN 'pg-az-src-' || CAST(n_nationkey % 5 AS STRING) END AS source_server_name,
+  'Standard_D' || CAST(2 + n_nationkey % 14 AS STRING) || 's_v3' AS sku_name,
+  CAST(1 + n_nationkey % 3 AS STRING) AS availability_zone,
+  CASE WHEN n_nationkey % 2 = 0 THEN 'ZoneRedundant' ELSE 'Disabled' END AS ha_mode
+FROM nation WHERE n_nationkey < 8
+"""
+
+AZ_METRIC_VALUES = """
+WITH m AS (
+  SELECT CAST(FLOOR(o_orderkey / 16) AS BIGINT) % 8 AS server_key,
+    CASE CAST(o_orderkey % 16 AS INT)
+      WHEN 0 THEN 'cpu_percent' WHEN 1 THEN 'memory_percent'
+      WHEN 2 THEN 'network_bytes_egress' WHEN 3 THEN 'network_bytes_ingress'
+      WHEN 4 THEN 'storage_used' WHEN 5 THEN 'txlogs_storage_used'
+      WHEN 6 THEN 'read_iops' WHEN 7 THEN 'write_iops'
+      WHEN 8 THEN 'disk_queue_depth' WHEN 9 THEN 'read_throughput'
+      WHEN 10 THEN 'write_throughput' ELSE NULL END AS metric_name,
+    CAST(o_orderkey % 4000 AS DOUBLE) / 4.0
+      + CASE WHEN o_orderkey % 16 IN (4, 5) THEN 5000000.0 ELSE 0.0 END AS avg_value
+  -- one row per (server, metric): the API returns a single 1-min average
+  FROM orders WHERE o_orderkey < 128
+)
+SELECT 'pg-az-' || CAST(server_key AS STRING) AS server_name, metric_name, avg_value
+FROM m WHERE metric_name IS NOT NULL
+  -- Cosmos servers (key % 3 = 2) lack the Flexible-only disk family
+  AND NOT (server_key % 3 = 2 AND metric_name IN
+    ('txlogs_storage_used', 'read_iops', 'write_iops', 'disk_queue_depth',
+     'read_throughput', 'write_throughput'))
+"""
+
+
 ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "log_raw": {"spark": _log_raw_sql("spark"), "duckdb": _log_raw_sql("duckdb")},
     "stmt_snap1": STMT_SNAP1,
@@ -1542,6 +1592,8 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "rds_os_events": RDS_OS_EVENTS,
     "cb_cluster_info": CB_CLUSTER_INFO,
     "cb_metric_points": CB_METRIC_POINTS,
+    "az_server_info": AZ_SERVER_INFO,
+    "az_metric_values": AZ_METRIC_VALUES,
 }
 
 FIXTURES = ALL_FIXTURES  # public alias

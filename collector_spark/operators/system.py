@@ -428,3 +428,103 @@ SELECT cluster_id,
 FROM j
 ORDER BY cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# S32 (Azure Database): server metrics via Azure Monitor
+# (input/system/azure/system.go:18-283). One 1-minute average per metric;
+# the disk family exists only for Flexible Server (gated on resourceType);
+# network byte counters are 1-minute totals divided to per-second; the
+# storage partition budget comes from StorageGB (Flexible) or
+# CoordinatorStorageMB (Cosmos DB); replicas report the source server as
+# their cluster identity.
+# ---------------------------------------------------------------------------
+
+_AZ_METRICS = (
+    "cpu_percent", "memory_percent", "network_bytes_egress",
+    "network_bytes_ingress", "storage_used", "txlogs_storage_used",
+    "read_iops", "write_iops", "disk_queue_depth", "read_throughput",
+    "write_throughput",
+)
+
+
+def azure_system_scan(spark: SparkSession) -> DataFrame:
+    """Pivot the per-server metric values (MAX over the single row per
+    name — one shuffle, map-side combinable) and broadcast-join the 8-row
+    server-info dimension for type gating and budget-derived partitions."""
+    m = spark.table("az_metric_values")
+    aggs = [
+        F.max(F.when(F.col("metric_name") == n, F.col("avg_value"))).alias(n)
+        for n in _AZ_METRICS
+    ]
+    series = m.groupBy("server_name").agg(*aggs)
+    info = F.broadcast(spark.table("az_server_info"))
+    j = series.join(info, "server_name")
+    is_flex = F.lower(F.col("resource_type")) == "flexibleservers"
+    per_sec = lambda c: F.floor(F.col(c) / 60.0).cast("long")  # noqa: E731
+    return j.select(
+        "server_name",
+        F.concat_ws(
+            "/",
+            F.coalesce("source_resource_group", "resource_group"),
+            F.coalesce("source_server_name", "server_name"),
+        ).alias("cluster_id"),
+        "resource_type",
+        "sku_name",
+        "availability_zone",
+        "ha_mode",
+        F.col("cpu_percent").alias("cpu_user_pct"),
+        F.col("memory_percent").alias("memory_used_pct"),
+        per_sec("network_bytes_egress").alias("net_transmit_bytes_per_sec"),
+        per_sec("network_bytes_ingress").alias("net_receive_bytes_per_sec"),
+        F.when(is_flex, F.floor("txlogs_storage_used").cast("long")).alias(
+            "xlog_used_bytes"
+        ),
+        F.when(is_flex, F.col("read_iops")).alias("disk_read_ops_per_sec"),
+        F.when(is_flex, F.col("write_iops")).alias("disk_write_ops_per_sec"),
+        F.when(is_flex, F.floor("disk_queue_depth").cast("int")).alias(
+            "disk_avg_queue_size"
+        ),
+        F.when(is_flex, F.col("read_throughput")).alias("disk_read_bytes_per_sec"),
+        F.when(is_flex, F.col("write_throughput")).alias(
+            "disk_write_bytes_per_sec"
+        ),
+        F.floor("storage_used").cast("long").alias("data_used_bytes"),
+        F.when(is_flex, F.col("storage_gb").cast("long") * 1024 * 1024 * 1024)
+        .otherwise(F.col("coordinator_storage_mb").cast("long") * 1024 * 1024)
+        .alias("data_total_bytes"),
+    ).orderBy("server_name")
+
+
+def oracle_azure_system_scan() -> str:
+    aggs = ",\n  ".join(
+        f"MAX(CASE WHEN metric_name = '{n}' THEN avg_value END) AS {n}"
+        for n in _AZ_METRICS
+    )
+    flex = "lower(resource_type) = 'flexibleservers'"
+    return f"""
+WITH series AS (
+  SELECT server_name, {aggs}
+  FROM az_metric_values GROUP BY server_name
+),
+j AS (SELECT * FROM series JOIN az_server_info USING (server_name))
+SELECT server_name,
+  COALESCE(source_resource_group, resource_group) || '/' ||
+    COALESCE(source_server_name, server_name) AS cluster_id,
+  resource_type, sku_name, availability_zone, ha_mode,
+  cpu_percent AS cpu_user_pct,
+  memory_percent AS memory_used_pct,
+  CAST(FLOOR(network_bytes_egress / 60.0) AS BIGINT) AS net_transmit_bytes_per_sec,
+  CAST(FLOOR(network_bytes_ingress / 60.0) AS BIGINT) AS net_receive_bytes_per_sec,
+  CASE WHEN {flex} THEN CAST(FLOOR(txlogs_storage_used) AS BIGINT) END AS xlog_used_bytes,
+  CASE WHEN {flex} THEN read_iops END AS disk_read_ops_per_sec,
+  CASE WHEN {flex} THEN write_iops END AS disk_write_ops_per_sec,
+  CASE WHEN {flex} THEN CAST(FLOOR(disk_queue_depth) AS INT) END AS disk_avg_queue_size,
+  CASE WHEN {flex} THEN read_throughput END AS disk_read_bytes_per_sec,
+  CASE WHEN {flex} THEN write_throughput END AS disk_write_bytes_per_sec,
+  CAST(FLOOR(storage_used) AS BIGINT) AS data_used_bytes,
+  CASE WHEN {flex} THEN CAST(storage_gb AS BIGINT) * 1024 * 1024 * 1024
+       ELSE CAST(coordinator_storage_mb AS BIGINT) * 1024 * 1024 END AS data_total_bytes
+FROM j
+ORDER BY server_name
+"""

@@ -377,6 +377,15 @@ register(
     fixtures=["rds_os_events"],
 )
 
+# S32 (Azure Database): per-server Azure Monitor averages with the
+# Flexible-vs-Cosmos metric-family gate and budget-derived partition
+register(
+    "s32_azure_scan",
+    system.azure_system_scan,
+    system.oracle_azure_system_scan(),
+    fixtures=["az_metric_values", "az_server_info"],
+)
+
 # S32 (Crunchy Bridge): NaN-skipping series averages pivoted per cluster +
 # budget-derived byte values from the cluster-info dimension
 register(
