@@ -60,6 +60,11 @@ HEADLINE = [
     "ml_ivf_topk",
     "ml_repetition_signals",
     "tr_heroku_items",
+    # round-4 additions: the window-hash span dedup (the heaviest new
+    # training-data op) and the 53-group autovacuum vector (the heaviest
+    # new regex extraction)
+    "ml_ngram_span_dedup",
+    "u7w_autovacuum_full",
 ]
 
 N_RUNS = 3  # median-of-3 per query
