@@ -534,3 +534,51 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end dedup decision (the composition a training pipeline actually
+# consumes): exact dedup (E1) -> MinHash LSH candidates (E3) -> Jaccard
+# verify (E4) -> connected components (E6) -> one keep/drop row per
+# document with the reason. Exact duplicates drop first; near-dup cluster
+# members keep only the cluster canonical.
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_list(spark: SparkSession) -> DataFrame:
+    """Total over the corpus: every doc gets (keep, reason). Composes the
+    already-bucketed stages — the only additional work is one left join of
+    the exact decision against the (small) near-dup cluster membership."""
+    exact = exact_dup_groups(spark).select(
+        "doc_id", F.col("keep").alias("exact_keep")
+    )
+    near = dup_clusters(spark).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+    j = exact.join(F.broadcast(near), "doc_id", "left")
+    near_drop = ~F.coalesce(F.col("is_canonical"), F.lit(True))
+    return j.select(
+        "doc_id",
+        (F.col("exact_keep") & ~near_drop).alias("keep"),
+        F.when(~F.col("exact_keep"), F.lit("exact_duplicate"))
+        .when(near_drop, F.lit("near_duplicate"))
+        .alias("drop_reason"),
+        F.col("cluster_id").alias("near_dup_cluster_id"),
+    ).orderBy("doc_id")
+
+
+def oracle_dedup_keep_list() -> str:
+    exact = oracle_exact_dup_groups().rsplit("ORDER BY", 1)[0]
+    near = oracle_dup_clusters().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH exact AS ({exact}),
+near AS ({near})
+SELECT e.doc_id,
+  e.keep AND NOT COALESCE(NOT n.is_canonical, FALSE) AS keep,
+  CASE WHEN NOT e.keep THEN 'exact_duplicate'
+       WHEN COALESCE(NOT n.is_canonical, FALSE) THEN 'near_duplicate'
+  END AS drop_reason,
+  n.cluster_id AS near_dup_cluster_id
+FROM exact e LEFT JOIN near n USING (doc_id)
+ORDER BY e.doc_id
+"""

@@ -636,6 +636,13 @@ register(
 
 # --- training-data pipeline extensions (documents/embeddings base tables) --
 
+# end-to-end keep/drop composition (exact -> LSH -> verify -> clusters);
+# registered behind the driver window (full this round) — pytest's
+# full-catalog oracle sweep gates it now, the driver next round
+register(
+    "ml_dedup_keep_list", dedup.dedup_keep_list, dedup.oracle_dedup_keep_list()
+)
+
 register("ml_exact_dup", dedup.exact_dup_groups, dedup.oracle_exact_dup_groups())
 
 register(
