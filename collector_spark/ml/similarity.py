@@ -679,3 +679,88 @@ FROM scored
 QUALIFY rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@K of each approximate index against the
+# brute-force ground truth — the measurement an embedding pipeline runs
+# before trusting an index at scale. The ground-truth side is
+# O(queries x K) rows, so every comparison join broadcasts it; the ANN
+# result sets are equally tiny. (The expensive inputs — brute force and
+# the three index scans — are the already-registered operators; this
+# composes their outputs.)
+# ---------------------------------------------------------------------------
+
+
+def ann_recall(spark: SparkSession) -> DataFrame:
+    truth = brute_force_topk(spark).select("query_id", "corpus_id")
+    denom = truth.groupBy("query_id").agg(
+        F.count("*").cast("long").alias("truth_k")
+    )
+    methods = (
+        ("lsh", lsh_topk(spark)),
+        ("lsh_multiprobe", lsh_multiprobe_topk(spark)),
+        ("ivf", ivf_topk(spark)),
+    )
+    outs = []
+    for name, df in methods:
+        ann = df.select("query_id", "corpus_id")
+        hits = (
+            ann.join(truth, ["query_id", "corpus_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("hits"))
+        )
+        returned = ann.groupBy("query_id").agg(
+            F.count("*").cast("long").alias("returned")
+        )
+        outs.append(
+            denom.join(returned, "query_id", "left")
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(name).alias("method"),
+                "query_id",
+                F.coalesce("returned", F.lit(0)).alias("returned"),
+                F.coalesce("hits", F.lit(0)).alias("hits"),
+                "truth_k",
+                (
+                    F.coalesce("hits", F.lit(0)).cast("double")
+                    / F.col("truth_k").cast("double")
+                ).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("method", "query_id")
+
+
+def oracle_ann_recall() -> str:
+    truth = oracle_brute_force_topk().rsplit("ORDER BY", 1)[0]
+    anns = (
+        ("lsh", oracle_lsh_topk().rsplit("ORDER BY", 1)[0]),
+        ("lsh_multiprobe", oracle_lsh_multiprobe_topk().rsplit("ORDER BY", 1)[0]),
+        ("ivf", oracle_ivf_topk().rsplit("ORDER BY", 1)[0]),
+    )
+    branches = []
+    for name, sql in anns:
+        branches.append(f"""
+SELECT '{name}' AS method, d.query_id,
+  COALESCE(r.returned, 0) AS returned,
+  COALESCE(h.hits, 0) AS hits,
+  d.truth_k,
+  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(d.truth_k AS DOUBLE) AS recall
+FROM denom d
+LEFT JOIN (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS returned
+           FROM ({sql}) a GROUP BY query_id) r USING (query_id)
+LEFT JOIN (SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+           FROM ({sql}) a JOIN truth t
+             ON a.query_id = t.query_id AND a.corpus_id = t.corpus_id
+           GROUP BY a.query_id) h USING (query_id)""")
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH truth AS ({truth}),
+denom AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS truth_k
+          FROM truth GROUP BY query_id)
+SELECT * FROM ({union})
+ORDER BY method, query_id
+"""

@@ -677,6 +677,10 @@ register(
 
 register("ml_lsh_topk", similarity.lsh_topk, similarity.oracle_lsh_topk())
 
+# recall@K of every ANN index vs the brute-force ground truth (behind the
+# driver window this round; pytest's full-catalog sweep gates it now)
+register("ml_ann_recall", similarity.ann_recall, similarity.oracle_ann_recall())
+
 register(
     "ml_lsh_multiprobe_topk",
     similarity.lsh_multiprobe_topk,
