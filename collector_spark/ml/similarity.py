@@ -702,20 +702,23 @@ def ann_recall(spark: SparkSession) -> DataFrame:
         ("lsh_multiprobe", lsh_multiprobe_topk(spark)),
         ("ivf", ivf_topk(spark)),
     )
+    marked = truth.withColumn("hit", F.lit(1))
     outs = []
     for name, df in methods:
-        ann = df.select("query_id", "corpus_id")
-        hits = (
-            ann.join(truth, ["query_id", "corpus_id"])
+        # one pass per method: returned and hits fold in the same groupBy,
+        # so each ANN plan (and the brute-force subtree inside `truth`)
+        # evaluates once, not once per statistic
+        stats = (
+            df.select("query_id", "corpus_id")
+            .join(F.broadcast(marked), ["query_id", "corpus_id"], "left")
             .groupBy("query_id")
-            .agg(F.count("*").cast("long").alias("hits"))
-        )
-        returned = ann.groupBy("query_id").agg(
-            F.count("*").cast("long").alias("returned")
+            .agg(
+                F.count("*").cast("long").alias("returned"),
+                F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("hits"),
+            )
         )
         outs.append(
-            denom.join(returned, "query_id", "left")
-            .join(hits, "query_id", "left")
+            denom.join(stats, "query_id", "left")
             .select(
                 F.lit(name).alias("method"),
                 "query_id",

@@ -62,6 +62,14 @@ BUDGETS = {
     # quantile profile: one partial+final agg pair per grouping; the exact
     # percentile sorts within groups, not through one partition
     "ml_source_quantiles": (4, []),
+    # composed decisions: each upstream stage contributes its own bounded
+    # exchange set; the composition itself must only add broadcast joins
+    "ml_dedup_keep_list": (8, ["BroadcastHashJoin"]),
+    # four index plans + ground truth, each evaluated ONCE (returned+hits
+    # fold in one groupBy); a jump here means a statistic started
+    # re-evaluating an index subtree
+    "ml_ann_recall": (55, ["BroadcastHashJoin"]),
+    "j11_explain_workflow": (6, ["BroadcastHashJoin"]),
 }
 
 
