@@ -1099,7 +1099,13 @@ def autovacuum_full_details(spark: SparkSession) -> DataFrame:
         the WAL clause proves PG13+ (analyze.go:1748-1757)
     Optional version clauses come out as NULL columns when absent, exactly
     where the reference omits the Details key."""
-    lines = stitch_lines(spark).filter(
+    return _autovacuum_full_from(stitch_lines(spark))
+
+
+def _autovacuum_full_from(stitched: DataFrame) -> DataFrame:
+    """Extraction over any stitched-lines-shaped frame (pid, seq, content) —
+    shared by the registered query and the reference-golden-line tests."""
+    lines = stitched.filter(
         F.col("content").startswith("automatic ")
         & F.col("content").rlike(AUTOVACUUM_FULL_RE)
     )

@@ -1,0 +1,215 @@
+"""Reference golden lines for the full autovacuum detail vector.
+
+Input log lines and expected detail maps ported from the reference's
+table-driven classification tests (logs/analyze_test.go:1425-1677) — real
+multi-line PostgreSQL output across PG versions, exercising the
+version-dependent either-or resolution paths the synthetic fixture can't
+byte-match: legacy 'CPU 0.00s/0.00u sec' rusage, pinskipped+lpdead
+together (PG14), anti_wraparound presence keyed on the WAL clause, and
+per-index vacuum blocks."""
+
+from __future__ import annotations
+
+import pytest
+
+# (content, expected-column->value); None asserts the column is NULL
+# (the reference omits the Details key)
+GOLDENS = [
+    (
+        # analyze_test.go:1425 — PG10-era: legacy rusage, rates after
+        # buffers would be the 13-shape but this case has them before; no
+        # WAL clause -> anti_wraparound absent
+        'automatic vacuum of table "mydb.public.vac_test": index scans: 1'
+        "\n pages: 0 removed, 1 remain, 0 skipped due to pins, 0 skipped frozen"
+        "\n tuples: 3 removed, 6 remain, 0 are dead but not yet removable"
+        "\n buffer usage: 70 hits, 4 misses, 4 dirtied"
+        "\n avg read rate: 62.877 MB/s, avg write rate: 62.877 MB/s"
+        "\n system usage: CPU 0.00s/0.00u sec elapsed 0.00 sec",
+        {
+            "aggressive": False,
+            "anti_wraparound": None,
+            "database": "mydb",
+            "schema_name": "public",
+            "relation_name": "vac_test",
+            "num_index_scans": 1,
+            "pages_removed": 0,
+            "rel_pages": 1,
+            "pinskipped_pages": 0,
+            "frozenskipped_pages": 0,
+            "scanned_pages": None,
+            "tuples_deleted": 3,
+            "new_rel_tuples": 6,
+            "new_dead_tuples": 0,
+            "oldest_xmin": None,
+            "vacuum_page_hit": 70,
+            "vacuum_page_miss": 4,
+            "vacuum_page_dirty": 4,
+            "read_rate_mb": 62.877,
+            "write_rate_mb": 62.877,
+            "wal_records": None,
+            "rusage_kernel": 0.0,
+            "rusage_user": 0.0,
+            "elapsed_secs": 0.0,
+        },
+    ),
+    (
+        # analyze_test.go:1464 — modern rusage, oldest xmin, no WAL
+        'automatic vacuum of table "demo_pgbench.public.pgbench_tellers": index scans: 0'
+        " pages: 0 removed, 839 remain, 0 skipped due to pins, 705 skipped frozen"
+        "\ttuples: 1849 removed, 2556 remain, 5 are dead but not yet removable, oldest xmin: 448424944"
+        "\tbuffer usage: 569 hits, 1 misses, 0 dirtied"
+        "\tavg read rate: 0.064 MB/s, avg write rate: 0.000 MB/s"
+        "\tsystem usage: CPU: user: 0.00 s, system: 0.00 s, elapsed: 0.12 s",
+        {
+            "database": "demo_pgbench",
+            "relation_name": "pgbench_tellers",
+            "pinskipped_pages": 0,
+            "frozenskipped_pages": 705,
+            "tuples_deleted": 1849,
+            "new_rel_tuples": 2556,
+            "new_dead_tuples": 5,
+            "oldest_xmin": 448424944,
+            "anti_wraparound": None,
+            "read_rate_mb": 0.064,
+            "write_rate_mb": 0.0,
+            "elapsed_secs": 0.12,
+        },
+    ),
+    (
+        # analyze_test.go:1504 — PG14: pinskipped + lpdead index scan +
+        # I/O timings + WAL clause => anti_wraparound emitted as false
+        'automatic vacuum of table "mydb.myschema.mytable": index scans: 0\n'
+        "\tpages: 0 removed, 14761 remain, 0 skipped due to pins, 12461 skipped frozen\n"
+        "\ttuples: 0 removed, 122038 remain, 14433 are dead but not yet removable, oldest xmin: 538040633\n"
+        "\tindex scan bypassed: 255 pages from table (1.73% of total) have 661 dead item identifiers\n"
+        "\tI/O timings: read: 0.000 ms, write: 0.000 ms\n"
+        "\tavg read rate: 0.000 MB/s, avg write rate: 0.000 MB/s\n"
+        "\tbuffer usage: 4420 hits, 0 misses, 0 dirtied\n"
+        "\tWAL usage: 1 records, 0 full page images, 245 bytes\n"
+        "\tsystem usage: CPU: user: 0.00 s, system: 0.00 s, elapsed: 0.01 s",
+        {
+            "aggressive": False,
+            "anti_wraparound": False,
+            "schema_name": "myschema",
+            "pinskipped_pages": 0,
+            "frozenskipped_pages": 12461,
+            "lpdead_index_scan": "bypassed",
+            "lpdead_item_pages": 255,
+            "lpdead_item_page_percent": 1.73,
+            "lpdead_items": 661,
+            "blk_read_time": 0.0,
+            "blk_write_time": 0.0,
+            "wal_records": 1,
+            "wal_fpi": 0,
+            "wal_bytes": 245,
+            "oldest_xmin": 538040633,
+        },
+    ),
+    (
+        # analyze_test.go:1557 — anti-wraparound aggressive, modern rusage
+        # mapping: kernel comes from 'system', user from 'user'
+        'automatic aggressive vacuum to prevent wraparound of table "mydb.myschema.mytable": index scans: 0\n'
+        "\tpages: 0 removed, 241245 remain, 0 skipped due to pins, 241244 skipped frozen\n"
+        "\ttuples: 0 removed, 17418745 remain, 0 are dead but not yet removable, oldest xmin: 538040633\n"
+        "\tindex scan not needed: 3 pages from table (0.01% of total) had 0 dead item identifiers removed\n"
+        "\tI/O timings: read: 10.540 ms, write: 0.000 ms\n"
+        "\tavg read rate: 38.748 MB/s, avg write rate: 0.538 MB/s\n"
+        "\tbuffer usage: 50 hits, 72 misses, 1 dirtied\n"
+        "\tWAL usage: 1 records, 1 full page images, 2147 bytes\n"
+        "\tsystem usage: CPU: user: 1.23 s, system: 4.56 s, elapsed: 0.01 s",
+        {
+            "aggressive": True,
+            "anti_wraparound": True,
+            "lpdead_index_scan": "not needed",
+            "blk_read_time": 10.54,
+            "read_rate_mb": 38.748,
+            "write_rate_mb": 0.538,
+            "rusage_user": 1.23,
+            "rusage_kernel": 4.56,
+            "elapsed_secs": 0.01,
+        },
+    ),
+    (
+        # analyze_test.go:1610 — per-index vacuum details block
+        'automatic aggressive vacuum to prevent wraparound of table "mydb.myschema.mytable": index scans: 1\n'
+        "\tpages: 8141555 removed, 4783594 remain, 0 skipped due to pins, 10478504 skipped frozen\n"
+        "\ttuples: 2153407 removed, 44326634 remain, 252 are dead but not yet removable, oldest xmin: 1887899920\n"
+        "\tindex scan needed: 808328 pages from table (6.25% of total) had 2317145 dead item identifiers removed\n"
+        '\tindex "mytable_index1": pages: 235675 in total, 5967 newly deleted, 174124 currently deleted, 168157 reusable\n'
+        '\tindex "mytable_index2": pages: 179 in total, 0 newly deleted, 0 currently deleted, 0 reusable\n'
+        "\tI/O timings: read: 377482.257 ms, write: 8483.639 ms\n"
+        "\tavg read rate: 104.788 MB/s, avg write rate: 19.082 MB/s\n"
+        "\tbuffer usage: 2692149 hits, 11619539 misses, 2115983 dirtied\n"
+        "\tWAL usage: 1 records, 1 full page images, 2147 bytes\n"
+        "\tsystem usage: CPU: user: 1.23 s, system: 4.56 s, elapsed: 0.01 s",
+        {
+            "pages_removed": 8141555,
+            "rel_pages": 4783594,
+            "lpdead_index_scan": "needed",
+            "lpdead_items": 2317145,
+            "blk_read_time": 377482.257,
+        },
+    ),
+]
+
+
+@pytest.fixture(scope="module")
+def golden_rows(prepared_spark):
+    from collector_spark.logs.classify import _autovacuum_full_from
+
+    lines = prepared_spark.createDataFrame(
+        [(1, i, "LOG", content) for i, (content, _) in enumerate(GOLDENS)],
+        "pid int, seq long, log_level string, content string",
+    )
+    rows = _autovacuum_full_from(lines).collect()
+    return {r["seq"]: r.asDict() for r in rows}
+
+
+def test_every_golden_line_matches(golden_rows):
+    assert len(golden_rows) == len(GOLDENS)
+
+
+@pytest.mark.parametrize("idx", range(len(GOLDENS)))
+def test_golden_details(golden_rows, idx):
+    _, expected = GOLDENS[idx]
+    got = golden_rows[idx]
+    for key, want in expected.items():
+        have = got[key]
+        if isinstance(want, float):
+            assert have == pytest.approx(want, abs=1e-9), (key, have, want)
+        else:
+            assert have == want, (key, have, want)
+
+
+def test_golden_index_vacuum_explode(prepared_spark):
+    """The per-index block of analyze_test.go:1610 explodes to the same
+    entries the reference's index_vacuums map carries."""
+    from collector_spark.logs import classify as C
+    from pyspark.sql import functions as F
+
+    content = GOLDENS[4][0]
+    lines = prepared_spark.createDataFrame(
+        [(1, 0, content)], "pid int, seq long, content string"
+    )
+    entries = (
+        lines.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("content"), F.lit(C.INDEX_VACUUM_ENTRY_RE), F.lit(0)
+                )
+            ).alias("entry")
+        )
+        .select(
+            F.regexp_extract("entry", C.INDEX_VACUUM_ENTRY_RE, 1).alias("name"),
+            F.regexp_extract("entry", C.INDEX_VACUUM_ENTRY_RE, 2).cast("long").alias("num_pages"),
+            F.regexp_extract("entry", C.INDEX_VACUUM_ENTRY_RE, 3).cast("long").alias("newly"),
+            F.regexp_extract("entry", C.INDEX_VACUUM_ENTRY_RE, 4).cast("long").alias("deleted"),
+            F.regexp_extract("entry", C.INDEX_VACUUM_ENTRY_RE, 5).cast("long").alias("free"),
+        )
+        .collect()
+    )
+    got = {r["name"]: (r["num_pages"], r["newly"], r["deleted"], r["free"]) for r in entries}
+    assert got == {
+        "mytable_index1": (235675, 5967, 174124, 168157),
+        "mytable_index2": (179, 0, 0, 0),
+    }
