@@ -317,7 +317,11 @@ def checkpoint_details(spark: SparkSession) -> DataFrame:
     """U7 depth: the full checkpoint-complete detail vector — the
     reference's richest numeric extraction. One prefix filter + one shared
     regex; optional groups surface as NULL (SLRU pre-PG18, lsn pair)."""
-    lines = stitch_lines(spark).filter(
+    return _checkpoint_details_from(stitch_lines(spark))
+
+
+def _checkpoint_details_from(stitched: DataFrame) -> DataFrame:
+    lines = stitched.filter(
         (
             F.col("content").startswith("checkpoint complete")
             | F.col("content").startswith("restartpoint complete")

@@ -213,3 +213,93 @@ def test_golden_index_vacuum_explode(prepared_spark):
         "mytable_index1": (235675, 5967, 174124, 168157),
         "mytable_index2": (179, 0, 0, 0),
     }
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint-complete goldens (logs/analyze_test.go:606-655): PG9/10 WAL-vs-
+# transaction-log wording, PG18 SLRU + lsn pair. The reference renders
+# absent optionals as zero/"" in its Details map; the engine's declared
+# contract is NULL for absent clauses — asserted as such.
+# ---------------------------------------------------------------------------
+
+CKPT_GOLDENS = [
+    (
+        "checkpoint complete: wrote 111906 buffers (10.9%); 0 WAL file(s) added,"
+        " 22 removed, 29 recycled; write=215.895 s, sync=0.014 s, total=216.130 s;"
+        " sync files=94, longest=0.014 s, average=0.000 s;"
+        " distance=850730 kB, estimate=910977 kB",
+        {
+            "bufs_written": 111906, "bufs_written_pct": 10.9,
+            "segs_added": 0, "segs_removed": 22, "segs_recycled": 29,
+            "write_secs": 215.895, "sync_secs": 0.014, "total_secs": 216.130,
+            "sync_rels": 94, "longest_secs": 0.014, "average_secs": 0.0,
+            "distance_kb": 850730, "estimate_kb": 910977,
+            "slru_buffers": None, "lsn": None, "redo_lsn": None,
+        },
+    ),
+    (
+        # pre-PG10 wording: 'transaction log file(s)'
+        "checkpoint complete: wrote 111906 buffers (10.9%); 0 transaction log"
+        " file(s) added, 22 removed, 29 recycled; write=215.895 s, sync=0.014 s,"
+        " total=216.130 s; sync files=94, longest=0.014 s, average=0.000 s;"
+        " distance=850730 kB, estimate=910977 kB",
+        {"bufs_written": 111906, "segs_removed": 22, "estimate_kb": 910977},
+    ),
+    (
+        # PG18: SLRU clause + lsn pair
+        "checkpoint complete: wrote 3 buffers (0.0%), wrote 0 SLRU buffers;"
+        " 0 WAL file(s) added, 0 removed, 0 recycled; write=0.302 s,"
+        " sync=0.015 s, total=0.353 s; sync files=2, longest=0.015 s,"
+        " average=0.008 s; distance=22 kB, estimate=832327 kB;"
+        " lsn=1/D72C34D0, redo lsn=1/D72C3478",
+        {
+            "bufs_written": 3, "bufs_written_pct": 0.0, "slru_buffers": 0,
+            "write_secs": 0.302, "average_secs": 0.008, "distance_kb": 22,
+            "estimate_kb": 832327, "lsn": "1/D72C34D0", "redo_lsn": "1/D72C3478",
+        },
+    ),
+]
+
+
+@pytest.mark.parametrize("idx", range(len(CKPT_GOLDENS)))
+def test_checkpoint_goldens(prepared_spark, idx):
+    from collector_spark.logs.classify import _checkpoint_details_from
+
+    content, expected = CKPT_GOLDENS[idx]
+    lines = prepared_spark.createDataFrame(
+        [(1, 0, "LOG", content)],
+        "pid int, seq long, log_level string, content string",
+    )
+    rows = _checkpoint_details_from(lines).collect()
+    assert len(rows) == 1, content[:80]
+    got = rows[0].asDict()
+    for key, want in expected.items():
+        have = got[key]
+        if isinstance(want, float):
+            assert have == pytest.approx(want, abs=1e-9), (key, have, want)
+        else:
+            assert have == want, (key, have, want)
+
+
+def test_deadlock_participant_regex_matches_reference_block():
+    """The multi-line participant block of logs/analyze_test.go:1066-1070
+    must yield the reference's RelatedPids order [9788, 91, 98, 91] with
+    statement text on the statement-shaped lines."""
+    import re
+
+    from collector_spark.logs.classify import DEADLOCK_DETAIL_RE
+
+    block = (
+        "Process 9788 waits for ShareLock on transaction 1035; blocked by process 91."
+        "\nProcess 91 waits for ShareLock on transaction 1045; blocked by process 98.\n"
+        "\nProcess 98: INSERT INTO x (id, name, email) VALUES (1, 'ABC',"
+        " 'abc@example.com') ON CONFLICT(email) DO UPDATE SET name ="
+        " excluded.name, /* truncated */"
+        "\nProcess 91: INSERT INTO x (id, name, email) VALUES (1, 'ABC',"
+        " 'abc@example.com') ON CONFLICT(email) DO UPDATE SET name ="
+        " excluded.name, /* truncated */"
+    )
+    matches = re.findall(DEADLOCK_DETAIL_RE, block)
+    assert [int(p) for p, _ in matches] == [9788, 91, 98, 91]
+    stmts = [s for _, s in matches if s]
+    assert len(stmts) == 2 and all(s.startswith("INSERT INTO x") for s in stmts)
