@@ -377,10 +377,13 @@ DISCONNECT_RE = (
     r"^disconnection: session time: (\d+):(\d+):([\d.]+) "
     r"user=([0-9A-Za-z_]+) database=([0-9A-Za-z_]+) host=([^ ]+)"
 )
+# the text between the lock-on type and 'after' is arbitrary (the
+# reference's `(?:.+?)`): 'transaction 1045207414', 'virtual transaction
+# 2/7', 'advisory lock [233136,1,2,2]', 'relation 16396 of database 16384'
 LOCK_RE = (
     r"^process (\d+) (acquired|still waiting|avoided deadlock|"
     r"detected deadlock while waiting)(?: for)? ([0-9A-Za-z]+) on "
-    r"([0-9A-Za-z]+)(?: [0-9(), ]+)? after ([\d.]+) ms"
+    r"([0-9A-Za-z]+)(?: .+?)? after ([\d.]+) ms"
 )
 
 
@@ -439,7 +442,11 @@ def lock_details(spark: SparkSession) -> DataFrame:
     LOCK_ACQUIRED and LOCK_WAITING families. Wait-family lock types are
     remapped to pg_locks.locktype names (analyze.go:1483-1490); acquired
     rows pass through unmapped, as in the reference's lockAcquired branch."""
-    lines = stitch_lines(spark).filter(
+    return _lock_details_from(stitch_lines(spark))
+
+
+def _lock_details_from(stitched: DataFrame) -> DataFrame:
+    lines = stitched.filter(
         F.col("content").startswith("process ") & F.col("content").rlike(LOCK_RE)
     )
     g = lambda i: F.regexp_extract(F.col("content"), LOCK_RE, i)  # noqa: E731

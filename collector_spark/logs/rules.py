@@ -494,7 +494,7 @@ RULES: list[Rule] = [
     # --- lock / deadlock family (analyze.go:370-393) -----------------------
     Rule(
         "process ",
-        r"^process [0-9]+ acquired ([0-9A-Za-z]+Lock) on ([0-9A-Za-z]+)(?: [0-9(), ]+)? after ([0-9.]+) ms",
+        r"^process [0-9]+ acquired ([0-9A-Za-z]+Lock) on ([0-9A-Za-z]+)(?: .+?)? after ([0-9.]+) ms",
         "LOCK_ACQUIRED",
         "LOG",
         f"'process ' || CAST(1000 + user_id % 200 AS STRING)"
@@ -508,8 +508,17 @@ RULES: list[Rule] = [
         r"^process [0-9]+ (still waiting|avoided deadlock|detected deadlock while waiting) for ([0-9A-Za-z]+) on ([0-9A-Za-z]+) (?:.+?) after ([0-9.]+) ms",
         "LOCK_WAITING",
         "LOG",
+        # lock-on shapes cycle the reference's variety (analyze.go:377):
+        # plain transaction, virtual transaction, advisory lock brackets,
+        # relation-of-database — the extractor's remap and arbitrary-middle
+        # tolerance both get exercised
         f"'process ' || CAST(1000 + user_id % 200 AS STRING)"
-        f" || ' still waiting for ShareLock on transaction ' || {_N}"
+        " || ' still waiting for ShareLock on '"
+        " || CASE CAST(user_id % 4 AS INT)"
+        f"   WHEN 0 THEN 'transaction ' || {_N}"
+        f"   WHEN 1 THEN 'virtual transaction 2/' || {_N}"
+        f"   WHEN 2 THEN 'advisory lock [' || {_N} || ',1,2,2]'"
+        f"   ELSE 'relation ' || {_N} || ' of database 16384' END"
         f" || ' after ' || {_MS} || ' ms'",
         num_group=4,
         text_group=2,

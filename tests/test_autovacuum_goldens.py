@@ -303,3 +303,56 @@ def test_deadlock_participant_regex_matches_reference_block():
     assert [int(p) for p, _ in matches] == [9788, 91, 98, 91]
     stmts = [s for _, s in matches if s]
     assert len(stmts) == 2 and all(s.startswith("INSERT INTO x") for s in stmts)
+
+
+# ---------------------------------------------------------------------------
+# Lock-wait goldens (logs/analyze_test.go:926, :1121, :1137): the lock-on
+# text after the type is arbitrary — plain transaction, virtual
+# transaction, advisory-lock brackets — and the wait-family type remaps to
+# pg_locks.locktype names (transaction->transactionid, virtual->virtualxid;
+# advisory passes through), exactly analyze.go:1483-1490.
+# ---------------------------------------------------------------------------
+
+LOCK_GOLDENS = [
+    (
+        "process 2078 still waiting for ShareLock on transaction 1045207414 after 1000.100 ms",
+        {"lock_pid": 2078, "outcome": "still waiting", "lock_mode": "ShareLock",
+         "lock_type": "transactionid", "after_ms": 1000.100},
+    ),
+    (
+        "process 663 still waiting for ShareLock on virtual transaction 2/7 after 1000.123 ms",
+        {"lock_pid": 663, "lock_mode": "ShareLock",
+         "lock_type": "virtualxid", "after_ms": 1000.123},
+    ),
+    (
+        "process 663 still waiting for ExclusiveLock on advisory lock [233136,1,2,2] after 1000.365 ms",
+        {"lock_pid": 663, "lock_mode": "ExclusiveLock",
+         "lock_type": "advisory", "after_ms": 1000.365},
+    ),
+    (
+        # acquired rows pass the raw type through unmapped
+        "process 583 acquired AccessExclusiveLock on relation 16396 of database 16384 after 2003.518 ms",
+        {"lock_pid": 583, "outcome": "acquired", "lock_mode": "AccessExclusiveLock",
+         "lock_type": "relation", "after_ms": 2003.518},
+    ),
+]
+
+
+@pytest.mark.parametrize("idx", range(len(LOCK_GOLDENS)))
+def test_lock_goldens(prepared_spark, idx):
+    from collector_spark.logs.classify import _lock_details_from
+
+    content, expected = LOCK_GOLDENS[idx]
+    lines = prepared_spark.createDataFrame(
+        [(1, 0, "LOG", content)],
+        "pid int, seq long, log_level string, content string",
+    )
+    rows = _lock_details_from(lines).collect()
+    assert len(rows) == 1, content[:80]
+    got = rows[0].asDict()
+    for key, want in expected.items():
+        have = got[key]
+        if isinstance(want, float):
+            assert have == pytest.approx(want, abs=1e-9), (key, have, want)
+        else:
+            assert have == want, (key, have, want)
