@@ -392,7 +392,11 @@ def session_details(spark: SparkSession) -> DataFrame:
     time into one seconds figure — same exactly-rounded arithmetic here
     (integer-valued doubles times 3600/60 plus a two-decimal seconds
     term)."""
-    lines = stitch_lines(spark).filter(
+    return _session_details_from(stitch_lines(spark))
+
+
+def _session_details_from(stitched: DataFrame) -> DataFrame:
+    lines = stitched.filter(
         F.col("content").startswith("disconnection: ")
         & F.col("content").rlike(DISCONNECT_RE)
     )
@@ -500,7 +504,11 @@ TEMPFILE_RE = r'^temporary file: path "(.+?)", size (\d+)'
 def tempfile_details(spark: SparkSession) -> DataFrame:
     """Temp-file details (analyze.go:1960-1968): file path + byte size from
     SERVER_TEMP_FILE_CREATED lines."""
-    lines = stitch_lines(spark).filter(
+    return _tempfile_details_from(stitch_lines(spark))
+
+
+def _tempfile_details_from(stitched: DataFrame) -> DataFrame:
+    lines = stitched.filter(
         F.col("content").startswith("temporary file: path ")
         & F.col("content").rlike(TEMPFILE_RE)
     )
@@ -540,7 +548,11 @@ def connection_details(spark: SparkSession) -> DataFrame:
     reference emits host for CONNECTION_RECEIVED and ssl_protocol (when the
     SSL clause is present) for CONNECTION_AUTHORIZED. One row per matching
     line with the kind discriminator; absent details are NULL."""
-    lines = stitch_lines(spark).filter(
+    return _connection_details_from(stitch_lines(spark))
+
+
+def _connection_details_from(stitched: DataFrame) -> DataFrame:
+    lines = stitched.filter(
         F.col("content").startswith("connection received: ")
         | F.col("content").startswith("connection authorized: ")
     )
@@ -752,7 +764,11 @@ def worker_exit_details(spark: SparkSession) -> DataFrame:
     the exited worker's pid, exit code or signal (whichever alternate
     matched), and — for parallel workers — the parent backend pid with the
     process_type normalized to 'parallel worker'."""
-    lines = stitch_lines(spark).filter(
+    return _worker_exit_details_from(stitch_lines(spark))
+
+
+def _worker_exit_details_from(stitched: DataFrame) -> DataFrame:
+    lines = stitched.filter(
         F.col("content").startswith("worker process: ")
         & F.col("content").rlike(WORKER_EXIT_RE)
     )

@@ -356,3 +356,91 @@ def test_lock_goldens(prepared_spark, idx):
             assert have == pytest.approx(want, abs=1e-9), (key, have, want)
         else:
             assert have == want, (key, have, want)
+
+
+# ---------------------------------------------------------------------------
+# Connection / session / temp-file / worker-exit goldens
+# (logs/analyze_test.go:258-330, :2458-2474, :2639-2657).
+# ---------------------------------------------------------------------------
+
+
+def _single(prepared_spark, fn, content):
+    lines = prepared_spark.createDataFrame(
+        [(1, 0, "LOG", content)],
+        "pid int, seq long, log_level string, content string",
+    )
+    rows = fn(lines).collect()
+    assert len(rows) == 1, content[:80]
+    return rows[0].asDict()
+
+
+def test_connection_goldens(prepared_spark):
+    from collector_spark.logs.classify import _connection_details_from
+
+    host_cases = [
+        ("connection received: host=172.30.0.165 port=56902", "172.30.0.165"),
+        (
+            "connection received: host=ec2-102-13-140-150.compute-1.amazonaws.com port=12345",
+            "ec2-102-13-140-150.compute-1.amazonaws.com",
+        ),
+        ("connection received: host=[local]", "[local]"),
+    ]
+    for content, host in host_cases:
+        got = _single(prepared_spark, _connection_details_from, content)
+        assert got["host"] == host, content
+        assert got["ssl_protocol"] is None
+    ssl = _single(
+        prepared_spark,
+        _connection_details_from,
+        "connection authorized: user=myuser database=mydb SSL enabled"
+        " (protocol=TLSv1.2, cipher=ECDHE-RSA-AES256-GCM-SHA384, compression=off)",
+    )
+    assert ssl["ssl_protocol"] == "TLSv1.2" and ssl["kind"] == "authorized"
+    # authorized without SSL clause -> no ssl_protocol detail
+    plain = _single(
+        prepared_spark,
+        _connection_details_from,
+        "connection authorized: user=myuser database=myuser"
+        " application_name=puma: cluster worker 2: 44125 [myapp]",
+    )
+    assert plain["ssl_protocol"] is None and plain["kind"] == "authorized"
+
+
+def test_session_time_golden(prepared_spark):
+    from collector_spark.logs.classify import _session_details_from
+
+    got = _single(
+        prepared_spark,
+        _session_details_from,
+        "disconnection: session time: 1:53:01.198 user=myuser database=mydb"
+        " host=172.30.0.165 port=56902",
+    )
+    assert got["session_time_secs"] == pytest.approx(6781.198, abs=1e-9)
+
+
+def test_tempfile_golden(prepared_spark):
+    from collector_spark.logs.classify import _tempfile_details_from
+
+    got = _single(
+        prepared_spark,
+        _tempfile_details_from,
+        'temporary file: path "base/pgsql_tmp/pgsql_tmp15967.0", size 200204288',
+    )
+    assert got["file"] == "base/pgsql_tmp/pgsql_tmp15967.0"
+    assert got["size"] == 200204288
+
+
+def test_worker_exit_parallel_golden(prepared_spark):
+    from collector_spark.logs.classify import _worker_exit_details_from
+
+    got = _single(
+        prepared_spark,
+        _worker_exit_details_from,
+        "worker process: parallel worker for PID 30491 (PID 31458)"
+        " exited with exit code 1",
+    )
+    assert got["process_type"] == "parallel worker"
+    assert got["process_pid"] == 31458
+    assert got["parent_pid"] == 30491
+    assert got["exit_code"] == 1
+    assert got["signal"] is None
