@@ -823,7 +823,11 @@ def wraparound_details(spark: SparkSession) -> DataFrame:
     database either by OID or by name (whichever alternate the server
     rendered) plus, for the warning form, the remaining transaction
     budget."""
-    lines = stitch_lines(spark).filter(
+    return _wraparound_details_from(stitch_lines(spark))
+
+
+def _wraparound_details_from(stitched: DataFrame) -> DataFrame:
+    lines = stitched.filter(
         F.col("content").rlike(WRAP_WARN_RE) | F.col("content").rlike(WRAP_ERR_RE)
     )
     is_err = F.col("content").startswith(

@@ -444,3 +444,63 @@ def test_worker_exit_parallel_golden(prepared_spark):
     assert got["parent_pid"] == 30491
     assert got["exit_code"] == 1
     assert got["signal"] is None
+
+
+# ---------------------------------------------------------------------------
+# Wraparound / archiver goldens (logs/analyze_test.go:783-800, :1319-1400):
+# OID-vs-name alternation on both the warning and error forms, and the
+# archive-command exit-code path.
+# ---------------------------------------------------------------------------
+
+
+def test_wraparound_goldens(prepared_spark):
+    from collector_spark.logs.classify import _wraparound_details_from
+
+    by_name = _single(
+        prepared_spark,
+        _wraparound_details_from,
+        'database "template1" must be vacuumed within 938860 transactions',
+    )
+    assert by_name["kind"] == "warning"
+    assert by_name["database_name"] == "template1"
+    assert by_name["database_oid"] is None
+    assert by_name["remaining_xids"] == 938860
+
+    by_oid = _single(
+        prepared_spark,
+        _wraparound_details_from,
+        "database with OID 10 must be vacuumed within 100 transactions",
+    )
+    assert by_oid["database_oid"] == 10 and by_oid["database_name"] is None
+    assert by_oid["remaining_xids"] == 100
+
+    err = _single(
+        prepared_spark,
+        _wraparound_details_from,
+        "database is not accepting commands to avoid wraparound data loss"
+        ' in database "mydb"',
+    )
+    assert err["kind"] == "error" and err["database_name"] == "mydb"
+    assert err["remaining_xids"] is None
+
+    err_oid = _single(
+        prepared_spark,
+        _wraparound_details_from,
+        "database is not accepting commands to avoid wraparound data loss"
+        " in database with OID 16384",
+    )
+    assert err_oid["database_oid"] == 16384
+
+
+def test_archiver_exit_code_golden(prepared_spark):
+    from collector_spark.logs.classify import archiver_details  # noqa: F401
+    import re
+
+    from collector_spark.logs.classify import ARCHIVE_RE
+
+    m = re.search(ARCHIVE_RE, "archive command failed with exit code 1")
+    assert m and m.group(1) == "1" and not m.group(2)
+    m2 = re.search(
+        ARCHIVE_RE, "archive command was terminated by signal 9: Killed"
+    )
+    assert m2 and not m2.group(1) and m2.group(2) == "9"
