@@ -6,7 +6,7 @@ settings change. Same here: compile once, pass the regex string into the
 (JVM-side) regexp functions — never a per-row Python UDF.
 
 Supported escapes (the ones the reference handles for its recommended
-prefixes): %m %t %p %l %u %d %a %h %e %q %%.
+prefixes): %m %t %p %l %u %d %a %h %e %r %q %%.
 """
 
 from __future__ import annotations
@@ -24,6 +24,10 @@ _ESCAPES: dict[str, tuple[str, str | None]] = {
     "a": (r"([^,\]\s]*)", "application"),
     "h": (r"([^,\]\s]*)", "host"),
     "e": (r"([0-9A-Z]{5})", "sqlstate"),
+    # remote host+port or [local] (parse.go:94-97) — optional, as in the
+    # reference (an idle-in-background line renders nothing); used by the
+    # built-in Amazon RDS prefix '%t:%r:%u@%d:[%p]:'
+    "r": (r"((?:[a-zA-Z0-9:.-]+\(\d{1,5}\)|\[local\])?)", "remote_host"),
 }
 
 LEVELS = (

@@ -51,3 +51,28 @@ def test_q_escape_makes_session_suffix_optional():
 def test_unknown_escape_is_literal():
     rx, _ = compile_prefix("%Z ")
     assert re.match(rx, "%Z LOG:  x")
+
+
+def test_amazon_rds_prefix_parses_reference_lines():
+    """The built-in RDS prefix '%t:%r:%u@%d:[%p]:' (parse.go:20) must parse
+    the reference's redaction-test lines (logs/replace_test.go:24-27)."""
+    import re
+
+    from collector_spark.logs.prefix import compile_prefix
+
+    rx, names = compile_prefix("%t:%r:%u@%d:[%p]:")
+    line = (
+        "2018-03-11 20:00:02 UTC:1.1.1.1(2):a@b:[3]:LOG:"
+        "  duration: 1242.570 ms  statement: SELECT 1"
+    )
+    m = re.match(rx, line)
+    assert m, rx
+    got = dict(zip(names, m.groups()))
+    assert got["occurred_at"] == "2018-03-11 20:00:02 UTC"
+    assert got["remote_host"] == "1.1.1.1(2)"
+    assert got["username"] == "a" and got["database"] == "b"
+    assert got["pid"] == "3" and got["log_level"] == "LOG"
+    assert got["content"] == "duration: 1242.570 ms  statement: SELECT 1"
+
+    local = re.match(rx, "2018-03-11 20:00:02 UTC:[local]:a@b:[3]:ERROR:  division by zero")
+    assert local and dict(zip(names, local.groups()))["remote_host"] == "[local]"
