@@ -407,3 +407,127 @@ LEFT JOIN ts ON s.sample_id = ts.sample_id
 WHERE s.plan_json IS NOT NULL
 ORDER BY s.sample_id
 """
+
+
+# ---------------------------------------------------------------------------
+# U5 full-contract tag parsing (tags.go:14-77 + tags_test.go goldens):
+# multiple comments with later-keys-win conflict resolution, string
+# literals skipped (a '/* ... */' inside a quoted string is not a
+# comment), backslash-escaped quotes in sqlcommenter keys/values, full
+# URL decode. The string-skip uses alternation-order consumption — the
+# pattern matches string literals first WITHOUT capturing, so only real
+# comments yield a non-empty group (identical leftmost-first semantics in
+# Java regex and RE2).
+# ---------------------------------------------------------------------------
+
+_COMMENT_SCAN_RE = r"'[^']*'|/\*(.*?)\*/"
+
+
+def _unescape_quotes(col):
+    return F.regexp_replace(col, r"\\'", "'")
+
+
+def comment_tags_full(spark: SparkSession) -> DataFrame:
+    return _comment_tags_full_from(spark.table("query_samples"))
+
+
+def _comment_tags_full_from(samples: DataFrame) -> DataFrame:
+    comments = samples.select(
+        "sample_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                F.col("query_text"), F.lit(_COMMENT_SCAN_RE), F.lit(1)
+            )
+        ).alias("c_idx", "comment"),
+    ).filter(F.trim("comment") != "")
+    parts = comments.select(
+        "sample_id",
+        "c_idx",
+        F.posexplode(F.split(F.col("comment"), ",")).alias("p_idx", "raw_part"),
+    ).select(
+        "sample_id", "c_idx", "p_idx", F.trim(F.col("raw_part")).alias("part")
+    )
+
+    key_eq = F.trim(F.regexp_extract("part", r"^([^=]*)=(.*)$", 1))
+    val_eq = F.trim(F.regexp_extract("part", r"^([^=]*)=(.*)$", 2))
+    is_sqlc = F.col("part").rlike("^[^=]*=") & ~key_eq.contains(":")
+    is_marg = F.col("part").contains(":")
+
+    unquoted = F.regexp_replace(val_eq, r"^'(.*)'$", "$1")
+    key = F.when(is_sqlc, F.url_decode(_unescape_quotes(key_eq))).otherwise(
+        F.trim(F.regexp_extract("part", r"^([^:]*):(.*)$", 1))
+    )
+    val = F.when(is_sqlc, F.url_decode(_unescape_quotes(unquoted))).otherwise(
+        F.trim(F.regexp_extract("part", r"^([^:]*):(.*)$", 2))
+    )
+    tagged = parts.filter((F.col("part") != "") & (is_sqlc | is_marg)).select(
+        "sample_id",
+        "c_idx",
+        "p_idx",
+        key.alias("tag_key"),
+        val.alias("tag_value"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sample_id", "tag_key").orderBy(
+        F.desc("c_idx"), F.desc("p_idx")
+    )
+    return (
+        tagged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("sample_id", "tag_key", "tag_value")
+        .orderBy("sample_id", "tag_key")
+    )
+
+
+def oracle_comment_tags_full() -> str:
+    scan = _COMMENT_SCAN_RE.replace("'", "''")
+    key_dec = _oracle_urldecode(
+        "regexp_replace(trim(regexp_extract(part, '^([^=]*)=(.*)$', 1)),"
+        " '\\\\''', '''', 'g')"
+    )
+    val_dec = _oracle_urldecode(
+        "regexp_replace(regexp_replace(trim(regexp_extract(part, '^([^=]*)=(.*)$', 2)),"
+        " '^''(.*)''$', '\\1'), '\\\\''', '''', 'g')"
+    )
+    return rf"""
+WITH comments AS (
+  SELECT sample_id, c.c_idx, trim(c.comment) AS comment
+  FROM query_samples,
+  LATERAL (
+    SELECT UNNEST(regexp_extract_all(query_text, '{scan}', 1)) AS comment,
+           generate_subscripts(regexp_extract_all(query_text, '{scan}', 1), 1) AS c_idx
+  ) c
+  WHERE trim(c.comment) <> ''
+),
+parts AS (
+  SELECT sample_id, c_idx, p.p_idx, trim(p.raw_part) AS part
+  FROM comments,
+  LATERAL (
+    SELECT UNNEST(string_split(comment, ',')) AS raw_part,
+           generate_subscripts(string_split(comment, ','), 1) AS p_idx
+  ) p
+),
+typed AS (
+  SELECT sample_id, c_idx, p_idx, part,
+    regexp_matches(part, '^[^=]*=')
+      AND NOT contains(trim(regexp_extract(part, '^([^=]*)=(.*)$', 1)), ':') AS is_sqlc,
+    contains(part, ':') AS is_marg
+  FROM parts WHERE part <> ''
+),
+tagged AS (
+  SELECT sample_id, c_idx, p_idx,
+    CASE WHEN is_sqlc THEN {key_dec}
+         ELSE trim(regexp_extract(part, '^([^:]*):(.*)$', 1)) END AS tag_key,
+    CASE WHEN is_sqlc THEN {val_dec}
+         ELSE trim(regexp_extract(part, '^([^:]*):(.*)$', 2)) END AS tag_value
+  FROM typed WHERE is_sqlc OR is_marg
+),
+resolved AS (
+  SELECT *, row_number() OVER (PARTITION BY sample_id, tag_key
+                               ORDER BY c_idx DESC, p_idx DESC) AS rn
+  FROM tagged
+)
+SELECT sample_id, tag_key, tag_value FROM resolved WHERE rn = 1
+ORDER BY sample_id, tag_key
+"""

@@ -727,6 +727,16 @@ register(
     fixtures=["query_samples"],
 )
 
+# full tags.go contract (multi-comment later-wins, string-literal skip,
+# escaped quotes) — every tags_test.go golden passes
+# (tests/test_tags_goldens.py); behind the driver window this round
+register(
+    "u5c_comment_tags_full",
+    querysample.comment_tags_full,
+    querysample.oracle_comment_tags_full(),
+    fixtures=["query_samples"],
+)
+
 register(
     "u6_plan_normalize",
     querysample.plan_normalize,
