@@ -28,6 +28,17 @@ _ESCAPES: dict[str, tuple[str, str | None]] = {
     # reference (an idle-in-background line renders nothing); used by the
     # built-in Amazon RDS prefix '%t:%r:%u@%d:[%p]:'
     "r": (r"((?:[a-zA-Z0-9:.-]+\(\d{1,5}\)|\[local\])?)", "remote_host"),
+    # remaining reference escapes (parse.go:104-184) so every built-in
+    # prefix LogPrefixCustom1..16 / Azure / Heroku compiles
+    "c": (r"((?:[0-9a-f]{1,8}\.[0-9a-f]{1,8})?)", "session_id"),
+    "s": (r"(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2} (?:[A-Z]{1,4}|[+-]\d+))", "process_start"),
+    "v": (r"((?:\d+/\d+)?)", "virtual_txid"),
+    "x": (r"(\d*)", "txid"),
+    "i": (r"((?:[A-Z_ ]+)?)", "command_tag"),
+    "n": (r"(\d+\.\d+)", "occurred_at_epoch"),
+    "b": (r"([a-z ]+)", "backend_type"),
+    "P": (r"(\d*)", "leader_pid"),
+    "Q": (r"(-?\d+)", "query_id"),
 }
 
 LEVELS = (
