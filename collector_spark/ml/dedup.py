@@ -582,3 +582,133 @@ SELECT e.doc_id,
 FROM exact e LEFT JOIN near n USING (doc_id)
 ORDER BY e.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment verify: |A∩B| / min(|A|, |B|) on the same LSH
+# candidate pairs. Jaccard under-scores subset duplication (a paragraph
+# embedded in a much longer document); containment flags it — the pair of
+# metrics is what a dedup pipeline reviews before choosing drop rules.
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def _span_candidate_pairs(spark: SparkSession) -> DataFrame:
+    """Candidate pairs sharing at least one SPAN_W-word window hash — the
+    candidate generator subset duplication NEEDS: symmetric MinHash LSH
+    cannot surface a short doc embedded in a long one (their Jaccard is
+    ~|A|/|B|, far below any banding knee), but a verbatim-embedded span
+    guarantees shared window hashes. One self-equi-join on the 8-byte
+    window hash, deduped; exact-duplicate groups share every window, so a
+    production run feeds this with exact-dedup canonicals (E1/E31) to
+    avoid quadratic pairs inside identical-content groups."""
+    docs = spark.table("documents")
+    words = _words(F.col("text"))
+    n = F.size(words)
+    idx = F.when(
+        n >= SPAN_W, F.sequence(F.lit(1), n - SPAN_W + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    idx, lambda i: F.array_join(F.slice(words, i, SPAN_W), " ")
+                )
+            )
+        ).alias("gram"),
+    ).select("doc_id", _hash60(F.col("gram")).alias("h"))
+    a = grams.alias("ga")
+    b = grams.alias("gb")
+    return (
+        a.join(b, (F.col("ga.h") == F.col("gb.h")) & (F.col("ga.doc_id") < F.col("gb.doc_id")))
+        .select(F.col("ga.doc_id").alias("doc_a"), F.col("gb.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_containment_pairs(
+    spark: SparkSession, threshold: float = CONTAINMENT_THRESHOLD
+) -> DataFrame:
+    """Scoring shape of the Jaccard verify (shingle-set intersection over
+    the scoped cache) with the containment denominator min(|A|, |B|) and
+    window-hash candidates, plus a flag for pairs containment catches that
+    Jaccard (at its 0.5 gate) would miss."""
+    sh = _persisted_shingles(spark)
+    cand = _span_candidate_pairs(spark)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = (
+        F.col("inter").cast("double")
+        / (F.col("na.n") + F.col("nb.n") - F.col("inter")).cast("double")
+    )
+    cont = F.col("inter").cast("double") / F.least(
+        F.col("na.n"), F.col("nb.n")
+    ).cast("double")
+    return (
+        inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            cont.alias("containment"),
+            jac.alias("jaccard"),
+            (cont >= F.lit(threshold)).alias("contained"),
+            ((cont >= F.lit(threshold)) & (jac < F.lit(0.5))).alias(
+                "subset_only"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def oracle_ngram_containment_pairs(
+    threshold: float = CONTAINMENT_THRESHOLD,
+) -> str:
+    span_grams = f"""
+  SELECT doc_id,
+         {_sql_hash60(f"array_to_string(wl[gs.i : gs.i + {SPAN_W} - 1], ' ')")} AS h
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS wl FROM documents) w,
+  LATERAL (SELECT unnest(generate_series(1, len(wl) - {SPAN_W} + 1)) AS i) gs
+  WHERE len(wl) >= {SPAN_W}
+"""
+    return f"""
+WITH grams AS (SELECT DISTINCT doc_id, h FROM ({span_grams}) g),
+cand AS (
+  SELECT DISTINCT ga.doc_id AS doc_a, gb.doc_id AS doc_b
+  FROM grams ga JOIN grams gb ON ga.h = gb.h AND ga.doc_id < gb.doc_id
+),
+sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
+  GROUP BY c.doc_a, c.doc_b
+),
+scored AS (
+  SELECT i.doc_a, i.doc_b,
+    CAST(i.inter AS DOUBLE) / CAST(LEAST(na.n, nb.n) AS DOUBLE) AS containment,
+    CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+)
+SELECT doc_a, doc_b, containment, jaccard,
+  containment >= {threshold} AS contained,
+  containment >= {threshold} AND jaccard < 0.5 AS subset_only
+FROM scored
+WHERE containment >= {threshold}
+ORDER BY doc_a, doc_b
+"""

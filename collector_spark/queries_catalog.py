@@ -643,6 +643,14 @@ register(
     "ml_dedup_keep_list", dedup.dedup_keep_list, dedup.oracle_dedup_keep_list()
 )
 
+# asymmetric containment verify on the same candidate pairs (subset
+# duplication that Jaccard under-scores); same window note as above
+register(
+    "ml_ngram_containment",
+    dedup.ngram_containment_pairs,
+    dedup.oracle_ngram_containment_pairs(),
+)
+
 register("ml_exact_dup", dedup.exact_dup_groups, dedup.oracle_exact_dup_groups())
 
 register(

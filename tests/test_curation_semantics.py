@@ -135,3 +135,30 @@ def test_source_quantiles_interpolation_matches_definition(
     row = source_quantiles(prepared_spark).collect()[0]
     assert row["docs"] == 4 and row["total_chars"] == 100
     assert row["p25"] == 17.5 and row["p50"] == 25.0 and row["p90"] == 37.0
+
+
+def test_containment_flags_embedded_subset(prepared_spark, docs_view):
+    """A short doc embedded verbatim in a much longer one: containment ~1.0
+    while Jaccard is low -> subset_only. Whole-doc near-dups score high on
+    both -> contained but not subset_only."""
+    from collector_spark.ml import dedup as D
+
+    short = " ".join(f"w{i}" for i in range(30))
+    filler = " ".join(f"f{i}" for i in range(300))
+    docs_view(
+        [
+            (1, short, "en", "s", 0),
+            (2, f"{filler} {short}", "en", "s", 0),   # contains doc 1
+            (3, short + " tail", "en", "s", 0),        # near-dup of doc 1
+        ]
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in D.ngram_containment_pairs(prepared_spark).collect()
+    }
+    assert (1, 2) in rows, rows.keys()
+    r12 = rows[(1, 2)]
+    assert r12["containment"] >= 0.95 and r12["jaccard"] < 0.5
+    assert r12["subset_only"]
+    if (1, 3) in rows:
+        assert not rows[(1, 3)]["subset_only"]
