@@ -397,7 +397,7 @@ def _log_raw_sql(dialect: str) -> str:
     )
     n_rules = len(RULES)
     lock_wait_idx = rule_index("LOCK_WAITING")
-    deadlock_idx = rule_index("DEADLOCK_DETECTED")
+    deadlock_idx = rule_index("LOCK_DEADLOCK_DETECTED")
     archive_idx = rule_index("WAL_ARCHIVE_COMMAND_FAILED")
     return f"""
 SELECT ts AS collected_at, CAST(1000 + user_id % 200 AS INT) AS pid,

@@ -55,16 +55,18 @@ def classify_df(stitched: DataFrame) -> DataFrame:
         "pid", "seq", "log_level", "content", cls.alias("classification")
     )
 
-    # Pass 2: detail extraction keyed by the (unique) classification value —
-    # cheap string equality instead of re-running the prefix+regex chain,
-    # so each row evaluates at most one extraction regex per column.
-    # (CollapseProject will not inline the expensive class chain into the
-    # ~100 references below: aliases referenced more than once by
-    # non-trivial expressions are kept materialized.)
+    # Pass 2: detail extraction keyed by classification equality AND the
+    # rule's own match. Since the enum alignment, several rules share one
+    # classification (reference semantics: e.g. four CHECK_CONSTRAINT
+    # shapes, three CONNECTION_REJECTED shapes), so equality alone would
+    # apply the wrong rule's extraction regex to merged-class rows. The
+    # equality gate short-circuits (And skips the rlike unless the class
+    # matches), so each row still evaluates at most the few same-class
+    # regexes, not the full chain again.
     num: Column = F.lit(None).cast("double")
     txt: Column = F.lit(None).cast("string")
     for r in reversed(RULES):
-        m = F.col("classification") == r.classification
+        m = (F.col("classification") == r.classification) & _match(r)
         if r.num_group:
             # nullif: the num group may be an unmatched alternate (e.g. the
             # wraparound OID-vs-name alternation) — NULL, not a '' cast

@@ -235,25 +235,28 @@ RULES: list[Rule] = [
     ),
     Rule(
         "duration: ",
-        r"^duration: ([0-9.]+) ms +(statement|execute [^:]*): (.*)",
+        # bare 'duration: N ms' (log_duration without log_statement) is the
+        # same class (analyze_test.go:..; proto comment "duration: ")
+        r"^duration: ([0-9.]+) ms(?: +(statement|execute [^:]*): (.*)|\s*$)",
         "STATEMENT_DURATION",
         "LOG",
-        f"'duration: ' || {_MS} || ' ms  statement: SELECT * FROM events"
-        f" WHERE user_id = ' || {_UID}",
+        f"'duration: ' || {_MS} || ' ms'"
+        " || CASE WHEN event_id % 5 = 0 THEN ''"
+        f" ELSE '  statement: SELECT * FROM events WHERE user_id = ' || {_UID} END",
         num_group=1,
         text_group=3,
     ),
     Rule(
         "canceling statement due to statement timeout",
         r"^canceling statement due to statement timeout",
-        "QUERY_CANCELED_TIMEOUT",
+        "STATEMENT_CANCELED_TIMEOUT",
         "ERROR",
         "'canceling statement due to statement timeout'",
     ),
     Rule(
         "canceling statement due to user request",
         r"^canceling statement due to user request",
-        "QUERY_CANCELED_USER",
+        "STATEMENT_CANCELED_USER",
         "ERROR",
         "'canceling statement due to user request'",
     ),
@@ -324,23 +327,56 @@ RULES: list[Rule] = [
     ),
     # --- checkpoint family (analyze.go:126-162) ----------------------------
     Rule(
-        ("checkpoint starting: ", "restartpoint starting: "),
-        r"^(checkpoint|restartpoint) starting: ([a-z- ]+)",
+        "checkpoint starting: ",
+        r"^checkpoint starting: ([a-z- ]+)",
         "CHECKPOINT_STARTING",
         "LOG",
-        "CASE WHEN event_id % 2 = 0 THEN 'checkpoint' ELSE 'restartpoint' END"
-        " || ' starting: time'",
-        text_group=2,
+        "'checkpoint starting: time'",
+        text_group=1,
     ),
     Rule(
-        ("checkpoint complete", "restartpoint complete"),
+        "restartpoint starting: ",
+        r"^restartpoint starting: ([a-z- ]+)",
+        "RESTARTPOINT_STARTING",
+        "LOG",
+        "'restartpoint starting: shutdown immediate'",
+        text_group=1,
+    ),
+    Rule(
+        "checkpoint complete",
         r"^(checkpoint|restartpoint) complete: wrote ([0-9]+) buffers \(([0-9.]+)%\)",
         "CHECKPOINT_COMPLETE",
         "LOG",
-        # full completion stat vector (analyze.go:130-141): SLRU clause on
-        # PG18-style rows, transaction-log wording on old-PG rows, lsn pair
-        # on every 4th row — so u7e's optional groups exercise both paths
-        "CASE WHEN event_id % 2 = 0 THEN 'checkpoint' ELSE 'restartpoint' END"
+        "'checkpoint'"
+        f" || ' complete: wrote ' || {_N} || ' buffers ('"
+        " || CAST(CAST(event_id % 100 AS DECIMAL(5,1)) AS STRING) || '%)'"
+        " || CASE WHEN event_id % 3 = 0 THEN ', wrote '"
+        "      || CAST(event_id % 50 AS STRING) || ' SLRU buffers' ELSE '' END"
+        " || '; ' || CAST(event_id % 9 AS STRING)"
+        " || CASE WHEN event_id % 5 = 0 THEN ' transaction log file(s) added, '"
+        "         ELSE ' WAL file(s) added, ' END"
+        " || CAST(event_id % 7 AS STRING) || ' removed, '"
+        " || CAST(event_id % 11 AS STRING) || ' recycled'"
+        " || '; write=' || CAST(event_id % 300 AS STRING) || '.'"
+        " || CAST(event_id % 10 AS STRING) || ' s'"
+        " || ', sync=' || CAST(event_id % 30 AS STRING) || '.0 s'"
+        " || ', total=' || CAST(event_id % 310 AS STRING) || '.5 s'"
+        " || '; sync files=' || CAST(event_id % 120 AS STRING)"
+        " || ', longest=' || CAST(event_id % 3 AS STRING) || '.2 s'"
+        " || ', average=0.' || CAST(event_id % 10 AS STRING) || ' s'"
+        " || '; distance=' || CAST(event_id % 90000 AS STRING) || ' kB'"
+        " || ', estimate=' || CAST(event_id % 95000 AS STRING) || ' kB'"
+        " || CASE WHEN event_id % 4 = 0 THEN '; lsn=1/'"
+        "      || CAST(event_id % 100000 AS STRING) || ', redo lsn=1/'"
+        "      || CAST((event_id * 7) % 100000 AS STRING) ELSE '' END",
+        num_group=2,
+    ),
+    Rule(
+        "restartpoint complete",
+        r"^(checkpoint|restartpoint) complete: wrote ([0-9]+) buffers \(([0-9.]+)%\)",
+        "RESTARTPOINT_COMPLETE",
+        "LOG",
+        "'restartpoint'"
         f" || ' complete: wrote ' || {_N} || ' buffers ('"
         " || CAST(CAST(event_id % 100 AS DECIMAL(5,1)) AS STRING) || '%)'"
         " || CASE WHEN event_id % 3 = 0 THEN ', wrote '"
@@ -421,7 +457,7 @@ RULES: list[Rule] = [
     Rule(
         "Ident authentication failed for user",
         r'^Ident authentication failed for user "([^"]+)"',
-        "AUTHENTICATION_FAILED",
+        "CONNECTION_REJECTED",
         "FATAL",
         f"'Ident authentication failed for user \"u' || {_UID} || '\"'",
         text_group=1,
@@ -429,7 +465,7 @@ RULES: list[Rule] = [
     Rule(
         "role \"",
         r'^role "([^"]+)" is not permitted to log in',
-        "ROLE_NOT_ALLOWED_LOGIN",
+        "CONNECTION_REJECTED",
         "FATAL",
         f"'role \"u' || {_UID} || '\" is not permitted to log in'",
         text_group=1,
@@ -437,7 +473,7 @@ RULES: list[Rule] = [
     Rule(
         "database \"",
         r'^database "([^"]+)" is not currently accepting connections',
-        "DATABASE_NOT_ACCEPTING_CONNECTIONS",
+        "CONNECTION_REJECTED",
         "FATAL",
         f"'database \"db_' || {_DB} || '\" is not currently accepting connections'",
         text_group=1,
@@ -445,7 +481,7 @@ RULES: list[Rule] = [
     Rule(
         "disconnection: ",
         r"^disconnection: session time: ([0-9]+):([0-9]+):([0-9.]+) user=[0-9A-Za-z_]+ database=[0-9A-Za-z_]+ host=[^ ]+",
-        "DISCONNECTION",
+        "CONNECTION_DISCONNECTED",
         "LOG",
         "'disconnection: session time: 0:' || CAST(event_id % 60 AS STRING)"
         f" || ':33.12 user=u' || {_UID} || ' database=db_' || {_DB}"
@@ -453,12 +489,25 @@ RULES: list[Rule] = [
         num_group=2,
     ),
     Rule(
-        ("could not receive data from client", "could not send data to client"),
-        r"^could not (?:receive data from|send data to) client: [0-9A-Za-z ]+",
-        "CLIENT_COMMUNICATION_FAILURE",
+        (
+            "could not receive data from client",
+            "could not send data to client",
+            "connection to client lost",
+            "terminating connection because protocol synchronization was lost",
+            "unexpected EOF on client connection",
+        ),
+        r"^(?:could not (?:receive data from|send data to) client: [0-9A-Za-z ]+"
+        r"|connection to client lost"
+        r"|terminating connection because protocol synchronization was lost"
+        r"|unexpected EOF on client connection$)",
+        "CONNECTION_LOST",
         "LOG",
-        "'could not ' || CASE WHEN event_id % 2 = 0 THEN 'receive data from'"
-        " ELSE 'send data to' END || ' client: Connection reset by peer'",
+        "CASE CAST(event_id % 5 AS INT)"
+        " WHEN 0 THEN 'could not receive data from client: Connection reset by peer'"
+        " WHEN 1 THEN 'could not send data to client: Broken pipe'"
+        " WHEN 2 THEN 'connection to client lost'"
+        " WHEN 3 THEN 'terminating connection because protocol synchronization was lost'"
+        " ELSE 'unexpected EOF on client connection' END",
     ),
     Rule(
         "too many connections for role",
@@ -479,14 +528,14 @@ RULES: list[Rule] = [
     Rule(
         "could not accept SSL connection",
         r"^could not accept SSL connection: [0-9A-Za-z ]+",
-        "SSL_CONNECTION_FAILED",
+        "COULD_NOT_ACCEPT_SSL_CONNECTION",
         "LOG",
         "'could not accept SSL connection: EOF detected'",
     ),
     Rule(
         "unsupported frontend protocol",
         r"^unsupported frontend protocol [0-9]+\.[0-9]+: server supports [0-9]+\.[0-9]+ to [0-9]+\.[0-9]+",
-        "PROTOCOL_VERSION_UNSUPPORTED",
+        "PROTOCOL_ERROR_UNSUPPORTED_VERSION",
         "FATAL",
         "'unsupported frontend protocol 3.' || CAST(2 + event_id % 7 AS STRING)"
         " || ': server supports 1.0 to 3.0'",
@@ -505,7 +554,7 @@ RULES: list[Rule] = [
     ),
     Rule(
         "process ",
-        r"^process [0-9]+ (still waiting|avoided deadlock|detected deadlock while waiting) for ([0-9A-Za-z]+) on ([0-9A-Za-z]+) (?:.+?) after ([0-9.]+) ms",
+        r"^process [0-9]+ still waiting for ([0-9A-Za-z]+) on ([0-9A-Za-z]+) (?:.+?) after ([0-9.]+) ms",
         "LOCK_WAITING",
         "LOG",
         # lock-on shapes cycle the reference's variety (analyze.go:377):
@@ -520,13 +569,38 @@ RULES: list[Rule] = [
         f"   WHEN 2 THEN 'advisory lock [' || {_N} || ',1,2,2]'"
         f"   ELSE 'relation ' || {_N} || ' of database 16384' END"
         f" || ' after ' || {_MS} || ' ms'",
-        num_group=4,
-        text_group=2,
+        num_group=3,
+        text_group=1,
+    ),
+    # avoided/detected deadlock are their own classes in the reference
+    # (analyze.go:1476-1480)
+    Rule(
+        "process ",
+        r"^process [0-9]+ avoided deadlock for ([0-9A-Za-z]+) on ([0-9A-Za-z]+) (?:.+?) after ([0-9.]+) ms",
+        "LOCK_DEADLOCK_AVOIDED",
+        "LOG",
+        f"'process ' || CAST(1000 + user_id % 200 AS STRING)"
+        f" || ' avoided deadlock for ShareLock on transaction ' || {_N}"
+        " || ' by rearranging queue order'"
+        f" || ' after ' || {_MS} || ' ms'",
+        num_group=3,
+        text_group=1,
+    ),
+    Rule(
+        "process ",
+        r"^process [0-9]+ detected deadlock while waiting for ([0-9A-Za-z]+) on ([0-9A-Za-z]+) (?:.+?) after ([0-9.]+) ms",
+        "LOCK_DEADLOCK_DETECTED",
+        "LOG",
+        f"'process ' || CAST(1000 + user_id % 200 AS STRING)"
+        f" || ' detected deadlock while waiting for ShareLock on transaction ' || {_N}"
+        f" || ' after ' || {_MS} || ' ms'",
+        num_group=3,
+        text_group=1,
     ),
     Rule(
         "deadlock detected",
         r"^deadlock detected",
-        "DEADLOCK_DETECTED",
+        "LOCK_DEADLOCK_DETECTED",
         "ERROR",
         "'deadlock detected'",
     ),
@@ -579,24 +653,36 @@ RULES: list[Rule] = [
         num_group=1,
     ),
     Rule(
-        "database system was shut down",
-        r"^database system was shut down(?: in recovery)? at [0-9-]+ [0-9:]+ [A-Z]+",
+        (
+            "database system was shut down",
+            "redirecting log output to logging collector process",
+        ),
+        r"^(?:database system was shut down(?: in recovery)? at [0-9-]+ [0-9:]+ [A-Z]+"
+        r"|redirecting log output to logging collector process)",
         "SERVER_START",
         "LOG",
-        "'database system was shut down at 2024-01-05 10:00:00 UTC'",
+        "CASE WHEN event_id % 2 = 0"
+        " THEN 'database system was shut down at 2024-01-05 10:00:00 UTC'"
+        " ELSE 'redirecting log output to logging collector process' END",
     ),
     Rule(
-        "database system was not properly shut down; automatic recovery in progress",
-        r"^database system was not properly shut down; automatic recovery in progress",
+        (
+            "database system was not properly shut down; automatic recovery in progress",
+            "database system was interrupted",
+        ),
+        r"^(?:database system was not properly shut down; automatic recovery in progress"
+        r"|database system was interrupted; last known up at .+)",
         "SERVER_START_RECOVERING",
         "LOG",
-        "'database system was not properly shut down; automatic recovery in progress'",
+        "CASE WHEN event_id % 2 = 0"
+        " THEN 'database system was not properly shut down; automatic recovery in progress'"
+        " ELSE 'database system was interrupted; last known up at 2024-01-05 09:33:02 UTC' END",
     ),
     # --- temp files (analyze.go:535) ---------------------------------------
     Rule(
         "temporary file: path ",
         r'^temporary file: path "([^"]+)", size ([0-9]+)',
-        "TEMP_FILE_CREATED",
+        "SERVER_TEMP_FILE_CREATED",
         "LOG",
         "'temporary file: path \"base/pgsql_tmp/pgsql_tmp' || "
         f"{_N} || '.0\", size ' || CAST(event_id * 8192 AS STRING)",
@@ -637,7 +723,7 @@ RULES: list[Rule] = [
     Rule(
         ("started streaming WAL from primary", "restarted WAL streaming"),
         r"^(?:started streaming WAL from primary|restarted WAL streaming) at ([0-9A-F]+)/([0-9A-F]+) on timeline ([0-9]+)",
-        "WAL_STREAMING_STARTED",
+        "STANDBY_STARTED_STREAMING",
         "LOG",
         "CASE WHEN event_id % 2 = 0 THEN 'started streaming WAL from primary'"
         f" ELSE 'restarted WAL streaming' END || ' at 1A/' || {_N}"
@@ -648,7 +734,7 @@ RULES: list[Rule] = [
     Rule(
         "restored log file ",
         r'^restored log file "([^"]+)" from archive',
-        "WAL_RESTORED_FROM_ARCHIVE",
+        "STANDBY_RESTORED_WAL_FROM_ARCHIVE",
         "LOG",
         f"'restored log file \"00000001000000010000' || {_HOST} || '\" from archive'",
         text_group=1,
@@ -656,7 +742,7 @@ RULES: list[Rule] = [
     Rule(
         "consistent recovery state reached at",
         r"^consistent recovery state reached at ([0-9A-F]+)/([0-9A-F]+)",
-        "WAL_CONSISTENT_RECOVERY_STATE",
+        "STANDBY_CONSISTENT_RECOVERY_STATE",
         "LOG",
         f"'consistent recovery state reached at 2B/' || {_N}",
         text_group=2,
@@ -709,7 +795,7 @@ RULES: list[Rule] = [
     ),
     Rule(
         "column ",
-        r'^column "[^"]+" does not exist(?: at character [0-9]+)?',
+        r'^column "?[^" ]+"? does not exist(?: at character [0-9]+)?',
         "COLUMN_DOES_NOT_EXIST",
         "ERROR",
         "'column \"col_' || CAST(event_id % 20 AS STRING)"
@@ -736,7 +822,7 @@ RULES: list[Rule] = [
     Rule(
         "parameter \"",
         r'^parameter "([^"]+)" (?:changed to "([^"]+)"|cannot be changed without restarting the server)',
-        "CONFIG_PARAMETER_CHANGED",
+        "SERVER_RELOAD",
         "LOG",
         "'parameter \"work_mem\" changed to \"' || CAST(64 + event_id % 192 AS STRING) || 'MB\"'",
         text_group=1,
@@ -748,7 +834,7 @@ RULES: list[Rule] = [
     Rule(
         "worker process: ",
         r"^worker process: (.+?) \(PID ([0-9]+)\) (?:exited with exit code ([0-9]+)|was terminated by signal ([0-9]+))",
-        "WORKER_PROCESS_EXITED",
+        "SERVER_PROCESS_EXITED",
         "LOG",
         "'worker process: ' || CASE WHEN event_id % 3 = 0"
         " THEN 'logical replication launcher'"
@@ -763,7 +849,7 @@ RULES: list[Rule] = [
     Rule(
         "last completed transaction was at log time",
         r"^last completed transaction was at log time ([0-9-]+ [0-9:.]+[0-9:+-]*)",
-        "LAST_COMPLETED_TRANSACTION",
+        "WAL_REDO",
         "LOG",
         "'last completed transaction was at log time 2024-01-0'"
         " || CAST(1 + event_id % 9 AS STRING) || ' 10:22:33.456+00'",
@@ -772,7 +858,7 @@ RULES: list[Rule] = [
     Rule(
         "archiver process (PID ",
         r"^archiver process \(PID ([0-9]+)\) exited with exit code ([0-9]+)",
-        "WAL_ARCHIVER_EXITED",
+        "WAL_ARCHIVE_COMMAND_FAILED",
         "LOG",
         "'archiver process (PID ' || CAST(3000 + event_id % 400 AS STRING)"
         " || ') exited with exit code 1'",
@@ -781,7 +867,7 @@ RULES: list[Rule] = [
     Rule(
         "could not open usermap file ",
         r'^could not open usermap file "([^"]+)": (.+)',
-        "USERMAP_FILE_ERROR",
+        "SERVER_MISC",
         "LOG",
         "'could not open usermap file \"/etc/pg_ident.conf\": No such file or directory'",
         text_group=1,
@@ -789,7 +875,7 @@ RULES: list[Rule] = [
     Rule(
         "could not link file ",
         r'^could not link file "([^"]+)" to "([^"]+)": (.+)',
-        "WAL_LINK_FAILED",
+        "SERVER_MISC",
         "LOG",
         f"'could not link file \"pg_wal/xlogtemp.' || {_N}"
         " || '\" to \"pg_wal/00000001\": File exists'",
@@ -798,7 +884,7 @@ RULES: list[Rule] = [
     Rule(
         "unexpected pageaddr ",
         r"^unexpected pageaddr [0-9A-F]+/[0-9A-Z]+ in log segment [0-9A-Za-z]+, offset [0-9]+",
-        "WAL_UNEXPECTED_PAGEADDR",
+        "SERVER_MISC",
         "LOG",
         f"'unexpected pageaddr 1F/' || {_N} || ' in log segment 000000010000'"
         " || CAST(event_id % 90 AS STRING) || ', offset ' || CAST(event_id % 8192 AS STRING)",
@@ -806,7 +892,7 @@ RULES: list[Rule] = [
     Rule(
         "could not receive data from WAL stream",
         r"^could not receive data from WAL stream: ([0-9A-Za-z: ]+)",
-        "WAL_RECEIVE_FAILED",
+        "STANDBY_STREAMING_INTERRUPTED",
         "LOG",
         "'could not receive data from WAL stream: server closed the connection unexpectedly'",
         text_group=1,
@@ -814,7 +900,7 @@ RULES: list[Rule] = [
     Rule(
         "according to history file",
         r"^according to history file, WAL location .+? belongs to timeline [0-9]+, but previous recovered WAL file came from timeline [0-9]+",
-        "WAL_TIMELINE_MISMATCH",
+        "STANDBY_INVALID_TIMELINE",
         "FATAL",
         f"'according to history file, WAL location 2B/' || {_N}"
         " || ' belongs to timeline 2, but previous recovered WAL file came from timeline 1'",
@@ -823,7 +909,7 @@ RULES: list[Rule] = [
     Rule(
         "page verification failed",
         r"^page verification failed, calculated checksum ([0-9]+) but expected ([0-9]+)",
-        "CHECKSUM_FAILURE",
+        "SERVER_INVALID_CHECKSUM",
         "WARNING",
         f"'page verification failed, calculated checksum ' || {_N}"
         " || ' but expected ' || CAST(event_id % 65536 AS STRING)",
@@ -832,7 +918,7 @@ RULES: list[Rule] = [
     Rule(
         "invalid page in block",
         r"^invalid page in block ([0-9]+) of relation ([0-9A-Za-z/]+)",
-        "INVALID_PAGE",
+        "SERVER_INVALID_CHECKSUM",
         "ERROR",
         f"'invalid page in block ' || {_N} || ' of relation base/16384/' || {_EID}",
         num_group=1,
@@ -842,7 +928,7 @@ RULES: list[Rule] = [
     Rule(
         "configuration file ",
         r'^configuration file "([^"]+)" contains errors; unaffected changes were applied',
-        "CONFIG_FILE_ERROR",
+        "SERVER_RELOAD",
         "LOG",
         "'configuration file \"/etc/postgresql.conf\" contains errors; unaffected changes were applied'",
         text_group=1,
@@ -851,7 +937,7 @@ RULES: list[Rule] = [
     Rule(
         "check constraint ",
         r'^check constraint "([^"]+)" is violated by some row',
-        "CHECK_CONSTRAINT_VIOLATED_ROW",
+        "CHECK_CONSTRAINT_VIOLATION",
         "ERROR",
         f"'check constraint \"chk_' || {_EID} || '\" is violated by some row'",
         text_group=1,
@@ -859,7 +945,7 @@ RULES: list[Rule] = [
     Rule(
         "column \"",
         r'^column "([^"]+)" of table "([^"]+)" contains values that violate the new constraint',
-        "NEW_CONSTRAINT_VIOLATION",
+        "CHECK_CONSTRAINT_VIOLATION",
         "ERROR",
         "'column \"col_' || CAST(event_id % 20 AS STRING)"
         f" || '\" of table \"rel_' || {_EID}"
@@ -869,7 +955,7 @@ RULES: list[Rule] = [
     Rule(
         "value for domain ",
         r'^value for domain (.+?) violates check constraint "([^"]+)"',
-        "DOMAIN_CHECK_VIOLATION",
+        "CHECK_CONSTRAINT_VIOLATION",
         "ERROR",
         "'value for domain positive_int violates check constraint \"chk_dom_'"
         f" || {_EID} || '\"'",
@@ -887,7 +973,7 @@ RULES: list[Rule] = [
     Rule(
         "column \"",
         r'^column "([^"]+)" must appear in the GROUP BY clause or be used in an aggregate function',
-        "GROUP_BY_ERROR",
+        "COLUMN_MISSING_FROM_GROUP_BY",
         "ERROR",
         "'column \"col_' || CAST(event_id % 20 AS STRING)"
         " || '\" must appear in the GROUP BY clause or be used in an aggregate function'",
@@ -896,7 +982,7 @@ RULES: list[Rule] = [
     Rule(
         "column \"",
         r'^column "([^"]+)" of relation "([^"]+)" does not exist(?: at character [0-9]+)?',
-        "COLUMN_OF_RELATION_MISSING",
+        "COLUMN_DOES_NOT_EXIST",
         "ERROR",
         "'column \"col_' || CAST(event_id % 20 AS STRING)"
         f" || '\" of relation \"rel_' || {_EID}"
@@ -906,7 +992,7 @@ RULES: list[Rule] = [
     Rule(
         "column reference ",
         r'^column reference "([^"]+)" is ambiguous(?: at character [0-9]+)?',
-        "AMBIGUOUS_COLUMN",
+        "COLUMN_REFERENCE_AMBIGUOUS",
         "ERROR",
         "'column reference \"col_' || CAST(event_id % 20 AS STRING)"
         " || '\" is ambiguous at character ' || CAST(1 + event_id % 60 AS STRING)",
@@ -933,7 +1019,7 @@ RULES: list[Rule] = [
     Rule(
         "value too long for type ",
         r"^value too long for type ([0-9A-Za-z ()]+)",
-        "VALUE_TOO_LONG",
+        "VALUE_TOO_LONG_FOR_TYPE",
         "ERROR",
         "'value too long for type character varying(' || CAST(8 + event_id % 56 AS STRING) || ')'",
         text_group=1,
@@ -949,7 +1035,7 @@ RULES: list[Rule] = [
     Rule(
         "malformed array literal: ",
         r'^malformed array literal: "(.+)"(?: at character [0-9]+)?',
-        "MALFORMED_ARRAY",
+        "MALFORMED_ARRAY_LITERAL",
         "ERROR",
         "'malformed array literal: \"{bad' || CAST(event_id % 15 AS STRING)"
         " || '\" at character ' || CAST(1 + event_id % 20 AS STRING)",
@@ -965,7 +1051,7 @@ RULES: list[Rule] = [
     Rule(
         "INSERT has more expressions than target columns",
         r"^INSERT has more expressions than target columns(?: at character [0-9]+)?",
-        "INSERT_TOO_MANY_EXPRESSIONS",
+        "INSERT_TARGET_COLUMN_MISMATCH",
         "ERROR",
         "'INSERT has more expressions than target columns at character '"
         " || CAST(1 + event_id % 70 AS STRING)",
@@ -982,7 +1068,7 @@ RULES: list[Rule] = [
     Rule(
         "cannot drop ",
         r"^cannot drop ([^\"]+) because other objects depend on it",
-        "DEPENDENT_OBJECTS_STILL_EXIST",
+        "CANNOT_DROP",
         "ERROR",
         f"'cannot drop table rel_' || {_EID} || ' because other objects depend on it'",
         text_group=1,
@@ -990,7 +1076,7 @@ RULES: list[Rule] = [
     Rule(
         "there is no parameter $",
         r"^there is no parameter [$][0-9]+(?: at character [0-9]+)?",
-        "MISSING_PARAMETER",
+        "PARAM_MISSING",
         "ERROR",
         "'there is no parameter $' || CAST(1 + event_id % 9 AS STRING)"
         " || ' at character ' || CAST(1 + event_id % 50 AS STRING)",
@@ -1037,11 +1123,16 @@ RULES: list[Rule] = [
         "'autovacuum launcher started'",
     ),
     Rule(
-        "autovacuum launcher shutting down",
-        r"^autovacuum launcher shutting down",
+        (
+            "autovacuum launcher shutting down",
+            "terminating autovacuum process due to administrator command",
+        ),
+        r"^(?:autovacuum launcher shutting down"
+        r"|terminating autovacuum process due to administrator command)",
         "AUTOVACUUM_LAUNCHER_SHUTTING_DOWN",
         "LOG",
-        "'autovacuum launcher shutting down'",
+        "CASE WHEN event_id % 2 = 0 THEN 'autovacuum launcher shutting down'"
+        " ELSE 'terminating autovacuum process due to administrator command' END",
     ),
     # --- connection lifecycle continued (analyze.go:237-314) ---------------
     Rule(
@@ -1073,11 +1164,13 @@ RULES: list[Rule] = [
         "'incomplete message from client'",
     ),
     Rule(
-        "remaining connection slots are reserved",
-        r"^remaining connection slots are reserved",
+        ("remaining connection slots are reserved", "sorry, too many clients already"),
+        r"^(?:remaining connection slots are reserved|sorry, too many clients already)",
         "OUT_OF_CONNECTIONS",
         "FATAL",
-        "'remaining connection slots are reserved for non-replication superuser connections'",
+        "CASE WHEN event_id % 2 = 0"
+        " THEN 'remaining connection slots are reserved for non-replication superuser connections'"
+        " ELSE 'sorry, too many clients already' END",
     ),
     # --- backup / locks / server lifecycle (analyze.go:364,403,445,566,629) -
     Rule(
@@ -1111,11 +1204,17 @@ RULES: list[Rule] = [
         "'received SIGHUP, reloading configuration files'",
     ),
     Rule(
-        "using stale statistics instead of current ones",
-        r"^using stale statistics instead of current ones because stats collector is not responding",
+        (
+            "using stale statistics instead of current ones",
+            "pgstat wait timeout",
+        ),
+        r"^(?:using stale statistics instead of current ones because stats collector is not responding"
+        r"|pgstat wait timeout$)",
         "SERVER_STATS_COLLECTOR_TIMEOUT",
         "WARNING",
-        "'using stale statistics instead of current ones because stats collector is not responding'",
+        "CASE WHEN event_id % 2 = 0"
+        " THEN 'using stale statistics instead of current ones because stats collector is not responding'"
+        " ELSE 'pgstat wait timeout' END",
     ),
     # --- standby conflicts (analyze.go:662-679) ----------------------------
     Rule(
@@ -1136,7 +1235,7 @@ RULES: list[Rule] = [
     Rule(
         "update or delete on table ",
         r'^update or delete on table "([^"]+)" violates foreign key constraint "([^"]+)" on table "([^"]+)"',
-        "FK_VIOLATION_ON_DELETE",
+        "FOREIGN_KEY_CONSTRAINT_VIOLATION",
         "ERROR",
         f"'update or delete on table \"rel_' || {_EID}"
         f" || '\" violates foreign key constraint \"fk_' || {_EID}"

@@ -19,9 +19,13 @@ def rendered():
     out = {}
     for i, r in enumerate(RULES):
         sql = r.sample.replace("AS STRING", "AS VARCHAR")
+        # enough (event_id, user_id) variety to cover every sample CASE
+        # modulus in use (%2 %3 %4 %5 %6 %11)
+        values = ", ".join(
+            f"({e}, {u}, 67.89)" for e in range(120, 132) for u in (45, 46, 47)
+        )
         body = con.execute(
-            f"SELECT {sql} FROM (VALUES (123, 45, 67.89), (1210, 46, 5.5)) "
-            "events(event_id, user_id, value)"
+            f"SELECT {sql} FROM (VALUES {values}) events(event_id, user_id, value)"
         ).fetchall()
         out[i] = [row[0] for row in body]
     con.close()
@@ -134,10 +138,9 @@ def test_autovacuum_variant_selector_independent_of_rule_modulus():
     """The variant CASE must key on user_id, not event_id: autovacuum lines
     all share event_id % len(RULES), and gcd(len(RULES), 6) > 1 would leave
     variants unreachable in the generated fixture."""
-    from collector_spark.logs.rules import _autovacuum_sample
-
-    import math
-
-    assert math.gcd(len(RULES), 6) > 1  # the trap this guards against
+    # the trap: event_id ≡ rule_idx (mod len(RULES)), so any event_id-keyed
+    # variant CASE silently loses variants whenever gcd(len(RULES), 6) > 1
+    # (it was 3 when this bit); the selector must stay on user_id no matter
+    # how the rule count drifts
     av = next(r for r in RULES if r.classification == "AUTOVACUUM_COMPLETED")
     assert "CASE CAST(user_id % 6 AS INT)" in av.sample
