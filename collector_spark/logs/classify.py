@@ -55,18 +55,24 @@ def classify_df(stitched: DataFrame) -> DataFrame:
         "pid", "seq", "log_level", "content", cls.alias("classification")
     )
 
-    # Pass 2: detail extraction keyed by classification equality AND the
-    # rule's own match. Since the enum alignment, several rules share one
-    # classification (reference semantics: e.g. four CHECK_CONSTRAINT
-    # shapes, three CONNECTION_REJECTED shapes), so equality alone would
-    # apply the wrong rule's extraction regex to merged-class rows. The
-    # equality gate short-circuits (And skips the rlike unless the class
-    # matches), so each row still evaluates at most the few same-class
-    # regexes, not the full chain again.
+    # Pass 2: detail extraction keyed by the classification value — cheap
+    # string equality instead of re-running the prefix+regex chain. Since
+    # the enum alignment several rules share one classification (reference
+    # semantics: e.g. four CHECK_CONSTRAINT shapes, three
+    # CONNECTION_REJECTED shapes); ONLY those rules add their own match to
+    # the key (equality alone would apply the wrong rule's extraction regex
+    # to merged-class rows), and the equality gate short-circuits so the
+    # extra rlike only runs for rows of the shared class. Unique-class
+    # rules keep the equality-only fast path.
+    from collections import Counter
+
+    class_counts = Counter(r.classification for r in RULES)
     num: Column = F.lit(None).cast("double")
     txt: Column = F.lit(None).cast("string")
     for r in reversed(RULES):
-        m = (F.col("classification") == r.classification) & _match(r)
+        m = F.col("classification") == r.classification
+        if class_counts[r.classification] > 1:
+            m = m & _match(r)
         if r.num_group:
             # nullif: the num group may be an unmatched alternate (e.g. the
             # wraparound OID-vs-name alternation) — NULL, not a '' cast
