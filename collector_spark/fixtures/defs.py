@@ -880,6 +880,26 @@ SELECT
     || '.25)"}]}]},{"Node Type":"Index Scan","Index Cond":"(o_orderkey = $'
     || CAST(1 + o_orderkey % 3 AS STRING)
     || ')"}]}]}'
+  WHEN o_orderkey % 3 = 1 THEN
+  -- full normalize field vector (normalize.go:181-221): sort keys with
+  -- order suffixes, merge/join/one-time/recheck conds, cache key,
+  -- function call, sampling parameters + repeatable seed, TID cond,
+  -- order-by, presorted key, and a Workers array the reference recurses
+  '{"Node Type":"Sort","Sort Key":["o_custkey","o_totalprice DESC NULLS LAST"],"Presorted Key":["o_custkey"],"Plans":['
+    || '{"Node Type":"Merge Join","Merge Cond":"(o.o_custkey = c.c_custkey)","Join Filter":"(c.c_acctbal > '
+    || CAST(o_orderkey % 900 AS STRING) || '.5)","Plans":['
+    || '{"Node Type":"Memoize","Cache Key":"o.o_custkey","Plans":[{"Node Type":"Result","One-Time Filter":"($0 = '
+    || CAST(o_orderkey % 7 AS STRING) || ')"}]},'
+    || '{"Node Type":"Bitmap Heap Scan","Recheck Cond":"(c_nationkey = '
+    || CAST(o_custkey % 25 AS STRING) || ')","Plans":['
+    || '{"Node Type":"Index Scan","Order By":"(c_custkey < ' || CAST(o_custkey % 100 AS STRING) || ')"},'
+    || '{"Node Type":"Tid Scan","TID Cond":"(ctid = ''(0,' || CAST(1 + o_orderkey % 9 AS STRING) || ')''::tid)"},'
+    || '{"Node Type":"Function Scan","Function Call":"generate_series(1, ' || CAST(1 + o_orderkey % 50 AS STRING) || ')"},'
+    || '{"Node Type":"Sample Scan","Sampling Parameters":["''' || CAST(o_orderkey % 90 AS STRING)
+    || '''::real"],"Repeatable Seed":"''' || CAST(o_orderkey % 13 AS STRING) || '''::double precision"}]}]},'
+    || '{"Node Type":"Gather","Workers":[{"Filter":"(w_col = ' || CAST(o_orderkey % 40 AS STRING)
+    || ')","Group Key":["w_grp"]}],"Plans":[{"Node Type":"Seq Scan","Filter":"(o_orderkey <> '
+    || CAST(o_orderkey % 60 AS STRING) || ')"}]}]}'
   ELSE
   '{"Node Type":"Aggregate","Output":["count(*)"],"Plans":[{"Node Type":"Hash Join","Hash Cond":"(o.o_custkey = c.c_custkey)","Plans":[{"Node Type":"Seq Scan","Filter":"(o_totalprice > '
     || CAST(o_orderkey % 500 AS STRING)

@@ -531,3 +531,155 @@ resolved AS (
 SELECT sample_id, tag_key, tag_value FROM resolved WHERE rn = 1
 ORDER BY sample_id, tag_key
 """
+
+
+# ---------------------------------------------------------------------------
+# U6 full field vector (normalize.go:181-232): every expression field the
+# reference normalizes, in long form — one row per (node, field) with a
+# non-null normalized value. Workers arrays recurse exactly like Plans
+# (normalize.go:212-217). Grouping Sets (nested array-of-array group keys)
+# are the one omitted family — declared, not silently dropped.
+# ---------------------------------------------------------------------------
+
+_NORM_SCALARS = (
+    "Cache Key", "Conflict Filter", "Filter", "Function Call", "Hash Cond",
+    "Index Cond", "Join Filter", "Merge Cond", "One-Time Filter", "Order By",
+    "Recheck Cond", "Repeatable Seed", "Table Function Call", "TID Cond",
+)
+_NORM_ARRAYS = ("Group Key", "Output", "Presorted Key",
+                "Sampling Parameters", "Sort Key")
+
+
+def plan_normalize_full(spark: SparkSession) -> DataFrame:
+    from collector_spark.functions.fingerprint import normalize_query
+
+    root = spark.table("query_samples").select(
+        "sample_id", F.col("plan_json").alias("node"), F.lit("").alias("path")
+    )
+
+    def children(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.select(
+                "sample_id",
+                "path",
+                F.posexplode(
+                    F.from_json(
+                        F.get_json_object("node", f"$['{key}']"), "array<string>"
+                    )
+                ).alias("i", "child"),
+            )
+            .select(
+                "sample_id",
+                F.col("child").alias("node"),
+                F.concat(
+                    F.when(F.col("path") == "", F.lit("")).otherwise(
+                        F.concat(F.col("path"), F.lit("."))
+                    ),
+                    F.lit(f"{key}["),
+                    F.col("i").cast("string"),
+                    F.lit("]"),
+                ).alias("path"),
+            )
+        )
+
+    levels = [root]
+    frontier = root
+    for _ in range(_MAX_PLAN_DEPTH):
+        frontier = children(frontier, "Plans").unionByName(
+            children(frontier, "Workers")
+        )
+        if frontier.isEmpty():
+            break
+        levels.append(frontier)
+    else:
+        raise RuntimeError(f"plan nesting exceeds {_MAX_PLAN_DEPTH} levels")
+
+    nodes = levels[0]
+    for lvl in levels[1:]:
+        nodes = nodes.unionByName(lvl)
+
+    def g(field: str):
+        return F.get_json_object("node", f"$['{field}']")
+
+    entries = [
+        F.struct(F.lit(f).alias("field"), normalize_query(g(f)).alias("value"))
+        for f in _NORM_SCALARS
+    ] + [
+        F.struct(
+            F.lit(f).alias("field"),
+            F.array_join(
+                F.transform(F.from_json(g(f), "array<string>"), normalize_query),
+                ",",
+            ).alias("value"),
+        )
+        for f in _NORM_ARRAYS
+    ]
+    return (
+        nodes.select(
+            "sample_id",
+            "path",
+            F.get_json_object("node", "$['Node Type']").alias("node_type"),
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .filter(F.col("e.value").isNotNull())
+        .select(
+            "sample_id",
+            "path",
+            "node_type",
+            F.col("e.field").alias("field"),
+            F.col("e.value").alias("value_norm"),
+        )
+        .orderBy("sample_id", "path", "field")
+    )
+
+
+def oracle_plan_normalize_full() -> str:
+    from collector_spark.functions.fingerprint import oracle_normalize
+
+    def scalar(f: str) -> str:
+        raw = f"json_extract_string(node, '$.\"{f}\"')"
+        return (
+            f"SELECT sample_id, path, node_type, '{f}' AS field,"
+            f" {oracle_normalize(raw)} AS value_norm FROM n WHERE {raw} IS NOT NULL"
+        )
+
+    def arr(f: str) -> str:
+        raw = f"CAST(json_extract(node, '$.\"{f}\"') AS VARCHAR[])"
+        val = (
+            f"array_to_string(list_transform({raw}, x -> {oracle_normalize('x')}), ',')"
+        )
+        return (
+            f"SELECT sample_id, path, node_type, '{f}' AS field,"
+            f" {val} AS value_norm FROM n WHERE {raw} IS NOT NULL"
+        )
+
+    branches = "\nUNION ALL\n".join(
+        [scalar(f) for f in _NORM_SCALARS] + [arr(f) for f in _NORM_ARRAYS]
+    )
+    return f"""
+SELECT * FROM (
+  WITH RECURSIVE nodes AS (
+    SELECT sample_id, CAST('' AS VARCHAR) AS path, CAST(plan_json AS JSON) AS node
+    FROM query_samples
+    UNION ALL
+    SELECT sample_id,
+      CASE WHEN path = '' THEN '' ELSE path || '.' END
+        || key || '[' || CAST(i AS VARCHAR) || ']',
+      json_extract(node, '$.' || key || '[' || CAST(i AS VARCHAR) || ']')
+    FROM (
+      SELECT n.sample_id, n.path, n.node, k.key,
+        unnest(range(CAST(COALESCE(
+          json_array_length(json_extract(n.node, '$.' || k.key)), 0) AS BIGINT))) AS i
+      FROM nodes n, (VALUES ('Plans'), ('Workers')) k(key)
+    ) u
+  ),
+  n AS (
+    SELECT sample_id, path,
+      json_extract_string(node, '$."Node Type"') AS node_type, node
+    FROM nodes
+  )
+  SELECT sample_id, path, node_type, field, value_norm
+  FROM ({branches})
+)
+ORDER BY sample_id, path, field
+"""

@@ -752,6 +752,15 @@ register(
     fixtures=["query_samples"],
 )
 
+# full normalize field vector incl. Workers recursion and order-suffixed
+# sort keys (normalize.go:181-232); behind the driver window this round
+register(
+    "u6c_plan_normalize_full",
+    querysample.plan_normalize_full,
+    querysample.oracle_plan_normalize_full(),
+    fixtures=["query_samples"],
+)
+
 register(
     "snapshot_statement_fact",
     snapshot.assemble_statement_fact,
