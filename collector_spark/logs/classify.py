@@ -43,14 +43,23 @@ def classify_df(stitched: DataFrame) -> DataFrame:
     projection, so the same plan runs on the sessionizer's stream output)."""
     lines = stitched.filter(F.col("log_level").isin(*PRIMARY_LEVELS))
 
-    # Pass 1: one flat prefix-short-circuited when-chain assigns the class.
-    # (A first-char bucketed dispatch — the reference's analyze.go:2195-2202
-    # structure — was measured here and is NOT faster under whole-stage
-    # codegen: the deeper expression tree offsets the saved prefix checks,
-    # so the flat chain stays.)
-    cls: Column = F.lit("UNCLASSIFIED")
-    for r in reversed(RULES):
-        cls = F.when(_match(r), F.lit(r.classification)).otherwise(cls)
+    # Pass 1: the prefix-short-circuited when-chain assigns the class — as
+    # a COALESCE of bounded sub-chains rather than one monolithic CASE. A
+    # single 115-branch nested CASE is one expression whose generated Java
+    # exceeds the method-size limit, so the whole projection silently falls
+    # back to interpreted evaluation; each ~16-rule sub-chain codegens into
+    # its own method. First-match-wins is preserved: coalesce takes the
+    # first non-null sub-chain in RULES order, and each sub-chain keeps
+    # rule order internally (NULL when none of its rules match).
+    _CHUNK = 16
+    subchains: list[Column] = []
+    for start in range(0, len(RULES), _CHUNK):
+        chunk = RULES[start : start + _CHUNK]
+        sub: Column = F.lit(None).cast("string")
+        for r in reversed(chunk):
+            sub = F.when(_match(r), F.lit(r.classification)).otherwise(sub)
+        subchains.append(sub)
+    cls: Column = F.coalesce(*subchains, F.lit("UNCLASSIFIED"))
     classified = lines.select(
         "pid", "seq", "log_level", "content", cls.alias("classification")
     )
