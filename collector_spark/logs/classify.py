@@ -76,25 +76,35 @@ def classify_df(stitched: DataFrame) -> DataFrame:
     from collections import Counter
 
     class_counts = Counter(r.classification for r in RULES)
-    num: Column = F.lit(None).cast("double")
-    txt: Column = F.lit(None).cast("string")
-    for r in reversed(RULES):
-        m = F.col("classification") == r.classification
-        if class_counts[r.classification] > 1:
-            m = m & _match(r)
-        if r.num_group:
-            # nullif: the num group may be an unmatched alternate (e.g. the
-            # wraparound OID-vs-name alternation) — NULL, not a '' cast
-            num = F.when(
-                m,
-                F.nullif(
-                    F.regexp_extract(F.col("content"), r.regex, r.num_group), F.lit("")
-                ).cast("double"),
-            ).otherwise(num)
-        if r.text_group:
-            txt = F.when(
-                m, F.regexp_extract(F.col("content"), r.regex, r.text_group)
-            ).otherwise(txt)
+
+    def _detail_chain(rules, build) -> Column:
+        # same bounded-sub-chain shape as pass 1 (codegen method limit);
+        # exact because at most one rule's condition is true per row —
+        # class equality selects the rule for unique classes, the added
+        # match disambiguates merged ones
+        subs: list[Column] = []
+        for start in range(0, len(rules), _CHUNK):
+            sub: Column = F.lit(None).cast("string")
+            for r in reversed(rules[start : start + _CHUNK]):
+                m = F.col("classification") == r.classification
+                if class_counts[r.classification] > 1:
+                    m = m & _match(r)
+                sub = F.when(m, build(r)).otherwise(sub)
+            subs.append(sub)
+        return F.coalesce(*subs)
+
+    num = _detail_chain(
+        [r for r in RULES if r.num_group],
+        # nullif: the num group may be an unmatched alternate (e.g. the
+        # wraparound OID-vs-name alternation) — NULL, not a '' cast
+        lambda r: F.nullif(
+            F.regexp_extract(F.col("content"), r.regex, r.num_group), F.lit("")
+        ),
+    ).cast("double")
+    txt = _detail_chain(
+        [r for r in RULES if r.text_group],
+        lambda r: F.regexp_extract(F.col("content"), r.regex, r.text_group),
+    )
 
     return classified.select(
         "pid",
