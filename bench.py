@@ -25,12 +25,12 @@ Round-4 perf notes (r2 -> r3 regressions, bisected):
     the fan-out branch never fires. Partially recovered in r4 by pinning
     the shared index_rows aggregate (s11 -45%) and coalescing the pinned
     log corpus (parse/stitch/classify/stream back to r2-r3 levels).
-  - u7_log_classify ~+20% late in r4: the classification-enum alignment
-    grew the rule chain 111 -> 115 rules with the reference's full
-    alternations (connection-lost family, bare duration, interrupted
-    start, etc.) — the measured price of line-for-line classification
-    parity with analyze_test.go; every other log-family query is still
-    well below its r3 time.
+  - u7_log_classify: the classification-enum alignment grew the rule
+    chain 111 -> 115 rules with the reference's full alternations, and the
+    monolithic CASE had silently exceeded the codegen method limit all
+    along (interpreted evaluation). Splitting classification and detail
+    extraction into coalesces of ~16-rule sub-chains restored whole-stage
+    codegen: 5.0 s (r3) -> 3.7 s with MORE rules.
 """
 
 from __future__ import annotations
