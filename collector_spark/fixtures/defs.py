@@ -898,8 +898,12 @@ SELECT
     || '{"Node Type":"Sample Scan","Sampling Parameters":["''' || CAST(o_orderkey % 90 AS STRING)
     || '''::real"],"Repeatable Seed":"''' || CAST(o_orderkey % 13 AS STRING) || '''::double precision"}]}]},'
     || '{"Node Type":"Gather","Workers":[{"Filter":"(w_col = ' || CAST(o_orderkey % 40 AS STRING)
-    || ')","Group Key":["w_grp"]}],"Plans":[{"Node Type":"Seq Scan","Filter":"(o_orderkey <> '
-    || CAST(o_orderkey % 60 AS STRING) || ')"}]}]}'
+    || ')","Group Key":["w_grp"]}],"Plans":[{"Node Type":"MixedAggregate","Grouping Sets":['
+    || '{"Group Keys":[["o_custkey"],["o_custkey","(o_totalprice + ' || CAST(o_orderkey % 30 AS STRING)
+    || ')"]],"Sort Key":["o_custkey DESC"]},'
+    || '{"Hash Keys":[["(o_custkey % ' || CAST(2 + o_orderkey % 10 AS STRING) || ')"]]}'
+    || '],"Plans":[{"Node Type":"Seq Scan","Filter":"(o_orderkey <> '
+    || CAST(o_orderkey % 60 AS STRING) || ')"}]}]}]}'
   ELSE
   '{"Node Type":"Aggregate","Output":["count(*)"],"Plans":[{"Node Type":"Hash Join","Hash Cond":"(o.o_custkey = c.c_custkey)","Plans":[{"Node Type":"Seq Scan","Filter":"(o_totalprice > '
     || CAST(o_orderkey % 500 AS STRING)

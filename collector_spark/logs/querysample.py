@@ -614,7 +614,7 @@ def plan_normalize_full(spark: SparkSession) -> DataFrame:
         )
         for f in _NORM_ARRAYS
     ]
-    return (
+    flat = (
         nodes.select(
             "sample_id",
             "path",
@@ -629,6 +629,74 @@ def plan_normalize_full(spark: SparkSession) -> DataFrame:
             F.col("e.field").alias("field"),
             F.col("e.value").alias("value_norm"),
         )
+    )
+
+    # Grouping Sets (normalize.go:165-179): each set carries Group Keys /
+    # Hash Keys (arrays OF arrays — one inner array per grouping) and an
+    # optional Sort Key array
+    def norm_join(arr_json):
+        return F.array_join(
+            F.transform(F.from_json(arr_json, "array<string>"), normalize_query), ","
+        )
+
+    gsets = nodes.select(
+        "sample_id",
+        F.get_json_object("node", "$['Node Type']").alias("node_type"),
+        "path",
+        F.posexplode(
+            F.from_json(
+                F.get_json_object("node", "$['Grouping Sets']"), "array<string>"
+            )
+        ).alias("gi", "gset"),
+    ).select(
+        "sample_id",
+        "node_type",
+        F.concat(
+            F.col("path"),
+            F.when(F.col("path") == "", F.lit("")).otherwise(F.lit(".")),
+            F.lit("Grouping Sets["),
+            F.col("gi").cast("string"),
+            F.lit("]"),
+        ).alias("path"),
+        F.col("gset"),
+    )
+    gs_sort = gsets.select(
+        "sample_id",
+        "path",
+        "node_type",
+        F.lit("Sort Key").alias("field"),
+        norm_join(F.get_json_object("gset", "$['Sort Key']")).alias("value_norm"),
+    ).filter(F.col("value_norm").isNotNull())
+
+    def keyed(kind: str) -> DataFrame:
+        return (
+            gsets.select(
+                "sample_id",
+                "path",
+                "node_type",
+                F.posexplode(
+                    F.from_json(
+                        F.get_json_object("gset", f"$['{kind}']"), "array<string>"
+                    )
+                ).alias("ki", "inner"),
+            )
+            .select(
+                "sample_id",
+                F.concat(
+                    F.col("path"), F.lit(f".{kind}["), F.col("ki").cast("string"),
+                    F.lit("]"),
+                ).alias("path"),
+                "node_type",
+                F.lit(kind).alias("field"),
+                norm_join(F.col("inner")).alias("value_norm"),
+            )
+            .filter(F.col("value_norm").isNotNull())
+        )
+
+    return (
+        flat.unionByName(gs_sort)
+        .unionByName(keyed("Group Keys"))
+        .unionByName(keyed("Hash Keys"))
         .orderBy("sample_id", "path", "field")
     )
 
@@ -653,8 +721,45 @@ def oracle_plan_normalize_full() -> str:
             f" {val} AS value_norm FROM n WHERE {raw} IS NOT NULL"
         )
 
+    gs_base = (
+        "SELECT sample_id,"
+        " path || CASE WHEN path = '' THEN '' ELSE '.' END"
+        " || 'Grouping Sets[' || CAST(gi AS VARCHAR) || ']' AS path,"
+        " node_type,"
+        " json_extract(node, '$.\"Grouping Sets\"[' || CAST(gi AS VARCHAR) || ']') AS gset"
+        " FROM (SELECT n.*, unnest(range(CAST(COALESCE(json_array_length("
+        "json_extract(n.node, '$.\"Grouping Sets\"')), 0) AS BIGINT))) AS gi FROM n) g"
+    )
+    gs_sort_val = (
+        "array_to_string(list_transform(CAST(json_extract(gset, '$.\"Sort Key\"')"
+        f" AS VARCHAR[]), x -> {oracle_normalize('x')}), ',')"
+    )
+    gs_sort = (
+        f"SELECT sample_id, path, node_type, 'Sort Key' AS field,"
+        f" {gs_sort_val} AS value_norm FROM gs"
+        f" WHERE json_extract(gset, '$.\"Sort Key\"') IS NOT NULL"
+    )
+
+    def gs_keys(kind: str) -> str:
+        inner = (
+            f"CAST(json_extract(gset, '$.\"{kind}\"[' || CAST(ki AS VARCHAR) || ']')"
+            " AS VARCHAR[])"
+        )
+        val = (
+            f"array_to_string(list_transform({inner}, x -> {oracle_normalize('x')}), ',')"
+        )
+        return (
+            f"SELECT sample_id,"
+            f" path || '.{kind}[' || CAST(ki AS VARCHAR) || ']' AS path,"
+            f" node_type, '{kind}' AS field, {val} AS value_norm"
+            f" FROM (SELECT gs.*, unnest(range(CAST(COALESCE(json_array_length("
+            f"json_extract(gset, '$.\"{kind}\"')), 0) AS BIGINT))) AS ki FROM gs) k"
+        )
+
     branches = "\nUNION ALL\n".join(
-        [scalar(f) for f in _NORM_SCALARS] + [arr(f) for f in _NORM_ARRAYS]
+        [scalar(f) for f in _NORM_SCALARS]
+        + [arr(f) for f in _NORM_ARRAYS]
+        + [gs_sort, gs_keys("Group Keys"), gs_keys("Hash Keys")]
     )
     return f"""
 SELECT * FROM (
@@ -677,7 +782,8 @@ SELECT * FROM (
     SELECT sample_id, path,
       json_extract_string(node, '$."Node Type"') AS node_type, node
     FROM nodes
-  )
+  ),
+  gs AS ({gs_base})
   SELECT sample_id, path, node_type, field, value_norm
   FROM ({branches})
 )
