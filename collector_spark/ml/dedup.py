@@ -358,8 +358,13 @@ def dup_clusters(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
     pairs = ngram_jaccard_pairs(spark, threshold).select("doc_a", "doc_b")
     labels = connected_components(pairs)
     sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
+    # plain key join, NOT broadcast: cluster count is data-scaled (on a
+    # web-crawl corpus a large fraction of docs participate in clusters), so
+    # a forced broadcast would collect a billion-row relation to the driver
+    # at 100 TB. Both sides hash-partition on `label`; AQE may still choose
+    # broadcast at toy scale where it is actually safe.
     return (
-        labels.join(F.broadcast(sizes), "label")
+        labels.join(sizes, "label")
         .select(
             F.col("node").alias("doc_id"),
             F.col("label").alias("cluster_id"),
@@ -538,48 +543,66 @@ ORDER BY d.doc_id
 
 # ---------------------------------------------------------------------------
 # End-to-end dedup decision (the composition a training pipeline actually
-# consumes): exact dedup (E1) -> MinHash LSH candidates (E3) -> Jaccard
-# verify (E4) -> connected components (E6) -> one keep/drop row per
-# document with the reason. Exact duplicates drop first; near-dup cluster
-# members keep only the cluster canonical.
+# consumes — the full Lee et al. 2022 recipe): exact dedup (E1) -> MinHash
+# LSH candidates (E3) -> Jaccard verify (E4) -> connected components (E6)
+# -> exact-substring span dedup (E28) -> one keep/drop row per document
+# with the reason. Drop priority: exact duplicates first, then near-dup
+# cluster non-canonicals, then span-duplicated documents.
 # ---------------------------------------------------------------------------
 
 
 def dedup_keep_list(spark: SparkSession) -> DataFrame:
     """Total over the corpus: every doc gets (keep, reason). Composes the
-    already-bucketed stages — the only additional work is one left join of
-    the exact decision against the (small) near-dup cluster membership."""
+    already-bucketed stages with two plain left joins on doc_id — NOT
+    broadcast: near-dup membership is one row per doc in any verified pair
+    (20-50% of a web-crawl corpus → billions of rows at 100 TB) and the
+    span decision is total over the corpus, so both sides must stay
+    distributed. All three relations hash-partition on doc_id; AQE decides
+    the physical join at runtime."""
     exact = exact_dup_groups(spark).select(
         "doc_id", F.col("keep").alias("exact_keep")
     )
     near = dup_clusters(spark).select(
         "doc_id", "cluster_id", "is_canonical"
     )
-    j = exact.join(F.broadcast(near), "doc_id", "left")
+    span = ngram_span_dedup(spark).select(
+        "doc_id", F.col("keep").alias("span_keep"), "dup_fraction"
+    )
+    j = exact.join(near, "doc_id", "left").join(span, "doc_id", "left")
     near_drop = ~F.coalesce(F.col("is_canonical"), F.lit(True))
+    span_drop = ~F.coalesce(F.col("span_keep"), F.lit(True))
     return j.select(
         "doc_id",
-        (F.col("exact_keep") & ~near_drop).alias("keep"),
+        (F.col("exact_keep") & ~near_drop & ~span_drop).alias("keep"),
         F.when(~F.col("exact_keep"), F.lit("exact_duplicate"))
         .when(near_drop, F.lit("near_duplicate"))
+        .when(span_drop, F.lit("span_duplicate"))
         .alias("drop_reason"),
         F.col("cluster_id").alias("near_dup_cluster_id"),
+        F.col("dup_fraction").alias("span_dup_fraction"),
     ).orderBy("doc_id")
 
 
 def oracle_dedup_keep_list() -> str:
     exact = oracle_exact_dup_groups().rsplit("ORDER BY", 1)[0]
     near = oracle_dup_clusters().rsplit("ORDER BY", 1)[0]
+    span = oracle_ngram_span_dedup().rsplit("ORDER BY", 1)[0]
     return f"""
 WITH exact AS ({exact}),
-near AS ({near})
+near AS ({near}),
+span AS ({span})
 SELECT e.doc_id,
-  e.keep AND NOT COALESCE(NOT n.is_canonical, FALSE) AS keep,
+  e.keep AND NOT COALESCE(NOT n.is_canonical, FALSE)
+         AND NOT COALESCE(NOT s.keep, FALSE) AS keep,
   CASE WHEN NOT e.keep THEN 'exact_duplicate'
        WHEN COALESCE(NOT n.is_canonical, FALSE) THEN 'near_duplicate'
+       WHEN COALESCE(NOT s.keep, FALSE) THEN 'span_duplicate'
   END AS drop_reason,
-  n.cluster_id AS near_dup_cluster_id
-FROM exact e LEFT JOIN near n USING (doc_id)
+  n.cluster_id AS near_dup_cluster_id,
+  s.dup_fraction AS span_dup_fraction
+FROM exact e
+LEFT JOIN near n USING (doc_id)
+LEFT JOIN span s ON s.doc_id = e.doc_id
 ORDER BY e.doc_id
 """
 
@@ -599,17 +622,29 @@ def _span_candidate_pairs(spark: SparkSession) -> DataFrame:
     candidate generator subset duplication NEEDS: symmetric MinHash LSH
     cannot surface a short doc embedded in a long one (their Jaccard is
     ~|A|/|B|, far below any banding knee), but a verbatim-embedded span
-    guarantees shared window hashes. One self-equi-join on the 8-byte
-    window hash, deduped; exact-duplicate groups share every window, so a
-    production run feeds this with exact-dedup canonicals (E1/E31) to
-    avoid quadratic pairs inside identical-content groups."""
+    guarantees shared window hashes.
+
+    Canonical-first: exact-duplicate groups share EVERY window, so scoring
+    raw documents would emit ~n^2 pairs inside each identical-content group.
+    The exact-dedup keep filter (E1) is composed in here — only group
+    canonicals generate grams — making pair counts linear in true near-dup
+    structure. Pair generation is the same groupBy-bucket expansion as the
+    LSH path (one shuffle on the 8-byte hash, no self-join recompute);
+    window-hash group size stays the skew knob for AQE."""
     docs = spark.table("documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w_hash = Window.partitionBy("content_hash")
+    canon = (
+        docs.select("doc_id", "text", F.md5(norm).alias("content_hash"))
+        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w_hash))
+        .filter("keep")
+    )
     words = _words(F.col("text"))
     n = F.size(words)
     idx = F.when(
         n >= SPAN_W, F.sequence(F.lit(1), n - SPAN_W + 1)
     ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
+    grams = canon.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -619,11 +654,20 @@ def _span_candidate_pairs(spark: SparkSession) -> DataFrame:
             )
         ).alias("gram"),
     ).select("doc_id", _hash60(F.col("gram")).alias("h"))
-    a = grams.alias("ga")
-    b = grams.alias("gb")
     return (
-        a.join(b, (F.col("ga.h") == F.col("gb.h")) & (F.col("ga.doc_id") < F.col("gb.doc_id")))
-        .select(F.col("ga.doc_id").alias("doc_a"), F.col("gb.doc_id").alias("doc_b"))
+        grams.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -633,8 +677,9 @@ def ngram_containment_pairs(
 ) -> DataFrame:
     """Scoring shape of the Jaccard verify (shingle-set intersection over
     the scoped cache) with the containment denominator min(|A|, |B|) and
-    window-hash candidates, plus a flag for pairs containment catches that
-    Jaccard (at its 0.5 gate) would miss."""
+    canonical-first window-hash candidates (exact-dedup keep filter composed
+    into the generator — see _span_candidate_pairs), plus a flag for pairs
+    containment catches that Jaccard (at its 0.5 gate) would miss."""
     sh = _persisted_shingles(spark)
     cand = _span_candidate_pairs(spark)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -678,12 +723,22 @@ def oracle_ngram_containment_pairs(
     span_grams = f"""
   SELECT doc_id,
          {_sql_hash60(f"array_to_string(wl[gs.i : gs.i + {SPAN_W} - 1], ' ')")} AS h
-  FROM (SELECT doc_id, string_split(lower(text), ' ') AS wl FROM documents) w,
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS wl FROM canon) w,
   LATERAL (SELECT unnest(generate_series(1, len(wl) - {SPAN_W} + 1)) AS i) gs
   WHERE len(wl) >= {SPAN_W}
 """
     return f"""
-WITH grams AS (SELECT DISTINCT doc_id, h FROM ({span_grams}) g),
+WITH canon AS (
+  SELECT doc_id, text
+  FROM (
+    SELECT doc_id, text,
+           doc_id = MIN(doc_id) OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           ) AS keep
+    FROM documents
+  ) k WHERE keep
+),
+grams AS (SELECT DISTINCT doc_id, h FROM ({span_grams}) g),
 cand AS (
   SELECT DISTINCT ga.doc_id AS doc_a, gb.doc_id AS doc_b
   FROM grams ga JOIN grams gb ON ga.h = gb.h AND ga.doc_id < gb.doc_id

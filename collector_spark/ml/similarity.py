@@ -395,7 +395,10 @@ def embedding_dup_clusters(
         F.count("*").cast("long").alias("cluster_size")
     )
     return (
-        labels.join(F.broadcast(sizes), "label")
+        # plain key join — cluster membership/size is data-scaled (see
+        # ml/dedup.py dup_clusters); a forced broadcast would OOM the driver
+        # at 100 TB. AQE may still pick broadcast where genuinely small.
+        labels.join(sizes, "label")
         .select(
             F.col("node").alias("vec_id"),
             F.col("label").alias("cluster_id"),

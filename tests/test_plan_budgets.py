@@ -52,9 +52,11 @@ BUDGETS = {
     "ml_ivf_topk": (14, ["BroadcastHashJoin"]),
     "ml_lsh_topk": (7, ["BroadcastHashJoin"]),
     # one iteration of min-label propagation (the registered fixed-point
-    # variant re-plans per iteration; budget pins the per-iteration shape)
-    "ml_dup_clusters": (4, ["BroadcastHashJoin"]),
-    "ml_embedding_dup_clusters": (4, ["BroadcastHashJoin"]),
+    # variant re-plans per iteration; budget pins the per-iteration shape).
+    # The cluster-size join is a PLAIN key join (sizes are data-scaled;
+    # broadcast here would OOM the driver at 100 TB) — see the no-hint test.
+    "ml_dup_clusters": (5, []),
+    "ml_embedding_dup_clusters": (5, []),
     # span dedup: one exchange on the window hash (the shared-flag window
     # rides it), one groupBy(doc_id), one join back, ordering — a budget
     # blow here means grams started shuffling as strings or twice
@@ -62,15 +64,45 @@ BUDGETS = {
     # quantile profile: one partial+final agg pair per grouping; the exact
     # percentile sorts within groups, not through one partition
     "ml_source_quantiles": (4, []),
-    # composed decisions: each upstream stage contributes its own bounded
-    # exchange set; the composition itself must only add broadcast joins
-    "ml_dedup_keep_list": (8, ["BroadcastHashJoin"]),
+    # composed decisions: each upstream stage (exact, near-dup clusters,
+    # span dedup) contributes its own bounded exchange set; the composition
+    # itself adds only the two doc_id left joins — plain key joins, never
+    # forced broadcast (membership is data-scaled)
+    "ml_dedup_keep_list": (16, []),
+    # canonical-first containment: exact-keep window + span-gram bucket
+    # expansion + candidates-only shingle intersection
+    "ml_ngram_containment": (20, []),
     # four index plans + ground truth, each evaluated ONCE (returned+hits
     # fold in one groupBy); a jump here means a statistic started
     # re-evaluating an index subtree
     "ml_ann_recall": (55, ["BroadcastHashJoin"]),
     "j11_explain_workflow": (6, ["BroadcastHashJoin"]),
 }
+
+
+# Queries whose joins touch data-scaled relations (near-dup cluster
+# membership, per-cluster sizes, span decisions): a forced broadcast hint
+# on any edge would collect a data-sized relation to the driver at 100 TB.
+# The optimized logical plan must carry NO broadcast hint — physical
+# broadcasts may still appear when the statistics justify them (AQE / size
+# estimation), which is exactly the behavior we want.
+NO_FORCED_BROADCAST = [
+    "ml_dedup_keep_list",
+    "ml_dup_clusters",
+    "ml_embedding_dup_clusters",
+    "ml_ngram_containment",
+]
+
+
+@pytest.mark.parametrize("name", NO_FORCED_BROADCAST)
+def test_no_forced_broadcast_on_data_scaled_edges(prepared_spark, name):
+    from collector_spark.registry import REGISTRY
+
+    df = REGISTRY[name].spark_fn(prepared_spark)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized, (
+        f"{name}: forced broadcast hint on a data-scaled join edge"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(BUDGETS))
