@@ -52,6 +52,41 @@ def _words(col: Column) -> Column:
     return F.split(F.lower(col), " ")
 
 
+# Exact-dup content identity: md5 over whitespace-normalized lowered text.
+# ONE definition feeds exact_dup_groups, the span stage, and the span
+# candidate generator (plus all three oracles via _SQL_NORM_HASH /
+# _SQL_CANON) so the keep filter cannot drift between consumers.
+
+_SQL_NORM_HASH = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+def _norm_hash() -> Column:
+    return F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+
+
+def _exact_canonicals(docs: DataFrame) -> DataFrame:
+    """`docs` filtered to each exact-duplicate group's canonical member
+    (min doc_id per content hash) — the E1 keep set. One shuffle on the
+    content hash; all original columns survive."""
+    w = Window.partitionBy("content_hash")
+    return (
+        docs.withColumn("content_hash", _norm_hash())
+        .withColumn("_canon", F.col("doc_id") == F.min("doc_id").over(w))
+        .filter("_canon")
+        .drop("_canon", "content_hash")
+    )
+
+
+_SQL_CANON = f"""
+SELECT * EXCLUDE (__canon) FROM (
+  SELECT d.*, d.doc_id = MIN(d.doc_id) OVER (
+           PARTITION BY {_SQL_NORM_HASH}
+         ) AS __canon
+  FROM documents d
+) k WHERE __canon
+"""
+
+
 def exact_dup_groups(spark: SparkSession) -> DataFrame:
     """Exact dedup decision list: md5 over whitespace-normalized lowered
     text, one row per document with its group's canonical doc (min doc_id),
@@ -64,8 +99,7 @@ def exact_dup_groups(spark: SparkSession) -> DataFrame:
     hash partitioning of (doc_id, hash).
     """
     docs = spark.table("documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    hashed = docs.select(F.col("doc_id"), F.md5(norm).alias("content_hash"))
+    hashed = docs.select(F.col("doc_id"), _norm_hash().alias("content_hash"))
     w = Window.partitionBy("content_hash")
     return (
         hashed.withColumn("canonical_doc_id", F.min("doc_id").over(w))
@@ -82,10 +116,9 @@ def exact_dup_groups(spark: SparkSession) -> DataFrame:
 
 
 def oracle_exact_dup_groups() -> str:
-    return """
+    return f"""
 WITH hashed AS (
-  SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash
+  SELECT doc_id, {_SQL_NORM_HASH} AS content_hash
   FROM documents
 )
 SELECT doc_id, content_hash,
@@ -453,34 +486,49 @@ SPAN_W = 16              # words per window (the paper uses 50 BPE tokens)
 SPAN_DROP_FRACTION = 0.5  # drop when >= half the windows are cross-doc dups
 
 
-def ngram_span_dedup(spark: SparkSession) -> DataFrame:
-    """Per-document span-duplication decision: every overlapping SPAN_W-word
-    window is hashed (portable md5-60bit), a window hash is 'shared' when it
-    occurs in more than one document, and the doc's dup_fraction is the
-    share of its window positions that are shared.
-
-    Scale shape: explode -> ONE shuffle on the 8-byte window hash (the
-    min!=max window rides that exchange; no countDistinct, no self-join,
-    grams never shuffled as strings) -> ONE groupBy(doc_id) reduce. Both
-    aggregations are map-side combinable; the suffix-array machinery of the
-    paper is replaced by hash equality, exact for fixed W. Docs shorter
-    than W words re-enter via the left join with zero windows (keep).
-    """
-    docs = spark.table("documents")
+def _span_gram_hashes(docs: DataFrame, distinct: bool = False) -> DataFrame:
+    """doc_id -> hashed overlapping SPAN_W-word windows (md5-60bit). With
+    distinct=True, per-doc window dedup happens in the array BEFORE the
+    explode, so repeated windows never hit the shuffle."""
     words = _words(F.col("text"))
     n = F.size(words)
     idx = F.when(
         n >= SPAN_W, F.sequence(F.lit(1), n - SPAN_W + 1)
     ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(idx, lambda i: F.array_join(F.slice(words, i, SPAN_W), " "))
-        ).alias("gram"),
-    ).select("doc_id", _hash60(F.col("gram")).alias("h"))
+    arr = F.transform(idx, lambda i: F.array_join(F.slice(words, i, SPAN_W), " "))
+    if distinct:
+        arr = F.array_distinct(arr)
+    return docs.select("doc_id", F.explode(arr).alias("gram")).select(
+        "doc_id", _hash60(F.col("gram")).alias("h")
+    )
+
+
+def ngram_span_dedup(spark: SparkSession) -> DataFrame:
+    """Per-document span-duplication decision, scoped to exact-dedup
+    canonicals: windows are generated ONLY for each exact-dup group's
+    canonical (E1's keep set — identical-content siblings are E1's drop,
+    not span duplication), every overlapping SPAN_W-word window is hashed
+    (portable md5-60bit), and a window position counts as duplicated only
+    when the same hash also occurs in a canonical with SMALLER doc_id. The
+    asymmetry guarantees one representative of any span-duplicated content
+    survives: the minimum-doc_id holder of a window is never flagged by it
+    (Lee et al. 2022 keep-one-occurrence; the paper's sequential greedy is
+    approximated one-pass — 'surviving' means exact-canonical, not
+    span-surviving, so A<B<C chains can over-drop C, exactly like the
+    paper's parallel variant).
+
+    Scale shape: one content-hash shuffle for the canonical filter, then
+    explode -> ONE shuffle on the 8-byte window hash (the min-doc_id window
+    rides that exchange; no countDistinct, no self-join, grams never
+    shuffled as strings) -> ONE groupBy(doc_id) reduce; both aggregations
+    map-side combinable. Docs shorter than W words and non-canonical
+    siblings re-enter via the left join with zero windows (keep).
+    """
+    docs = spark.table("documents")
+    grams = _span_gram_hashes(_exact_canonicals(docs))
     w = Window.partitionBy("h")
     flagged = grams.withColumn(
-        "shared", F.min("doc_id").over(w) != F.max("doc_id").over(w)
+        "shared", F.min("doc_id").over(w) < F.col("doc_id")
     )
     per_doc = flagged.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_windows"),
@@ -509,8 +557,9 @@ def ngram_span_dedup(spark: SparkSession) -> DataFrame:
 
 def oracle_ngram_span_dedup() -> str:
     return f"""
-WITH w AS (
-  SELECT doc_id, string_split(lower(text), ' ') AS wl FROM documents
+WITH canon AS ({_SQL_CANON}),
+w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS wl FROM canon
 ),
 grams AS (
   SELECT doc_id,
@@ -520,7 +569,7 @@ grams AS (
 ),
 flagged AS (
   SELECT doc_id,
-         MIN(doc_id) OVER (PARTITION BY h) <> MAX(doc_id) OVER (PARTITION BY h) AS shared
+         MIN(doc_id) OVER (PARTITION BY h) < doc_id AS shared
   FROM grams
 ),
 per_doc AS (
@@ -558,7 +607,14 @@ def dedup_keep_list(spark: SparkSession) -> DataFrame:
     (20-50% of a web-crawl corpus → billions of rows at 100 TB) and the
     span decision is total over the corpus, so both sides must stay
     distributed. All three relations hash-partition on doc_id; AQE decides
-    the physical join at runtime."""
+    the physical join at runtime.
+
+    The span stage is canonical-first and asymmetric (see
+    ngram_span_dedup): exact-dup siblings never flag their canonical's
+    windows, and the min-doc_id holder of duplicated content is never
+    span-dropped — so exactly one representative of any duplicated content
+    survives the composition (Lee et al. 2022 keep-one-occurrence), rather
+    than symmetric span-drop removing every copy."""
     exact = exact_dup_groups(spark).select(
         "doc_id", F.col("keep").alias("exact_keep")
     )
@@ -626,34 +682,14 @@ def _span_candidate_pairs(spark: SparkSession) -> DataFrame:
 
     Canonical-first: exact-duplicate groups share EVERY window, so scoring
     raw documents would emit ~n^2 pairs inside each identical-content group.
-    The exact-dedup keep filter (E1) is composed in here — only group
-    canonicals generate grams — making pair counts linear in true near-dup
-    structure. Pair generation is the same groupBy-bucket expansion as the
-    LSH path (one shuffle on the 8-byte hash, no self-join recompute);
-    window-hash group size stays the skew knob for AQE."""
+    The exact-dedup keep filter (E1, the shared _exact_canonicals helper) is
+    composed in here — only group canonicals generate grams — making pair
+    counts linear in true near-dup structure. Pair generation is the same
+    groupBy-bucket expansion as the LSH path (one shuffle on the 8-byte
+    hash, no self-join recompute); window-hash group size stays the skew
+    knob for AQE."""
     docs = spark.table("documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    w_hash = Window.partitionBy("content_hash")
-    canon = (
-        docs.select("doc_id", "text", F.md5(norm).alias("content_hash"))
-        .withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w_hash))
-        .filter("keep")
-    )
-    words = _words(F.col("text"))
-    n = F.size(words)
-    idx = F.when(
-        n >= SPAN_W, F.sequence(F.lit(1), n - SPAN_W + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = canon.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    idx, lambda i: F.array_join(F.slice(words, i, SPAN_W), " ")
-                )
-            )
-        ).alias("gram"),
-    ).select("doc_id", _hash60(F.col("gram")).alias("h"))
+    grams = _span_gram_hashes(_exact_canonicals(docs), distinct=True)
     return (
         grams.groupBy("h")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -728,16 +764,7 @@ def oracle_ngram_containment_pairs(
   WHERE len(wl) >= {SPAN_W}
 """
     return f"""
-WITH canon AS (
-  SELECT doc_id, text
-  FROM (
-    SELECT doc_id, text,
-           doc_id = MIN(doc_id) OVER (
-             PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-           ) AS keep
-    FROM documents
-  ) k WHERE keep
-),
+WITH canon AS ({_SQL_CANON}),
 grams AS (SELECT DISTINCT doc_id, h FROM ({span_grams}) g),
 cand AS (
   SELECT DISTINCT ga.doc_id AS doc_a, gb.doc_id AS doc_b

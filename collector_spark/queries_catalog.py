@@ -103,14 +103,73 @@ from collector_spark.streaming.log_stream import stream_classify, stream_stitch
 from collector_spark.streaming.stat_buckets import stream_stat_buckets
 
 # ===========================================================================
-# A. never-driver-verified registrations (round-3 additions past the window)
-#    — promoted to the front per the r3 verdict (the same move converted 30
-#    weak grades to green between r2 and r3)
+# A. round-6 front window: (1) the five registrations that have NEVER had a
+#    driver CORRECTNESS row (catalog positions 71-93 in r4/r5 — the r5
+#    verdict's #1 item), (2) queries whose semantics changed this round
+#    (span dedup went canonical-first + asymmetric per the r5 advisory),
+#    (3) queries whose plan changed in r5 (cluster size-join de-broadcast)
+#    that were only judge-verified, (4) new round-6 operators.
 # ===========================================================================
 
+# -- (2) semantics changed this round: span stage is now scoped to exact-dup
+#    canonicals and a window counts as duplicated only when it also occurs
+#    in a smaller-doc_id canonical, so one representative always survives
+register(
+    "ml_ngram_span_dedup",
+    dedup.ngram_span_dedup,
+    dedup.oracle_ngram_span_dedup(),
+)
+
+# -- (1)+(2) end-to-end keep/drop composition (exact -> LSH -> verify ->
+#    clusters -> span), never driver-verified AND span semantics changed
+register(
+    "ml_dedup_keep_list", dedup.dedup_keep_list, dedup.oracle_dedup_keep_list()
+)
+
+# -- (1) asymmetric containment verify on canonical-first window-hash
+#    candidates (subset duplication that Jaccard under-scores)
+register(
+    "ml_ngram_containment",
+    dedup.ngram_containment_pairs,
+    dedup.oracle_ngram_containment_pairs(),
+)
+
+# -- (1) recall@K of every ANN index vs the brute-force ground truth
+register("ml_ann_recall", similarity.ann_recall, similarity.oracle_ann_recall())
+
+# -- (1) full tags.go contract (multi-comment later-wins, string-literal
+#    skip, escaped quotes) — every tags_test.go golden passes
+register(
+    "u5c_comment_tags_full",
+    querysample.comment_tags_full,
+    querysample.oracle_comment_tags_full(),
+    fixtures=["query_samples"],
+)
+
+# -- (1) full normalize field vector incl. Workers recursion and
+#    order-suffixed sort keys (normalize.go:181-232)
+register(
+    "u6c_plan_normalize_full",
+    querysample.plan_normalize_full,
+    querysample.oracle_plan_normalize_full(),
+    fixtures=["query_samples"],
+)
+
+# -- (3) plan changed in r5 (size join de-broadcast), judge-verified only:
+#    duplicate clusters via min-label propagation over verified pairs
+register("ml_dup_clusters", dedup.dup_clusters, dedup.oracle_dup_clusters())
+
+register(
+    "ml_embedding_dup_clusters",
+    partial(
+        similarity.embedding_dup_clusters,
+        threshold=similarity.VERIFY_NEARDUP_THRESHOLD,
+    ),
+    similarity.oracle_embedding_dup_clusters(similarity.VERIFY_NEARDUP_THRESHOLD),
+)
+
 # index-lock granularity changed in r3 to match the reference's
-# indexStatsSQL exactly (own-oid filter, one placeholder per locked relid);
-# r02-green under the old semantics, never driver-checked under the new
+# indexStatsSQL exactly (own-oid filter, one placeholder per locked relid)
 register(
     "s11_index_scan",
     relation_scan.index_scan,
@@ -424,16 +483,9 @@ register(
     fixtures=["pg_log_files", "pg_prev_offsets"],
 )
 
-# training-data additions this round: exact-substring span dedup (the
-# Lee-et-al window-hash form), the per-source length-quantile profile, and
-# the streaming twin of E1 (stateful per-hash fold, batch-equal by
+# training-data additions: the per-source length-quantile profile and the
+# streaming twin of E1 (stateful per-hash fold, batch-equal by
 # construction)
-register(
-    "ml_ngram_span_dedup",
-    dedup.ngram_span_dedup,
-    dedup.oracle_ngram_span_dedup(),
-)
-
 register(
     "ml_source_quantiles",
     curation.source_quantiles,
@@ -636,21 +688,6 @@ register(
 
 # --- training-data pipeline extensions (documents/embeddings base tables) --
 
-# end-to-end keep/drop composition (exact -> LSH -> verify -> clusters);
-# registered behind the driver window (full this round) — pytest's
-# full-catalog oracle sweep gates it now, the driver next round
-register(
-    "ml_dedup_keep_list", dedup.dedup_keep_list, dedup.oracle_dedup_keep_list()
-)
-
-# asymmetric containment verify on the same candidate pairs (subset
-# duplication that Jaccard under-scores); same window note as above
-register(
-    "ml_ngram_containment",
-    dedup.ngram_containment_pairs,
-    dedup.oracle_ngram_containment_pairs(),
-)
-
 register("ml_exact_dup", dedup.exact_dup_groups, dedup.oracle_exact_dup_groups())
 
 register(
@@ -673,10 +710,6 @@ register(
 
 register("ml_simhash", dedup.simhash, dedup.oracle_simhash())
 
-# duplicate clusters: connected components over verified near-dup pairs
-# (min-label propagation; DuckDB oracle = recursive reachability closure)
-register("ml_dup_clusters", dedup.dup_clusters, dedup.oracle_dup_clusters())
-
 register(
     "ml_brute_force_topk",
     similarity.brute_force_topk,
@@ -684,10 +717,6 @@ register(
 )
 
 register("ml_lsh_topk", similarity.lsh_topk, similarity.oracle_lsh_topk())
-
-# recall@K of every ANN index vs the brute-force ground truth (behind the
-# driver window this round; pytest's full-catalog sweep gates it now)
-register("ml_ann_recall", similarity.ann_recall, similarity.oracle_ann_recall())
 
 register(
     "ml_lsh_multiprobe_topk",
@@ -735,29 +764,10 @@ register(
     fixtures=["query_samples"],
 )
 
-# full tags.go contract (multi-comment later-wins, string-literal skip,
-# escaped quotes) — every tags_test.go golden passes
-# (tests/test_tags_goldens.py); behind the driver window this round
-register(
-    "u5c_comment_tags_full",
-    querysample.comment_tags_full,
-    querysample.oracle_comment_tags_full(),
-    fixtures=["query_samples"],
-)
-
 register(
     "u6_plan_normalize",
     querysample.plan_normalize,
     querysample.oracle_plan_normalize(),
-    fixtures=["query_samples"],
-)
-
-# full normalize field vector incl. Workers recursion and order-suffixed
-# sort keys (normalize.go:181-232); behind the driver window this round
-register(
-    "u6c_plan_normalize_full",
-    querysample.plan_normalize_full,
-    querysample.oracle_plan_normalize_full(),
     fixtures=["query_samples"],
 )
 
@@ -766,15 +776,6 @@ register(
     snapshot.assemble_statement_fact,
     snapshot.oracle_statement_fact(),
     fixtures=["stmt_snap1", "stmt_snap2", "stmt_texts"],
-)
-
-register(
-    "ml_embedding_dup_clusters",
-    partial(
-        similarity.embedding_dup_clusters,
-        threshold=similarity.VERIFY_NEARDUP_THRESHOLD,
-    ),
-    similarity.oracle_embedding_dup_clusters(similarity.VERIFY_NEARDUP_THRESHOLD),
 )
 
 # activity compact-snapshot assembly (output/transform/activity.go:9)

@@ -99,12 +99,14 @@ def test_ngram_span_dedup_partial_and_exact_overlap(prepared_spark, docs_view):
     long_uniq = " ".join(f"u{i}" for i in range(3 * SPAN_W))
     docs_view(
         [
-            # exact pair: every window shared -> fraction 1.0, both flagged,
-            # keep=False for both (span dedup is not canonical-keeper dedup)
+            # exact pair: sibling 2 is scoped out (E1's drop, not span
+            # duplication); canonical 1 holds the min doc_id for its window
+            # so the asymmetric rule never flags it -> both keep here
             (1, base, "en", "s", 0),
             (2, base, "en", "s", 0),
             # doc embedding the duplicated span inside unique context:
-            # some windows shared, most not -> 0 < fraction < 0.5 -> keep
+            # the embedded windows match canonical 1 (smaller doc_id) ->
+            # 0 < fraction < 0.5 -> keep
             (3, f"{long_uniq} {base} {long_uniq.replace('u', 'v')}", "en", "s", 0),
             # fully unique doc -> fraction 0.0
             (4, " ".join(f"z{i}" for i in range(2 * SPAN_W)), "en", "s", 0),
@@ -114,13 +116,59 @@ def test_ngram_span_dedup_partial_and_exact_overlap(prepared_spark, docs_view):
     )
     got = {r["doc_id"]: r for r in ngram_span_dedup(prepared_spark).collect()}
     assert set(got) == {1, 2, 3, 4, 5}
-    assert got[1]["dup_fraction"] == 1.0 and not got[1]["keep"]
-    assert got[2]["dup_fraction"] == 1.0 and not got[2]["keep"]
+    # canonical of the exact pair: min-doc_id holder, never self-flagged
+    assert got[1]["dup_fraction"] == 0.0 and got[1]["keep"]
+    # exact sibling: no windows generated (canonical-first scope)
+    assert got[2]["n_windows"] == 0 and got[2]["keep"]
     # doc 3 shares exactly the windows fully inside the embedded span
     assert 0 < got[3]["dup_windows"] < got[3]["n_windows"]
     assert got[3]["keep"]
     assert got[4]["dup_fraction"] == 0.0 and got[4]["keep"]
     assert got[5]["n_windows"] == 0 and got[5]["keep"]
+
+
+def test_span_dedup_drops_majority_overlap_doc_asymmetrically(
+    prepared_spark, docs_view
+):
+    """A >=50%-window-overlap pair: ONLY the larger doc_id drops; the
+    min-doc_id representative of the shared content always survives."""
+    from collector_spark.ml.dedup import SPAN_W, ngram_span_dedup
+
+    shared = " ".join(f"s{i}" for i in range(3 * SPAN_W))
+    docs_view(
+        [
+            (1, shared, "en", "s", 0),
+            # doc 2 = shared content + a short unique tail: most of its
+            # windows match doc 1 -> fraction >= 0.5 -> drop; doc 1 keeps
+            (2, f"{shared} t1 t2 t3", "en", "s", 0),
+        ]
+    )
+    got = {r["doc_id"]: r for r in ngram_span_dedup(prepared_spark).collect()}
+    assert got[1]["keep"] and got[1]["dup_fraction"] == 0.0
+    assert not got[2]["keep"] and got[2]["dup_fraction"] >= 0.5
+
+
+def test_dedup_keep_list_keeps_one_copy_of_duplicated_content(
+    prepared_spark, docs_view
+):
+    """Regression for the round-5 advisory: exact-dup siblings must not
+    span-drop their canonical — exactly one copy of identical content
+    survives the full composition, dropped siblings say exact_duplicate."""
+    from collector_spark.ml.dedup import SPAN_W, dedup_keep_list
+
+    base = " ".join(f"w{i}" for i in range(2 * SPAN_W))
+    uniq = " ".join(f"u{i}" for i in range(2 * SPAN_W))
+    docs_view(
+        [
+            (0, base, "en", "s", 0),
+            (1, base, "en", "s", 0),   # identical to 0
+            (2, uniq, "en", "s", 0),   # unrelated
+        ]
+    )
+    got = {r["doc_id"]: r for r in dedup_keep_list(prepared_spark).collect()}
+    assert got[0]["keep"] and got[0]["drop_reason"] is None
+    assert not got[1]["keep"] and got[1]["drop_reason"] == "exact_duplicate"
+    assert got[2]["keep"]
 
 
 def test_source_quantiles_interpolation_matches_definition(

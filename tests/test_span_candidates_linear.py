@@ -18,9 +18,12 @@ import pytest
 
 @pytest.fixture()
 def tiny_documents(prepared_spark):
-    """Swap in a crafted documents view; restore the real one afterwards."""
+    """Swap in a crafted documents view; restore the real one afterwards by
+    re-registering the parquet-backed views (NOT a captured DataFrame
+    handle, which relies on eager analysis pinning the original plan).
+    Assumes serial test execution, like every fixture that swaps the
+    session-scoped temp views."""
     spark = prepared_spark
-    original = spark.table("documents")
     base = " ".join(f"w{i}" for i in range(40))  # 40 words >= SPAN_W
     rows = []
     # 8 exact duplicates of the same text -> raw generator would emit 28 pairs
@@ -34,7 +37,10 @@ def tiny_documents(prepared_spark):
     spark.createDataFrame(rows, "doc_id long, source string, text string") \
         .createOrReplaceTempView("documents")
     yield spark
-    original.createOrReplaceTempView("documents")
+    from collector_spark import tables
+    from tests.conftest import SF_DIR
+
+    tables.register_views(spark, SF_DIR)
 
 
 def test_span_candidates_linear_under_exact_dup_group(tiny_documents):
