@@ -1,0 +1,595 @@
+"""Full-snapshot star-schema breadth: relation/index, system, backend,
+replication, and function dims + facts (SURVEY §2 snapshot emit).
+
+Reference: the FullSnapshot transform family —
+  output/transform/postgres_relations.go:1-324  (RelationReferences /
+      RelationInformations / RelationStatistics incl. the buffer-cache
+      cached-bytes merge, IndexReferences / IndexInformations /
+      IndexStatistics)
+  output/transform/system.go:32-356             (CPU / network / disk
+      references + statistics, sorted-name dense idx)
+  output/transform/postgres_backends.go:9-61    (Backend rows)
+  output/transform/postgres_replication.go:9-93 (Standby references /
+      informations / statistics, -1 byte-lag defaults)
+  output/transform/postgres_functions.go:8-74   (FunctionReferences /
+      Informations / Statistics)
+
+The protobuf's parallel arrays (reference list + info list + statistic
+list, linked by dense int32 idx) flatten here into ONE fact row per member
+carrying its dense idx — the star schema a warehouse consumer would
+actually query; the reference's insertion-order idx assignment becomes a
+global sorted rank (deterministic and order-insensitive, core/dims.py).
+
+Scale: every dimension here is bounded per server (relations are capped,
+backends are O(max_connections), hardware components are O(cores/disks)),
+so dim joins broadcast; the facts ride the already-shuffled upstream scans
+(S10/S11/A5/A6/A6b/S26/A8) without new wide exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from collector_spark.core.dims import dense_index
+from collector_spark.core.pinned import pinned
+from collector_spark.operators import relation_scan as rs
+from collector_spark.operators import system as sysops
+from collector_spark.operators.functions_stats import (
+    function_diff,
+    oracle_function_diff,
+)
+from collector_spark.operators.replication import oracle_standby_lag, standby_lag
+
+
+def _strip_order(sql: str) -> str:
+    return sql.rsplit("ORDER BY", 1)[0]
+
+
+# ---------------------------------------------------------------------------
+# Relation dim shared by the relation and index facts: scanned oids (S10,
+# locked placeholders included — postgres_relations.go:12-21 appends a
+# RelationReference for every relation, locked or not) joined to their
+# pg_class names, with the dense sorted-rank relation_idx.
+# ---------------------------------------------------------------------------
+
+
+def _relations_with_idx(spark: SparkSession) -> DataFrame:
+    scan = pinned(spark, "snapshot_relation_scan", lambda: rs.relation_scan(spark))
+    names = spark.table("class_rows").select(
+        "oid",
+        F.col("nspname").alias("schema_name"),
+        F.col("relname").alias("relation_name"),
+        F.col("relkind").alias("relation_type"),
+        "parent_oid",
+    )
+    base = scan.join(F.broadcast(names), on="oid", how="inner")
+    dim = dense_index(base, ["schema_name", "relation_name"], "relation_idx")
+    return base.join(F.broadcast(dim), on=["schema_name", "relation_name"])
+
+
+_SQL_RELATIONS_WITH_IDX_TEMPLATE = """
+scan AS ({scan}),
+names AS (
+  SELECT oid, nspname AS schema_name, relname AS relation_name,
+         relkind AS relation_type, parent_oid
+  FROM class_rows
+),
+base AS (SELECT s.*, n.schema_name, n.relation_name, n.relation_type, n.parent_oid
+         FROM scan s JOIN names n USING (oid)),
+dim AS (
+  SELECT schema_name, relation_name,
+    CAST(row_number() OVER (ORDER BY schema_name, relation_name) - 1 AS INT)
+      AS relation_idx
+  FROM (SELECT DISTINCT schema_name, relation_name FROM base)
+),
+withidx AS (SELECT b.*, d.relation_idx FROM base b
+            JOIN dim d USING (schema_name, relation_name)),
+cached AS (
+  SELECT relfilenode, CAST(SUM(block_bytes) AS BIGINT) AS cached_bytes
+  FROM buffercache_rows GROUP BY relfilenode
+)
+"""
+
+
+def _sql_relations_with_idx() -> str:
+    return _SQL_RELATIONS_WITH_IDX_TEMPLATE.format(
+        scan=_strip_order(rs.oracle_relation_scan())
+    )
+
+
+_REL_STAT_COLS = rs.STAT_COLS + [
+    "idx_scan",
+    "idx_tup_fetch",
+    "idx_blks_read",
+    "idx_blks_hit",
+    "relation_xid_age",
+    "relation_mxid_age",
+    "relpages",
+    "reltuples",
+    "relallvisible",
+]
+
+
+def snapshot_relation_fact(spark: SparkSession) -> DataFrame:
+    """Flattened RelationReference+Information+Statistic row per scanned
+    relation: dense relation_idx, parent_relation_idx (-1 when the parent
+    is not collected — postgres_relations.go:30-34), the S10 statistics
+    vector, and the buffer-cache cached-bytes merge (CachedDataBytes).
+    Locked relations keep their reference/info columns but a zeroed
+    statistics vector (the reference emits no RelationStatistic for them,
+    postgres_relations.go:69-76)."""
+    withidx = _relations_with_idx(spark)
+    parent_map = withidx.select(
+        F.col("oid").alias("parent_oid"),
+        F.col("relation_idx").alias("parent_relation_idx"),
+    )
+    cached = (
+        spark.table("buffercache_rows")
+        .groupBy("relfilenode")
+        .agg(F.sum("block_bytes").cast("long").alias("cached_bytes"))
+        .withColumnRenamed("relfilenode", "oid")
+    )
+    j = withidx.join(F.broadcast(parent_map), on="parent_oid", how="left").join(
+        F.broadcast(cached), on="oid", how="left"
+    )
+    return j.select(
+        "relation_idx",
+        "oid",
+        "schema_name",
+        "relation_name",
+        "relation_type",
+        F.coalesce("parent_relation_idx", F.lit(-1)).cast("int").alias(
+            "parent_relation_idx"
+        ),
+        F.col("parent_relation_idx").isNotNull().alias("has_parent_relation"),
+        "size_bytes",
+        *_REL_STAT_COLS,
+        F.when(F.col("exclusively_locked"), F.lit(0))
+        .otherwise(F.coalesce("cached_bytes", F.lit(0)))
+        .cast("long")
+        .alias("cached_data_bytes"),
+        "exclusively_locked",
+    ).orderBy("relation_idx")
+
+
+def oracle_snapshot_relation_fact() -> str:
+    stat_cols = ", ".join(f"w.{c}" for c in _REL_STAT_COLS)
+    return f"""
+WITH {_sql_relations_with_idx()},
+parent_map AS (SELECT oid AS parent_oid, relation_idx AS parent_relation_idx
+               FROM withidx)
+SELECT w.relation_idx, w.oid, w.schema_name, w.relation_name, w.relation_type,
+  CAST(COALESCE(p.parent_relation_idx, -1) AS INT) AS parent_relation_idx,
+  p.parent_relation_idx IS NOT NULL AS has_parent_relation,
+  w.size_bytes, {stat_cols},
+  CAST(CASE WHEN w.exclusively_locked THEN 0
+            ELSE COALESCE(c.cached_bytes, 0) END AS BIGINT) AS cached_data_bytes,
+  w.exclusively_locked
+FROM withidx w
+LEFT JOIN parent_map p ON p.parent_oid = w.parent_oid
+LEFT JOIN cached c ON c.relfilenode = w.oid
+ORDER BY w.relation_idx
+"""
+
+
+def snapshot_index_fact(spark: SparkSession) -> DataFrame:
+    """Flattened IndexReference+Information+Statistic row per scanned index
+    (S11, locked placeholders included): dense index_idx, the owning
+    relation's relation_idx from the SAME dim as the relation fact (-1 when
+    the owner is not collected), and the per-index cached-bytes merge
+    (IndexStatistic.CachedBytes, postgres_relations.go:283-299). index_oid
+    is unique across the S11 output (live rows anti-joined against the
+    locked set), so it keys the dense rank."""
+    scan = rs.index_scan(spark)
+    dim = dense_index(scan, ["index_oid"], "index_idx")
+    rel_map = _relations_with_idx(spark).select(
+        F.col("oid").alias("indrelid"), F.col("relation_idx")
+    )
+    cached = (
+        spark.table("buffercache_rows")
+        .groupBy("relfilenode")
+        .agg(F.sum("block_bytes").cast("long").alias("cached_bytes"))
+        .withColumnRenamed("relfilenode", "index_oid")
+    )
+    return (
+        scan.join(F.broadcast(dim), on="index_oid")
+        .join(F.broadcast(rel_map), on="indrelid", how="left")
+        .join(F.broadcast(cached), on="index_oid", how="left")
+        .select(
+            "index_idx",
+            F.coalesce("relation_idx", F.lit(-1)).cast("int").alias("relation_idx"),
+            "index_oid",
+            "indrelid",
+            "index_name",
+            F.col("index_size_bytes").alias("size_bytes"),
+            "idx_scan",
+            "idx_tup_fetch",
+            "idx_blks_read",
+            "idx_blks_hit",
+            F.when(F.col("exclusively_locked"), F.lit(0))
+            .otherwise(F.coalesce("cached_bytes", F.lit(0)))
+            .cast("long")
+            .alias("cached_bytes"),
+            "exclusively_locked",
+        )
+        .orderBy("index_idx")
+    )
+
+
+def oracle_snapshot_index_fact() -> str:
+    return f"""
+WITH {_sql_relations_with_idx()},
+iscan AS ({_strip_order(rs.oracle_index_scan())}),
+idim AS (
+  SELECT index_oid,
+    CAST(row_number() OVER (ORDER BY index_oid) - 1 AS INT) AS index_idx
+  FROM (SELECT DISTINCT index_oid FROM iscan)
+)
+SELECT d.index_idx,
+  CAST(COALESCE(w.relation_idx, -1) AS INT) AS relation_idx,
+  s.index_oid, s.indrelid, s.index_name,
+  s.index_size_bytes AS size_bytes,
+  s.idx_scan, s.idx_tup_fetch, s.idx_blks_read, s.idx_blks_hit,
+  CAST(CASE WHEN s.exclusively_locked THEN 0
+            ELSE COALESCE(c.cached_bytes, 0) END AS BIGINT) AS cached_bytes,
+  s.exclusively_locked
+FROM iscan s
+JOIN idim d USING (index_oid)
+LEFT JOIN withidx w ON w.oid = s.indrelid
+LEFT JOIN cached c ON c.relfilenode = s.index_oid
+ORDER BY d.index_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# System fact: transformSystem's CPU/network/disk reference+statistic pairs
+# flattened into one row per hardware component with a section tag. The
+# reference assigns disk/network idx by sorted name (system.go:230-233,
+# :249-252) — mirrored; its CPU idx comes from Go map iteration order
+# (nondeterministic), replaced by numeric core order.
+# ---------------------------------------------------------------------------
+
+_SYS_COLS = [
+    "user_pct",
+    "system_pct",
+    "idle_pct",
+    "iowait_pct",
+    "receive_bytes_per_sec",
+    "transmit_bytes_per_sec",
+    "read_ops_per_sec",
+    "write_ops_per_sec",
+    "read_bytes_per_sec",
+    "write_bytes_per_sec",
+    "avg_io_latency_ms",
+    "utilization_pct",
+]
+
+
+def _null_fill(df: DataFrame, present: list[str]) -> DataFrame:
+    cols = []
+    for c in _SYS_COLS:
+        if c in present:
+            cols.append(F.col(c))
+        elif c in ("receive_bytes_per_sec", "transmit_bytes_per_sec"):
+            cols.append(F.lit(None).cast("long").alias(c))
+        else:
+            cols.append(F.lit(None).cast("double").alias(c))
+    return df.select("section", "ref_idx", "ref_name", *cols)
+
+
+def snapshot_system_fact(spark: SparkSession) -> DataFrame:
+    """One row per CPU core / network interface / disk device, each with a
+    section-local dense ref_idx and the diffed statistics vector from the
+    green A5/A6b/A6 kernels; columns outside a component's section are
+    NULL (the protobuf keeps them in separate arrays)."""
+    cpu = sysops.cpu_percentages(spark)
+    cpu_dim = dense_index(cpu, ["cpu_id"], "ref_idx")
+    cpu_rows = cpu.join(F.broadcast(cpu_dim), on="cpu_id").select(
+        F.lit("cpu").alias("section"),
+        "ref_idx",
+        F.col("cpu_id").cast("string").alias("ref_name"),
+        "user_pct",
+        "system_pct",
+        "idle_pct",
+        "iowait_pct",
+    )
+    net = sysops.net_rates(spark)
+    net_dim = dense_index(net, ["interface"], "ref_idx")
+    net_rows = net.join(F.broadcast(net_dim), on="interface").select(
+        F.lit("network").alias("section"),
+        "ref_idx",
+        F.col("interface").alias("ref_name"),
+        "receive_bytes_per_sec",
+        "transmit_bytes_per_sec",
+    )
+    disk = sysops.disk_rates(spark)
+    disk_dim = dense_index(disk, ["device"], "ref_idx")
+    disk_rows = disk.join(F.broadcast(disk_dim), on="device").select(
+        F.lit("disk").alias("section"),
+        "ref_idx",
+        F.col("device").alias("ref_name"),
+        "read_ops_per_sec",
+        "write_ops_per_sec",
+        "read_bytes_per_sec",
+        "write_bytes_per_sec",
+        "avg_io_latency_ms",
+        "utilization_pct",
+    )
+    return (
+        _null_fill(cpu_rows, ["user_pct", "system_pct", "idle_pct", "iowait_pct"])
+        .unionByName(
+            _null_fill(net_rows, ["receive_bytes_per_sec", "transmit_bytes_per_sec"])
+        )
+        .unionByName(
+            _null_fill(
+                disk_rows,
+                [
+                    "read_ops_per_sec",
+                    "write_ops_per_sec",
+                    "read_bytes_per_sec",
+                    "write_bytes_per_sec",
+                    "avg_io_latency_ms",
+                    "utilization_pct",
+                ],
+            )
+        )
+        .orderBy("section", "ref_idx")
+    )
+
+
+def oracle_snapshot_system_fact() -> str:
+    def sel(present: dict[str, str]) -> str:
+        outs = []
+        for c in _SYS_COLS:
+            if c in present:
+                outs.append(f"{present[c]} AS {c}")
+            elif c in ("receive_bytes_per_sec", "transmit_bytes_per_sec"):
+                outs.append(f"CAST(NULL AS BIGINT) AS {c}")
+            else:
+                outs.append(f"CAST(NULL AS DOUBLE) AS {c}")
+        return ", ".join(outs)
+
+    cpu = _strip_order(sysops.oracle_cpu_percentages())
+    net = _strip_order(sysops.oracle_net_rates())
+    disk = _strip_order(sysops.oracle_disk_rates())
+    ident = {c: c for c in _SYS_COLS}
+    return f"""
+WITH cpu AS ({cpu}), net AS ({net}), disk AS ({disk})
+SELECT * FROM (
+  SELECT 'cpu' AS section,
+    CAST(row_number() OVER (ORDER BY cpu_id) - 1 AS INT) AS ref_idx,
+    CAST(cpu_id AS VARCHAR) AS ref_name,
+    {sel({k: ident[k] for k in ('user_pct', 'system_pct', 'idle_pct', 'iowait_pct')})}
+  FROM cpu
+  UNION ALL
+  SELECT 'network' AS section,
+    CAST(row_number() OVER (ORDER BY interface) - 1 AS INT) AS ref_idx,
+    interface AS ref_name,
+    {sel({k: ident[k] for k in ('receive_bytes_per_sec', 'transmit_bytes_per_sec')})}
+  FROM net
+  UNION ALL
+  SELECT 'disk' AS section,
+    CAST(row_number() OVER (ORDER BY device) - 1 AS INT) AS ref_idx,
+    device AS ref_name,
+    {sel({k: ident[k] for k in ('read_ops_per_sec', 'write_ops_per_sec',
+                                'read_bytes_per_sec', 'write_bytes_per_sec',
+                                'avg_io_latency_ms', 'utilization_pct')})}
+  FROM disk
+) u
+ORDER BY section, ref_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Backend fact: transformBackendWithoutRefs's field vector per backend with
+# the activity dims' dense database/role idx and the S5 synthetic identity
+# (input/postgres/backends.go:19-25).
+# ---------------------------------------------------------------------------
+
+
+def snapshot_backend_fact(spark: SparkSession) -> DataFrame:
+    b = spark.table("backends")
+    db_dim = dense_index(b, ["database_oid"], "database_idx")
+    role_dim = dense_index(b, ["role_oid"], "role_idx")
+    identity = F.concat(
+        F.unix_timestamp("backend_start").cast("string"),
+        F.lpad(F.col("pid").cast("string"), 7, "0"),
+    ).cast("long")
+    return (
+        b.join(F.broadcast(db_dim), on="database_oid")
+        .join(F.broadcast(role_dim), on="role_oid")
+        .select(
+            "backend_id",
+            identity.alias("identity"),
+            "pid",
+            "database_idx",
+            "database_oid",
+            "role_idx",
+            "role_oid",
+            "state",
+            "backend_type",
+            "waiting",
+            "application_name",
+        )
+        .orderBy("backend_id")
+    )
+
+
+def oracle_snapshot_backend_fact() -> str:
+    return """
+WITH db_dim AS (
+  SELECT database_oid,
+    CAST(row_number() OVER (ORDER BY database_oid) - 1 AS INT) AS database_idx
+  FROM (SELECT DISTINCT database_oid FROM backends)
+),
+role_dim AS (
+  SELECT role_oid,
+    CAST(row_number() OVER (ORDER BY role_oid) - 1 AS INT) AS role_idx
+  FROM (SELECT DISTINCT role_oid FROM backends)
+)
+SELECT b.backend_id,
+  CAST(CAST(CAST(floor(epoch(b.backend_start)) AS BIGINT) AS VARCHAR)
+       || lpad(CAST(b.pid AS VARCHAR), 7, '0') AS BIGINT) AS identity,
+  b.pid, d.database_idx, b.database_oid, r.role_idx, b.role_oid,
+  b.state, b.backend_type, b.waiting, b.application_name
+FROM backends b
+JOIN db_dim d USING (database_oid)
+JOIN role_dim r USING (role_oid)
+ORDER BY b.backend_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Replication fact: StandbyReference+Information+Statistic flattened per
+# standby over the green S26 lag scan, with the reference's -1 defaults for
+# invalid byte lags (postgres_replication.go:77-86) and a dense role_idx.
+# standby_idx ranks the unique (client_addr, pid, sent_lsn) triple — the
+# reference's insertion order is the scan's row order, which a distributed
+# engine replaces with a total sorted rank.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_replication_fact(spark: SparkSession) -> DataFrame:
+    lag = standby_lag(spark)
+    dim = dense_index(lag, ["client_addr", "pid", "sent_lsn"], "standby_idx")
+    role_dim = dense_index(lag, ["role_oid"], "role_idx")
+    return (
+        lag.join(F.broadcast(dim), on=["client_addr", "pid", "sent_lsn"])
+        .join(F.broadcast(role_dim), on="role_oid")
+        .select(
+            "standby_idx",
+            "client_addr",
+            "role_idx",
+            "role_oid",
+            "pid",
+            "application_name",
+            "sync_priority",
+            "sync_state",
+            "state",
+            "sent_lsn",
+            "write_lsn",
+            "flush_lsn",
+            "replay_lsn",
+            F.coalesce("remote_byte_lag", F.lit(-1)).cast("long").alias(
+                "remote_byte_lag"
+            ),
+            F.coalesce("local_byte_lag", F.lit(-1)).cast("long").alias(
+                "local_byte_lag"
+            ),
+        )
+        .orderBy("standby_idx")
+    )
+
+
+def oracle_snapshot_replication_fact() -> str:
+    return f"""
+WITH lag AS ({_strip_order(oracle_standby_lag())}),
+sdim AS (
+  SELECT client_addr, pid, sent_lsn,
+    CAST(row_number() OVER (ORDER BY client_addr, pid, sent_lsn) - 1 AS INT)
+      AS standby_idx
+  FROM (SELECT DISTINCT client_addr, pid, sent_lsn FROM lag)
+),
+rdim AS (
+  SELECT role_oid,
+    CAST(row_number() OVER (ORDER BY role_oid) - 1 AS INT) AS role_idx
+  FROM (SELECT DISTINCT role_oid FROM lag)
+)
+SELECT s.standby_idx, l.client_addr, r.role_idx, l.role_oid, l.pid,
+  l.application_name, l.sync_priority, l.sync_state, l.state,
+  l.sent_lsn, l.write_lsn, l.flush_lsn, l.replay_lsn,
+  CAST(COALESCE(l.remote_byte_lag, -1) AS BIGINT) AS remote_byte_lag,
+  CAST(COALESCE(l.local_byte_lag, -1) AS BIGINT) AS local_byte_lag
+FROM lag l
+JOIN sdim s USING (client_addr, pid, sent_lsn)
+JOIN rdim r USING (role_oid)
+ORDER BY s.standby_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Function fact: FunctionReference+Information per pg_proc row with the A8
+# diffed statistics left-joined (the reference emits a FunctionStatistic
+# only when stats exist, postgres_functions.go:62-73 — flattened here as a
+# has_stats flag with NULL counters).
+# ---------------------------------------------------------------------------
+
+_KIND_CASE = {
+    "f": "function",
+    "p": "procedure",
+    "a": "aggregate",
+    "w": "window",
+}
+
+
+def snapshot_function_fact(spark: SparkSession) -> DataFrame:
+    meta = spark.table("func_meta")
+    fdim = dense_index(meta, ["schema_name", "function_name"], "function_idx")
+    db_dim = dense_index(meta, ["database_oid"], "database_idx")
+    kind = F.col("kind")
+    kind_name = F.lit("unknown")
+    for k, v in reversed(_KIND_CASE.items()):
+        kind_name = F.when(kind == k, F.lit(v)).otherwise(kind_name)
+    stats = function_diff(spark).select(
+        "database_oid",
+        "function_oid",
+        F.col("calls").alias("s_calls"),
+        F.col("total_time").alias("s_total_time"),
+        F.col("self_time").alias("s_self_time"),
+    )
+    return (
+        meta.join(F.broadcast(fdim), on=["schema_name", "function_name"])
+        .join(F.broadcast(db_dim), on="database_oid")
+        .join(stats, on=["database_oid", "function_oid"], how="left")
+        .select(
+            "function_idx",
+            "database_idx",
+            "database_oid",
+            "function_oid",
+            "schema_name",
+            "function_name",
+            "language",
+            kind_name.alias("kind"),
+            "security_definer",
+            "leakproof",
+            "strict",
+            "returns_set",
+            "volatile",
+            F.col("s_calls").isNotNull().alias("has_stats"),
+            F.col("s_calls").alias("calls"),
+            F.col("s_total_time").alias("total_time"),
+            F.col("s_self_time").alias("self_time"),
+        )
+        .orderBy("function_idx")
+    )
+
+
+def oracle_snapshot_function_fact() -> str:
+    return f"""
+WITH fdim AS (
+  SELECT schema_name, function_name,
+    CAST(row_number() OVER (ORDER BY schema_name, function_name) - 1 AS INT)
+      AS function_idx
+  FROM (SELECT DISTINCT schema_name, function_name FROM func_meta)
+),
+db_dim AS (
+  SELECT database_oid,
+    CAST(row_number() OVER (ORDER BY database_oid) - 1 AS INT) AS database_idx
+  FROM (SELECT DISTINCT database_oid FROM func_meta)
+),
+stats AS ({oracle_function_diff()})
+SELECT f.function_idx, d.database_idx, m.database_oid, m.function_oid,
+  m.schema_name, m.function_name, m.language,
+  CASE m.kind WHEN 'f' THEN 'function' WHEN 'p' THEN 'procedure'
+              WHEN 'a' THEN 'aggregate' WHEN 'w' THEN 'window'
+              ELSE 'unknown' END AS kind,
+  m.security_definer, m.leakproof, m.strict, m.returns_set, m.volatile,
+  s.calls IS NOT NULL AS has_stats,
+  s.calls, s.total_time, s.self_time
+FROM func_meta m
+JOIN fdim f USING (schema_name, function_name)
+JOIN db_dim d USING (database_oid)
+LEFT JOIN stats s USING (database_oid, function_oid)
+ORDER BY f.function_idx
+"""

@@ -93,6 +93,7 @@ from collector_spark.operators import (
     server_stats,
     settings,
     snapshot,
+    snapshot_facts,
     statements,
     system,
     vacuum,
@@ -166,6 +167,73 @@ register(
         threshold=similarity.VERIFY_NEARDUP_THRESHOLD,
     ),
     similarity.oracle_embedding_dup_clusters(similarity.VERIFY_NEARDUP_THRESHOLD),
+)
+
+# -- (4) round-6 full-snapshot breadth: the FullSnapshot transform family
+#    flattened into star-schema facts with dense sorted-rank idx
+#    (output/transform/postgres_relations.go, system.go,
+#    postgres_backends.go, postgres_replication.go, postgres_functions.go)
+register(
+    "snapshot_relation_fact",
+    snapshot_facts.snapshot_relation_fact,
+    snapshot_facts.oracle_snapshot_relation_fact(),
+    fixtures=[
+        "class_rows",
+        "lock_rows",
+        "depend_rows",
+        "index_rows",
+        "relation_snap2",
+        "buffercache_rows",
+    ],
+)
+
+register(
+    "snapshot_index_fact",
+    snapshot_facts.snapshot_index_fact,
+    snapshot_facts.oracle_snapshot_index_fact(),
+    fixtures=[
+        "class_rows",
+        "lock_rows",
+        "depend_rows",
+        "index_rows",
+        "relation_snap2",
+        "buffercache_rows",
+    ],
+)
+
+register(
+    "snapshot_system_fact",
+    snapshot_facts.snapshot_system_fact,
+    snapshot_facts.oracle_snapshot_system_fact(),
+    fixtures=[
+        "cpu_snap1",
+        "cpu_snap2",
+        "net_snap1",
+        "net_snap2",
+        "disk_snap1",
+        "disk_snap2",
+    ],
+)
+
+register(
+    "snapshot_backend_fact",
+    snapshot_facts.snapshot_backend_fact,
+    snapshot_facts.oracle_snapshot_backend_fact(),
+    fixtures=["backends"],
+)
+
+register(
+    "snapshot_replication_fact",
+    snapshot_facts.snapshot_replication_fact,
+    snapshot_facts.oracle_snapshot_replication_fact(),
+    fixtures=["standby_rows", "wal_state"],
+)
+
+register(
+    "snapshot_function_fact",
+    snapshot_facts.snapshot_function_fact,
+    snapshot_facts.oracle_snapshot_function_fact(),
+    fixtures=["func_meta", "func_snap1", "func_snap2"],
 )
 
 # index-lock granularity changed in r3 to match the reference's

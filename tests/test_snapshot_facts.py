@@ -1,0 +1,128 @@
+"""Integrity checks for the full-snapshot star facts (output/full.go:26-33
+analog): every dense idx space is 0-based, gap-free, and every
+cross-reference idx points inside its dimension or is the explicit -1
+sentinel. The oracle sweep proves Spark==DuckDB; these prove the idx
+algebra itself."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _assert_dense(df, col):
+    row = df.agg(
+        F.min(col).alias("mn"),
+        F.max(col).alias("mx"),
+        F.count_distinct(col).alias("nd"),
+    ).collect()[0]
+    assert row["mn"] == 0, f"{col}: min {row['mn']} != 0"
+    assert row["mx"] + 1 == row["nd"], f"{col}: non-dense ({row['mx']}+1 != {row['nd']})"
+
+
+def test_relation_fact_idx_integrity(prepared_spark):
+    from collector_spark.operators.snapshot_facts import snapshot_relation_fact
+
+    fact = snapshot_relation_fact(prepared_spark)
+    fact = fact.persist()
+    try:
+        _assert_dense(fact, "relation_idx")
+        n = fact.agg(F.count_distinct("relation_idx")).collect()[0][0]
+        # parent refs: -1 or a valid relation_idx; flag consistent
+        bad = fact.filter(
+            (F.col("parent_relation_idx") < -1)
+            | (F.col("parent_relation_idx") >= n)
+            | (F.col("has_parent_relation") != (F.col("parent_relation_idx") >= 0))
+        ).count()
+        assert bad == 0
+        # locked rows carry a zeroed statistics vector (reference emits no
+        # RelationStatistic for them)
+        locked_bad = fact.filter(
+            F.col("exclusively_locked")
+            & ((F.col("size_bytes") != 0) | (F.col("cached_data_bytes") != 0))
+        ).count()
+        assert locked_bad == 0
+    finally:
+        fact.unpersist()
+
+
+def test_index_fact_refs_relation_dim(prepared_spark):
+    from collector_spark.operators.snapshot_facts import (
+        snapshot_index_fact,
+        snapshot_relation_fact,
+    )
+
+    rel = snapshot_relation_fact(prepared_spark)
+    idx = snapshot_index_fact(prepared_spark).persist()
+    try:
+        _assert_dense(idx, "index_idx")
+        n_rel = rel.agg(F.count_distinct("relation_idx")).collect()[0][0]
+        bad = idx.filter(
+            (F.col("relation_idx") < -1) | (F.col("relation_idx") >= n_rel)
+        ).count()
+        assert bad == 0
+        # the two facts share ONE relation dim: every non-sentinel
+        # relation_idx resolves to the owning oid in the relation fact
+        joined = (
+            idx.filter(F.col("relation_idx") >= 0)
+            .join(
+                rel.select("relation_idx", F.col("oid").alias("rel_oid")),
+                on="relation_idx",
+            )
+            .filter(F.col("indrelid") != F.col("rel_oid"))
+            .count()
+        )
+        assert joined == 0
+    finally:
+        idx.unpersist()
+
+
+def test_system_fact_sections_dense(prepared_spark):
+    from collector_spark.operators.snapshot_facts import snapshot_system_fact
+
+    fact = snapshot_system_fact(prepared_spark).persist()
+    try:
+        sections = [r["section"] for r in fact.select("section").distinct().collect()]
+        assert set(sections) == {"cpu", "network", "disk"}
+        for s in sections:
+            _assert_dense(fact.filter(F.col("section") == s), "ref_idx")
+        # section-local stat vectors: non-null exactly inside their section
+        assert fact.filter(
+            (F.col("section") == "cpu") & F.col("user_pct").isNull()
+        ).count() == 0
+        assert fact.filter(
+            (F.col("section") != "cpu") & F.col("user_pct").isNotNull()
+        ).count() == 0
+    finally:
+        fact.unpersist()
+
+
+def test_replication_fact_lag_defaults(prepared_spark):
+    from collector_spark.operators.snapshot_facts import snapshot_replication_fact
+
+    fact = snapshot_replication_fact(prepared_spark).persist()
+    try:
+        _assert_dense(fact, "standby_idx")
+        # reference defaults invalid byte lags to -1, never NULL
+        assert fact.filter(
+            F.col("remote_byte_lag").isNull() | F.col("local_byte_lag").isNull()
+        ).count() == 0
+    finally:
+        fact.unpersist()
+
+
+def test_function_fact_stats_flag(prepared_spark):
+    from collector_spark.operators.snapshot_facts import snapshot_function_fact
+
+    fact = snapshot_function_fact(prepared_spark).persist()
+    try:
+        _assert_dense(fact, "function_idx")
+        _assert_dense(fact, "database_idx")
+        # has_stats <=> counters present (reference emits the statistic row
+        # only when stats exist)
+        bad = fact.filter(
+            F.col("has_stats") != F.col("calls").isNotNull()
+        ).count()
+        assert bad == 0
+    finally:
+        fact.unpersist()
