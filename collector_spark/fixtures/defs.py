@@ -1298,6 +1298,156 @@ FROM events
 """
 
 
+def _planetscale_entries_sql(dialect: str) -> str:
+    # PlanetScale logs API NDJSON entries (input/system/planetscale/logs.go:
+    # 39-47 LogEntry): RFC3339 _time, _msg payload, dotted metadata keys.
+    # Includes vtgate / replica entries (excluded by the defaultQuery
+    # component/role filter) and a malformed entry (decode errors skip and
+    # continue, logs.go:96-105).
+    ts = _ts_iso(dialect)
+    comp = "CASE WHEN event_id % 6 = 0 THEN 'vtgate' ELSE 'postgres' END"
+    role = "CASE WHEN event_id % 5 = 4 THEN 'replica' ELSE 'primary' END"
+    return f"""
+SELECT event_id AS entry_id,
+  CASE WHEN event_id % 13 = 7 THEN 'garbage not-json ' || CAST(event_id AS STRING)
+  ELSE '{{"_time":"' || {ts}
+    || '","_stream_id":"st' || CAST(event_id % 4 AS STRING)
+    || '","_msg":"' || {_TR_MSG}
+    || '","planetscale.component":"' || {comp}
+    || '","planetscale.role":"' || {role}
+    || '","planetscale.database_branch_id":"br' || CAST(event_id % 2 AS STRING)
+    || '","planetscale.pod":"pod-' || CAST(event_id % 3 AS STRING) || '"}}'
+  END AS payload
+FROM events
+"""
+
+
+def _tembo_ws_messages_sql(dialect: str) -> str:
+    # Tembo Loki websocket frame (input/system/tembo/logs.go:19-37): one
+    # StreamResult with stream metadata and a values array of
+    # [ns-timestamp, jsonlog-record-string] pairs; the record string is a
+    # JSON document escaped into the outer JSON.
+    ts_log = _ts_log(dialect)
+    if dialect == "spark":
+        ns = "CAST(unix_timestamp(ts) AS STRING) || '000000000'"
+        esc = "'\\\\\"'"  # SQL literal '\\"' -> backslash + double quote
+    else:
+        # FLOOR before the BIGINT cast: DuckDB rounds double->BIGINT while
+        # Spark's unix_timestamp truncates fractional seconds
+        ns = "CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS VARCHAR) || '000000000'"
+        esc = "'\\\"'"  # DuckDB strings take backslash literally
+    detail = (
+        "CASE WHEN event_id % 4 = 0 THEN ',\"detail\":\"parameters: $1 = '"
+        " || CAST(event_id % 1000 AS STRING) || '\"' ELSE '' END"
+    )
+    rec1 = f"""'{{"record":{{"log_time":"' || {ts_log}
+    || '","user_name":"u' || CAST(user_id % 50 AS STRING)
+    || '","database_name":"db' || CAST(user_id % 5 AS STRING)
+    || '","process_id":"' || {_TR_PID}
+    || '","application_name":"app-' || CAST(user_id % 7 AS STRING)
+    || '","session_line_num":"' || {_TR_N}
+    || '","message":"' || {_TR_MSG} || '"'
+    || {detail}
+    || ',"error_severity":"' || CASE WHEN event_id % 10 = 0 THEN 'ERROR' ELSE 'LOG' END
+    || '"}}}}'"""
+    rec2 = f"""'{{"record":{{"log_time":"' || {ts_log}
+    || '","user_name":"u' || CAST(user_id % 50 AS STRING)
+    || '","database_name":"db' || CAST(user_id % 5 AS STRING)
+    || '","process_id":"' || {_TR_PID}
+    || '","session_line_num":"' || CAST(2 + event_id % 900 AS STRING)
+    || '","message":"checkpoint starting: time","error_severity":"LOG"}}}}'"""
+    return f"""
+SELECT event_id AS msg_id,
+  '{{"streams":[{{"stream":{{"app":"postgres","container":"postgres","pod":"ns'
+  || CAST(event_id % 3 AS STRING)
+  || '-1","stream":"stderr","tembo_instance_id":"inst'
+  || CAST(event_id % 2 AS STRING)
+  || '","tembo_organization_id":"org1"}},"values":[["' || {ns} || '","'
+  || replace({rec1}, '"', {esc}) || '"],["' || {ns} || '","'
+  || replace({rec2}, '"', {esc}) || '"]]}}]}}' AS payload
+FROM events WHERE event_id % 5 = 0
+"""
+
+
+def _supabase_records_sql(dialect: str) -> str:
+    # Supabase log drain record flattened from the OTLP kvlist envelope
+    # (input/system/supabase/logs.go:14-25): Postgres records carry
+    # metadata.parsed (csvlog fields); Supavisor pooler records share the
+    # envelope without it and must be skipped.
+    ts_log = _ts_log(dialect)
+    return f"""
+SELECT event_id AS rec_id,
+  CASE WHEN event_id % 7 = 3 THEN
+    '{{"metadata":{{"host":"supavisor-' || CAST(event_id % 4 AS STRING) || '"}}}}'
+  ELSE
+    '{{"metadata":{{"parsed":{{"timestamp":"' || {ts_log}
+    || '","error_severity":"' || CASE WHEN event_id % 10 = 0 THEN 'ERROR' ELSE 'LOG' END
+    || '","user_name":"u' || CAST(user_id % 50 AS STRING)
+    || '","database_name":"db' || CAST(user_id % 5 AS STRING)
+    || '","process_id":"' || {_TR_PID}
+    || '","session_line_num":"' || {_TR_N}
+    || '","application_name":"app-' || CAST(user_id % 7 AS STRING)
+    || '","backend_type":"client backend","message":"' || {_TR_MSG}
+    || '"}}}}}}'
+  END AS payload
+FROM events WHERE event_id % 3 = 0
+"""
+
+
+# persisted PlanetScale since-markers (psl.PlanetScale.LastTimestamp,
+# logs.go:203-210): br0 resumes mid-stream, br1 has no prior state
+PS_PREV_MARKERS = """
+SELECT 'br0' AS branch_id,
+  MAX(CASE WHEN event_id * 2 <= (SELECT MAX(event_id) FROM events) THEN ts END)
+    AS since_ts
+FROM events
+"""
+
+
+# Neon serves exactly one database per endpoint, so its log_line_prefix
+# omits %d; items with no parsed database fall back to the configured
+# db name on Neon servers only (input/system/neon/logs.go:5-13)
+NEON_SERVERS = """
+SELECT CAST(r_regionkey AS BIGINT) AS server_id,
+  CASE WHEN r_regionkey % 2 = 0 THEN 'neon' ELSE 'self_hosted' END AS system_type,
+  'maindb_' || CAST(r_regionkey AS STRING) AS db_name
+FROM region
+"""
+
+NEON_LOG_ITEMS = f"""
+SELECT event_id AS item_id,
+  CAST(event_id % 5 AS BIGINT) AS server_id,
+  CASE WHEN event_id % 3 = 0 THEN NULL
+       ELSE 'db_' || CAST(event_id % 4 AS STRING) END AS database,
+  {_TR_MSG} AS content
+FROM events WHERE event_id % 6 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# F23 — on-demand query run requests (runner/query_run.go:40-117): the
+# requested/ran/failed state machine over the j11 live-plan stand-in.
+# already_finished models FinishedAt != zero (skipped on pickup);
+# has_helper models the pganalyze.explain_analyze presence check.
+# ---------------------------------------------------------------------------
+
+QUERY_RUN_REQUESTS = """
+SELECT event_id AS run_id,
+  ts AS requested_at,
+  CASE WHEN event_id % 11 = 0 THEN 'snapshot' ELSE 'explain' END AS run_type,
+  -- 1-in-5 requests target a database with no live plan row (plan_rows
+  -- keys satisfy database_oid = query_id % 5), exercising the
+  -- connection-failure path
+  CAST(CASE WHEN event_id % 10 < 8 THEN event_id % 5
+            ELSE (event_id + 1) % 5 END AS BIGINT) AS database_oid,
+  CAST(event_id % 300 AS BIGINT) AS query_id,
+  'SELECT x FROM t' || CAST(event_id % 40 AS STRING) || ' WHERE id = 1' AS query_text,
+  event_id % 7 <> 0 AS has_helper,
+  event_id % 9 = 0 AS already_finished
+FROM events WHERE event_id % 4 = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # F21 — PII-bearing documents (ml/curation.py pii_scrub input)
 #
@@ -1611,6 +1761,22 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
         "spark": _otel_records_sql("spark"),
         "duckdb": _otel_records_sql("duckdb"),
     },
+    "planetscale_entries": {
+        "spark": _planetscale_entries_sql("spark"),
+        "duckdb": _planetscale_entries_sql("duckdb"),
+    },
+    "tembo_ws_messages": {
+        "spark": _tembo_ws_messages_sql("spark"),
+        "duckdb": _tembo_ws_messages_sql("duckdb"),
+    },
+    "supabase_drain_records": {
+        "spark": _supabase_records_sql("spark"),
+        "duckdb": _supabase_records_sql("duckdb"),
+    },
+    "ps_prev_markers": PS_PREV_MARKERS,
+    "neon_servers": NEON_SERVERS,
+    "neon_log_items": NEON_LOG_ITEMS,
+    "query_run_requests": QUERY_RUN_REQUESTS,
     "pii_docs": PII_DOCS,
     "explain_samples": EXPLAIN_SAMPLES,
     "rds_os_events": RDS_OS_EVENTS,

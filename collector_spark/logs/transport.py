@@ -826,3 +826,427 @@ def stream_syslog_classified(spark: SparkSession) -> DataFrame:
         q.stop()
         shutil.rmtree(base, ignore_errors=True)
     return spark.table(qname).orderBy("pid", "seq")
+
+
+# ---------------------------------------------------------------------------
+# PlanetScale logs API (planetscale/logs.go)
+# ---------------------------------------------------------------------------
+
+_PS_SCHEMA = T.StructType(
+    [
+        T.StructField("_time", T.StringType()),
+        T.StructField("_stream_id", T.StringType()),
+        T.StructField("_msg", T.StringType()),
+        T.StructField("planetscale.component", T.StringType()),
+        T.StructField("planetscale.role", T.StringType()),
+        T.StructField("planetscale.database_branch_id", T.StringType()),
+        T.StructField("planetscale.pod", T.StringType()),
+    ]
+)
+
+
+def _planetscale_parsed(spark: SparkSession) -> DataFrame:
+    """NDJSON LogEntry stream -> parsed postgres/primary entries
+    (planetscale/logs.go:39-47 LogEntry, :86-115 Read). Malformed entries
+    are skipped-and-continued (from_json null / json_valid false); the
+    component/role predicate is the server-side ``defaultQuery``
+    (planetscale.component:postgres planetscale.role:primary,
+    logs.go:27)."""
+    entries = spark.table("planetscale_entries")
+    m = F.from_json("payload", _PS_SCHEMA).alias("m")
+    df = entries.select("entry_id", m).select(
+        "entry_id",
+        F.col("m").getField("_time").alias("ts_s"),
+        F.col("m").getField("_stream_id").alias("stream_id"),
+        F.col("m").getField("_msg").alias("content"),
+        F.col("m").getField("planetscale.component").alias("component"),
+        F.col("m").getField("planetscale.role").alias("role"),
+        F.col("m").getField("planetscale.database_branch_id").alias("branch_id"),
+        F.col("m").getField("planetscale.pod").alias("pod"),
+    )
+    return df.filter(
+        F.col("ts_s").isNotNull()
+        & (F.col("component") == "postgres")
+        & (F.col("role") == "primary")
+    )
+
+
+def planetscale_items(spark: SparkSession) -> DataFrame:
+    return (
+        _planetscale_parsed(spark)
+        .select(
+            "entry_id",
+            F.try_to_timestamp(F.col("ts_s")).alias("occurred_at"),
+            "stream_id",
+            "branch_id",
+            "pod",
+            "content",
+        )
+        .orderBy("entry_id")
+    )
+
+
+_SQL_PS_PARSED = """
+SELECT entry_id,
+  json_extract_string(payload, '$._time') AS ts_s,
+  json_extract_string(payload, '$._stream_id') AS stream_id,
+  json_extract_string(payload, '$._msg') AS content,
+  json_extract_string(payload, '$."planetscale.database_branch_id"') AS branch_id,
+  json_extract_string(payload, '$."planetscale.pod"') AS pod
+FROM planetscale_entries
+WHERE json_valid(payload)
+  AND json_extract_string(payload, '$."planetscale.component"') = 'postgres'
+  AND json_extract_string(payload, '$."planetscale.role"') = 'primary'
+"""
+
+
+def oracle_planetscale_items() -> str:
+    body = f"""
+SELECT entry_id,
+  CAST(TRY_CAST(ts_s AS TIMESTAMPTZ) AS TIMESTAMP) AS occurred_at,
+  stream_id, branch_id, pod, content
+FROM ({_SQL_PS_PARSED}) p
+ORDER BY entry_id
+"""
+    return oracle_query(body, ["planetscale_entries"])
+
+
+# fixture-scaled stand-in for maxLogParsingSize (10 MB, logs.go:35) — small
+# enough that the fixture actually exercises the trailing-cap clipping
+PS_MAX_KEEP_BYTES = 16384
+
+
+def planetscale_tail_plan(spark: SparkSession) -> DataFrame:
+    """The trailing-cap download plan per branch (planetscale/logs.go:
+    199-253): entries accumulate in arrival order; when the buffer exceeds
+    maxLogParsingSize the OLDEST bytes are discarded (shift-left), and the
+    persisted ``since`` marker advances to the newest entry timestamp even
+    when content was clipped. Same window shape as the RDS planner
+    (operators/log_transport.py): suffix running sum ordered by entry_id
+    DESC, partitioned by branch — the reference's per-branch fetch unit, so
+    the window never sees more than one interval's entries. Resume: only
+    entries strictly newer than the branch's persisted ``since`` marker are
+    fetched (logs.go:203-210, the PaginationWithSince golden)."""
+    from pyspark.sql import Window
+
+    markers = spark.table("ps_prev_markers")
+    p = (
+        _planetscale_parsed(spark)
+        .withColumn("occurred_at", F.try_to_timestamp(F.col("ts_s")))
+        .join(F.broadcast(markers), on="branch_id", how="left")
+        .filter(
+            F.col("since_ts").isNull() | (F.col("occurred_at") > F.col("since_ts"))
+        )
+        .select(
+            "entry_id",
+            "branch_id",
+            "ts_s",
+            # ReadString appends the newline the framing stripped
+            # (logs.go:78-81)
+            (F.length("content") + F.lit(1)).cast("long").alias("byte_len"),
+        )
+    )
+    w_suffix = (
+        Window.partitionBy("branch_id")
+        .orderBy(F.desc("entry_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    suffix_bytes = F.sum("byte_len").over(w_suffix).cast("long")
+    cap = F.lit(PS_MAX_KEEP_BYTES)
+    kept = (
+        F.when(suffix_bytes <= cap, F.col("byte_len"))
+        .when(
+            suffix_bytes - F.col("byte_len") < cap,
+            cap - (suffix_bytes - F.col("byte_len")),
+        )
+        .otherwise(F.lit(0))
+    )
+    return (
+        p.withColumn("kept_bytes", kept)
+        .groupBy("branch_id")
+        .agg(
+            F.count("*").cast("long").alias("entries"),
+            F.sum("byte_len").cast("long").alias("bytes_downloaded"),
+            F.sum("kept_bytes").cast("long").alias("bytes_kept"),
+            F.max(F.try_to_timestamp(F.col("ts_s"))).alias("last_timestamp"),
+        )
+        .withColumn(
+            "truncated", F.col("bytes_downloaded") > F.col("bytes_kept")
+        )
+        .orderBy("branch_id")
+    )
+
+
+def oracle_planetscale_tail_plan() -> str:
+    cap = PS_MAX_KEEP_BYTES
+    body = f"""
+WITH resumed AS (
+  SELECT p.*
+  FROM ({_SQL_PS_PARSED}) p
+  LEFT JOIN ps_prev_markers m USING (branch_id)
+  WHERE m.since_ts IS NULL
+     OR CAST(TRY_CAST(p.ts_s AS TIMESTAMPTZ) AS TIMESTAMP) > m.since_ts
+),
+parsed AS (
+  SELECT entry_id, branch_id, ts_s,
+    CAST(length(content) + 1 AS BIGINT) AS byte_len,
+    CAST(SUM(length(content) + 1) OVER (
+      PARTITION BY branch_id ORDER BY entry_id DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS suffix_bytes
+  FROM resumed
+)
+SELECT branch_id,
+  CAST(COUNT(*) AS BIGINT) AS entries,
+  CAST(SUM(byte_len) AS BIGINT) AS bytes_downloaded,
+  CAST(SUM(CASE WHEN suffix_bytes <= {cap} THEN byte_len
+                WHEN suffix_bytes - byte_len < {cap} THEN {cap} - (suffix_bytes - byte_len)
+                ELSE 0 END) AS BIGINT) AS bytes_kept,
+  MAX(CAST(TRY_CAST(ts_s AS TIMESTAMPTZ) AS TIMESTAMP)) AS last_timestamp,
+  CAST(SUM(byte_len) AS BIGINT)
+    > CAST(SUM(CASE WHEN suffix_bytes <= {cap} THEN byte_len
+                    WHEN suffix_bytes - byte_len < {cap} THEN {cap} - (suffix_bytes - byte_len)
+                    ELSE 0 END) AS BIGINT) AS truncated
+FROM parsed
+GROUP BY branch_id
+ORDER BY branch_id
+"""
+    return oracle_query(body, ["planetscale_entries", "ps_prev_markers"])
+
+
+# ---------------------------------------------------------------------------
+# Tembo Loki websocket (tembo/logs.go)
+# ---------------------------------------------------------------------------
+
+_TEMBO_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "streams",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "stream",
+                            T.StructType(
+                                [
+                                    T.StructField("app", T.StringType()),
+                                    T.StructField("container", T.StringType()),
+                                    T.StructField("pod", T.StringType()),
+                                    T.StructField("stream", T.StringType()),
+                                    T.StructField(
+                                        "tembo_instance_id", T.StringType()
+                                    ),
+                                    T.StructField(
+                                        "tembo_organization_id", T.StringType()
+                                    ),
+                                ]
+                            ),
+                        ),
+                        T.StructField(
+                            "values", T.ArrayType(T.ArrayType(T.StringType()))
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def tembo_items(spark: SparkSession) -> DataFrame:
+    """Loki StreamResult frames -> log lines + DETAIL secondaries
+    (tembo/logs.go:144-162 stream walk, :167-218 logLineFromJsonlog): each
+    values pair is [ns-timestamp, jsonlog-record]; the record's ``detail``
+    key yields an extra DETAIL line duplicating the main line's metadata.
+    Same jsonlog mapping as the OTel receiver — the envelope walk (streams
+    -> values explode) is what Tembo adds."""
+    msgs = spark.table("tembo_ws_messages")
+    m = F.from_json("payload", _TEMBO_SCHEMA).alias("m")
+    streams = msgs.select("msg_id", m).select(
+        "msg_id", F.explode("m.streams").alias("s")
+    )
+    vals = streams.select(
+        "msg_id",
+        F.col("s.stream.tembo_instance_id").alias("instance_id"),
+        F.col("s.stream.pod").alias("pod"),
+        F.posexplode("s.values").alias("value_idx", "v"),
+    )
+
+    def jf(path: str):  # noqa: ANN202
+        return F.get_json_object(F.col("v").getItem(1), f"$.record.{path}")
+
+    base = vals.select(
+        "msg_id",
+        "value_idx",
+        "instance_id",
+        "pod",
+        F.col("v").getItem(0).cast("long").alias("value_ts_ns"),
+        F.to_timestamp(
+            F.replace(jf("log_time"), F.lit(" UTC"), F.lit("")),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("occurred_at"),
+        jf("user_name").alias("username"),
+        jf("database_name").alias("database_name"),
+        jf("process_id").cast("int").alias("backend_pid"),
+        jf("application_name").alias("application"),
+        jf("session_line_num").cast("int").alias("log_line_number"),
+        jf("message").alias("content"),
+        jf("detail").alias("detail"),
+        jf("error_severity").alias("log_level"),
+    )
+    common = [
+        "msg_id",
+        "value_idx",
+        "instance_id",
+        "pod",
+        "value_ts_ns",
+        "occurred_at",
+        "username",
+        "database_name",
+        "backend_pid",
+        "application",
+        "log_line_number",
+    ]
+    main = base.select(
+        *common, F.lit(0).alias("line_idx"), "log_level", "content"
+    )
+    details = base.filter(F.col("detail").isNotNull()).select(
+        *common,
+        F.lit(1).alias("line_idx"),
+        F.lit("DETAIL").alias("log_level"),
+        F.col("detail").alias("content"),
+    )
+    return main.unionAll(details).orderBy("msg_id", "value_idx", "line_idx")
+
+
+def oracle_tembo_items() -> str:
+    def rec(i: int, path: str) -> str:
+        return (
+            "json_extract_string(json_extract_string(payload,"
+            f" '$.streams[0].values[{i}][1]'), '$.record.{path}')"
+        )
+
+    def one(i: int) -> str:
+        return f"""
+SELECT msg_id, {i} AS value_idx,
+  json_extract_string(payload, '$.streams[0].stream.tembo_instance_id') AS instance_id,
+  json_extract_string(payload, '$.streams[0].stream.pod') AS pod,
+  CAST(json_extract_string(payload, '$.streams[0].values[{i}][0]') AS BIGINT) AS value_ts_ns,
+  strptime(replace({rec(i, 'log_time')}, ' UTC', ''), '%Y-%m-%d %H:%M:%S') AS occurred_at,
+  {rec(i, 'user_name')} AS username,
+  {rec(i, 'database_name')} AS database_name,
+  CAST({rec(i, 'process_id')} AS INT) AS backend_pid,
+  {rec(i, 'application_name')} AS application,
+  CAST({rec(i, 'session_line_num')} AS INT) AS log_line_number,
+  {rec(i, 'message')} AS content,
+  {rec(i, 'detail')} AS detail,
+  {rec(i, 'error_severity')} AS log_level
+FROM tembo_ws_messages
+"""
+
+    body = f"""
+WITH base AS ({one(0)} UNION ALL {one(1)})
+SELECT msg_id, value_idx, instance_id, pod, value_ts_ns, occurred_at, username,
+  database_name, backend_pid, application, log_line_number,
+  0 AS line_idx, log_level, content
+FROM base
+UNION ALL
+SELECT msg_id, value_idx, instance_id, pod, value_ts_ns, occurred_at, username,
+  database_name, backend_pid, application, log_line_number,
+  1 AS line_idx, 'DETAIL' AS log_level, detail AS content
+FROM base WHERE detail IS NOT NULL
+ORDER BY msg_id, value_idx, line_idx
+"""
+    return oracle_query(body, ["tembo_ws_messages"])
+
+
+# ---------------------------------------------------------------------------
+# Supabase log drain (supabase/logs.go) + Neon database fallback
+# (neon/logs.go)
+# ---------------------------------------------------------------------------
+
+
+def supabase_items(spark: SparkSession) -> DataFrame:
+    """Log drain records -> csvlog lines (supabase/logs.go:14-25
+    ParsedFields): only records whose metadata carries a ``parsed`` object
+    are Postgres logs; Supavisor pooler records share the envelope without
+    it and are skipped. The OTLP kvlist envelope arrives flattened to JSON
+    (protobuf decode is transport plumbing — the OTel receiver covers the
+    OTLP record shape)."""
+    recs = spark.table("supabase_drain_records")
+
+    def pf(path: str):  # noqa: ANN202
+        return F.get_json_object("payload", f"$.metadata.parsed.{path}")
+
+    return (
+        recs.filter(pf("timestamp").isNotNull())
+        .select(
+            "rec_id",
+            F.to_timestamp(
+                F.replace(pf("timestamp"), F.lit(" UTC"), F.lit("")),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("occurred_at"),
+            pf("user_name").alias("username"),
+            pf("database_name").alias("database_name"),
+            pf("process_id").cast("int").alias("backend_pid"),
+            pf("application_name").alias("application"),
+            pf("session_line_num").cast("int").alias("log_line_number"),
+            pf("backend_type").alias("backend_type"),
+            pf("error_severity").alias("log_level"),
+            pf("message").alias("content"),
+        )
+        .orderBy("rec_id")
+    )
+
+
+def oracle_supabase_items() -> str:
+    def pf(path: str) -> str:
+        return f"json_extract_string(payload, '$.metadata.parsed.{path}')"
+
+    body = f"""
+SELECT rec_id,
+  strptime(replace({pf('timestamp')}, ' UTC', ''), '%Y-%m-%d %H:%M:%S') AS occurred_at,
+  {pf('user_name')} AS username,
+  {pf('database_name')} AS database_name,
+  CAST({pf('process_id')} AS INT) AS backend_pid,
+  {pf('application_name')} AS application,
+  CAST({pf('session_line_num')} AS INT) AS log_line_number,
+  {pf('backend_type')} AS backend_type,
+  {pf('error_severity')} AS log_level,
+  {pf('message')} AS content
+FROM supabase_drain_records
+WHERE {pf('timestamp')} IS NOT NULL
+ORDER BY rec_id
+"""
+    return oracle_query(body, ["supabase_drain_records"])
+
+
+def neon_items(spark: SparkSession) -> DataFrame:
+    """Neon log-database fallback (neon/logs.go:5-13): Neon's
+    log_line_prefix omits %d because an endpoint serves exactly one
+    database, so items with no parsed database attribute to the server's
+    configured db name — on Neon servers only; other system types keep the
+    NULL. One broadcast join against the bounded server-config dim."""
+    items = spark.table("neon_log_items")
+    servers = spark.table("neon_servers")
+    j = items.join(F.broadcast(servers), on="server_id", how="left")
+    fallback = F.when(F.col("system_type") == "neon", F.col("db_name"))
+    return j.select(
+        "item_id",
+        "server_id",
+        "database",
+        F.coalesce(F.col("database"), fallback).alias("resolved_database"),
+        "content",
+    ).orderBy("item_id")
+
+
+def oracle_neon_items() -> str:
+    body = """
+SELECT i.item_id, i.server_id, i.database,
+  COALESCE(i.database,
+           CASE WHEN s.system_type = 'neon' THEN s.db_name END) AS resolved_database,
+  i.content
+FROM neon_log_items i
+LEFT JOIN neon_servers s USING (server_id)
+ORDER BY i.item_id
+"""
+    return oracle_query(body, ["neon_log_items", "neon_servers"])

@@ -86,6 +86,7 @@ from collector_spark.operators import (
     historic,
     log_transport,
     plans,
+    query_run,
     relation_scan,
     relations,
     replication,
@@ -234,6 +235,39 @@ register(
     snapshot_facts.snapshot_function_fact,
     snapshot_facts.oracle_snapshot_function_fact(),
     fixtures=["func_meta", "func_snap1", "func_snap2"],
+)
+
+# -- (4) round-6 platform envelopes: PlanetScale NDJSON + trailing-cap
+#    planner, Tembo Loki websocket frames, Supabase drain, Neon database
+#    fallback (input/system/{planetscale,tembo,supabase,neon}/logs.go)
+register(
+    "tr_planetscale_items",
+    transport.planetscale_items,
+    transport.oracle_planetscale_items(),
+)
+
+register(
+    "s31_planetscale_plan",
+    transport.planetscale_tail_plan,
+    transport.oracle_planetscale_tail_plan(),
+)
+
+register("tr_tembo_items", transport.tembo_items, transport.oracle_tembo_items())
+
+register(
+    "tr_supabase_items",
+    transport.supabase_items,
+    transport.oracle_supabase_items(),
+)
+
+register("tr_neon_items", transport.neon_items, transport.oracle_neon_items())
+
+# -- (4) on-demand query run state machine (runner/query_run.go:40-132)
+register(
+    "j12_query_run_workflow",
+    query_run.query_run_workflow,
+    query_run.oracle_query_run_workflow(),
+    fixtures=["query_run_requests", "plan_rows"],
 )
 
 # index-lock granularity changed in r3 to match the reference's
