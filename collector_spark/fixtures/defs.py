@@ -1425,6 +1425,54 @@ FROM events WHERE event_id % 6 = 0
 
 
 # ---------------------------------------------------------------------------
+# F24 — pg_type custom-type rows (input/postgres/types.go:12-38) and
+# pg_stat relation maintenance-event counts (postgres_relations.go:300-324
+# addRelationEvents). type_rows exercises every scan filter: 'b' base
+# types, implicit array types (array_oid pointing at a sibling oid), and
+# extension-owned types (depend_rows deptype='e' reused).
+# ---------------------------------------------------------------------------
+
+TYPE_ROWS = """
+SELECT s_suppkey AS type_oid,
+  CAST(CASE WHEN s_suppkey % 9 = 0 THEN 0
+            WHEN s_suppkey % 13 = 0 THEN s_suppkey + 1
+            ELSE s_suppkey + 100000 END AS BIGINT) AS array_oid,
+  CAST(s_suppkey % 5 AS BIGINT) AS database_oid,
+  'public' AS schema_name,
+  'ty_' || CAST(s_suppkey AS STRING) AS type_name,
+  CASE CAST(s_suppkey % 8 AS INT)
+    WHEN 0 THEN 'b' WHEN 1 THEN 'e' WHEN 2 THEN 'd' WHEN 3 THEN 'c'
+    WHEN 4 THEN 'r' WHEN 5 THEN 'm' WHEN 6 THEN 'p' ELSE 'e' END AS typtype,
+  CASE WHEN s_suppkey % 8 = 2
+       THEN 'numeric(10,' || CAST(s_suppkey % 4 AS STRING) || ')' END AS domain_type,
+  s_suppkey % 8 = 2 AND s_suppkey % 3 = 0 AS domain_not_null,
+  CASE WHEN s_suppkey % 8 = 2 AND s_suppkey % 5 = 0 THEN '0' END AS domain_default,
+  CASE CAST(s_suppkey % 8 AS INT)
+    WHEN 1 THEN '["v' || CAST(s_suppkey % 7 AS STRING) || '","v'
+      || CAST(1 + s_suppkey % 7 AS STRING) || '"]'
+    WHEN 7 THEN '["v' || CAST(s_suppkey % 7 AS STRING) || '","v'
+      || CAST(1 + s_suppkey % 7 AS STRING) || '"]'
+    WHEN 2 THEN '["CHECK ((VALUE > ' || CAST(s_suppkey % 10 AS STRING) || '))"]'
+    WHEN 3 THEN '[["a1","integer"],["a2","text"]]'
+    ELSE '[]' END AS type_json
+FROM supplier
+"""
+
+RELATION_EVENT_COUNTS = """
+SELECT p_partkey AS relation_oid,
+  CAST(p_partkey % 4 AS BIGINT) AS analyze_count,
+  CAST(p_partkey % 3 AS BIGINT) AS autoanalyze_count,
+  CAST(p_partkey % 5 AS BIGINT) AS vacuum_count,
+  CAST(p_partkey % 2 AS BIGINT) AS autovacuum_count,
+  CAST('2024-01-01' AS TIMESTAMP) + (p_partkey % 30) * INTERVAL 1 DAY AS last_analyze,
+  CAST('2024-01-02' AS TIMESTAMP) + (p_partkey % 30) * INTERVAL 1 DAY AS last_autoanalyze,
+  CAST('2024-01-03' AS TIMESTAMP) + (p_partkey % 30) * INTERVAL 1 DAY AS last_vacuum,
+  CAST('2024-01-04' AS TIMESTAMP) + (p_partkey % 30) * INTERVAL 1 DAY AS last_autovacuum
+FROM part WHERE p_partkey % 6 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # F23 — on-demand query run requests (runner/query_run.go:40-117): the
 # requested/ran/failed state machine over the j11 live-plan stand-in.
 # already_finished models FinishedAt != zero (skipped on pickup);
@@ -1777,6 +1825,8 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "neon_servers": NEON_SERVERS,
     "neon_log_items": NEON_LOG_ITEMS,
     "query_run_requests": QUERY_RUN_REQUESTS,
+    "type_rows": TYPE_ROWS,
+    "relation_event_counts": RELATION_EVENT_COUNTS,
     "pii_docs": PII_DOCS,
     "explain_samples": EXPLAIN_SAMPLES,
     "rds_os_events": RDS_OS_EVENTS,

@@ -593,3 +593,251 @@ JOIN db_dim d USING (database_oid)
 LEFT JOIN stats s USING (database_oid, function_oid)
 ORDER BY f.function_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Database fact: DatabaseReference+Information+Statistic per database
+# (output/transform/postgres.go:68-120) with the buffer-cache untracked
+# remainder merged into the statistic row
+# (output/transform/postgres_buffer_cache.go:8-22 — after the relation
+# transform consumes tracked filenodes, what remains per database is the
+# untracked byte sum, which is exactly A11's remainder split).
+# ---------------------------------------------------------------------------
+
+
+def snapshot_database_fact(spark: SparkSession) -> DataFrame:
+    from collector_spark.operators.buffer_cache import buffercache_totals
+    from collector_spark.operators.databases import database_diff
+
+    dims = spark.table("databases")
+    db_dim = dense_index(dims, ["database_name"], "database_idx")
+    stats = database_diff(spark).select(
+        "database_oid",
+        F.col("xact_commit").alias("s_xact_commit"),
+        F.col("xact_rollback").alias("s_xact_rollback"),
+        F.col("temp_files").alias("s_temp_files"),
+        F.col("temp_bytes").alias("s_temp_bytes"),
+        F.col("frozenxid_age").alias("s_frozenxid_age"),
+        F.col("minmxid_age").alias("s_minmxid_age"),
+    )
+    untracked = buffercache_totals(spark).select(
+        "database_oid", "untracked_bytes"
+    )
+    return (
+        dims.join(F.broadcast(db_dim), on="database_name")
+        .join(F.broadcast(stats), on="database_oid", how="left")
+        .join(F.broadcast(untracked), on="database_oid", how="left")
+        .select(
+            "database_idx",
+            "database_oid",
+            "database_name",
+            "datfrozenxid",
+            # the reference emits a DatabaseStatistic only when a diff
+            # exists (postgres.go:104-117) — flattened as a flag
+            F.col("s_xact_commit").isNotNull().alias("has_stats"),
+            F.col("s_xact_commit").alias("xact_commit"),
+            F.col("s_xact_rollback").alias("xact_rollback"),
+            F.col("s_temp_files").alias("temp_files"),
+            F.col("s_temp_bytes").alias("temp_bytes"),
+            F.col("s_frozenxid_age").alias("frozenxid_age"),
+            F.col("s_minmxid_age").alias("minmxid_age"),
+            F.coalesce("untracked_bytes", F.lit(0)).cast("long").alias(
+                "untracked_cache_bytes"
+            ),
+        )
+        .orderBy("database_idx")
+    )
+
+
+def oracle_snapshot_database_fact() -> str:
+    from collector_spark.operators.buffer_cache import oracle_buffercache_totals
+    from collector_spark.operators.databases import oracle_database_diff
+
+    diff = _strip_order(oracle_database_diff())
+    bc = _strip_order(oracle_buffercache_totals())
+    return f"""
+WITH db_dim AS (
+  SELECT database_name,
+    CAST(row_number() OVER (ORDER BY database_name) - 1 AS INT) AS database_idx
+  FROM (SELECT DISTINCT database_name FROM databases)
+),
+stats AS ({diff}),
+bc AS ({bc})
+SELECT x.database_idx, d.database_oid, d.database_name, d.datfrozenxid,
+  s.xact_commit IS NOT NULL AS has_stats,
+  s.xact_commit, s.xact_rollback, s.temp_files, s.temp_bytes,
+  s.frozenxid_age, s.minmxid_age,
+  CAST(COALESCE(b.untracked_bytes, 0) AS BIGINT) AS untracked_cache_bytes
+FROM databases d
+JOIN db_dim x USING (database_name)
+LEFT JOIN stats s USING (database_oid)
+LEFT JOIN bc b USING (database_oid)
+ORDER BY x.database_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Custom type fact: the pg_type scan filters (input/postgres/types.go:12-38
+# — drop base types, implicit array types, and extension-owned types) plus
+# transformPostgresTypes' kind mapping and dense idx
+# (output/transform/postgres_types.go:8-56). The reference aliases each
+# type's array oid to the same idx for column DataTypeCustomIdx resolution;
+# array_oid rides the fact row so the alias map is a projection. The
+# composite typrelid/relkind='c' sub-check has no catalog analog in the
+# fixture (noted divergence); detail payloads stay in the scan's own JSON
+# text form (types.go:22-31 builds them as json_agg text).
+# ---------------------------------------------------------------------------
+
+_TYPE_KINDS = {
+    "e": "enum",
+    "d": "domain",
+    "c": "composite",
+    "b": "base",
+    "p": "pseudo",
+    "r": "range",
+    "m": "multirange",
+}
+
+
+def snapshot_custom_type_fact(spark: SparkSession) -> DataFrame:
+    t = spark.table("type_rows")
+    ext = (
+        spark.table("depend_rows")
+        .filter(F.col("deptype") == "e")
+        .select(F.col("objid").alias("type_oid"))
+        .distinct()
+    )
+    # implicit array types: a row whose oid IS another row's array form
+    arrays = t.select(F.col("array_oid").alias("type_oid")).filter(
+        F.col("type_oid") != 0
+    )
+    base = (
+        t.filter(F.col("typtype") != "b")
+        .join(F.broadcast(ext), on="type_oid", how="left_anti")
+        .join(F.broadcast(arrays), on="type_oid", how="left_anti")
+    )
+    dim = dense_index(base, ["schema_name", "type_name"], "type_idx")
+    db_dim = dense_index(base, ["database_oid"], "database_idx")
+    kind = F.lit("unknown")
+    for k, v in reversed(_TYPE_KINDS.items()):
+        kind = F.when(F.col("typtype") == k, F.lit(v)).otherwise(kind)
+    return (
+        base.join(F.broadcast(dim), on=["schema_name", "type_name"])
+        .join(F.broadcast(db_dim), on="database_oid")
+        .select(
+            "type_idx",
+            "database_idx",
+            "database_oid",
+            "type_oid",
+            "array_oid",
+            "schema_name",
+            "type_name",
+            kind.alias("kind"),
+            "domain_type",
+            "domain_not_null",
+            "domain_default",
+            "type_json",
+        )
+        .orderBy("type_idx")
+    )
+
+
+def oracle_snapshot_custom_type_fact() -> str:
+    kind_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _TYPE_KINDS.items()
+    )
+    return f"""
+WITH base AS (
+  SELECT t.* FROM type_rows t
+  WHERE t.typtype <> 'b'
+    AND t.type_oid NOT IN (SELECT objid FROM depend_rows WHERE deptype = 'e')
+    AND t.type_oid NOT IN (SELECT array_oid FROM type_rows WHERE array_oid <> 0)
+),
+dim AS (
+  SELECT schema_name, type_name,
+    CAST(row_number() OVER (ORDER BY schema_name, type_name) - 1 AS INT) AS type_idx
+  FROM (SELECT DISTINCT schema_name, type_name FROM base)
+),
+db_dim AS (
+  SELECT database_oid,
+    CAST(row_number() OVER (ORDER BY database_oid) - 1 AS INT) AS database_idx
+  FROM (SELECT DISTINCT database_oid FROM base)
+)
+SELECT x.type_idx, d.database_idx, b.database_oid, b.type_oid, b.array_oid,
+  b.schema_name, b.type_name,
+  CASE b.typtype {kind_case} ELSE 'unknown' END AS kind,
+  b.domain_type, b.domain_not_null, b.domain_default, b.type_json
+FROM base b
+JOIN dim x USING (schema_name, type_name)
+JOIN db_dim d USING (database_oid)
+ORDER BY x.type_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relation maintenance events: addRelationEvents
+# (output/transform/postgres_relations.go:300-324) — each (auto)vacuum /
+# (auto)analyze count explodes into that many event rows stamped with the
+# LAST occurrence time; only the first copy is exact, the rest are
+# approximate (ApproximateOccurredAt = i != 0). Joined to the shared
+# relation dim so event idx space matches the relation fact.
+# ---------------------------------------------------------------------------
+
+_EVENT_KINDS = [
+    ("manual_analyze", "analyze_count", "last_analyze"),
+    ("auto_analyze", "autoanalyze_count", "last_autoanalyze"),
+    ("manual_vacuum", "vacuum_count", "last_vacuum"),
+    ("auto_vacuum", "autovacuum_count", "last_autovacuum"),
+]
+
+
+def snapshot_relation_events(spark: SparkSession) -> DataFrame:
+    counts = spark.table("relation_event_counts")
+    rel = _relations_with_idx(spark).select(
+        F.col("oid").alias("relation_oid"), "relation_idx"
+    )
+    j = counts.join(F.broadcast(rel), on="relation_oid")
+    branches = []
+    for kind, count_col, ts_col in _EVENT_KINDS:
+        seq = F.when(
+            F.col(count_col) > 0, F.sequence(F.lit(1), F.col(count_col))
+        ).otherwise(F.array().cast("array<int>"))
+        branches.append(
+            j.select(
+                "relation_idx",
+                "relation_oid",
+                F.lit(kind).alias("event_type"),
+                F.col(ts_col).alias("occurred_at"),
+                F.explode(seq).alias("event_seq"),
+            ).select(
+                "relation_idx",
+                "relation_oid",
+                "event_type",
+                "occurred_at",
+                F.col("event_seq").cast("long").alias("event_seq"),
+                (F.col("event_seq") > 1).alias("approximate"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("relation_idx", "event_type", "event_seq")
+
+
+def oracle_snapshot_relation_events() -> str:
+    selects = []
+    for kind, count_col, ts_col in _EVENT_KINDS:
+        selects.append(f"""
+SELECT r.relation_idx, c.relation_oid, '{kind}' AS event_type,
+  c.{ts_col} AS occurred_at, CAST(gs.i AS BIGINT) AS event_seq,
+  gs.i > 1 AS approximate
+FROM relation_event_counts c
+JOIN withidx r ON r.oid = c.relation_oid,
+LATERAL (SELECT unnest(generate_series(1, c.{count_col})) AS i) gs
+WHERE c.{count_col} > 0""")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {_sql_relations_with_idx()}
+{union}
+ORDER BY relation_idx, event_type, event_seq
+"""

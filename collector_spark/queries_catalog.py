@@ -237,6 +237,41 @@ register(
     fixtures=["func_meta", "func_snap1", "func_snap2"],
 )
 
+register(
+    "snapshot_database_fact",
+    snapshot_facts.snapshot_database_fact,
+    snapshot_facts.oracle_snapshot_database_fact(),
+    fixtures=[
+        "databases",
+        "db_stats_snap1",
+        "db_stats_snap2",
+        "buffercache_rows",
+        "class_rows",
+    ],
+)
+
+register(
+    "snapshot_custom_type_fact",
+    snapshot_facts.snapshot_custom_type_fact,
+    snapshot_facts.oracle_snapshot_custom_type_fact(),
+    fixtures=["type_rows", "depend_rows"],
+)
+
+register(
+    "snapshot_relation_events",
+    snapshot_facts.snapshot_relation_events,
+    snapshot_facts.oracle_snapshot_relation_events(),
+    fixtures=[
+        "relation_event_counts",
+        "class_rows",
+        "lock_rows",
+        "depend_rows",
+        "index_rows",
+        "relation_snap2",
+        "buffercache_rows",
+    ],
+)
+
 # -- (4) round-6 platform envelopes: PlanetScale NDJSON + trailing-cap
 #    planner, Tembo Loki websocket frames, Supabase drain, Neon database
 #    fallback (input/system/{planetscale,tembo,supabase,neon}/logs.go)
