@@ -1479,6 +1479,32 @@ FROM part WHERE p_partkey % 6 = 0
 # has_helper models the pganalyze.explain_analyze presence check.
 # ---------------------------------------------------------------------------
 
+# statements exercising every validateQuery branch
+# (input/postgres/explain_analyze.go:61-117) + the timeout retry ladder
+# (:19-46): %12 selects the statement family, the timeout flags drive the
+# warm-up retry / non-ANALYZE fallback
+QR_VALIDATE_STMTS = """
+SELECT event_id AS stmt_id,
+  CASE CAST(event_id % 12 AS INT)
+    WHEN 0 THEN 'SELECT * FROM t' || CAST(event_id % 40 AS STRING) || ' WHERE id = 1'
+    WHEN 1 THEN 'WITH c AS (SELECT 1) SELECT * FROM c'
+    WHEN 2 THEN 'INSERT INTO t VALUES (1)'
+    WHEN 3 THEN 'UPDATE t SET x = 1'
+    WHEN 4 THEN 'DELETE FROM t WHERE id = ' || CAST(event_id % 9 AS STRING)
+    WHEN 5 THEN 'VACUUM ANALYZE t'
+    WHEN 6 THEN 'SELECT 1; SELECT 2'
+    WHEN 7 THEN 'SELEC 1 FROM broken'
+    WHEN 8 THEN 'SELECT dblink(''host='', ''SELECT 1'')'
+    WHEN 9 THEN 'SELECT public.crosstab(''SELECT 1'')'
+    WHEN 10 THEN 'SELECT xpath_table(''a'',''b'',''c'',''d'',''e'')'
+    ELSE 'SELECT count(*) FROM t' || CAST(event_id % 7 AS STRING)
+  END AS query_text,
+  event_id % 7 = 0 AS warmup_timeout,
+  event_id % 14 = 0 AS second_timeout
+FROM events WHERE event_id % 5 = 2
+"""
+
+
 QUERY_RUN_REQUESTS = """
 SELECT event_id AS run_id,
   ts AS requested_at,
@@ -1825,6 +1851,7 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "neon_servers": NEON_SERVERS,
     "neon_log_items": NEON_LOG_ITEMS,
     "query_run_requests": QUERY_RUN_REQUESTS,
+    "qr_validate_stmts": QR_VALIDATE_STMTS,
     "type_rows": TYPE_ROWS,
     "relation_event_counts": RELATION_EVENT_COUNTS,
     "pii_docs": PII_DOCS,

@@ -114,3 +114,116 @@ SELECT run_id, route,
 FROM routed
 ORDER BY run_id
 """
+
+
+# ---------------------------------------------------------------------------
+# J13 — the explain_analyze safety guard + retry ladder
+# (input/postgres/explain_analyze.go).
+#
+# validateQuery (:61-86): exactly one statement; SELECT (wCTEs permitted —
+# the read-only transaction is the backstop); DML and utility statements
+# refused; blocked exfiltration/SQL-injection helper functions refused
+# with the offending name (:88-117). The reference classifies via the
+# pg_query parse tree; pg_query is unavailable here (the same declared
+# fallback as U1/U2), so classification is prefix/regex-based with the
+# reference's exact error strings.
+#
+# RunExplainAnalyzeForQueryRun (:19-46): warm-up EXPLAIN (ANALYZE, TIMING
+# OFF); on statement timeout retry the warm-up once; on a second timeout
+# fall back to a plain non-ANALYZE EXPLAIN; otherwise the returned result
+# is a final EXPLAIN (ANALYZE, BUFFERS).
+# ---------------------------------------------------------------------------
+
+BLOCKED_FUNCTIONS = [
+    "dblink_connect",
+    "dblink_exec",
+    "dblink",
+    "crosstab2",
+    "crosstab3",
+    "crosstab4",
+    "crosstab",
+    "xpath_table",
+]
+
+_ERR_PARSE = "query is not permitted to run - failed to parse"
+_ERR_MULTI = "query is not permitted to run - multi-statement query string"
+_ERR_DML = "query is not permitted to run - DML statement"
+_ERR_UTILITY = "query is not permitted to run - utility statement"
+_ERR_FUNC = "query is not permitted to run - function not allowed: "
+
+# a name token followed by an open paren; alternation is ordered longest-
+# first so dblink_connect never half-matches as dblink
+_BLOCKED_RE = "(" + "|".join(BLOCKED_FUNCTIONS) + r")[ ]*\("
+_DML_RE = "^(INSERT|UPDATE|DELETE) "
+_SELECT_RE = "^(SELECT|WITH) "
+_MULTI_RE = "; *[^ ;]"
+
+
+def explain_analyze_guard(spark: SparkSession) -> DataFrame:
+    from collector_spark.functions.utility import UTILITY_PREFIX
+
+    s = spark.table("qr_validate_stmts")
+    q = F.col("query_text")
+    blocked = F.regexp_extract(q, _BLOCKED_RE, 1)
+    error = (
+        F.when(q.rlike(_MULTI_RE), F.lit(_ERR_MULTI))
+        .when(q.rlike(_DML_RE), F.lit(_ERR_DML))
+        .when(q.rlike(UTILITY_PREFIX), F.lit(_ERR_UTILITY))
+        .when(~q.rlike(_SELECT_RE), F.lit(_ERR_PARSE))
+        .when(blocked != "", F.concat(F.lit(_ERR_FUNC), blocked))
+    )
+    valid = error.isNull()
+    # retry ladder: explain_calls counts pganalyze.explain_analyze
+    # invocations; final_flags is what produced the returned result
+    calls = (
+        F.when(~valid, F.lit(0))
+        .when(~F.col("warmup_timeout"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    final_flags = F.when(
+        valid,
+        F.when(
+            F.col("warmup_timeout") & F.col("second_timeout"), F.lit("")
+        ).otherwise(F.lit("ANALYZE,BUFFERS")),
+    )
+    return s.select(
+        "stmt_id",
+        "query_text",
+        valid.alias("valid"),
+        error.alias("error"),
+        calls.cast("int").alias("explain_calls"),
+        final_flags.alias("final_flags"),
+        (valid & F.col("warmup_timeout") & F.col("second_timeout")).alias(
+            "degraded_to_plain_explain"
+        ),
+    ).orderBy("stmt_id")
+
+
+def oracle_explain_analyze_guard() -> str:
+    from collector_spark.functions.utility import UTILITY_PREFIX
+
+    return f"""
+WITH classified AS (
+  SELECT s.*, regexp_extract(s.query_text, '{_BLOCKED_RE}', 1) AS blocked,
+    CASE
+      WHEN regexp_matches(s.query_text, '{_MULTI_RE}') THEN '{_ERR_MULTI}'
+      WHEN regexp_matches(s.query_text, '{_DML_RE}') THEN '{_ERR_DML}'
+      WHEN regexp_matches(s.query_text, '{UTILITY_PREFIX}') THEN '{_ERR_UTILITY}'
+      WHEN NOT regexp_matches(s.query_text, '{_SELECT_RE}') THEN '{_ERR_PARSE}'
+      WHEN regexp_extract(s.query_text, '{_BLOCKED_RE}', 1) <> ''
+        THEN '{_ERR_FUNC}' || regexp_extract(s.query_text, '{_BLOCKED_RE}', 1)
+    END AS error
+  FROM qr_validate_stmts s
+)
+SELECT stmt_id, query_text,
+  error IS NULL AS valid,
+  error,
+  CAST(CASE WHEN error IS NOT NULL THEN 0
+            WHEN NOT warmup_timeout THEN 2 ELSE 3 END AS INT) AS explain_calls,
+  CASE WHEN error IS NULL
+       THEN CASE WHEN warmup_timeout AND second_timeout THEN ''
+                 ELSE 'ANALYZE,BUFFERS' END END AS final_flags,
+  error IS NULL AND warmup_timeout AND second_timeout AS degraded_to_plain_explain
+FROM classified
+ORDER BY stmt_id
+"""

@@ -305,6 +305,15 @@ register(
     fixtures=["query_run_requests", "plan_rows"],
 )
 
+# -- (4) explain_analyze safety guard + timeout retry ladder
+#    (input/postgres/explain_analyze.go:19-117)
+register(
+    "j13_explain_analyze_guard",
+    query_run.explain_analyze_guard,
+    query_run.oracle_explain_analyze_guard(),
+    fixtures=["qr_validate_stmts"],
+)
+
 # index-lock granularity changed in r3 to match the reference's
 # indexStatsSQL exactly (own-oid filter, one placeholder per locked relid)
 register(

@@ -147,3 +147,44 @@ def test_query_run_routes_and_cleanup(prepared_spark):
         assert 0 < kept < out.count()
     finally:
         out.unpersist()
+
+
+def test_explain_analyze_guard_goldens(prepared_spark):
+    """validateQuery branch goldens: every reference error string surfaces
+    on its statement family (explain_analyze.go:61-117), wCTE SELECTs are
+    permitted, and the timeout ladder counts explain calls correctly."""
+    from collector_spark.operators.query_run import explain_analyze_guard
+
+    out = {r["query_text"]: r for r in explain_analyze_guard(prepared_spark).collect()}
+
+    def one(prefix):
+        matches = [r for t, r in out.items() if t.startswith(prefix)]
+        assert matches, prefix
+        return matches[0]
+
+    assert one("WITH c AS")["valid"]
+    assert one("INSERT ")["error"].endswith("DML statement")
+    assert one("UPDATE ")["error"].endswith("DML statement")
+    assert one("VACUUM ")["error"].endswith("utility statement")
+    assert one("SELECT 1; SELECT 2")["error"].endswith(
+        "multi-statement query string"
+    )
+    assert one("SELEC 1")["error"].endswith("failed to parse")
+    assert one("SELECT dblink(")["error"].endswith("function not allowed: dblink")
+    # schema-qualified blocked call still refused by its name
+    assert one("SELECT public.crosstab(")["error"].endswith(
+        "function not allowed: crosstab"
+    )
+    assert one("SELECT xpath_table(")["error"].endswith(
+        "function not allowed: xpath_table"
+    )
+    # ladder: invalid -> 0 calls; no timeout -> warm-up + final = 2;
+    # timeout -> 3, double-timeout degrades to plain EXPLAIN
+    for r in out.values():
+        if not r["valid"]:
+            assert r["explain_calls"] == 0 and r["final_flags"] is None
+        elif r["degraded_to_plain_explain"]:
+            assert r["explain_calls"] == 3 and r["final_flags"] == ""
+        else:
+            assert r["final_flags"] == "ANALYZE,BUFFERS"
+            assert r["explain_calls"] in (2, 3)
