@@ -1479,6 +1479,31 @@ FROM part WHERE p_partkey % 6 = 0
 # has_helper models the pganalyze.explain_analyze presence check.
 # ---------------------------------------------------------------------------
 
+# per-server version/capability probe results (input/postgres/version.go:
+# 12-59): the raw pg_catalog.version() string, server_version_num, the
+# rds.extensions setting value (NULL when absent), and the two probe
+# counts whose thresholds the scan applies
+VERSION_PROBE_ROWS = """
+SELECT CAST(n_nationkey AS BIGINT) AS server_id,
+  CASE CAST(n_nationkey % 3 AS INT)
+    WHEN 0 THEN 'PostgreSQL 16.' || CAST(n_nationkey % 10 AS STRING)
+      || ' on x86_64-pc-linux-gnu, compiled by gcc (Debian 12.2.0) 12.2.0, 64-bit'
+    WHEN 1 THEN 'EnterpriseDB Advanced Server 15.' || CAST(n_nationkey % 10 AS STRING)
+      || '.0 on x86_64-pc-linux-gnu'
+    ELSE 'PostgreSQL 14.' || CAST(n_nationkey % 10 AS STRING) || ' on aarch64-unknown-linux-gnu'
+  END AS version_full,
+  CAST(CASE CAST(n_nationkey % 3 AS INT)
+    WHEN 0 THEN 160000 WHEN 1 THEN 150000 ELSE 140000 END
+    + n_nationkey % 10 AS BIGINT) AS version_num,
+  CASE WHEN n_nationkey % 5 = 0
+       THEN 'pg_stat_statements,aurora_stat_utils,pg_hint_plan'
+       WHEN n_nationkey % 5 = 1 THEN 'pg_stat_statements' END AS rds_extensions_setting,
+  CAST(CASE WHEN n_nationkey % 7 = 0 THEN 3 ELSE 0 END AS BIGINT) AS alloydb_setting_count,
+  CAST(CASE WHEN n_nationkey % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS citus_ext_count
+FROM nation
+"""
+
+
 # statements exercising every validateQuery branch
 # (input/postgres/explain_analyze.go:61-117) + the timeout retry ladder
 # (:19-46): %12 selects the statement family, the timeout flags drive the
@@ -1852,6 +1877,7 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "neon_log_items": NEON_LOG_ITEMS,
     "query_run_requests": QUERY_RUN_REQUESTS,
     "qr_validate_stmts": QR_VALIDATE_STMTS,
+    "version_probe_rows": VERSION_PROBE_ROWS,
     "type_rows": TYPE_ROWS,
     "relation_event_counts": RELATION_EVENT_COUNTS,
     "pii_docs": PII_DOCS,

@@ -126,3 +126,45 @@ SELECT
   CAST(COALESCE((SELECT MAX(xact_age) FROM prepared_xacts), 0) AS BIGINT) AS prepared_xact_age,
   CAST(COALESCE((SELECT MAX(feedback_xmin_age) FROM standby_rows), 0) AS BIGINT) AS standby_age
 """
+
+
+def server_version_scan(spark: SparkSession) -> DataFrame:
+    """S35: the server version/capability fingerprint
+    (input/postgres/version.go:12-59, state.PostgresVersion): short
+    version parsed from pg_catalog.version()'s full string, major from
+    server_version_num integer math, EPAS from the full-string marker,
+    Aurora from the rds.extensions setting containing aurora_stat_utils,
+    AlloyDB from any alloydb.* setting, Citus from exactly one citus
+    extension row. Map-only projection over the per-server probe table."""
+    p = spark.table("version_probe_rows")
+    return p.select(
+        "server_id",
+        "version_full",
+        F.regexp_extract("version_full", r"(\d+\.\d+)", 1).alias("version_short"),
+        "version_num",
+        F.floor(F.col("version_num") / 10000).cast("long").alias("major_version"),
+        F.col("version_full")
+        .contains("EnterpriseDB Advanced Server")
+        .alias("is_epas"),
+        F.coalesce(
+            F.col("rds_extensions_setting").contains("aurora_stat_utils"),
+            F.lit(False),
+        ).alias("is_aws_aurora"),
+        (F.col("alloydb_setting_count") >= 1).alias("is_alloydb"),
+        (F.col("citus_ext_count") == 1).alias("is_citus"),
+    ).orderBy("server_id")
+
+
+def oracle_server_version_scan() -> str:
+    return r"""
+SELECT server_id, version_full,
+  regexp_extract(version_full, '(\d+\.\d+)', 1) AS version_short,
+  version_num,
+  CAST(FLOOR(version_num / 10000) AS BIGINT) AS major_version,
+  contains(version_full, 'EnterpriseDB Advanced Server') AS is_epas,
+  COALESCE(contains(rds_extensions_setting, 'aurora_stat_utils'), FALSE) AS is_aws_aurora,
+  alloydb_setting_count >= 1 AS is_alloydb,
+  citus_ext_count = 1 AS is_citus
+FROM version_probe_rows
+ORDER BY server_id
+"""

@@ -305,6 +305,14 @@ register(
     fixtures=["query_run_requests", "plan_rows"],
 )
 
+# -- (4) server version/capability fingerprint (version.go:12-59)
+register(
+    "s35_server_version",
+    server_stats.server_version_scan,
+    server_stats.oracle_server_version_scan(),
+    fixtures=["version_probe_rows"],
+)
+
 # -- (4) explain_analyze safety guard + timeout retry ladder
 #    (input/postgres/explain_analyze.go:19-117)
 register(
