@@ -503,3 +503,124 @@ FROM documents
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# E35 — temperature-scaled source mixing weights (data-mixture design, the
+# multilingual-LM sampling-rate recipe: p_s ∝ share_s^alpha with alpha=0.5,
+# i.e. sqrt — chosen because sqrt is IEEE-correctly-rounded in both
+# engines, so the oracle stays bit-identical; arbitrary alpha is the same
+# plan shape via POWER). Unnormalized: the normalization constant
+# (sum over sources) is a driver-side scalar a consumer applies, keeping
+# the distributed computation free of cross-row double summation whose
+# ordering is engine-dependent.
+#
+# Scale: one map over documents + one groupBy(source) with map-side
+# combine; the grand total rides a 1-row broadcast.
+# ---------------------------------------------------------------------------
+
+
+def sampling_weights(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    per_source = docs.select("source", toks.alias("t")).groupBy("source").agg(
+        F.count("*").cast("long").alias("docs"),
+        F.sum("t").cast("long").alias("tokens"),
+    )
+    total = per_source.agg(F.sum("tokens").cast("long").alias("total_tokens"))
+    share = F.col("tokens").cast("double") / F.col("total_tokens").cast("double")
+    scaled = F.sqrt(share)
+    return (
+        per_source.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "docs",
+            "tokens",
+            share.alias("token_share"),
+            scaled.alias("temp_scaled_weight"),
+            (scaled / share).alias("boost"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_sampling_weights() -> str:
+    return r"""
+WITH per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+total AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens FROM per_source)
+SELECT source, docs, tokens,
+  CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS token_share,
+  sqrt(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS temp_scaled_weight,
+  sqrt(CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+    / (CAST(tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)) AS boost
+FROM per_source CROSS JOIN total
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# E36 — per-source token-length histogram (64-token buckets, top-capped):
+# the length-distribution profile a mixture designer reads next to E29's
+# quantiles. Integer bucket math only; shares are exact divisions of
+# integer-valued doubles.
+#
+# Scale: one map + one groupBy(source, bucket) with map-side combine; the
+# per-source totals ride a broadcast of the O(sources) aggregate.
+# ---------------------------------------------------------------------------
+
+HIST_BUCKET_TOKENS = 64
+HIST_MAX_BUCKET = 15
+
+
+def length_histogram(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    bucket = F.least(
+        F.floor(toks / HIST_BUCKET_TOKENS), F.lit(HIST_MAX_BUCKET)
+    ).cast("int")
+    counts = (
+        docs.select("source", bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count("*").cast("long").alias("docs"))
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("docs").cast("long").alias("source_docs")
+    )
+    return (
+        counts.join(F.broadcast(totals), on="source")
+        .select(
+            "source",
+            "bucket",
+            (F.col("bucket") * HIST_BUCKET_TOKENS).cast("long").alias(
+                "bucket_min_tokens"
+            ),
+            "docs",
+            (F.col("docs").cast("double") / F.col("source_docs").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+def oracle_length_histogram() -> str:
+    return rf"""
+WITH counts AS (
+  SELECT source,
+    CAST(LEAST(FLOOR(len(regexp_split_to_array(trim(text), '\s+')) / {HIST_BUCKET_TOKENS}),
+               {HIST_MAX_BUCKET}) AS INT) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS docs
+  FROM documents GROUP BY 1, 2
+),
+totals AS (SELECT source, CAST(SUM(docs) AS BIGINT) AS source_docs FROM counts GROUP BY source)
+SELECT c.source, c.bucket,
+  CAST(c.bucket * {HIST_BUCKET_TOKENS} AS BIGINT) AS bucket_min_tokens,
+  c.docs,
+  CAST(c.docs AS DOUBLE) / CAST(t.source_docs AS DOUBLE) AS share
+FROM counts c JOIN totals t USING (source)
+ORDER BY c.source, c.bucket
+"""

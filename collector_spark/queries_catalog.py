@@ -305,6 +305,20 @@ register(
     fixtures=["query_run_requests", "plan_rows"],
 )
 
+# -- (4) round-6 training-data additions: temperature-scaled source mixing
+#    weights (alpha=0.5) and the per-source token-length histogram
+register(
+    "ml_sampling_weights",
+    curation.sampling_weights,
+    curation.oracle_sampling_weights(),
+)
+
+register(
+    "ml_length_histogram",
+    curation.length_histogram,
+    curation.oracle_length_histogram(),
+)
+
 # -- (4) server version/capability fingerprint (version.go:12-59)
 register(
     "s35_server_version",
