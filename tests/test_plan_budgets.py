@@ -77,6 +77,27 @@ BUDGETS = {
     # re-evaluating an index subtree
     "ml_ann_recall": (55, ["BroadcastHashJoin"]),
     "j11_explain_workflow": (6, ["BroadcastHashJoin"]),
+    # --- round-6 snapshot facts: every dim join must broadcast; the
+    # relation-scan-derived facts print the pinned InMemoryRelation subtree
+    # repeatedly (same inflation as a2), so their ceilings are print-count
+    # budgets, not runtime shuffle counts
+    "snapshot_relation_fact": (160, ["BroadcastHashJoin"]),
+    "snapshot_index_fact": (100, ["BroadcastHashJoin"]),
+    "snapshot_relation_events": (300, ["BroadcastHashJoin"]),
+    "snapshot_system_fact": (45, ["BroadcastHashJoin"]),
+    "snapshot_backend_fact": (20, ["BroadcastHashJoin"]),
+    "snapshot_function_fact": (26, ["BroadcastHashJoin"]),
+    "snapshot_database_fact": (28, ["BroadcastHashJoin"]),
+    "snapshot_custom_type_fact": (22, ["BroadcastHashJoin"]),
+    # --- round-6 envelopes: map-only normalizers must stay (near) shuffle-
+    # free; an exchange jump means the projection started aggregating
+    "tr_planetscale_items": (4, []),
+    "tr_tembo_items": (5, []),
+    "tr_supabase_items": (4, []),
+    "tr_neon_items": (5, ["BroadcastHashJoin"]),
+    "j13_explain_analyze_guard": (4, []),
+    "ml_length_histogram": (10, ["BroadcastHashJoin"]),
+    "s35_server_version": (3, []),
 }
 
 
