@@ -624,3 +624,131 @@ SELECT c.source, c.bucket,
 FROM counts c JOIN totals t USING (source)
 ORDER BY c.source, c.bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# E37 — sliding-window document chunking (the context-window preprocessing
+# step of a training pipeline: CHUNK_TOKENS-token windows every
+# CHUNK_STRIDE tokens, full coverage of every start <= n - C + 1; a doc
+# shorter than one window yields one partial chunk). Map-side explode only
+# — scales linearly with input splits, no shuffle.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96
+
+
+def doc_chunks(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(words)
+    stop = F.greatest(n - CHUNK_TOKENS, F.lit(0)) + 1
+    starts = F.sequence(F.lit(1), stop, F.lit(CHUNK_STRIDE))
+    exploded = docs.select(
+        "doc_id",
+        "source",
+        words.alias("w"),
+        n.alias("n"),
+        F.posexplode(starts).alias("pos", "start_token"),
+    )
+    return exploded.select(
+        "doc_id",
+        "source",
+        (F.col("pos") + 1).cast("int").alias("chunk_idx"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start_token") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(
+            F.slice(F.col("w"), F.col("start_token"), CHUNK_TOKENS), " "
+        ).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def oracle_doc_chunks() -> str:
+    return rf"""
+WITH w AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS wl
+  FROM documents
+)
+SELECT doc_id, source,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY gs.start_token) AS INT) AS chunk_idx,
+  CAST(gs.start_token AS BIGINT) AS start_token,
+  CAST(LEAST({CHUNK_TOKENS}, len(wl) - gs.start_token + 1) AS BIGINT) AS n_tokens,
+  array_to_string(wl[gs.start_token : gs.start_token + {CHUNK_TOKENS} - 1], ' ') AS chunk_text
+FROM w, LATERAL (
+  SELECT unnest(generate_series(1, GREATEST(len(wl) - {CHUNK_TOKENS}, 0) + 1,
+                                {CHUNK_STRIDE})) AS start_token
+) gs
+ORDER BY doc_id, chunk_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# E38 — symmetric int8 embedding quantization (the storage/serving
+# compression step before ANN indexing): per-vector scale = 127 / max|x|,
+# elements floored after an exact double multiply (float32 inputs promote
+# to double in both engines; floor keeps the math engine-identical — no
+# round-half ties). The quantized vector is emitted as a CSV string: array
+# columns hash differently across engines in the driver compare, strings
+# don't. Map-only; max-per-vector is order-independent.
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 127.0
+
+
+def embedding_quantize(spark: SparkSession) -> DataFrame:
+    emb = spark.table("embeddings")
+    xs = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    scale = F.lit(QUANT_LEVELS) / max_abs
+    q = F.transform(
+        xs,
+        lambda x: F.least(
+            F.greatest(F.floor(x * scale), F.lit(-127.0)), F.lit(127.0)
+        ).cast("int"),
+    )
+    max_err = F.array_max(
+        F.zip_with(xs, q, lambda x, qi: F.abs(x - qi.cast("double") / scale))
+    )
+    return (
+        emb.filter(max_abs > 0)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            max_abs.alias("max_abs"),
+            scale.alias("scale"),
+            F.array_join(q, ",").alias("q_csv"),
+            max_err.alias("max_dequant_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def oracle_embedding_quantize() -> str:
+    return f"""
+WITH prep AS (
+  SELECT vec_id,
+    len(embedding) AS n_dims,
+    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, n_dims, xs,
+    list_max(list_transform(xs, x -> abs(x))) AS max_abs
+  FROM prep
+),
+quant AS (
+  SELECT vec_id, n_dims, xs, max_abs,
+    {QUANT_LEVELS} / max_abs AS scale,
+    list_transform(xs, x -> CAST(LEAST(GREATEST(FLOOR(x * ({QUANT_LEVELS} / max_abs)),
+                                                -127.0), 127.0) AS INT)) AS q
+  FROM scaled WHERE max_abs > 0
+)
+SELECT vec_id, CAST(n_dims AS INT) AS n_dims, max_abs, scale,
+  array_to_string(q, ',') AS q_csv,
+  list_max(list_transform(list_zip(xs, q),
+           t -> abs(t[1] - CAST(t[2] AS DOUBLE) / scale))) AS max_dequant_err
+FROM quant
+ORDER BY vec_id
+"""

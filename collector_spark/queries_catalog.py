@@ -319,6 +319,14 @@ register(
     curation.oracle_length_histogram(),
 )
 
+register("ml_doc_chunks", curation.doc_chunks, curation.oracle_doc_chunks())
+
+register(
+    "ml_embedding_quantize",
+    curation.embedding_quantize,
+    curation.oracle_embedding_quantize(),
+)
+
 # -- (4) server version/capability fingerprint (version.go:12-59)
 register(
     "s35_server_version",
