@@ -770,7 +770,13 @@ SELECT
     ELSE 'numeric' END AS data_type,
   (p.p_partkey + r.r_regionkey) % 3 = 0 AS not_null,
   CASE WHEN (p.p_partkey + r.r_regionkey) % 5 = 0
-       THEN 'nextval(''col_seq'')' ELSE NULL END AS default_expr
+       THEN 'nextval(''col_seq'')' ELSE NULL END AS default_expr,
+  -- pg_attribute.atttypid: 1/3 hit a custom type oid, 1/3 its array oid,
+  -- 1/3 a built-in oid outside the custom dim (DataTypeCustomIdx NULL)
+  CAST(CASE CAST((p.p_partkey + r.r_regionkey) % 3 AS INT)
+    WHEN 0 THEN (p.p_partkey + r.r_regionkey) % 97
+    WHEN 1 THEN ((p.p_partkey + r.r_regionkey) % 97) + 100000
+    ELSE 999983 END AS BIGINT) AS type_oid
 FROM part p JOIN region r ON r.r_regionkey < 3
 """
 

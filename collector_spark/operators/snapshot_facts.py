@@ -841,3 +841,60 @@ WITH {_sql_relations_with_idx()}
 {union}
 ORDER BY relation_idx, event_type, event_seq
 """
+
+
+# ---------------------------------------------------------------------------
+# Column -> custom-type link: DataTypeCustomIdx resolution
+# (postgres_relations.go:115-118) — a column's pg_attribute type oid
+# resolves to the custom-type dim either directly or through the type's
+# implicit array oid (transformPostgresTypes aliases both to one idx,
+# postgres_types.go:49-53). Spelled as two broadcast equi-joins +
+# COALESCE rather than an OR-join (an OR predicate would fall back to
+# broadcast-nested-loop).
+# ---------------------------------------------------------------------------
+
+
+def snapshot_column_type_link(spark: SparkSession) -> DataFrame:
+    cols = spark.table("column_rows")
+    types = snapshot_custom_type_fact(spark)
+    by_oid = types.select(
+        F.col("type_oid").alias("type_oid"), F.col("type_idx").alias("idx_direct")
+    )
+    by_arr = types.filter(F.col("array_oid") != 0).select(
+        F.col("array_oid").alias("type_oid"), F.col("type_idx").alias("idx_array")
+    )
+    j = cols.join(F.broadcast(by_oid), on="type_oid", how="left").join(
+        F.broadcast(by_arr), on="type_oid", how="left"
+    )
+    idx = F.coalesce("idx_direct", "idx_array")
+    return j.select(
+        "relation_oid",
+        "column_name",
+        "position",
+        "data_type",
+        "type_oid",
+        F.coalesce(idx, F.lit(-1)).cast("int").alias("data_type_custom_idx"),
+        idx.isNotNull().alias("has_custom_type"),
+        (idx.isNotNull() & F.col("idx_direct").isNull()).alias(
+            "resolved_via_array_oid"
+        ),
+    ).orderBy("relation_oid", "position", "column_name")
+
+
+def oracle_snapshot_column_type_link() -> str:
+    types = oracle_snapshot_custom_type_fact().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH types AS ({types}),
+by_oid AS (SELECT type_oid, type_idx AS idx_direct FROM types),
+by_arr AS (SELECT array_oid AS type_oid, type_idx AS idx_array
+           FROM types WHERE array_oid <> 0)
+SELECT c.relation_oid, c.column_name, c.position, c.data_type, c.type_oid,
+  CAST(COALESCE(COALESCE(o.idx_direct, a.idx_array), -1) AS INT) AS data_type_custom_idx,
+  COALESCE(o.idx_direct, a.idx_array) IS NOT NULL AS has_custom_type,
+  COALESCE(o.idx_direct, a.idx_array) IS NOT NULL AND o.idx_direct IS NULL
+    AS resolved_via_array_oid
+FROM column_rows c
+LEFT JOIN by_oid o USING (type_oid)
+LEFT JOIN by_arr a USING (type_oid)
+ORDER BY c.relation_oid, c.position, c.column_name
+"""

@@ -258,6 +258,13 @@ register(
 )
 
 register(
+    "snapshot_column_type_link",
+    snapshot_facts.snapshot_column_type_link,
+    snapshot_facts.oracle_snapshot_column_type_link(),
+    fixtures=["column_rows", "type_rows", "depend_rows"],
+)
+
+register(
     "snapshot_relation_events",
     snapshot_facts.snapshot_relation_events,
     snapshot_facts.oracle_snapshot_relation_events(),
