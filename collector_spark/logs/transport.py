@@ -845,14 +845,14 @@ _PS_SCHEMA = T.StructType(
 )
 
 
-def _planetscale_parsed(spark: SparkSession) -> DataFrame:
+def _planetscale_parsed_df(entries: DataFrame) -> DataFrame:
     """NDJSON LogEntry stream -> parsed postgres/primary entries
     (planetscale/logs.go:39-47 LogEntry, :86-115 Read). Malformed entries
     are skipped-and-continued (from_json null / json_valid false); the
     component/role predicate is the server-side ``defaultQuery``
     (planetscale.component:postgres planetscale.role:primary,
-    logs.go:27)."""
-    entries = spark.table("planetscale_entries")
+    logs.go:27). Pure stateless projection — works unchanged over a batch
+    table or a streaming source."""
     m = F.from_json("payload", _PS_SCHEMA).alias("m")
     df = entries.select("entry_id", m).select(
         "entry_id",
@@ -871,19 +871,63 @@ def _planetscale_parsed(spark: SparkSession) -> DataFrame:
     )
 
 
-def planetscale_items(spark: SparkSession) -> DataFrame:
-    return (
-        _planetscale_parsed(spark)
-        .select(
-            "entry_id",
-            F.try_to_timestamp(F.col("ts_s")).alias("occurred_at"),
-            "stream_id",
-            "branch_id",
-            "pod",
-            "content",
-        )
-        .orderBy("entry_id")
+def _planetscale_parsed(spark: SparkSession) -> DataFrame:
+    return _planetscale_parsed_df(spark.table("planetscale_entries"))
+
+
+def _planetscale_items_df(entries: DataFrame) -> DataFrame:
+    return _planetscale_parsed_df(entries).select(
+        "entry_id",
+        F.try_to_timestamp(F.col("ts_s")).alias("occurred_at"),
+        "stream_id",
+        "branch_id",
+        "pod",
+        "content",
     )
+
+
+def planetscale_items(spark: SparkSession) -> DataFrame:
+    return _planetscale_items_df(spark.table("planetscale_entries")).orderBy(
+        "entry_id"
+    )
+
+
+def stream_planetscale_items(spark: SparkSession) -> DataFrame:
+    """The PlanetScale receiver as a LIVE stream: NDJSON entries arrive
+    through a file source (the test stand-in for the 30 s polling loop
+    feeding the parse pipeline), and the same stateless normalizer
+    projection runs per micro-batch. availableNow run-to-completion must
+    equal the batch operator/oracle exactly — proving the envelope logic
+    is streaming-safe (no batch-only constructs)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), "collector_spark_ps", run_id)
+    src_dir = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    entries = spark.table("planetscale_entries")
+    entries.write.mode("overwrite").parquet(src_dir)
+
+    raw = spark.readStream.schema(entries.schema).parquet(src_dir)
+    qname = f"ps_stream_{run_id}"
+    q = (
+        _planetscale_items_df(raw)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.table(qname).orderBy("entry_id")
 
 
 _SQL_PS_PARSED = """

@@ -294,6 +294,14 @@ register(
     transport.oracle_planetscale_tail_plan(),
 )
 
+# the PlanetScale envelope as a LIVE streaming query (file source stand-in
+# for the polling loop); availableNow run equals the batch oracle
+register(
+    "st_tr_planetscale_stream",
+    transport.stream_planetscale_items,
+    transport.oracle_planetscale_items(),
+)
+
 register("tr_tembo_items", transport.tembo_items, transport.oracle_tembo_items())
 
 register(
