@@ -898,3 +898,64 @@ LEFT JOIN by_oid o USING (type_oid)
 LEFT JOIN by_arr a USING (type_oid)
 ORDER BY c.relation_oid, c.position, c.column_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Full-snapshot emit: the output/full.go analog — every dim-indexed fact
+# written as one integrity-checked, partitioned parquet snapshot (the
+# protobuf-over-HTTPS sink is replaced by a cluster-native format; the
+# same star schema, one directory per fact family). Facts partition by
+# their natural tenant key where one exists.
+# ---------------------------------------------------------------------------
+
+
+def _assert_dense_idx(df: DataFrame, col: str) -> None:
+    """output/full.go:26-33 verify: idx present, non-negative, gap-free."""
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col(col).isNull() | (F.col(col) < 0), 1).otherwise(0)).alias(
+            "bad"
+        ),
+        (F.max(col) + 1 - F.count_distinct(col)).alias("gap"),
+    ).collect()[0]
+    if row["n"] == 0:
+        raise ValueError(f"full snapshot integrity: empty fact for {col}")
+    if row["bad"]:
+        raise ValueError(f"full snapshot integrity: {row['bad']} bad {col}")
+    if row["gap"] != 0:
+        raise ValueError(f"full snapshot integrity: non-dense {col} space")
+
+
+def write_full_snapshot(spark: SparkSession, path: str) -> dict[str, int]:
+    """Assemble and write every snapshot fact; returns per-fact row counts
+    (the smoke surface a scheduler would log). Each fact's dense idx space
+    is verified before any write so a broken dimension aborts the whole
+    snapshot, like the reference's pre-upload VerifyIntegrity."""
+    from collector_spark.operators.snapshot import assemble_statement_fact
+
+    facts: dict[str, tuple[DataFrame, str | None, str]] = {
+        # name -> (df, partition column or None, dense idx column)
+        "statement_fact": (assemble_statement_fact(spark), "database_oid", "query_idx"),
+        "relation_fact": (snapshot_relation_fact(spark), None, "relation_idx"),
+        "index_fact": (snapshot_index_fact(spark), None, "index_idx"),
+        "system_fact": (snapshot_system_fact(spark), "section", "ref_idx"),
+        "backend_fact": (snapshot_backend_fact(spark), "database_oid", "database_idx"),
+        "replication_fact": (snapshot_replication_fact(spark), None, "standby_idx"),
+        "function_fact": (snapshot_function_fact(spark), "database_oid", "function_idx"),
+        "database_fact": (snapshot_database_fact(spark), None, "database_idx"),
+        "custom_type_fact": (snapshot_custom_type_fact(spark), "database_oid", "type_idx"),
+    }
+    counts: dict[str, int] = {}
+    for name, (df, part, idx_col) in facts.items():
+        if name == "system_fact":
+            # section-local idx spaces: verify per section
+            for sec in ("cpu", "network", "disk"):
+                _assert_dense_idx(df.filter(F.col("section") == sec), idx_col)
+        else:
+            _assert_dense_idx(df, idx_col)
+        writer = df.write.mode("overwrite")
+        if part is not None:
+            writer = writer.partitionBy(part)
+        writer.parquet(f"{path}/{name}")
+        counts[name] = spark.read.parquet(f"{path}/{name}").count()
+    return counts

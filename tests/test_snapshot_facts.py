@@ -126,3 +126,29 @@ def test_function_fact_stats_flag(prepared_spark):
         assert bad == 0
     finally:
         fact.unpersist()
+
+
+def test_write_full_snapshot_roundtrip(prepared_spark, tmp_path):
+    """output/full.go analog end-to-end: every fact family verifies its
+    dense idx space, lands as partitioned parquet, and reads back with the
+    written row count."""
+    from collector_spark.operators.snapshot_facts import write_full_snapshot
+
+    counts = write_full_snapshot(prepared_spark, str(tmp_path / "snap"))
+    assert set(counts) == {
+        "statement_fact",
+        "relation_fact",
+        "index_fact",
+        "system_fact",
+        "backend_fact",
+        "replication_fact",
+        "function_fact",
+        "database_fact",
+        "custom_type_fact",
+    }
+    assert all(n > 0 for n in counts.values()), counts
+    # partition pruning surface exists for the tenant-keyed facts
+    import os
+
+    stmt_dir = tmp_path / "snap" / "statement_fact"
+    assert any(p.startswith("database_oid=") for p in os.listdir(stmt_dir))
