@@ -959,3 +959,72 @@ def write_full_snapshot(spark: SparkSession, path: str) -> dict[str, int]:
         writer.parquet(f"{path}/{name}")
         counts[name] = spark.read.parquet(f"{path}/{name}").count()
     return counts
+
+
+# ---------------------------------------------------------------------------
+# Role fact: RoleReference+RoleInformation per role
+# (output/transform/postgres.go:33-66) with the MemberOf OID list
+# translated into the dense role-idx space — the reference resolves each
+# membership oid through roleOidToIdx; unknown oids are dropped (the Go
+# zero-value-on-missing lookup is a silent-0 hazard the relational inner
+# join avoids).
+# ---------------------------------------------------------------------------
+
+
+def snapshot_role_fact(spark: SparkSession) -> DataFrame:
+    roles = spark.table("role_rows")
+    dim = dense_index(roles, ["rolname"], "role_idx")
+    withidx = roles.join(F.broadcast(dim), on="rolname")
+    oid_to_idx = withidx.select(
+        F.col("role_oid").alias("member_of_oid"),
+        F.col("role_idx").alias("member_idx"),
+    )
+    members = (
+        spark.table("role_members")
+        .join(F.broadcast(oid_to_idx), on="member_of_oid")
+        .groupBy("role_oid")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("member_idx").cast("string"))),
+                ",",
+            ).alias("member_of_idxs")
+        )
+    )
+    return (
+        withidx.join(F.broadcast(members), on="role_oid", how="left")
+        .select(
+            "role_idx",
+            "role_oid",
+            "rolname",
+            "superuser",
+            "can_login",
+            "create_db",
+            "conn_limit",
+            F.coalesce("member_of_idxs", F.lit("")).alias("member_of_idxs"),
+        )
+        .orderBy("role_idx")
+    )
+
+
+def oracle_snapshot_role_fact() -> str:
+    return """
+WITH dim AS (
+  SELECT rolname,
+    CAST(row_number() OVER (ORDER BY rolname) - 1 AS INT) AS role_idx
+  FROM (SELECT DISTINCT rolname FROM role_rows)
+),
+withidx AS (SELECT r.*, d.role_idx FROM role_rows r JOIN dim d USING (rolname)),
+members AS (
+  SELECT m.role_oid,
+    array_to_string(list_sort(list(CAST(w.role_idx AS VARCHAR))), ',') AS member_of_idxs
+  FROM role_members m
+  JOIN withidx w ON w.role_oid = m.member_of_oid
+  GROUP BY m.role_oid
+)
+SELECT w.role_idx, w.role_oid, w.rolname, w.superuser, w.can_login,
+  w.create_db, w.conn_limit,
+  COALESCE(m.member_of_idxs, '') AS member_of_idxs
+FROM withidx w
+LEFT JOIN members m USING (role_oid)
+ORDER BY w.role_idx
+"""

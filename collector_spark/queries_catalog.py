@@ -251,6 +251,13 @@ register(
 )
 
 register(
+    "snapshot_role_fact",
+    snapshot_facts.snapshot_role_fact,
+    snapshot_facts.oracle_snapshot_role_fact(),
+    fixtures=["role_rows", "role_members"],
+)
+
+register(
     "snapshot_custom_type_fact",
     snapshot_facts.snapshot_custom_type_fact,
     snapshot_facts.oracle_snapshot_custom_type_fact(),
