@@ -944,6 +944,7 @@ def write_full_snapshot(spark: SparkSession, path: str) -> dict[str, int]:
         "function_fact": (snapshot_function_fact(spark), "database_oid", "function_idx"),
         "database_fact": (snapshot_database_fact(spark), None, "database_idx"),
         "custom_type_fact": (snapshot_custom_type_fact(spark), "database_oid", "type_idx"),
+        "role_fact": (snapshot_role_fact(spark), None, "role_idx"),
     }
     counts: dict[str, int] = {}
     for name, (df, part, idx_col) in facts.items():

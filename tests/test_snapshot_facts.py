@@ -145,6 +145,7 @@ def test_write_full_snapshot_roundtrip(prepared_spark, tmp_path):
         "function_fact",
         "database_fact",
         "custom_type_fact",
+        "role_fact",
     }
     assert all(n > 0 for n in counts.values()), counts
     # partition pruning surface exists for the tenant-keyed facts
