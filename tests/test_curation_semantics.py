@@ -210,3 +210,15 @@ def test_containment_flags_embedded_subset(prepared_spark, docs_view):
     assert r12["subset_only"]
     if (1, 3) in rows:
         assert not rows[(1, 3)]["subset_only"]
+
+
+def test_containment_dominates_jaccard(prepared_spark):
+    """|A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| always — a metric-level invariant
+    over the real fixture corpus that would catch a swapped denominator."""
+    from pyspark.sql import functions as F
+
+    from collector_spark.ml.dedup import ngram_containment_pairs
+
+    pairs = ngram_containment_pairs(prepared_spark, threshold=0.0)
+    bad = pairs.filter(F.col("containment") < F.col("jaccard")).count()
+    assert bad == 0
