@@ -843,7 +843,11 @@ EXTENSION_ROWS = """
 SELECT r_regionkey AS extension_oid,
   'ext_' || CAST(r_regionkey AS STRING) AS extname,
   CASE WHEN r_regionkey % 2 = 0 THEN 'public' ELSE 'extensions' END AS nspname,
-  '1.' || CAST(r_regionkey AS STRING) AS extversion
+  '1.' || CAST(r_regionkey AS STRING) AS extversion,
+  -- owning database; one key (4) deliberately absent from the databases
+  -- dim to exercise the -1 sentinel in the snapshot fact
+  CAST(CASE WHEN r_regionkey = 4 THEN 99 ELSE r_regionkey END AS BIGINT)
+    AS database_oid
 FROM region
 """
 

@@ -1029,3 +1029,54 @@ FROM withidx w
 LEFT JOIN members m USING (role_oid)
 ORDER BY w.role_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# Extension fact: one row per installed extension with the database-dim
+# cross-reference (output/transform/postgres.go:258-270). The reference's
+# map lookup silently yields idx 0 for an unknown database oid; the
+# relational form keeps the explicit -1 sentinel used by every other
+# cross-reference here.
+# ---------------------------------------------------------------------------
+
+
+def snapshot_extension_fact(spark: SparkSession) -> DataFrame:
+    exts = spark.table("extension_rows")
+    dims = spark.table("databases")
+    db_dim = dense_index(dims, ["database_name"], "database_idx")
+    oid_to_idx = dims.join(F.broadcast(db_dim), on="database_name").select(
+        "database_oid", "database_idx"
+    )
+    return (
+        exts.join(F.broadcast(oid_to_idx), on="database_oid", how="left")
+        .select(
+            F.coalesce("database_idx", F.lit(-1)).cast("int").alias("database_idx"),
+            "database_oid",
+            F.col("extname").alias("extension_name"),
+            F.col("extversion").alias("version"),
+            F.col("nspname").alias("schema_name"),
+        )
+        .orderBy("extension_name")
+    )
+
+
+def oracle_snapshot_extension_fact() -> str:
+    return """
+WITH db_dim AS (
+  SELECT database_name,
+    CAST(row_number() OVER (ORDER BY database_name) - 1 AS INT) AS database_idx
+  FROM (SELECT DISTINCT database_name FROM databases)
+),
+oid_to_idx AS (
+  SELECT d.database_oid, x.database_idx
+  FROM databases d JOIN db_dim x USING (database_name)
+)
+SELECT CAST(COALESCE(o.database_idx, -1) AS INT) AS database_idx,
+  e.database_oid,
+  e.extname AS extension_name,
+  e.extversion AS version,
+  e.nspname AS schema_name
+FROM extension_rows e
+LEFT JOIN oid_to_idx o USING (database_oid)
+ORDER BY e.extname
+"""

@@ -251,6 +251,13 @@ register(
 )
 
 register(
+    "snapshot_extension_fact",
+    snapshot_facts.snapshot_extension_fact,
+    snapshot_facts.oracle_snapshot_extension_fact(),
+    fixtures=["extension_rows", "databases"],
+)
+
+register(
     "snapshot_role_fact",
     snapshot_facts.snapshot_role_fact,
     snapshot_facts.oracle_snapshot_role_fact(),
