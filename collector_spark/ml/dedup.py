@@ -794,3 +794,94 @@ FROM scored
 WHERE containment >= {threshold}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# E39 — cross-source n-gram containment matrix: for every ordered source
+# pair, the fraction of source A's distinct shingle hashes that also occur
+# in source B — the corpus-level duplication diagnostic a curation pipeline
+# reads before deciding which sources to dedup against which (e.g. "is
+# this crawl mostly a re-crawl of that one"). Asymmetric by design:
+# containment(A in B) != containment(B in A) when sizes differ.
+#
+# Scale shape: the shingle relation reduces to DISTINCT (source, h) before
+# anything else (map-side combinable), pairs come from the same
+# groupBy-bucket expansion as the LSH path (one shuffle on the 8-byte
+# hash, never an all-pairs source join), and the per-pair intersection is
+# a counting aggregate over that exchange. Source count is small, gram
+# count is the data-scaled side.
+# ---------------------------------------------------------------------------
+
+
+def source_overlap(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    grams = (
+        _shingle_hashes(docs.select(F.col("source").alias("doc_id"), "text"))
+        .withColumnRenamed("doc_id", "source")
+        .distinct()
+    )
+    sizes = grams.groupBy("source").agg(F.count("*").cast("long").alias("n_grams"))
+    pairs = (
+        grams.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (a, i) -> "
+                    "transform(slice(ss, i + 2, size(ss) - i - 1), "
+                    "b -> struct(a AS s_a, b AS s_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.s_a", "p.s_b")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    # emit both directions: containment is asymmetric
+    both = pairs.unionByName(
+        pairs.select(
+            F.col("s_b").alias("s_a"), F.col("s_a").alias("s_b"), "shared"
+        )
+    )
+    return (
+        both.join(sizes.withColumnRenamed("source", "s_a"), on="s_a")
+        .select(
+            F.col("s_a").alias("source"),
+            F.col("s_b").alias("other_source"),
+            "shared",
+            F.col("n_grams").alias("source_grams"),
+            (F.col("shared").cast("double") / F.col("n_grams").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .orderBy("source", "other_source")
+    )
+
+
+def oracle_source_overlap() -> str:
+    return f"""
+WITH grams AS (
+  SELECT DISTINCT source, h FROM (
+    SELECT doc_id AS source, h FROM (
+      {_SQL_SHINGLES.replace("FROM documents", "FROM (SELECT source AS doc_id, text FROM documents) src_docs")}
+    ) g
+  ) s
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams FROM grams GROUP BY source),
+pairs AS (
+  SELECT ga.source AS s_a, gb.source AS s_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM grams ga JOIN grams gb ON ga.h = gb.h AND ga.source < gb.source
+  GROUP BY ga.source, gb.source
+),
+both AS (
+  SELECT s_a, s_b, shared FROM pairs
+  UNION ALL
+  SELECT s_b AS s_a, s_a AS s_b, shared FROM pairs
+)
+SELECT b.s_a AS source, b.s_b AS other_source, b.shared,
+  z.n_grams AS source_grams,
+  CAST(b.shared AS DOUBLE) / CAST(z.n_grams AS DOUBLE) AS containment
+FROM both b
+JOIN sizes z ON z.source = b.s_a
+ORDER BY source, other_source
+"""

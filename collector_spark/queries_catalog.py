@@ -350,6 +350,12 @@ register(
 
 register("ml_doc_chunks", curation.doc_chunks, curation.oracle_doc_chunks())
 
+# cross-source n-gram containment matrix (corpus-level duplication
+# diagnostic; bucketed pair expansion, never an all-pairs source join)
+register(
+    "ml_source_overlap", dedup.source_overlap, dedup.oracle_source_overlap()
+)
+
 register(
     "ml_embedding_quantize",
     curation.embedding_quantize,
