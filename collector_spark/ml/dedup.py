@@ -873,7 +873,7 @@ pairs AS (
   FROM grams ga JOIN grams gb ON ga.h = gb.h AND ga.source < gb.source
   GROUP BY ga.source, gb.source
 ),
-both AS (
+directed AS (
   SELECT s_a, s_b, shared FROM pairs
   UNION ALL
   SELECT s_b AS s_a, s_a AS s_b, shared FROM pairs
@@ -881,7 +881,7 @@ both AS (
 SELECT b.s_a AS source, b.s_b AS other_source, b.shared,
   z.n_grams AS source_grams,
   CAST(b.shared AS DOUBLE) / CAST(z.n_grams AS DOUBLE) AS containment
-FROM both b
+FROM directed b
 JOIN sizes z ON z.source = b.s_a
 ORDER BY source, other_source
 """
