@@ -993,6 +993,86 @@ SELECT
 FROM lineitem
 """
 
+# selfhosted disk partitions (gopsutil disk.Partitions + disk.Usage shape,
+# input/system/selfhosted/system.go:200-256): one row per mountpoint, each
+# backed by one of the disk_snap devices so the snapshot transform's
+# partition->disk idx link (output/transform/system.go:322-345) is
+# exercised. used <= total by construction.
+DISK_PARTITIONS = """
+SELECT
+  CASE CAST(user_id % 4 AS INT)
+    WHEN 0 THEN '/' WHEN 1 THEN '/var/lib/postgresql/data'
+    WHEN 2 THEN '/var/log' ELSE '/wal' END            AS mountpoint,
+  'disk' || CAST(user_id % 4 AS STRING)               AS device,
+  CASE WHEN user_id % 4 = 2 THEN 'xfs' ELSE 'ext4' END AS filesystem_type,
+  CASE WHEN user_id % 4 = 0 THEN 'rw,relatime' ELSE 'rw,noatime' END
+                                                      AS filesystem_opts,
+  '/dev/nvme' || CAST(user_id % 4 AS STRING) || 'n1p1' AS partition_name,
+  CAST(SUM(event_id % 997) * 4096 AS BIGINT)          AS used_bytes,
+  CAST((SUM(event_id % 997) + SUM(user_id % 499) + 1) * 8192 AS BIGINT)
+                                                      AS total_bytes
+FROM events GROUP BY 1, 2, 3, 4, 5
+"""
+
+# host identity gauges (state.SystemInfo + CPUInformation subset,
+# output/transform/system.go:160-205): single row; the partition names
+# reference disk_partitions mountpoints so the transform can resolve
+# DataDirectoryDiskPartitionIdx / XlogDiskPartitionIdx.
+SYSTEM_INFO = """
+SELECT
+  'sys-' || CAST(MAX(event_id) % 100000 AS STRING) AS system_id,
+  'self_hosted'                                    AS system_type,
+  CAST(COUNT(*) * 128 AS BIGINT)                   AS xlog_used_bytes,
+  '/var/lib/postgresql/data'                       AS data_directory_partition,
+  '/wal'                                           AS xlog_partition,
+  CAST(MAX(user_id) % 64 + 1 AS INT)               AS logical_core_count,
+  CAST(FLOOR(CAST(MAX(user_id) % 64 + 1 AS DOUBLE) / 2.0) AS INT)
+                                                   AS physical_core_count,
+  CAST(MAX(user_id) % 2 + 1 AS INT)                AS socket_count
+FROM events
+"""
+
+# Tembo Cloud Prometheus instant-query responses
+# (input/system/tembo/system.go:14-44 Response/Data/MetricResult shape):
+# one JSON body per (namespace, metric kind); values are built by string
+# concatenation so both dialects render byte-identical JSON. One
+# (namespace, kind) cell renders an EMPTY result vector to exercise the
+# reference's empty-result -> zero default (system.go:139-147). The five
+# kinds mirror the five queries GetSystemState issues.
+TEMBO_METRIC_RESPONSES = """
+SELECT ns.namespace, k.kind,
+  CASE WHEN ns.nsid = 5 AND k.kind = 'disk_available'
+    THEN '{"status":"success","data":{"resultType":"vector","result":[]}}'
+    ELSE '{"status":"success","data":{"resultType":"vector","result":[{"metric":{"__name__":"q","namespace":"'
+      || ns.namespace || '"},"value":[1723600000,"'
+      || CASE k.kind
+           WHEN 'cpu_usage' THEN '0.' ||
+             CASE WHEN ns.v1 % 1000 < 10 THEN '00'
+                  WHEN ns.v1 % 1000 < 100 THEN '0' ELSE '' END
+             || CAST(ns.v1 % 1000 AS STRING)
+           WHEN 'memory_total' THEN CAST((ns.v1 % 64 + 1) * 1073741824 AS STRING)
+           WHEN 'memory_available' THEN CAST((ns.v1 % 64 + 1) * 536870912 AS STRING)
+           WHEN 'disk_capacity' THEN CAST((ns.v2 % 500 + 10) * 1073741824 AS STRING)
+           ELSE CAST((ns.v2 % 500 + 10) * 536870912 AS STRING)
+         END
+      || '"]}]}}'
+  END AS body
+FROM (
+  SELECT CAST(o_custkey % 6 AS INT) AS nsid,
+    'org-inst-' || CAST(o_custkey % 6 AS STRING) AS namespace,
+    CAST(SUM(o_orderkey % 977) AS BIGINT) AS v1,
+    CAST(SUM(o_custkey % 499) AS BIGINT) AS v2
+  FROM orders WHERE o_orderkey % 20 = 0 GROUP BY 1, 2
+) ns
+JOIN (
+  SELECT CASE CAST(r_regionkey % 5 AS INT)
+    WHEN 0 THEN 'cpu_usage' WHEN 1 THEN 'memory_total'
+    WHEN 2 THEN 'memory_available' WHEN 3 THEN 'disk_capacity'
+    ELSE 'disk_available' END AS kind
+  FROM region
+) k ON 1 = 1
+"""
+
 # ---------------------------------------------------------------------------
 # F19 — RDS log download portions (input/system/rds/logs.go shape)
 #
@@ -1842,6 +1922,9 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "utility_stmts": UTILITY_STMTS,
     "citus_aux": CITUS_AUX,
     "mem_state": MEM_STATE,
+    "disk_partitions": DISK_PARTITIONS,
+    "system_info": SYSTEM_INFO,
+    "tembo_metric_responses": TEMBO_METRIC_RESPONSES,
     "rds_portions": RDS_PORTIONS,
     "rds_prev_markers": RDS_PREV_MARKERS,
     "pg_log_files": PG_LOG_FILES,

@@ -382,6 +382,244 @@ ORDER BY section, ref_idx
 
 
 # ---------------------------------------------------------------------------
+# Full system fact: the complete transformSystem surface — the CPU/network/
+# disk sections above PLUS the sections the reference also emits
+# (output/transform/system.go:160-356): the single-row memory statistic
+# (:172-193), the scheduler load averages (:166-170), disk partitions with
+# their disk-idx link (:318-345), and the system-information row carrying
+# host identity, core counts, xlog usage, and the data-directory/xlog
+# partition idx links (:146-205, :346-353). Same flattening convention:
+# parallel protobuf arrays become one row per member with a section tag and
+# a section-local dense idx; columns outside a section stay NULL.
+# ---------------------------------------------------------------------------
+
+_SYS_FULL_TYPES: dict[str, str] = {
+    **{c: "double" for c in _SYS_COLS},
+    "receive_bytes_per_sec": "long",
+    "transmit_bytes_per_sec": "long",
+    # memory statistic + disk-partition usage (shared byte gauges)
+    "total_bytes": "long",
+    "free_bytes": "long",
+    "cached_bytes": "long",
+    "buffers_bytes": "long",
+    "swap_used_bytes": "long",
+    "used_bytes": "long",
+    "available_bytes": "long",
+    # scheduler statistic
+    "loadavg_1min": "double",
+    "loadavg_5min": "double",
+    "loadavg_15min": "double",
+    # disk partition information
+    "disk_idx": "int",
+    "filesystem_type": "string",
+    "filesystem_opts": "string",
+    "partition_name": "string",
+    # system information
+    "xlog_used_bytes": "long",
+    "logical_core_count": "int",
+    "physical_core_count": "int",
+    "socket_count": "int",
+    "data_directory_partition_idx": "int",
+    "xlog_partition_idx": "int",
+}
+
+
+def _null_fill_full(df: DataFrame, present: list[str]) -> DataFrame:
+    cols = [
+        F.col(c) if c in present else F.lit(None).cast(t).alias(c)
+        for c, t in _SYS_FULL_TYPES.items()
+    ]
+    return df.select("section", "ref_idx", "ref_name", *cols)
+
+
+def snapshot_system_fact_full(spark: SparkSession) -> DataFrame:
+    """All seven transformSystem sections as one fact. Every input here is
+    host-bounded (cores/disks/mounts/1-row gauges), so all dim joins
+    broadcast and the only shuffles are the upstream diff kernels."""
+    base = snapshot_system_fact(spark)
+
+    mem = sysops.memory_scan(spark).select(
+        F.lit("memory").alias("section"),
+        F.lit(0).cast("int").alias("ref_idx"),
+        F.lit("memory").alias("ref_name"),
+        "total_bytes",
+        "free_bytes",
+        "cached_bytes",
+        "buffers_bytes",
+        "swap_used_bytes",
+        "used_bytes",
+        "available_bytes",
+    )
+
+    sched = spark.table("load_state").select(
+        F.lit("scheduler").alias("section"),
+        F.lit(0).cast("int").alias("ref_idx"),
+        F.lit("scheduler").alias("ref_name"),
+        "loadavg_1min",
+        "loadavg_5min",
+        "loadavg_15min",
+    )
+
+    dp = spark.table("disk_partitions")
+    dp_dim = dense_index(dp, ["mountpoint"], "ref_idx")
+    disk_dim = dense_index(
+        sysops.disk_rates(spark).select("device"), ["device"], "disk_idx"
+    )
+    dp_rows = (
+        dp.join(F.broadcast(dp_dim), on="mountpoint")
+        .join(F.broadcast(disk_dim), on="device", how="left")
+        .select(
+            F.lit("disk_partition").alias("section"),
+            "ref_idx",
+            F.col("mountpoint").alias("ref_name"),
+            "disk_idx",
+            "filesystem_type",
+            "filesystem_opts",
+            "partition_name",
+            "used_bytes",
+            "total_bytes",
+        )
+    )
+
+    si = spark.table("system_info")
+    dd_idx = dp_dim.select(
+        F.col("mountpoint").alias("data_directory_partition"),
+        F.col("ref_idx").alias("data_directory_partition_idx"),
+    )
+    xl_idx = dp_dim.select(
+        F.col("mountpoint").alias("xlog_partition"),
+        F.col("ref_idx").alias("xlog_partition_idx"),
+    )
+    si_rows = (
+        si.join(F.broadcast(dd_idx), on="data_directory_partition", how="left")
+        .join(F.broadcast(xl_idx), on="xlog_partition", how="left")
+        .select(
+            F.lit("system_info").alias("section"),
+            F.lit(0).cast("int").alias("ref_idx"),
+            F.col("system_id").alias("ref_name"),
+            "xlog_used_bytes",
+            "logical_core_count",
+            "physical_core_count",
+            "socket_count",
+            "data_directory_partition_idx",
+            "xlog_partition_idx",
+        )
+    )
+
+    return (
+        _null_fill_full(base, _SYS_COLS)
+        .unionByName(
+            _null_fill_full(
+                mem,
+                [
+                    "total_bytes",
+                    "free_bytes",
+                    "cached_bytes",
+                    "buffers_bytes",
+                    "swap_used_bytes",
+                    "used_bytes",
+                    "available_bytes",
+                ],
+            )
+        )
+        .unionByName(
+            _null_fill_full(sched, ["loadavg_1min", "loadavg_5min", "loadavg_15min"])
+        )
+        .unionByName(
+            _null_fill_full(
+                dp_rows,
+                [
+                    "disk_idx",
+                    "filesystem_type",
+                    "filesystem_opts",
+                    "partition_name",
+                    "used_bytes",
+                    "total_bytes",
+                ],
+            )
+        )
+        .unionByName(
+            _null_fill_full(
+                si_rows,
+                [
+                    "xlog_used_bytes",
+                    "logical_core_count",
+                    "physical_core_count",
+                    "socket_count",
+                    "data_directory_partition_idx",
+                    "xlog_partition_idx",
+                ],
+            )
+        )
+        .orderBy("section", "ref_idx")
+    )
+
+
+def oracle_snapshot_system_fact_full() -> str:
+    duck_t = {"long": "BIGINT", "int": "INT", "double": "DOUBLE", "string": "VARCHAR"}
+
+    def sel(present: dict[str, str]) -> str:
+        outs = []
+        for c, t in _SYS_FULL_TYPES.items():
+            if c in present:
+                outs.append(f"{present[c]} AS {c}")
+            else:
+                outs.append(f"CAST(NULL AS {duck_t[t]}) AS {c}")
+        return ", ".join(outs)
+
+    ident = lambda names: {k: k for k in names}  # noqa: E731
+    base = _strip_order(oracle_snapshot_system_fact())
+    mem = _strip_order(sysops.oracle_memory_scan())
+    return f"""
+WITH base AS ({base}),
+mem AS ({mem}),
+dpdim AS (
+  SELECT mountpoint, CAST(row_number() OVER (ORDER BY mountpoint) - 1 AS INT)
+    AS p_idx
+  FROM (SELECT DISTINCT mountpoint FROM disk_partitions)
+),
+ddim AS (
+  SELECT device, CAST(row_number() OVER (ORDER BY device) - 1 AS INT) AS disk_idx
+  FROM (SELECT DISTINCT device FROM ({_strip_order(sysops.oracle_disk_rates())}) dr)
+)
+SELECT * FROM (
+  SELECT section, ref_idx, ref_name,
+    {sel(ident(_SYS_COLS))}
+  FROM base
+  UNION ALL
+  SELECT 'memory' AS section, CAST(0 AS INT) AS ref_idx, 'memory' AS ref_name,
+    {sel(ident(['total_bytes', 'free_bytes', 'cached_bytes', 'buffers_bytes',
+                'swap_used_bytes', 'used_bytes', 'available_bytes']))}
+  FROM mem
+  UNION ALL
+  SELECT 'scheduler' AS section, CAST(0 AS INT) AS ref_idx,
+    'scheduler' AS ref_name,
+    {sel(ident(['loadavg_1min', 'loadavg_5min', 'loadavg_15min']))}
+  FROM load_state
+  UNION ALL
+  SELECT 'disk_partition' AS section, d.p_idx AS ref_idx,
+    p.mountpoint AS ref_name,
+    {sel(ident(['disk_idx', 'filesystem_type', 'filesystem_opts',
+                'partition_name', 'used_bytes', 'total_bytes']))}
+  FROM disk_partitions p
+  JOIN dpdim d USING (mountpoint)
+  LEFT JOIN ddim USING (device)
+  UNION ALL
+  SELECT 'system_info' AS section, CAST(0 AS INT) AS ref_idx,
+    s.system_id AS ref_name,
+    {sel({**ident(['xlog_used_bytes', 'logical_core_count',
+                   'physical_core_count', 'socket_count']),
+          'data_directory_partition_idx': 'dd.p_idx',
+          'xlog_partition_idx': 'xl.p_idx'})}
+  FROM system_info s
+  LEFT JOIN dpdim dd ON dd.mountpoint = s.data_directory_partition
+  LEFT JOIN dpdim xl ON xl.mountpoint = s.xlog_partition
+) u
+ORDER BY section, ref_idx
+"""
+
+
+# ---------------------------------------------------------------------------
 # Backend fact: transformBackendWithoutRefs's field vector per backend with
 # the activity dims' dense database/role idx and the S5 synthetic identity
 # (input/postgres/backends.go:19-25).

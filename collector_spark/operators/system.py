@@ -528,3 +528,74 @@ SELECT server_name,
 FROM j
 ORDER BY server_name
 """
+
+
+# ---------------------------------------------------------------------------
+# S32 (Tembo Cloud): instance metrics via five Prometheus instant queries
+# (input/system/tembo/system.go:40-126). Each response carries at most one
+# vector sample; the reference takes result[0].value[1] (a string), parses
+# it, and treats an EMPTY result vector as 0 (system.go:139-147, :158-166).
+# Derived values mirror GetSystemState exactly, including its quirk of
+# publishing the "/" partition with TotalBytes = diskAvailable (NOT
+# capacity; system.go:113-118) — behavior over intuition.
+# ---------------------------------------------------------------------------
+
+_TEMBO_KINDS = (
+    "cpu_usage", "memory_total", "memory_available",
+    "disk_capacity", "disk_available",
+)
+
+
+def tembo_system_scan(spark: SparkSession) -> DataFrame:
+    """One shuffle: groupBy(namespace) pivots the five metric kinds
+    (map-side combinable MAX partials); the JSON probe is a pruned
+    get_json_object path, no explode. Missing samples COALESCE to the
+    reference's zero defaults."""
+    r = spark.table("tembo_metric_responses")
+    v = F.get_json_object(F.col("body"), "$.data.result[0].value[1]")
+    parsed = r.select("namespace", "kind", v.alias("v"))
+    agg = lambda k: F.max(F.when(F.col("kind") == k, F.col("v")))  # noqa: E731
+    s = parsed.groupBy("namespace").agg(
+        F.coalesce(agg("cpu_usage").cast("double"), F.lit(0.0)).alias("cpu"),
+        F.coalesce(agg("memory_total").cast("long"), F.lit(0).cast("long")).alias("mt"),
+        F.coalesce(agg("memory_available").cast("long"), F.lit(0).cast("long")).alias("ma"),
+        F.coalesce(agg("disk_capacity").cast("long"), F.lit(0).cast("long")).alias("dc"),
+        F.coalesce(agg("disk_available").cast("long"), F.lit(0).cast("long")).alias("da"),
+    )
+    return s.select(
+        "namespace",
+        F.col("cpu").alias("cpu_user_pct"),
+        F.col("mt").alias("memory_total_bytes"),
+        F.col("ma").alias("memory_available_bytes"),
+        F.col("ma").alias("memory_free_bytes"),
+        (F.col("dc") - F.col("da")).alias("data_directory_used_bytes"),
+        F.col("da").alias("data_directory_total_bytes"),
+    ).orderBy("namespace")
+
+
+def oracle_tembo_system_scan() -> str:
+    probe = "json_extract_string(body, '$.data.result[0].value[1]')"
+    agg = lambda k: f"MAX(CASE WHEN kind = '{k}' THEN v END)"  # noqa: E731
+    return f"""
+WITH parsed AS (
+  SELECT namespace, kind, {probe} AS v FROM tembo_metric_responses
+),
+s AS (
+  SELECT namespace,
+    COALESCE(CAST({agg('cpu_usage')} AS DOUBLE), 0.0) AS cpu,
+    COALESCE(CAST({agg('memory_total')} AS BIGINT), 0) AS mt,
+    COALESCE(CAST({agg('memory_available')} AS BIGINT), 0) AS ma,
+    COALESCE(CAST({agg('disk_capacity')} AS BIGINT), 0) AS dc,
+    COALESCE(CAST({agg('disk_available')} AS BIGINT), 0) AS da
+  FROM parsed GROUP BY namespace
+)
+SELECT namespace,
+  cpu AS cpu_user_pct,
+  mt AS memory_total_bytes,
+  ma AS memory_available_bytes,
+  ma AS memory_free_bytes,
+  dc - da AS data_directory_used_bytes,
+  da AS data_directory_total_bytes
+FROM s
+ORDER BY namespace
+"""

@@ -113,6 +113,47 @@ from collector_spark.streaming.stat_buckets import stream_stat_buckets
 #    that were only judge-verified, (4) new round-6 operators.
 # ===========================================================================
 
+# ===========================================================================
+# A0. round-7 front window: new operators and round-7 semantic fixes —
+#     these MUST hold the first driver-window positions this round.
+# ===========================================================================
+
+# -- r7: oracle fixed (reserved CTE name) — needs its first green driver row
+register(
+    "ml_source_overlap", dedup.source_overlap, dedup.oracle_source_overlap()
+)
+
+# -- r7: complete transformSystem surface — memory statistic, scheduler,
+#    disk partitions with disk-idx links, system-information row
+#    (output/transform/system.go:146-356)
+register(
+    "snapshot_system_fact_full",
+    snapshot_facts.snapshot_system_fact_full,
+    snapshot_facts.oracle_snapshot_system_fact_full(),
+    fixtures=[
+        "cpu_snap1",
+        "cpu_snap2",
+        "net_snap1",
+        "net_snap2",
+        "disk_snap1",
+        "disk_snap2",
+        "mem_state",
+        "load_state",
+        "disk_partitions",
+        "system_info",
+    ],
+)
+
+# -- r7: Tembo Cloud system metrics — the last uncovered input/system
+#    surface (input/system/tembo/system.go:40-126), incl. the reference's
+#    empty-result -> 0 defaults and its TotalBytes = diskAvailable quirk
+register(
+    "s32_tembo_scan",
+    system.tembo_system_scan,
+    system.oracle_tembo_system_scan(),
+    fixtures=["tembo_metric_responses"],
+)
+
 # -- (2) semantics changed this round: span stage is now scoped to exact-dup
 #    canonicals and a window counts as duplicated only when it also occurs
 #    in a smaller-doc_id canonical, so one representative always survives
