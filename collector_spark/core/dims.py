@@ -51,19 +51,23 @@ def dense_index(
     """Distinct ``key_cols`` of ``df`` with a dense int32 ``idx_name`` column
     equal to each key's 0-based global sorted rank."""
     keys = df.select(*key_cols).distinct()
+    # NULLS LAST explicitly: Spark's default ascending order is nulls-first
+    # while DuckDB's row_number ORDER BY (every oracle) is nulls-last; a
+    # nullable dim key would silently rank differently without the pin.
+    order = [F.col(c).asc_nulls_last() for c in key_cols]
     # materialized once: both consumers below MUST see the same (_pid, key)
     # assignment; see module docstring. Dim key sets are O(distinct keys),
     # orders of magnitude smaller than facts, so the checkpoint is cheap and
     # its storage is reclaimed when the RDD is garbage-collected.
     ranged = (
-        keys.repartitionByRange(num_parts, *key_cols)
+        keys.repartitionByRange(num_parts, *order)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
     local = ranged.withColumn(
         "_lrn",
         F.row_number()
-        .over(Window.partitionBy("_pid").orderBy(*key_cols))
+        .over(Window.partitionBy("_pid").orderBy(*order))
         .cast("long"),
     )
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))

@@ -643,7 +643,14 @@ def doc_chunks(spark: SparkSession) -> DataFrame:
     words = F.split(F.trim(F.col("text")), r"\s+")
     n = F.size(words)
     stop = F.greatest(n - CHUNK_TOKENS, F.lit(0)) + 1
-    starts = F.sequence(F.lit(1), stop, F.lit(CHUNK_STRIDE))
+    grid = F.sequence(F.lit(1), stop, F.lit(CHUNK_STRIDE))
+    # tail coverage: when the last full-window start (stop) is off the
+    # stride grid, emit one extra stride-shifted window ending exactly at
+    # the last token — otherwise up to stride-1 trailing tokens would
+    # appear in no chunk
+    starts = F.when(
+        ((stop - F.lit(1)) % CHUNK_STRIDE) != 0, F.concat(grid, F.array(stop))
+    ).otherwise(grid)
     exploded = docs.select(
         "doc_id",
         "source",
@@ -677,8 +684,10 @@ SELECT doc_id, source,
   CAST(LEAST({CHUNK_TOKENS}, len(wl) - gs.start_token + 1) AS BIGINT) AS n_tokens,
   array_to_string(wl[gs.start_token : gs.start_token + {CHUNK_TOKENS} - 1], ' ') AS chunk_text
 FROM w, LATERAL (
-  SELECT unnest(generate_series(1, GREATEST(len(wl) - {CHUNK_TOKENS}, 0) + 1,
-                                {CHUNK_STRIDE})) AS start_token
+  SELECT unnest(list_distinct(list_append(
+    generate_series(1, GREATEST(len(wl) - {CHUNK_TOKENS}, 0) + 1,
+                    {CHUNK_STRIDE}),
+    GREATEST(len(wl) - {CHUNK_TOKENS}, 0) + 1))) AS start_token
 ) gs
 ORDER BY doc_id, chunk_idx
 """

@@ -1157,11 +1157,23 @@ def _assert_dense_idx(df: DataFrame, col: str) -> None:
         (F.max(col) + 1 - F.count_distinct(col)).alias("gap"),
     ).collect()[0]
     if row["n"] == 0:
-        raise ValueError(f"full snapshot integrity: empty fact for {col}")
+        # an empty fact is a normal snapshot state (e.g. zero standbys, no
+        # custom types): the reference uploads empty arrays, not an error
+        return
     if row["bad"]:
         raise ValueError(f"full snapshot integrity: {row['bad']} bad {col}")
     if row["gap"] != 0:
         raise ValueError(f"full snapshot integrity: non-dense {col} space")
+
+
+def _assert_idx_link(df: DataFrame, col: str, sentinel: bool = False) -> None:
+    """Foreign-idx integrity: every value resolves (non-null, >= 0), or
+    >= -1 where the reference uses a not-found sentinel. Link columns repeat
+    and need not be gap-free — that's the owning dim's invariant."""
+    floor = -1 if sentinel else 0
+    bad = df.filter(F.col(col).isNull() | (F.col(col) < floor)).limit(1).count()
+    if bad:
+        raise ValueError(f"full snapshot integrity: unresolved {col} link")
 
 
 def write_full_snapshot(spark: SparkSession, path: str) -> dict[str, int]:
@@ -1171,27 +1183,43 @@ def write_full_snapshot(spark: SparkSession, path: str) -> dict[str, int]:
     snapshot, like the reference's pre-upload VerifyIntegrity."""
     from collector_spark.operators.snapshot import assemble_statement_fact
 
-    facts: dict[str, tuple[DataFrame, str | None, str]] = {
-        # name -> (df, partition column or None, dense idx column)
-        "statement_fact": (assemble_statement_fact(spark), "database_oid", "query_idx"),
-        "relation_fact": (snapshot_relation_fact(spark), None, "relation_idx"),
-        "index_fact": (snapshot_index_fact(spark), None, "index_idx"),
-        "system_fact": (snapshot_system_fact(spark), "section", "ref_idx"),
-        "backend_fact": (snapshot_backend_fact(spark), "database_oid", "database_idx"),
-        "replication_fact": (snapshot_replication_fact(spark), None, "standby_idx"),
-        "function_fact": (snapshot_function_fact(spark), "database_oid", "function_idx"),
-        "database_fact": (snapshot_database_fact(spark), None, "database_idx"),
-        "custom_type_fact": (snapshot_custom_type_fact(spark), "database_oid", "type_idx"),
-        "role_fact": (snapshot_role_fact(spark), None, "role_idx"),
+    facts: dict[str, tuple[DataFrame, str | None, str, str]] = {
+        # name -> (df, partition column or None, idx column, idx kind):
+        # "dense" = the fact's own idx space must be gap-free;
+        # "link" = a foreign idx into another fact's dim (>= 0, repeats ok);
+        # "link-1" = link with the reference's -1 not-found sentinel
+        "statement_fact": (assemble_statement_fact(spark), "database_oid", "query_idx", "dense"),
+        "relation_fact": (snapshot_relation_fact(spark), None, "relation_idx", "dense"),
+        "index_fact": (snapshot_index_fact(spark), None, "index_idx", "dense"),
+        "system_fact": (snapshot_system_fact_full(spark), "section", "ref_idx", "dense"),
+        "backend_fact": (snapshot_backend_fact(spark), "database_oid", "database_idx", "dense"),
+        "replication_fact": (snapshot_replication_fact(spark), None, "standby_idx", "dense"),
+        "function_fact": (snapshot_function_fact(spark), "database_oid", "function_idx", "dense"),
+        "database_fact": (snapshot_database_fact(spark), None, "database_idx", "dense"),
+        "custom_type_fact": (snapshot_custom_type_fact(spark), "database_oid", "type_idx", "dense"),
+        "role_fact": (snapshot_role_fact(spark), None, "role_idx", "dense"),
+        "extension_fact": (snapshot_extension_fact(spark), None, "database_idx", "link-1"),
+        "relation_events": (snapshot_relation_events(spark), None, "relation_idx", "link"),
+        "column_type_link": (snapshot_column_type_link(spark), None, "data_type_custom_idx", "link-1"),
     }
     counts: dict[str, int] = {}
-    for name, (df, part, idx_col) in facts.items():
+    for name, (df, part, idx_col, kind) in facts.items():
         if name == "system_fact":
             # section-local idx spaces: verify per section
-            for sec in ("cpu", "network", "disk"):
+            for sec in (
+                "cpu",
+                "network",
+                "disk",
+                "memory",
+                "scheduler",
+                "disk_partition",
+                "system_info",
+            ):
                 _assert_dense_idx(df.filter(F.col("section") == sec), idx_col)
-        else:
+        elif kind == "dense":
             _assert_dense_idx(df, idx_col)
+        else:
+            _assert_idx_link(df, idx_col, sentinel=(kind == "link-1"))
         writer = df.write.mode("overwrite")
         if part is not None:
             writer = writer.partitionBy(part)

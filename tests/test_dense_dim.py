@@ -53,3 +53,15 @@ def test_statement_fact_plan_has_no_single_partition_exchange(prepared_spark):
     # the final .orderBy for oracle determinism is rangepartitioning — fine;
     # what must be gone is the all-keys-through-one-task window exchange
     assert "SinglePartition" not in plan, plan
+
+
+def test_dense_index_ranks_null_keys_last(prepared_spark):
+    """Oracles rank with DuckDB's default NULLS LAST; a nullable dim key
+    (e.g. client_addr of a local standby) must get the highest idx, not 0
+    as Spark's nulls-first default would give."""
+    spark = prepared_spark
+    src = spark.createDataFrame(
+        [("b",), (None,), ("a",), ("c",), (None,)], ["k"]
+    )
+    rows = {r["k"]: r["idx"] for r in dense_index(src, ["k"], "idx").collect()}
+    assert rows == {"a": 0, "b": 1, "c": 2, None: 3}

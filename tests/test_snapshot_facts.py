@@ -146,6 +146,9 @@ def test_write_full_snapshot_roundtrip(prepared_spark, tmp_path):
         "database_fact",
         "custom_type_fact",
         "role_fact",
+        "extension_fact",
+        "relation_events",
+        "column_type_link",
     }
     assert all(n > 0 for n in counts.values()), counts
     # partition pruning surface exists for the tenant-keyed facts
@@ -153,3 +156,48 @@ def test_write_full_snapshot_roundtrip(prepared_spark, tmp_path):
 
     stmt_dir = tmp_path / "snap" / "statement_fact"
     assert any(p.startswith("database_oid=") for p in os.listdir(stmt_dir))
+
+
+def test_dense_assert_accepts_empty_fact(prepared_spark):
+    """A legitimately empty fact (zero standbys, no custom types) is a
+    normal snapshot state — the integrity gate must not abort the emit."""
+    from collector_spark.operators.snapshot_facts import (
+        _assert_dense_idx,
+        _assert_idx_link,
+    )
+
+    empty = prepared_spark.range(0).select(F.col("id").cast("int").alias("idx"))
+    _assert_dense_idx(empty, "idx")
+    _assert_idx_link(empty, "idx")
+
+
+def test_system_fact_full_sections(prepared_spark):
+    from collector_spark.operators.snapshot_facts import snapshot_system_fact_full
+
+    fact = snapshot_system_fact_full(prepared_spark).persist()
+    try:
+        sections = {r["section"] for r in fact.select("section").distinct().collect()}
+        assert sections == {
+            "cpu",
+            "network",
+            "disk",
+            "memory",
+            "scheduler",
+            "disk_partition",
+            "system_info",
+        }
+        for s in sections:
+            _assert_dense(fact.filter(F.col("section") == s), "ref_idx")
+        # partition -> disk idx links resolve inside the disk section
+        n_disks = fact.filter(F.col("section") == "disk").count()
+        bad = fact.filter(
+            (F.col("section") == "disk_partition")
+            & ((F.col("disk_idx") < 0) | (F.col("disk_idx") >= n_disks))
+        ).count()
+        assert bad == 0
+        # system info resolves the data-directory and xlog partitions
+        si = fact.filter(F.col("section") == "system_info").collect()[0]
+        assert si["data_directory_partition_idx"] is not None
+        assert si["xlog_partition_idx"] is not None
+    finally:
+        fact.unpersist()
