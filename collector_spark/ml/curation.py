@@ -761,3 +761,202 @@ SELECT vec_id, CAST(n_dims AS INT) AS n_dims, max_abs, scale,
 FROM quant
 ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E40 — concatenate-and-chop sequence packing (the GPT-style training-prep
+# step: documents are concatenated in a deterministic order and chopped
+# into fixed token-budget sequences; a document may straddle a pack
+# boundary). Emits, per document, its position in the packed token stream:
+# pack id, offset inside the pack, and whether it crosses a boundary —
+# the manifest a dataloader consumes.
+#
+# Scale shape: packing is inherently sequential, so the stream is sharded:
+# documents pack within (source, shard) where a shard is PACK_SHARD_DOCS
+# consecutive doc_ids. Each shard's cumulative sum is an independent
+# bounded window partition (never one giant per-source partition at
+# 100 TB); the boundary waste at shard edges is the standard tradeoff.
+# One shuffle (the window partition key), map-side nothing else.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+PACK_SHARD_DOCS = 200  # doc_ids per independent packing shard
+
+
+def sequence_packing(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.floor(F.col("doc_id") / PACK_SHARD_DOCS).cast("long").alias("shard"),
+        toks.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return (
+        base.withColumn("stream_offset", cum_before)
+        .select(
+            "doc_id",
+            "source",
+            "shard",
+            "n_tokens",
+            "stream_offset",
+            F.floor(F.col("stream_offset") / PACK_BUDGET)
+            .cast("long")
+            .alias("pack_id"),
+            (F.col("stream_offset") % PACK_BUDGET).alias("offset_in_pack"),
+            (
+                (F.col("stream_offset") % PACK_BUDGET) + F.col("n_tokens")
+                > PACK_BUDGET
+            ).alias("crosses_boundary"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_sequence_packing() -> str:
+    return rf"""
+WITH base AS (
+  SELECT doc_id, source,
+    CAST(FLOOR(doc_id / {PACK_SHARD_DOCS}) AS BIGINT) AS shard,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *, COALESCE(SUM(n_tokens) OVER (
+      PARTITION BY source, shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS stream_offset
+  FROM base
+)
+SELECT doc_id, source, shard, n_tokens, stream_offset,
+  CAST(FLOOR(stream_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id,
+  stream_offset % {PACK_BUDGET} AS offset_in_pack,
+  (stream_offset % {PACK_BUDGET}) + n_tokens > {PACK_BUDGET} AS crosses_boundary
+FROM c
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E41 — corpus unigram language-model quality score (the CCNet-style cheap
+# LM proxy: score every document by the mean negative log-probability of
+# its words under the corpus's own unigram distribution; high mean NLL =
+# rare-word-heavy / noisy text, the tail a curation pipeline reviews or
+# drops). Natural log on both engines (DuckDB ln(), not its base-10
+# log()); per-word ln bits are identical across engines, and each word's
+# NLL is quantized onto an integer 2^-20 grid before aggregation so the
+# per-doc sum is an exact integer — bit-identical under ANY reduce order
+# (the repo's no-tolerance oracle contract; a raw double SUM flaked by
+# 1 ulp with partitioning).
+#
+# Scale shape: vocab build is one combinable groupBy(word); the grand
+# total rides a 1-row broadcast. The word->vocab equi-join shuffles on the
+# word — at 100 TB the standard refinement is broadcasting only the top-K
+# vocabulary with an OOV floor probability, which keeps results stable for
+# every in-vocab word and bounds the broadcast; the full join here is the
+# exact form the fixture verifies.
+# ---------------------------------------------------------------------------
+
+
+_NLL_SCALE = 1048576  # 2^20: NLL quantization grid (exact integer sums)
+
+
+def unigram_logprob(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    vocab = words.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    scored = words.join(vocab, "w").crossJoin(F.broadcast(total))
+    nll = -F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+    # per-word ln bits are identical across engines (verified), but a
+    # floating SUM depends on reduce order — quantize each word's NLL onto
+    # an integer 2^-20 grid so the aggregate is an exact integer sum,
+    # order-independent on any partitioning
+    nll_q = F.floor(nll * _NLL_SCALE).cast("long")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(nll_q).alias("sum_q"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("sum_q").cast("double")
+                / (F.col("n_tokens").cast("double") * _NLL_SCALE)
+            ).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_unigram_logprob() -> str:
+    return rf"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY w),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CAST(FLOOR(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                      * {_NLL_SCALE}) AS BIGINT)) AS DOUBLE)
+    / (CAST(COUNT(*) AS DOUBLE) * {_NLL_SCALE}) AS mean_nll
+FROM words JOIN vocab USING (w) CROSS JOIN total
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E42 — deterministic content-keyed train/valid/test split assignment:
+# each document lands in a split by hashing its CONTENT (not its id) into
+# a uniform [0,1) bucket, so the assignment is stable under re-ingestion,
+# re-sharding and doc_id renumbering — the property that prevents silent
+# eval leakage when a corpus is rebuilt. Map-only, no shuffle.
+# ---------------------------------------------------------------------------
+
+SPLIT_BOUNDS = (("train", 0.90), ("valid", 0.95))  # remainder -> test
+_SPLIT_MOD = 1_000_000
+
+
+def split_assign(spark: SparkSession) -> DataFrame:
+    from collector_spark.ml.dedup import _hash60
+
+    docs = spark.table("documents")
+    u = (
+        _hash60(F.concat(F.lit("split:"), F.col("text"))) % _SPLIT_MOD
+    ).cast("double") / float(_SPLIT_MOD)
+    split = F.when(u < SPLIT_BOUNDS[0][1], SPLIT_BOUNDS[0][0]).otherwise(
+        F.when(u < SPLIT_BOUNDS[1][1], SPLIT_BOUNDS[1][0]).otherwise("test")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        u.alias("u"),
+        split.alias("split"),
+    ).orderBy("doc_id")
+
+
+def oracle_split_assign() -> str:
+    from collector_spark.ml.dedup import _sql_hash60
+
+    h = _sql_hash60("'split:' || text")
+    return f"""
+SELECT doc_id, source,
+  CAST(({h}) % {_SPLIT_MOD} AS DOUBLE) / {_SPLIT_MOD}.0 AS u,
+  CASE WHEN CAST(({h}) % {_SPLIT_MOD} AS DOUBLE) / {_SPLIT_MOD}.0 < {SPLIT_BOUNDS[0][1]} THEN '{SPLIT_BOUNDS[0][0]}'
+       WHEN CAST(({h}) % {_SPLIT_MOD} AS DOUBLE) / {_SPLIT_MOD}.0 < {SPLIT_BOUNDS[1][1]} THEN '{SPLIT_BOUNDS[1][0]}'
+       ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""

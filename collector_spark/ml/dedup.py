@@ -523,6 +523,11 @@ def ngram_span_dedup(spark: SparkSession) -> DataFrame:
     shuffled as strings) -> ONE groupBy(doc_id) reduce; both aggregations
     map-side combinable. Docs shorter than W words and non-canonical
     siblings re-enter via the left join with zero windows (keep).
+
+    The window form is the measured winner (r7 A/B at sf0.1, local[32],
+    median of 3 x2): window 2.6-2.8 s vs groupBy(h).agg(min)+rejoin 2.9-3.2
+    s (SHUFFLE_HASH hint) / 4.8-4.9 s (sort-merge) — the per-partition sort
+    is cheaper than a second pass over the gram relation for the join.
     """
     docs = spark.table("documents")
     grams = _span_gram_hashes(_exact_canonicals(docs))

@@ -154,6 +154,22 @@ register(
     fixtures=["tembo_metric_responses"],
 )
 
+# -- r7 training-data additions: concatenate-and-chop sequence packing
+#    manifest (sharded cumulative stream), corpus unigram-LM quality score
+#    (CCNet-style mean NLL), and content-keyed deterministic split
+#    assignment (stable under re-ingestion/renumbering)
+register(
+    "ml_sequence_packing",
+    curation.sequence_packing,
+    curation.oracle_sequence_packing(),
+)
+register(
+    "ml_unigram_logprob",
+    curation.unigram_logprob,
+    curation.oracle_unigram_logprob(),
+)
+register("ml_split_assign", curation.split_assign, curation.oracle_split_assign())
+
 # -- (2) semantics changed this round: span stage is now scoped to exact-dup
 #    canonicals and a window counts as duplicated only when it also occurs
 #    in a smaller-doc_id canonical, so one representative always survives
