@@ -81,6 +81,7 @@ from collector_spark.operators import (
     log_snapshot,
     backends,
     buffer_cache,
+    collector_config,
     databases,
     functions_stats,
     historic,
@@ -169,6 +170,16 @@ register(
     curation.oracle_unigram_logprob(),
 )
 register("ml_split_assign", curation.split_assign, curation.oracle_split_assign())
+
+# -- r7: CollectorConfig envelope with secret hygiene — GetDbURLRedacted
+#    (config_test.go goldens), URL-derived effective host/port, has-secret
+#    booleans (output/transform/collector_config.go, config/config.go:437)
+register(
+    "f20_collector_config",
+    collector_config.collector_config_fact,
+    collector_config.oracle_collector_config_fact(),
+    fixtures=["collector_config_rows"],
+)
 
 # -- (2) semantics changed this round: span stage is now scoped to exact-dup
 #    canonicals and a window counts as duplicated only when it also occurs

@@ -123,6 +123,41 @@ def driver_oracle_sql() -> dict[str, str]:
     }
 
 
+def drop_trailing_sort(df: DataFrame) -> DataFrame:
+    """Elide top-level GLOBAL Sort nodes from a query's logical plan.
+
+    Registered queries end in a global orderBy ONLY so the DuckDB oracle
+    comparison is deterministic (the driver hashes order-insensitively
+    anyway); a production sink partitions its output and never needs the
+    all-data range exchange + sort that a global orderBy costs at 100x
+    scale. Partition-local sorts (windows, SMJ) sit below the root and are
+    untouched. Row multiset is identical by construction."""
+    spark = df.sparkSession
+    lp = df._jdf.queryExecution().logical()
+    changed = False
+    # getattr: 'global' is a Python keyword, but a plain method on Sort
+    while lp.getClass().getSimpleName() == "Sort" and getattr(lp, "global")():
+        lp = lp.child()
+        changed = True
+    if not changed:
+        return df
+    of_rows = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows
+    return DataFrame(of_rows(spark._jsparkSession, lp), spark)
+
+
+def sink_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """``driver_queries()`` with the oracle-determinism global sort elided —
+    the entry surface a production pipeline writes to its sinks."""
+
+    def adapt(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return drop_trailing_sort(fn(spark, sf_dir))
+
+        return run
+
+    return {name: adapt(fn) for name, fn in driver_queries().items()}
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     from collector_spark import queries_catalog  # noqa: F401

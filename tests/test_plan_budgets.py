@@ -98,6 +98,33 @@ BUDGETS = {
     "j13_explain_analyze_guard": (4, []),
     "ml_length_histogram": (10, ["BroadcastHashJoin"]),
     "s35_server_version": (3, []),
+    # --- round-7 additions ---
+    # seven-section system fact: all dim joins broadcast; exchanges are
+    # dominated by the upstream diff kernels' printed subtrees
+    "snapshot_system_fact_full": (85, ["BroadcastHashJoin"]),
+    # five-kind pivot: one combinable groupBy(namespace)
+    "s32_tembo_scan": (7, []),
+    # packing manifest: ONE exchange for the (source, shard) window
+    "ml_sequence_packing": (4, []),
+    # unigram NLL: vocab groupBy + word-keyed join + per-doc reduce; the
+    # 1-row grand total is the only single-partition aggregate
+    "ml_unigram_logprob": (13, []),
+    # split assignment: map-only + the determinism orderBy
+    "ml_split_assign": (3, []),
+    # source overlap: DISTINCT-first + bucket pair expansion, one shuffle
+    # on the gram hash
+    "ml_source_overlap": (14, []),
+    "ml_doc_chunks": (3, []),
+}
+
+# Queries allowed N Exchange SinglePartition occurrences: 1-row gauge
+# relations (mem_state/load_state/system_info fixtures render via a global
+# aggregate over lineitem/events — production reads them as 1-row scans)
+# and 1-row grand-total aggregates (unigram vocab total). These are
+# bounded by construction, never data-scaled.
+SINGLE_PARTITION_OK = {
+    "snapshot_system_fact_full": 3,
+    "ml_unigram_logprob": 1,
 }
 
 
@@ -133,7 +160,10 @@ def test_plan_budget(prepared_spark, name):
     n_exchange = plan.count("Exchange ")
     assert n_exchange <= budget, f"{name}: {n_exchange} exchanges > budget {budget}"
     # the invariant that matters most at scale: nothing funnels the data
-    # through one task
-    assert "Exchange SinglePartition" not in plan, name
+    # through one task (1-row gauge/grand-total subtrees excepted, above)
+    n_single = plan.count("Exchange SinglePartition")
+    assert n_single <= SINGLE_PARTITION_OK.get(name, 0), (
+        f"{name}: {n_single} single-partition exchanges"
+    )
     for frag in must_contain:
         assert frag in plan, f"{name}: expected {frag} in plan"
