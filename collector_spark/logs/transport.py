@@ -1096,14 +1096,7 @@ _TEMBO_SCHEMA = T.StructType(
 )
 
 
-def tembo_items(spark: SparkSession) -> DataFrame:
-    """Loki StreamResult frames -> log lines + DETAIL secondaries
-    (tembo/logs.go:144-162 stream walk, :167-218 logLineFromJsonlog): each
-    values pair is [ns-timestamp, jsonlog-record]; the record's ``detail``
-    key yields an extra DETAIL line duplicating the main line's metadata.
-    Same jsonlog mapping as the OTel receiver — the envelope walk (streams
-    -> values explode) is what Tembo adds."""
-    msgs = spark.table("tembo_ws_messages")
+def _tembo_items_df(msgs: DataFrame) -> DataFrame:
     m = F.from_json("payload", _TEMBO_SCHEMA).alias("m")
     streams = msgs.select("msg_id", m).select(
         "msg_id", F.explode("m.streams").alias("s")
@@ -1159,7 +1152,56 @@ def tembo_items(spark: SparkSession) -> DataFrame:
         F.lit("DETAIL").alias("log_level"),
         F.col("detail").alias("content"),
     )
-    return main.unionAll(details).orderBy("msg_id", "value_idx", "line_idx")
+    return main.unionAll(details)
+
+
+def tembo_items(spark: SparkSession) -> DataFrame:
+    """Loki StreamResult frames -> log lines + DETAIL secondaries
+    (tembo/logs.go:144-162 stream walk, :167-218 logLineFromJsonlog): each
+    values pair is [ns-timestamp, jsonlog-record]; the record's ``detail``
+    key yields an extra DETAIL line duplicating the main line's metadata.
+    Same jsonlog mapping as the OTel receiver — the envelope walk (streams
+    -> values explode) is what Tembo adds."""
+    return _tembo_items_df(spark.table("tembo_ws_messages")).orderBy(
+        "msg_id", "value_idx", "line_idx"
+    )
+
+
+def stream_tembo_items(spark: SparkSession) -> DataFrame:
+    """The Tembo receiver as a LIVE stream — in production it IS one (a
+    Loki websocket, tembo/logs.go:41-77 readPump); the file source stands
+    in for the socket and the identical stateless envelope walk runs per
+    micro-batch. availableNow run-to-completion must equal the batch
+    operator/oracle exactly, proving the frame walk is streaming-safe."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), "collector_spark_tembo", run_id)
+    src_dir = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    msgs = spark.table("tembo_ws_messages")
+    msgs.write.mode("overwrite").parquet(src_dir)
+
+    raw = spark.readStream.schema(msgs.schema).parquet(src_dir)
+    qname = f"tembo_stream_{run_id}"
+    q = (
+        _tembo_items_df(raw)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.table(qname).orderBy("msg_id", "value_idx", "line_idx")
 
 
 def oracle_tembo_items() -> str:

@@ -171,6 +171,15 @@ register(
 )
 register("ml_split_assign", curation.split_assign, curation.oracle_split_assign())
 
+# -- r7: the Tembo Loki websocket receiver as a LIVE streaming query (in
+#    production it IS a websocket stream); availableNow equals the batch
+#    oracle
+register(
+    "st_tr_tembo_stream",
+    transport.stream_tembo_items,
+    transport.oracle_tembo_items(),
+)
+
 # -- r7: CollectorConfig envelope with secret hygiene — GetDbURLRedacted
 #    (config_test.go goldens), URL-derived effective host/port, has-secret
 #    booleans (output/transform/collector_config.go, config/config.go:437)
