@@ -960,3 +960,177 @@ SELECT doc_id, source,
 FROM documents
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E43 — quality keep/drop composition (the filtering stage a pipeline runs
+# after dedup: C4 heuristics, Gopher repetition caps, and the composite
+# quality floor folded into ONE decision per document with the
+# first-failing reason, mirroring dedup_keep_list's audit shape). All
+# upstream signals are map-side or per-doc reduces; the composition adds
+# only doc_id equi-joins of same-cardinality per-doc relations — plain
+# joins, never forced broadcast (each side is O(corpus) at 100 TB).
+# ---------------------------------------------------------------------------
+
+GOPHER_TOP_UNI_MAX = 0.20
+GOPHER_DUP_TRI_MAX = 0.20
+QUALITY_MIN_SCORE = 0.5
+
+
+def quality_keep_list(spark: SparkSession) -> DataFrame:
+    from collector_spark.ml.textstats import quality_score
+
+    c4 = c4_filters(spark).select("doc_id", F.col("keep").alias("c4_ok"))
+    rep = repetition_signals(spark).select(
+        "doc_id",
+        (
+            (F.col("top_unigram_frac") <= GOPHER_TOP_UNI_MAX)
+            & (F.col("dup_trigram_frac") <= GOPHER_DUP_TRI_MAX)
+        ).alias("repetition_ok"),
+    )
+    q = quality_score(spark).select(
+        "doc_id", (F.col("quality_score") >= QUALITY_MIN_SCORE).alias("score_ok")
+    )
+    reason = (
+        F.when(~F.col("c4_ok"), "c4_heuristics")
+        .when(~F.col("repetition_ok"), "gopher_repetition")
+        .when(~F.col("score_ok"), "low_quality_score")
+    )
+    return (
+        spark.table("documents")
+        .select("doc_id", "source")
+        .join(c4, "doc_id")
+        .join(rep, "doc_id")
+        .join(q, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "c4_ok",
+            "repetition_ok",
+            "score_ok",
+            reason.isNull().alias("keep"),
+            reason.alias("drop_reason"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_quality_keep_list() -> str:
+    from collector_spark.ml.textstats import oracle_quality_score
+
+    c4 = oracle_c4_filters().rsplit("ORDER BY", 1)[0]
+    rep = oracle_repetition_signals().rsplit("ORDER BY", 1)[0]
+    q = oracle_quality_score().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH c4_full AS ({c4}), rep_full AS ({rep}), q_full AS ({q}),
+flags AS (
+  SELECT d.doc_id, d.source,
+    c.keep AS c4_ok,
+    r.top_unigram_frac <= {GOPHER_TOP_UNI_MAX}
+      AND r.dup_trigram_frac <= {GOPHER_DUP_TRI_MAX} AS repetition_ok,
+    s.quality_score >= {QUALITY_MIN_SCORE} AS score_ok
+  FROM documents d
+  JOIN c4_full c USING (doc_id)
+  JOIN rep_full r USING (doc_id)
+  JOIN q_full s USING (doc_id)
+)
+SELECT doc_id, source, c4_ok, repetition_ok, score_ok,
+  (c4_ok AND repetition_ok AND score_ok) AS keep,
+  CASE WHEN NOT c4_ok THEN 'c4_heuristics'
+       WHEN NOT repetition_ok THEN 'gopher_repetition'
+       WHEN NOT score_ok THEN 'low_quality_score' END AS drop_reason
+FROM flags
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E44 — corpus report fact: the per-(source, lang) dashboard a curation run
+# publishes — volume (docs/tokens), mean quality, exact-duplicate rate,
+# and the quality-drop rate with its dominant reason. One groupBy over
+# per-doc relations (all map-side-combinable aggregates); the dominant
+# reason is an exact min over the at-most-3 reason labels, not a mode
+# estimate, so both engines agree deterministically.
+# ---------------------------------------------------------------------------
+
+
+def corpus_report(spark: SparkSession) -> DataFrame:
+    from collector_spark.ml.dedup import exact_dup_groups
+
+    docs = spark.table("documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    base = docs.select("doc_id", "source", "lang", toks.alias("n_tokens"))
+    dup = exact_dup_groups(spark).select(
+        "doc_id", (~F.col("keep")).alias("is_dup")
+    )
+    from collector_spark.ml.textstats import quality_score
+
+    q = quality_score(spark).select("doc_id", "quality_score")
+    kl = quality_keep_list(spark).select("doc_id", "keep", "drop_reason")
+    joined = (
+        base.join(dup, "doc_id", "left")
+        .join(q, "doc_id")
+        .join(kl.select("doc_id", "keep", "drop_reason"), "doc_id")
+    )
+    return (
+        joined.groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("long").alias("docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            # per-doc scores are bit-identical across engines; AVG's
+            # reduce order is not — same integer-grid trick as E41
+            (
+                F.sum(F.floor(F.col("quality_score") * _NLL_SCALE).cast("long"))
+                .cast("double")
+                / (F.count("*").cast("double") * _NLL_SCALE)
+            ).alias("mean_quality"),
+            (
+                F.sum(F.when(F.coalesce("is_dup", F.lit(False)), 1).otherwise(0))
+                .cast("double")
+                / F.count("*")
+            ).alias("exact_dup_rate"),
+            (
+                F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("double")
+                / F.count("*")
+            ).alias("quality_drop_rate"),
+            F.min("drop_reason").alias("first_drop_reason"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def oracle_corpus_report() -> str:
+    from collector_spark.ml.dedup import oracle_exact_dup_groups
+
+    dup = oracle_exact_dup_groups().rsplit("ORDER BY", 1)[0]
+    from collector_spark.ml.textstats import oracle_quality_score
+
+    q = oracle_quality_score().rsplit("ORDER BY", 1)[0]
+    kl = oracle_quality_keep_list().rsplit("ORDER BY", 1)[0]
+    return rf"""
+WITH dup_full AS ({dup}), q_full AS ({q}), kl_full AS ({kl}),
+base AS (
+  SELECT doc_id, source, lang,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+joined AS (
+  SELECT b.*, COALESCE(NOT d.keep, FALSE) AS is_dup,
+         s.quality_score, k.keep, k.drop_reason
+  FROM base b
+  LEFT JOIN dup_full d USING (doc_id)
+  JOIN q_full s USING (doc_id)
+  JOIN kl_full k USING (doc_id)
+)
+SELECT source, lang,
+  CAST(COUNT(*) AS BIGINT) AS docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+  CAST(SUM(CAST(FLOOR(quality_score * 1048576) AS BIGINT)) AS DOUBLE)
+    / (CAST(COUNT(*) AS DOUBLE) * 1048576) AS mean_quality,
+  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS exact_dup_rate,
+  CAST(SUM(CASE WHEN NOT keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS quality_drop_rate,
+  MIN(drop_reason) AS first_drop_reason
+FROM joined
+GROUP BY source, lang
+ORDER BY source, lang
+"""

@@ -180,6 +180,15 @@ register(
     transport.oracle_tembo_items(),
 )
 
+# -- r7: quality keep/drop composition (C4 + Gopher caps + score floor,
+#    first-failing reason) and the per-(source, lang) corpus report fact
+register(
+    "ml_quality_keep_list",
+    curation.quality_keep_list,
+    curation.oracle_quality_keep_list(),
+)
+register("ml_corpus_report", curation.corpus_report, curation.oracle_corpus_report())
+
 # -- r7: CollectorConfig envelope with secret hygiene — GetDbURLRedacted
 #    (config_test.go goldens), URL-derived effective host/port, has-secret
 #    booleans (output/transform/collector_config.go, config/config.go:437)
