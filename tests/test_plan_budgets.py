@@ -115,6 +115,12 @@ BUDGETS = {
     # on the gram hash
     "ml_source_overlap": (14, []),
     "ml_doc_chunks": (3, []),
+    # config flattening is map-only (the 1 exchange is the orderBy)
+    "f20_collector_config": (2, []),
+    # three per-doc signal relations + doc_id equi-joins, no forced
+    # broadcast (each side is O(corpus))
+    "ml_quality_keep_list": (17, []),
+    "ml_corpus_report": (27, []),
 }
 
 # Queries allowed N Exchange SinglePartition occurrences: 1-row gauge
@@ -139,6 +145,8 @@ NO_FORCED_BROADCAST = [
     "ml_dup_clusters",
     "ml_embedding_dup_clusters",
     "ml_ngram_containment",
+    "ml_quality_keep_list",
+    "ml_corpus_report",
 ]
 
 
