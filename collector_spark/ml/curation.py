@@ -1134,3 +1134,58 @@ FROM joined
 GROUP BY source, lang
 ORDER BY source, lang
 """
+
+
+# ---------------------------------------------------------------------------
+# E41b — the unigram score's SKEW-SPLIT join (the 100 TB path the E41
+# docstring promises, implemented): natural-language word frequencies are
+# Zipfian, so the word-keyed vocab join concentrates stopword rows on a
+# few shuffle partitions. The standard fix is frequency splitting: the
+# top-K hottest vocab rows (bounded: K rows regardless of corpus size)
+# broadcast — hot words join map-side, never shuffling their (huge) share
+# of the exploded corpus — while the cold tail takes the ordinary
+# shuffled join over now-skew-free keys. Union of the two paths is
+# row-identical to the plain join; the SAME oracle verifies both.
+# ---------------------------------------------------------------------------
+
+VOCAB_HOT_K = 64  # top-K words broadcast (the skew head)
+
+
+def unigram_logprob_skew(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    vocab = words.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    # deterministic hot set: top-K by (count desc, word) — TakeOrdered,
+    # never a full sort; K is a constant, so the broadcast is bounded at
+    # any corpus size
+    hot = vocab.orderBy(F.col("cnt").desc(), "w").limit(VOCAB_HOT_K)
+    cold = vocab.join(
+        F.broadcast(hot.select(F.col("w"), F.lit(True).alias("_h"))),
+        on="w",
+        how="left_anti",
+    )
+    hot_scored = words.join(F.broadcast(hot), "w")
+    cold_scored = words.join(cold, "w")
+    scored = hot_scored.unionByName(cold_scored).crossJoin(F.broadcast(total))
+    nll = -F.log(F.col("cnt").cast("double") / F.col("total").cast("double"))
+    nll_q = F.floor(nll * _NLL_SCALE).cast("long")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(nll_q).alias("sum_q"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.col("sum_q").cast("double")
+                / (F.col("n_tokens").cast("double") * _NLL_SCALE)
+            ).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -169,6 +169,13 @@ register(
     curation.unigram_logprob,
     curation.oracle_unigram_logprob(),
 )
+# the SAME score through the Zipf-skew-split join (broadcast hot head +
+# shuffled cold tail); identical rows, so the same oracle verifies it
+register(
+    "ml_unigram_logprob_skew",
+    curation.unigram_logprob_skew,
+    curation.oracle_unigram_logprob(),
+)
 register("ml_split_assign", curation.split_assign, curation.oracle_split_assign())
 
 # -- r7: the Tembo Loki websocket receiver as a LIVE streaming query (in

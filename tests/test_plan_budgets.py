@@ -117,6 +117,11 @@ BUDGETS = {
     "ml_doc_chunks": (3, []),
     # config flattening is map-only (the 1 exchange is the orderBy)
     "f20_collector_config": (2, []),
+    # skew-split unigram: hot head must be a FORCED broadcast (bounded at
+    # K rows by the TakeOrdered limit regardless of corpus size); the cold
+    # tail's join strategy is AQE's call (broadcast at fixture scale,
+    # shuffled at 100 TB) so it is deliberately not pinned
+    "ml_unigram_logprob_skew": (20, ["BroadcastHashJoin", "TakeOrdered"]),
     # three per-doc signal relations + doc_id equi-joins, no forced
     # broadcast (each side is O(corpus))
     "ml_quality_keep_list": (17, []),
@@ -131,6 +136,7 @@ BUDGETS = {
 SINGLE_PARTITION_OK = {
     "snapshot_system_fact_full": 3,
     "ml_unigram_logprob": 1,
+    "ml_unigram_logprob_skew": 2,
 }
 
 
