@@ -148,3 +148,72 @@ FROM b CROSS JOIN mx
 WHERE b.collected_at > mx.max_ts - INTERVAL 1 HOUR
 ORDER BY b.collected_at, b.key
 """
+
+
+def bucket_gapfill(spark: SparkSession, key_mod: int | None = None) -> DataFrame:
+    """A12b: dense per-key minute series — the consumer-side gap fill the
+    dashboards need over A12's sparse buckets (a key with no calls in a
+    minute simply has no row; plotting/rate math wants explicit zeros).
+
+    Grid generation is sequence+explode over each key's OWN observed
+    [first, last] span (not the global span — at 100 TB the grid relation
+    stays proportional to real key activity, and a key's pre-first/post-
+    last silence carries no information). One shuffle: the grid-to-bucket
+    left join on (key, minute); the span aggregate is map-side
+    combinable and broadcasts per-key bounds nowhere — it IS the left
+    side of the join.
+    """
+    b = bucket_accumulation(spark)
+    if key_mod is not None:
+        # registered form: a deterministic key subsample bounds the grid
+        # the driver hash-compares (the full grid is ~2M rows at sf0.01);
+        # production runs key_mod=None
+        b = b.filter(F.col("key") % key_mod == 0)
+    spans = b.groupBy("key").agg(
+        F.min("collected_at").alias("first_ts"),
+        F.max("collected_at").alias("last_ts"),
+    )
+    grid = spans.select(
+        "key",
+        F.explode(
+            F.sequence("first_ts", "last_ts", F.expr("INTERVAL 1 MINUTE"))
+        ).alias("collected_at"),
+    )
+    return (
+        grid.join(
+            b.select("key", "collected_at", "calls", "rows"),
+            on=["key", "collected_at"],
+            how="left",
+        )
+        .select(
+            "key",
+            "collected_at",
+            F.coalesce("calls", F.lit(0)).cast("long").alias("calls"),
+            F.coalesce("rows", F.lit(0)).cast("long").alias("rows"),
+            F.col("calls").isNotNull().alias("observed"),
+        )
+        .orderBy("key", "collected_at")
+    )
+
+
+def oracle_bucket_gapfill(key_mod: int | None = None) -> str:
+    flt = f"WHERE key % {key_mod} = 0" if key_mod is not None else ""
+    return f"""
+WITH b AS (SELECT * FROM ({_oracle_buckets()}) bb {flt}),
+spans AS (
+  SELECT key, MIN(collected_at) AS first_ts, MAX(collected_at) AS last_ts
+  FROM b GROUP BY key
+),
+grid AS (
+  SELECT key, unnest(generate_series(first_ts, last_ts, INTERVAL 1 MINUTE))
+    AS collected_at
+  FROM spans
+)
+SELECT g.key, g.collected_at,
+  CAST(COALESCE(b.calls, 0) AS BIGINT) AS calls,
+  CAST(COALESCE(b.rows, 0) AS BIGINT) AS rows,
+  b.calls IS NOT NULL AS observed
+FROM grid g
+LEFT JOIN b ON b.key = g.key AND b.collected_at = g.collected_at
+ORDER BY g.key, g.collected_at
+"""

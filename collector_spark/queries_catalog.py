@@ -187,6 +187,15 @@ register(
     transport.oracle_tembo_items(),
 )
 
+# -- r7: dense per-key minute series over A12's sparse buckets (zero-
+#    filled consumer-side gap fill; per-key spans keep the grid bounded)
+register(
+    "a12b_bucket_gapfill",
+    partial(historic.bucket_gapfill, key_mod=97),
+    historic.oracle_bucket_gapfill(key_mod=97),
+    fixtures=["stmt_minute_obs"],
+)
+
 # -- r7: quality keep/drop composition (C4 + Gopher caps + score floor,
 #    first-failing reason) and the per-(source, lang) corpus report fact
 register(
