@@ -704,6 +704,7 @@ def ann_recall(spark: SparkSession) -> DataFrame:
         ("lsh", lsh_topk(spark)),
         ("lsh_multiprobe", lsh_multiprobe_topk(spark)),
         ("ivf", ivf_topk(spark)),
+        ("pq", pq_topk(spark)),
     )
     marked = truth.withColumn("hit", F.lit(1))
     outs = []
@@ -746,6 +747,7 @@ def oracle_ann_recall() -> str:
         ("lsh", oracle_lsh_topk().rsplit("ORDER BY", 1)[0]),
         ("lsh_multiprobe", oracle_lsh_multiprobe_topk().rsplit("ORDER BY", 1)[0]),
         ("ivf", oracle_ivf_topk().rsplit("ORDER BY", 1)[0]),
+        ("pq", oracle_pq_topk().rsplit("ORDER BY", 1)[0]),
     )
     branches = []
     for name, sql in anns:
@@ -769,4 +771,139 @@ denom AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS truth_k
           FROM truth GROUP BY query_id)
 SELECT * FROM ({union})
 ORDER BY method, query_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E45 — product-quantization ANN (Jégou et al. 2011 PQ/ADC): each vector is
+# split into PQ_M subvectors; each subspace has a PQ_K-entry codebook
+# (seeded from the same corpus rows as the k-means init — assignment-only
+# PQ, so the oracle stays a finite CTE chain); a corpus vector is stored as
+# PQ_M small codes (the compression: M bytes instead of DIM floats), and a
+# query scores candidates ASYMMETRICALLY via a per-query lookup table of
+# exact subspace distances to every codebook entry, summed over subspaces.
+#
+# Scale shape (the reason PQ exists at 100 TB): the corpus side of the
+# search carries ONLY (vec_id, m, code) — never the vectors; the per-query
+# LUT is |Q| x M x K rows (bounded, broadcast); ADC is one broadcast join
+# + one combinable groupBy(query, vec). Encoding is a broadcast join
+# against the M x K codebook relation.
+#
+# Exactness contract: components quantized to 2^-20 multiples (KMEANS_SCALE)
+# -> subspace squared distances are exact multiples of 2^-40 with < 2^12
+# integer bits, so every sum here is exactly representable and
+# order-insensitive; both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+PQ_M = 8                 # subspaces
+PQ_SUB = _DIM // PQ_M    # dims per subspace
+PQ_K = 8                 # codebook entries per subspace
+
+
+def _pq_parts(spark: SparkSession):
+    """(queries_sub, corpus codes, codebook, lut): the shared PQ plan."""
+    emb = spark.table("embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("v")
+    )
+    sub = F.expr(f"slice(v, m * {PQ_SUB} + 1, {PQ_SUB})")
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    cb = (
+        emb.filter(
+            (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+        )
+        .select((F.col("vec_id") - N_QUERIES).cast("int").alias("k"), "v")
+        .select("k", ms, "v")
+        .select("m", "k", sub.alias("cb"))
+    )
+    corpus_sub = emb.select("vec_id", ms, "v").select("vec_id", "m", sub.alias("sv"))
+    from pyspark.sql import Window
+
+    scored = corpus_sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "k", _sqdist(F.col("sv"), F.col("cb")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.asc("d2"), F.asc("k"))
+    codes = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "m", "k")
+    )
+    q_sub = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), ms, "v")
+        .select("query_id", "m", sub.alias("qv"))
+    )
+    lut = q_sub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "k", _sqdist(F.col("qv"), F.col("cb")).alias("ld2")
+    )
+    return codes, lut
+
+
+def pq_topk(spark: SparkSession) -> DataFrame:
+    """ADC search: corpus codes x broadcast per-query LUT -> summed
+    subspace distances -> top-k per query (asc distance, tie corpus_id).
+    Self-matches excluded like every other top-k here."""
+    from pyspark.sql import Window
+
+    codes, lut = _pq_parts(spark)
+    adc = (
+        codes.join(F.broadcast(lut), on=["m", "k"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("corpus_id"))
+        .agg(F.sum("ld2").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("corpus_id"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def oracle_pq_topk() -> str:
+    q = (
+        "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * "
+        f"{KMEANS_SCALE}) / {KMEANS_SCALE}.0)"
+    )
+    sd = (
+        f"list_reduce(list_transform(generate_series(1, {PQ_SUB}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH scaled AS MATERIALIZED (SELECT vec_id, {q} AS v FROM embeddings),
+subs AS MATERIALIZED (
+  SELECT vec_id, t.m, v[t.m * {PQ_SUB} + 1 : t.m * {PQ_SUB} + {PQ_SUB}] AS sv
+  FROM scaled, UNNEST(generate_series(0, {PQ_M - 1})) AS t(m)
+),
+cb AS MATERIALIZED (
+  SELECT m, CAST(vec_id - {N_QUERIES} AS INT) AS k, sv AS cb
+  FROM subs WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + PQ_K}
+),
+scored AS (
+  SELECT s.vec_id, s.m, c.k, {sd.format(a='s.sv', b='c.cb')} AS d2
+  FROM subs s JOIN cb c USING (m)
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, m, k FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                 ORDER BY d2 ASC, k ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+lut AS MATERIALIZED (
+  SELECT s.vec_id AS query_id, s.m, c.k, {sd.format(a='s.sv', b='c.cb')} AS ld2
+  FROM subs s JOIN cb c USING (m)
+  WHERE s.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, co.vec_id AS corpus_id, SUM(l.ld2) AS adc_d2
+  FROM codes co JOIN lut l ON l.m = co.m AND l.k = co.k
+  WHERE co.vec_id <> l.query_id
+  GROUP BY l.query_id, co.vec_id
+)
+SELECT query_id, corpus_id, adc_d2,
+  CAST(row_number() OVER (PARTITION BY query_id
+                          ORDER BY adc_d2 ASC, corpus_id ASC) AS INT) AS rank
+FROM adc
+QUALIFY rank <= {TOP_K}
+ORDER BY query_id, rank
 """

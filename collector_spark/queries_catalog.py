@@ -196,6 +196,10 @@ register(
     fixtures=["stmt_minute_obs"],
 )
 
+# -- r7: product-quantization ANN (PQ/ADC): corpus stored as M codes,
+#    asymmetric search via broadcast per-query distance LUT
+register("ml_pq_topk", similarity.pq_topk, similarity.oracle_pq_topk())
+
 # -- r7: quality keep/drop composition (C4 + Gopher caps + score floor,
 #    first-failing reason) and the per-(source, lang) corpus report fact
 register(
