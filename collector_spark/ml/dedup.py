@@ -890,3 +890,112 @@ FROM directed b
 JOIN sizes z ON z.source = b.s_a
 ORDER BY source, other_source
 """
+
+
+# ---------------------------------------------------------------------------
+# E47 — alternating large-star/small-star connected components (Kiveris et
+# al. 2014, "Connected Components in MapReduce and Beyond"): the
+# O(log n)-round scale path the min-label docstring promises for
+# adversarially deep graphs (a 10^6-long duplicate chain needs 10^6
+# min-label rounds but ~20 star rounds). Per round: one groupBy(u) for
+# m(u) = min(Γ(u) ∪ {u}), one join back, a union, a distinct — the same
+# bounded shuffle shape as one min-label round.
+# ---------------------------------------------------------------------------
+
+
+def connected_components_star(pairs: DataFrame, max_rounds: int = 16) -> DataFrame:
+    """Same contract as connected_components: input (doc_a, doc_b) pairs,
+    output (node, label) with label = min reachable node id."""
+
+    def sym(e: DataFrame) -> DataFrame:
+        return (
+            e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def norm(e: DataFrame) -> DataFrame:
+        return e.select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        ).distinct()
+
+    edges = sym(
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    ).localCheckpoint()
+    # node set from the RAW pairs: a pure self-loop node has no surviving
+    # symmetric edge but is still its own (singleton) component
+    nodes = (
+        pairs.select(F.col("doc_a").alias("u"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_norm = None
+    for r in range(max_rounds):
+        m = (
+            edges.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+        )
+        if r % 2 == 0:
+            # large-star: strictly larger neighbors attach to m(u)
+            out = (
+                edges.filter(F.col("v") > F.col("u"))
+                .join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+        else:
+            # small-star: u and its smaller neighbors attach to m(u)
+            nbrs = (
+                edges.filter(F.col("v") < F.col("u"))
+                .join(m, "u")
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            out = nbrs.unionByName(m.select("u", F.col("m").alias("v")))
+        edges = sym(out).localCheckpoint()
+        if r % 2 == 1:
+            cur_norm = norm(edges).localCheckpoint()
+            if prev_norm is not None:
+                changed = (
+                    cur_norm.exceptAll(prev_norm)
+                    .unionByName(prev_norm.exceptAll(cur_norm))
+                    .limit(1)
+                    .count()
+                )
+                if changed == 0:
+                    break
+            prev_norm = cur_norm
+    else:
+        raise RuntimeError("connected_components_star: did not converge")
+    # fixed point is a star forest centered at each component's min: every
+    # node's label is min(self, neighbors)
+    final_m = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("u"), F.col("mv")).alias("label"))
+    )
+    return nodes.join(final_m, "u", "left").select(
+        F.col("u").alias("node"),
+        F.coalesce("label", F.col("u")).alias("label"),
+    )
+
+
+def dup_clusters_star(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
+    """dup_clusters through the star-contraction CC — identical output
+    (same verified pair graph, same labels), so the SAME recursive-closure
+    oracle verifies it; registered to pin the log-round path end to end."""
+    pairs = ngram_jaccard_pairs(spark, threshold).select("doc_a", "doc_b")
+    labels = connected_components_star(pairs)
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )

@@ -196,6 +196,15 @@ register(
     fixtures=["stmt_minute_obs"],
 )
 
+# -- r7: duplicate clusters through alternating large-star/small-star CC
+#    (O(log n) rounds — the adversarial-chain scale path); identical
+#    labels, same recursive-closure oracle as ml_dup_clusters
+register(
+    "ml_dup_clusters_star",
+    dedup.dup_clusters_star,
+    dedup.oracle_dup_clusters(),
+)
+
 # -- r7: product-quantization ANN (PQ/ADC): corpus stored as M codes,
 #    asymmetric search via broadcast per-query distance LUT
 register("ml_pq_topk", similarity.pq_topk, similarity.oracle_pq_topk())

@@ -65,3 +65,34 @@ def test_matches_union_find(prepared_spark, edges):
         for r in connected_components(pairs, max_rounds=30).collect()
     }
     assert got == expected
+
+
+@pytest.mark.parametrize("edges", GRAPHS, ids=range(len(GRAPHS)))
+def test_star_matches_union_find(prepared_spark, edges):
+    from collector_spark.ml.dedup import connected_components_star
+
+    expected = _union_find_components(edges)
+    pairs = prepared_spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == expected
+
+
+def test_star_converges_on_long_chain_in_log_rounds(prepared_spark):
+    """A 60-node chain needs ~60 min-label rounds but must fit inside the
+    star variant's default 16-round cap — the O(log n) contract."""
+    from collector_spark.ml.dedup import connected_components_star
+
+    chain = [(i, i + 1) for i in range(60)]
+    pairs = prepared_spark.createDataFrame(
+        [(int(a), int(b)) for a, b in chain], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components_star(pairs).collect()
+    }
+    assert got == {n: 0 for n in range(61)}
