@@ -196,6 +196,15 @@ register(
     fixtures=["stmt_minute_obs"],
 )
 
+# -- r7: streaming LSH candidate discovery — near-dup twin of the
+#    streaming exact dedup; stateless per-row signatures + streaming
+#    bucket collect_set; availableNow equals the batch candidate oracle
+register(
+    "st_ml_stream_lsh",
+    doc_stream.stream_minhash_candidates,
+    dedup.oracle_minhash_candidate_pairs(),
+)
+
 # -- r7: duplicate clusters through alternating large-star/small-star CC
 #    (O(log n) rounds — the adversarial-chain scale path); identical
 #    labels, same recursive-closure oracle as ml_dup_clusters

@@ -109,3 +109,115 @@ FROM documents
 GROUP BY 1
 ORDER BY canonical_doc_id
 """
+
+
+def _row_signature_cols():
+    """Per-ROW minhash signature + band keys as pure expressions — the
+    streaming-safe form of ml/dedup.py's explode+groupBy signature build
+    (identical values: same shingles, same distinct, same permutations).
+    Stateless per document, so signatures stream without an aggregation."""
+    from collector_spark.ml.dedup import A, B, BANDS, K, P31, SHINGLE
+
+    words = F.split(F.lower(F.col("text")), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE, F.lit(0)))
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, SHINGLE), " "))
+    )
+    hs = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % P31,
+    )
+    sig = [
+        F.array_min(F.transform(hs, lambda h: (h * A[i] + B[i]) % P31))
+        for i in range(K)
+    ]
+    rows = K // BANDS
+    keys = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[sig[b * rows + r].cast("string") for r in range(rows)],
+            )
+        )
+        for b in range(BANDS)
+    ]
+    return F.array(*keys)
+
+
+def stream_minhash_candidates(
+    spark: SparkSession, n_arrival_batches: int = 8
+) -> DataFrame:
+    """Streaming LSH candidate discovery — the near-dup twin of
+    stream_exact_dedup: documents arrive in batches, each row's minhash
+    signature and band keys compute STATELESS (per-row expressions), and
+    the running per-bucket membership folds in a streaming collect_set
+    keyed by the band bucket. The final bucket state expands to candidate
+    pairs exactly like the batch operator, so availableNow equals
+    ml_minhash_candidate_pairs' oracle regardless of arrival batching
+    (set union is an order-insensitive monotone fold).
+
+    Scale: state is O(buckets x members); bucket size is the same skew /
+    blowup knob as the batch path. Production bounds state with a
+    watermark TTL on the bucket key when the dedup horizon is bounded.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), "collector_spark_lshstream")
+    src_dir = os.path.join(base, run_id, "src")
+    ckpt_dir = os.path.join(base, run_id, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    (
+        spark.table("documents")
+        .repartitionByRange(n_arrival_batches, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    buckets = raw.select(
+        "doc_id", F.explode(_row_signature_cols()).alias("bucket")
+    )
+    state = buckets.groupBy("bucket").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    )
+    qname = f"lshstream_{run_id}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            state.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+        shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
+
+    final = spark.table(qname)
+    return (
+        final.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
