@@ -1369,9 +1369,23 @@ def sample_case(level_expr_prefix: str = "") -> str:
 
     Each branch emits '<LEVEL>:  <sample body>' so every rule family appears
     in log_raw with deterministic frequency.
+
+    Emitted as a COALESCE of ~16-branch sub-CASEs (each value matches
+    exactly one chunk; the others return NULL) instead of one 115-branch
+    CASE: Spark cannot split a single CASE expression across generated
+    methods, and the monolithic form put the corpus-rendering stage over
+    the JVM's 64 KB method limit — mostly a graceful interpreted fallback,
+    but fatally so when the failure surfaced inside a broadcast-exchange
+    thread in a long session. Values are identical in both dialects.
     """
     n = len(RULES)
-    whens = "\n".join(
-        f"    WHEN {i} THEN '{r.level}:  ' || ({r.sample})" for i, r in enumerate(RULES)
-    )
-    return f"CASE CAST(event_id % {n} AS INT)\n{whens}\n  END"
+    chunk = 16
+    cases = []
+    for lo in range(0, n, chunk):
+        whens = "\n".join(
+            f"    WHEN {i} THEN '{RULES[i].level}:  ' || ({RULES[i].sample})"
+            for i in range(lo, min(lo + chunk, n))
+        )
+        cases.append(f"CASE CAST(event_id % {n} AS INT)\n{whens}\n  END")
+    joined = ",\n  ".join(cases)
+    return f"COALESCE(\n  {joined})"
