@@ -1189,3 +1189,62 @@ def unigram_logprob_skew(spark: SparkSession) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# E50 — split leakage audit: verified near-duplicate pairs whose members
+# landed in DIFFERENT splits (train text near-identical to a test text =
+# silent eval contamination that a content-keyed split cannot prevent,
+# since near-dups hash differently). Composes the LSH-verified pair graph
+# with E42's split assignment; the emitted pairs are the corpus's
+# cross-split leakage surface, with the standard remediation being "move
+# the whole near-dup cluster into one split".
+#
+# Scale: the pair relation is the bounded LSH-verified set (never
+# all-pairs); the split relation joins by doc_id twice — plain key joins,
+# never forced broadcast (both sides are O(corpus)).
+# ---------------------------------------------------------------------------
+
+LEAK_JACCARD_THRESHOLD = 0.5
+
+
+def split_leakage(spark: SparkSession) -> DataFrame:
+    from collector_spark.ml.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, LEAK_JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    splits = split_assign(spark).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_a", "doc_b", "jaccard", "split_a", "split_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def oracle_split_leakage() -> str:
+    from collector_spark.ml.dedup import oracle_ngram_jaccard_pairs
+
+    pairs = oracle_ngram_jaccard_pairs(LEAK_JACCARD_THRESHOLD).rsplit(
+        "ORDER BY", 1
+    )[0]
+    splits = oracle_split_assign().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH pairs AS ({pairs}),
+splits AS ({splits})
+SELECT p.doc_a, p.doc_b, p.jaccard,
+  a.split AS split_a, b.split AS split_b
+FROM pairs p
+JOIN splits a ON a.doc_id = p.doc_a
+JOIN splits b ON b.doc_id = p.doc_b
+WHERE a.split <> b.split
+ORDER BY p.doc_a, p.doc_b
+"""

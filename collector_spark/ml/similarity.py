@@ -907,3 +907,81 @@ FROM adc
 QUALIFY rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# E49 — embedding-space decontamination: flag every corpus vector whose
+# cosine to ANY eval-set vector clears a threshold (the semantic
+# complement of the n-gram decontamination in curation.py — catches
+# paraphrased benchmark leakage that exact 8-grams miss). The eval set
+# plays the same role as E11's benchmark split: vec_id < N_QUERIES.
+#
+# Scale: the eval side is tiny and BROADCAST (benchmarks are thousands of
+# rows against a 100 TB corpus) — the corpus side streams map-side through
+# the broadcast join and folds per-doc with a combinable MAX/argmax; no
+# shuffle carries vectors.
+# ---------------------------------------------------------------------------
+
+DECON_COSINE_THRESHOLD = 0.9
+
+
+def embedding_decontaminate(
+    spark: SparkSession, threshold: float = DECON_COSINE_THRESHOLD
+) -> DataFrame:
+    emb = spark.table("embeddings")
+    evalset = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev")
+    )
+    corpus = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv")
+    )
+    cosine = _fold_dot(F.col("cv"), F.col("ev")) / (
+        _norm(F.col("cv")) * _norm(F.col("ev"))
+    )
+    scored = corpus.crossJoin(F.broadcast(evalset)).select(
+        "corpus_id", "eval_id", cosine.alias("cosine")
+    )
+    from pyspark.sql import Window
+
+    # argmax via row_number with an explicit (cosine desc, eval_id asc)
+    # total order — engine-portable, unlike max_by composite tie-breaks
+    w = Window.partitionBy("corpus_id").orderBy(
+        F.desc("cosine"), F.asc("eval_id")
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select(
+            "corpus_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            F.col("cosine").alias("max_eval_cosine"),
+            (F.col("cosine") >= threshold).alias("contaminated"),
+        )
+        .orderBy("corpus_id")
+    )
+
+
+def oracle_embedding_decontaminate(
+    threshold: float = DECON_COSINE_THRESHOLD,
+) -> str:
+    dot = _sql_dot("c.embedding", "e.embedding")
+    cc = _sql_dot("c.embedding", "c.embedding")
+    ee = _sql_dot("e.embedding", "e.embedding")
+    return f"""
+WITH scored AS (
+  SELECT c.vec_id AS corpus_id, e.vec_id AS eval_id,
+         ({dot}) / (sqrt({cc}) * sqrt({ee})) AS cosine
+  FROM embeddings c, embeddings e
+  WHERE c.vec_id >= {N_QUERIES} AND e.vec_id < {N_QUERIES}
+),
+per_doc AS (
+  SELECT corpus_id, eval_id, cosine,
+    ROW_NUMBER() OVER (PARTITION BY corpus_id
+                       ORDER BY cosine DESC, eval_id ASC) AS rn
+  FROM scored
+)
+SELECT corpus_id, eval_id AS nearest_eval_id, cosine AS max_eval_cosine,
+  cosine >= {threshold} AS contaminated
+FROM per_doc WHERE rn = 1
+ORDER BY corpus_id
+"""

@@ -196,6 +196,18 @@ register(
     fixtures=["stmt_minute_obs"],
 )
 
+# -- r7: embedding-space decontamination (semantic complement of the
+#    8-gram check — broadcast eval set, corpus folds map-side) and the
+#    split-leakage audit (near-dup pairs straddling train/test)
+register(
+    "ml_embedding_decontaminate",
+    similarity.embedding_decontaminate,
+    similarity.oracle_embedding_decontaminate(),
+)
+register(
+    "ml_split_leakage", curation.split_leakage, curation.oracle_split_leakage()
+)
+
 # -- r7: streaming LSH candidate discovery — near-dup twin of the
 #    streaming exact dedup; stateless per-row signatures + streaming
 #    bucket collect_set; availableNow equals the batch candidate oracle
