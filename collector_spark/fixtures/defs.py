@@ -958,7 +958,8 @@ SELECT o_orderkey % 5 AS database_oid,
     WHEN 0 THEN 'estimate' WHEN 1 THEN 'actual' ELSE 'none' END AS plan_type,
   'Seq Scan on t' || CAST(o_orderkey % 17 AS STRING) AS plan_text,
   CAST(COUNT(*) AS BIGINT) AS calls,
-  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_time
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_time,
+  MAX(o_orderdate) AS plan_captured_date
 FROM orders
 GROUP BY 1, 2, 3, 4, 5, 6
 """

@@ -1248,3 +1248,267 @@ JOIN splits b ON b.doc_id = p.doc_b
 WHERE a.split <> b.split
 ORDER BY p.doc_a, p.doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# E51 — BPE merge-candidate statistics (one tokenizer-training step):
+# whitespace pre-tokenization -> word frequency table -> weighted adjacent
+# character-pair counts -> top merge candidates. This is the inner loop of
+# byte-pair-encoding vocabulary induction (Sennrich et al. 2016): the
+# highest-count pair is the next merge. Only ONE step is materialized (the
+# full training loop is sequential by nature and runs this query per
+# round over a progressively re-segmented vocab).
+#
+# Scale: the pair explode runs over the DISTINCT word table, not the
+# corpus — the classic BPE trick; cost is O(vocab x word-length), and the
+# corpus-sized work is one map-side-combinable word count. The top-K is a
+# TakeOrdered (no global sort shuffle); the final rank window runs on K
+# rows.
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 200
+
+
+def bpe_pair_counts(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    wcounts = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = wcounts.select(
+        "wc",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("wc").cast("long").alias("pair_count"))
+    top = agg.orderBy(F.desc("pair_count"), F.asc("pair")).limit(BPE_TOP_PAIRS)
+    rank = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        top.withColumn("merge_rank", F.row_number().over(rank).cast("int"))
+        .select("merge_rank", "pair", "pair_count")
+        .orderBy("merge_rank")
+    )
+
+
+def oracle_bpe_pair_counts() -> str:
+    return rf"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+wcounts AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM words WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT wc, substr(w, CAST(i AS INT), 2) AS pair
+  FROM wcounts, LATERAL (SELECT unnest(range(1, length(w))) AS i) g
+),
+agg AS (
+  SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count FROM pairs GROUP BY pair
+)
+SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS INT)
+    AS merge_rank,
+  pair, pair_count
+FROM agg
+ORDER BY merge_rank
+LIMIT {BPE_TOP_PAIRS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# E52 — corpus bigram-LM quality score: mean negative log-probability of
+# each document's word bigrams under an interpolated bigram model trained
+# on the corpus itself,
+#
+#   p(w2 | w1) = (c(w1 w2) + p_uni(w2)) / (c(w1) + 1)
+#
+# (add-one-interpolation with the unigram distribution as the backoff
+# mass). The bigram refinement over E41's unigram score separates fluent
+# text from bag-of-frequent-words noise — the standard next step of the
+# CCNet-style LM-quality ladder. Bigrams come straight off the word array
+# (transform over positions — no lag window, no per-doc sort), so the
+# corpus-side work is map-side explode + two combinable count aggs.
+# Per-bigram NLL rides the same 2^-20 integer quantization grid as E41:
+# the per-doc sum is an exact integer total, order-independent under any
+# partitioning.
+#
+# Scale: c2 (bigram counts) and c1 (unigram counts) are data-scaled
+# relations — both joins are plain key joins (hash-partitioned on the
+# bigram / word key), never forced broadcasts; the 1-row corpus total is
+# the only broadcast. The E41b skew treatment (broadcast hot head, shuffle
+# cold tail) composes unchanged if the Zipf head dominates.
+# ---------------------------------------------------------------------------
+
+
+def bigram_logprob(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents").select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("wl")
+    )
+    words = docs.select("doc_id", F.explode("wl").alias("w"))
+    c1 = words.groupBy("w").agg(F.count("*").cast("long").alias("cnt1"))
+    total = c1.agg(F.sum("cnt1").cast("long").alias("total"))
+    bigrams = (
+        docs.filter(F.size("wl") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(1, size(wl) - 1)")).alias("i"),
+            "wl",
+        )
+        .select(
+            "doc_id",
+            F.element_at("wl", F.col("i").cast("int")).alias("w1"),
+            F.element_at("wl", F.col("i").cast("int") + 1).alias("w2"),
+        )
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cnt2"))
+    scored = (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(c1.select(F.col("w").alias("w1"), F.col("cnt1").alias("cnt_prev")), "w1")
+        .join(c1.select(F.col("w").alias("w2"), F.col("cnt1").alias("cnt_cur")), "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    p = (
+        F.col("cnt2").cast("double")
+        + F.col("cnt_cur").cast("double") / F.col("total").cast("double")
+    ) / (F.col("cnt_prev").cast("double") + F.lit(1.0))
+    nll_q = F.floor(-F.log(p) * _NLL_SCALE).cast("long")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(nll_q).alias("sum_q"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("sum_q").cast("double")
+                / (F.col("n_bigrams").cast("double") * _NLL_SCALE)
+            ).alias("mean_bigram_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_bigram_logprob() -> str:
+    return rf"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+  FROM documents
+),
+words AS (SELECT doc_id, unnest(wl) AS w FROM docs),
+c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt1 FROM words GROUP BY w),
+total AS (SELECT CAST(SUM(cnt1) AS BIGINT) AS total FROM c1),
+bigrams AS (
+  SELECT doc_id, wl[CAST(i AS INT)] AS w1, wl[CAST(i AS INT) + 1] AS w2
+  FROM docs, LATERAL (SELECT unnest(range(1, len(wl))) AS i) g
+  WHERE len(wl) >= 2
+),
+c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt2
+  FROM bigrams GROUP BY w1, w2
+),
+scored AS (
+  SELECT b.doc_id,
+    CAST(FLOOR(-ln(
+      (CAST(c2.cnt2 AS DOUBLE)
+         + CAST(cur.cnt1 AS DOUBLE) / CAST(total.total AS DOUBLE))
+      / (CAST(prv.cnt1 AS DOUBLE) + 1.0)
+    ) * {_NLL_SCALE}) AS BIGINT) AS nll_q
+  FROM bigrams b
+  JOIN c2 USING (w1, w2)
+  JOIN c1 prv ON prv.w = b.w1
+  JOIN c1 cur ON cur.w = b.w2
+  CROSS JOIN total
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(nll_q) AS DOUBLE)
+    / (CAST(COUNT(*) AS DOUBLE) * {_NLL_SCALE}) AS mean_bigram_nll
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E53 — deterministic weighted sampling (the distributed one-pass form of
+# Efraimidis-Spirakis A-ES reservoir sampling): every document draws a
+# reproducible uniform u from a content hash and competes with key
+# ln(u)/weight (monotone in the classic u^(1/w) — larger is better), and
+# the top-K keys per source win. Heavier documents (weight = n_chars here)
+# win proportionally more often, and the sample is STABLE under
+# re-ingestion, re-sharding and doc_id renumbering because u is keyed on
+# content, not position — the same property as E42's split assignment.
+# Keys are floor-quantized onto a 2^-20 grid (exactly representable, so
+# both engines rank identical integers; doc_id breaks grid ties).
+#
+# Scale: one shuffle on the source key for the per-source top-K window; a
+# map-side per-partition top-K pre-filter can be layered in front without
+# changing results (rank keys are final at map time).
+# ---------------------------------------------------------------------------
+
+WEIGHTED_SAMPLE_K = 25
+
+
+def weighted_sample(spark: SparkSession) -> DataFrame:
+    from collector_spark.ml.dedup import _hash60
+
+    docs = spark.table("documents")
+    u = (
+        (_hash60(F.concat(F.lit("wsample:"), F.col("text"))) % _SPLIT_MOD).cast(
+            "double"
+        )
+        + F.lit(0.5)
+    ) / float(_SPLIT_MOD)
+    key_q = F.floor(
+        F.log(u) / F.col("n_chars").cast("double") * _NLL_SCALE
+    ).cast("long")
+    ranked = docs.select(
+        "source", "doc_id", F.col("n_chars").alias("weight"), key_q.alias("key_q")
+    ).withColumn(
+        "sample_rank",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.desc("key_q"), F.asc("doc_id")
+            )
+        )
+        .cast("int"),
+    )
+    return (
+        ranked.filter(F.col("sample_rank") <= WEIGHTED_SAMPLE_K)
+        .select("source", "sample_rank", "doc_id", "weight", "key_q")
+        .orderBy("source", "sample_rank")
+    )
+
+
+def oracle_weighted_sample() -> str:
+    from collector_spark.ml.dedup import _sql_hash60
+
+    h = _sql_hash60("'wsample:' || text")
+    return f"""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars AS weight,
+    CAST(FLOOR(
+      ln((CAST(({h}) % {_SPLIT_MOD} AS DOUBLE) + 0.5) / {_SPLIT_MOD})
+      / CAST(n_chars AS DOUBLE) * {_NLL_SCALE}
+    ) AS BIGINT) AS key_q
+  FROM documents
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY source ORDER BY key_q DESC, doc_id ASC
+    ) AS INT) AS sample_rank
+  FROM keyed
+)
+SELECT source, sample_rank, doc_id, weight, key_q
+FROM ranked
+WHERE sample_rank <= {WEIGHTED_SAMPLE_K}
+ORDER BY source, sample_rank
+"""

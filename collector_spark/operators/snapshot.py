@@ -128,6 +128,171 @@ def verify_integrity(fact: DataFrame) -> None:
             raise ValueError(f"snapshot integrity: non-dense idx space ({gap})")
 
 
+# ---------------------------------------------------------------------------
+# Plan fact: QueryPlanReference + Information + Statistic flattened
+# (output/transform/postgres_plans.go:22-117).
+#
+# groupPlans semantics: plan rows keyed by (database, user, query_id,
+# plan_id) are re-keyed to the statement dimension's fingerprint-dense
+# query_idx, so multiple query_ids sharing one fingerprint land in one
+# (query_idx, plan_id) group — their statistics ADD (postgres_plans.go:55-68)
+# while the most recently captured plan supplies the text/type/captured-time
+# (ties broken by (plan_text, plan_type) DESC for an engine-independent total
+# order; the reference's tie outcome is Go map iteration order). Keys whose
+# statement is absent from the dimension are dropped (:43-47 — the
+# deallocated-statement guard; here the collector-marker texts that P6
+# filters out of the rollup). plan_idx is the dense sorted rank over
+# (query_idx, plan_id), replacing the reference's insertion order with a
+# total order like every other snapshot fact.
+#
+# Scale: stats sum + winner selection ride ONE shuffle on (query_idx,
+# plan_id) — the winner is a row_number and the sums are unordered-frame
+# window aggregates over the same partitioning, so no second pass over the
+# plan relation. The fingerprint key map and both dims are bounded by
+# pg_stat_statements.max per server (reference resets above ~90% of max) —
+# the query dim is explicitly broadcast; the key map join is left to AQE
+# like the J1 text join.
+# ---------------------------------------------------------------------------
+
+PLAN_TYPE_ENUM = {"no plan": 0, "estimate": 1, "actual": 2}
+
+
+def snapshot_plan_fact(spark: SparkSession) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from collector_spark.functions.fingerprint import (
+        fingerprint,
+        is_collector_query,
+    )
+    from collector_spark.operators.plans import PLAN_TYPES
+
+    rollup = _persisted_rollup(spark)
+    query_dim = _dense_dim(rollup, ["fingerprint"], "query_idx")
+
+    texts = spark.table("stmt_texts")
+    fp_lookup = (
+        texts.select("query_text")
+        .distinct()
+        .select("query_text", fingerprint(F.col("query_text")).alias("fingerprint"))
+    )
+    key_fp = (
+        texts.filter(~is_collector_query(F.col("query_text")))
+        .join(fp_lookup, on="query_text")
+        .select("database_oid", "user_oid", "query_id", "fingerprint")
+        .distinct()
+    )
+
+    base = (
+        spark.table("plan_rows")
+        .filter(F.col("plan_type").isin(*PLAN_TYPES))
+        .select(
+            "database_oid",
+            "user_oid",
+            "query_id",
+            "plan_id",
+            "plan_type",
+            "plan_text",
+            "calls",
+            # keep DECIMAL through the window sum: exact, order-insensitive
+            # (float sums are not associative — cast to double only after)
+            "total_time",
+            "plan_captured_date",
+        )
+    )
+    keyed = base.join(
+        key_fp, on=["database_oid", "user_oid", "query_id"]
+    ).join(F.broadcast(query_dim), on="fingerprint")
+
+    grp = Window.partitionBy("query_idx", "plan_id")
+    ordered = grp.orderBy(
+        F.desc("plan_captured_date"), F.desc("plan_text"), F.desc("plan_type")
+    )
+    winners = (
+        keyed.withColumn("rn", F.row_number().over(ordered))
+        .withColumn("calls_sum", F.sum("calls").over(grp))
+        .withColumn("total_time_sum", F.sum("total_time").over(grp))
+        .filter(F.col("rn") == 1)
+    )
+
+    plan_dim = _dense_dim(winners, ["query_idx", "plan_id"], "plan_idx")
+    enum_expr = F.when(F.col("plan_type") == "estimate", F.lit(1)).when(
+        F.col("plan_type") == "actual", F.lit(2)
+    ).otherwise(F.lit(0))
+    return (
+        winners.join(F.broadcast(plan_dim), on=["query_idx", "plan_id"])
+        .select(
+            "plan_idx",
+            "query_idx",
+            F.col("plan_id").alias("original_plan_id"),
+            "plan_type",
+            enum_expr.cast("int").alias("plan_type_enum"),
+            F.col("plan_text").alias("explain_plan"),
+            "plan_captured_date",
+            F.col("calls_sum").cast("long").alias("calls"),
+            F.col("total_time_sum").cast("double").alias("total_time"),
+        )
+        .orderBy("plan_idx")
+    )
+
+
+def oracle_plan_fact() -> str:
+    from collector_spark.functions.fingerprint import oracle_fingerprint
+    from collector_spark.operators.plans import PLAN_TYPES
+
+    rollup = oracle_statement_rollup()
+    fp = oracle_fingerprint("query_text")
+    types = ", ".join(f"'{t}'" for t in PLAN_TYPES)
+    return f"""
+WITH rollup AS ({rollup}),
+query_dim AS (
+  SELECT fingerprint,
+    CAST(row_number() OVER (ORDER BY fingerprint) - 1 AS INT) AS query_idx
+  FROM (SELECT DISTINCT fingerprint FROM rollup)
+),
+key_fp AS (
+  SELECT DISTINCT database_oid, user_oid, query_id, {fp} AS fingerprint
+  FROM stmt_texts
+  WHERE query_text NOT LIKE '/* pganalyze-collector */%'
+),
+keyed AS (
+  SELECT q.query_idx, b.plan_id, b.plan_type, b.plan_text,
+         b.plan_captured_date, b.calls, b.total_time
+  FROM plan_rows b
+  JOIN key_fp k USING (database_oid, user_oid, query_id)
+  JOIN query_dim q USING (fingerprint)
+  WHERE b.plan_type IN ({types})
+),
+winners AS (
+  SELECT *,
+    row_number() OVER (
+      PARTITION BY query_idx, plan_id
+      ORDER BY plan_captured_date DESC, plan_text DESC, plan_type DESC
+    ) AS rn,
+    CAST(SUM(calls) OVER (PARTITION BY query_idx, plan_id) AS BIGINT)
+      AS calls_sum,
+    CAST(CAST(SUM(total_time) OVER (PARTITION BY query_idx, plan_id)
+              AS DECIMAL(38,2)) AS DOUBLE) AS total_time_sum
+  FROM keyed
+),
+plan_dim AS (
+  SELECT query_idx, plan_id,
+    CAST(row_number() OVER (ORDER BY query_idx, plan_id) - 1 AS INT)
+      AS plan_idx
+  FROM (SELECT DISTINCT query_idx, plan_id FROM winners WHERE rn = 1)
+)
+SELECT d.plan_idx, w.query_idx, w.plan_id AS original_plan_id,
+  w.plan_type,
+  CAST(CASE w.plan_type WHEN 'estimate' THEN 1 WHEN 'actual' THEN 2
+       ELSE 0 END AS INT) AS plan_type_enum,
+  w.plan_text AS explain_plan, w.plan_captured_date,
+  w.calls_sum AS calls, w.total_time_sum AS total_time
+FROM winners w
+JOIN plan_dim d USING (query_idx, plan_id)
+WHERE w.rn = 1
+ORDER BY d.plan_idx
+"""
+
+
 def write_snapshot(spark: SparkSession, path: str) -> None:
     """Integrity-checked partitioned parquet sink."""
     fact = assemble_statement_fact(spark)

@@ -1346,3 +1346,155 @@ FROM extension_rows e
 LEFT JOIN oid_to_idx o USING (database_oid)
 ORDER BY e.extname
 """
+
+
+# ---------------------------------------------------------------------------
+# Backend-count fact: BackendCountStatistic per (database, role, state,
+# backend_type, waiting) group (output/transform/postgres_backend_counts.go:
+# 9-76) — the dim-linked form of the S6 count aggregate.
+#
+# The reference's nullable DatabaseOid/RoleOid become has_database_idx /
+# has_role_idx flags; a missing oid keeps idx -1 here (the explicit sentinel
+# this engine uses everywhere the reference relies on proto zero values).
+# The fixture's backends rows always carry oids, so system-process
+# nullability is DERIVED the way pg_stat_activity actually reports it:
+# walsenders have no datid, and the autovacuum worker rows stand in for the
+# launcher-side processes with no usesysid. state and backend_type map to
+# the protobuf enum codes (full_snapshot.proto:290-316) — unmapped strings
+# fall to 0 (UNKNOWN), matching the Go switch default.
+#
+# Scale: the count aggregate is map-side combinable on a 5-column bounded
+# key (states x types x dbs x roles); both dims are bounded per server and
+# broadcast.
+# ---------------------------------------------------------------------------
+
+BACKEND_STATE_ENUM = {
+    "unknown": 0,
+    "active": 1,
+    "idle": 2,
+    "idle in transaction": 3,
+    "idle in transaction (aborted)": 4,
+    "fastpath function call": 5,
+    "disabled": 6,
+}
+
+BACKEND_TYPE_ENUM = {
+    "unknown": 0,
+    "autovacuum launcher": 1,
+    "autovacuum worker": 2,
+    "background worker": 3,
+    "background writer": 4,
+    "client backend": 5,
+    "checkpointer": 6,
+    "startup": 7,
+    "walreceiver": 8,
+    "walsender": 9,
+    "walwriter": 10,
+    "slotsync worker": 11,
+    "io worker": 12,
+}
+
+
+def _enum_expr(col: str, mapping: dict[str, int]):
+    expr = F.lit(0)
+    out = None
+    for name, code in mapping.items():
+        cond = F.col(col) == name
+        out = F.when(cond, F.lit(code)) if out is None else out.when(cond, F.lit(code))
+    return out.otherwise(expr).cast("int")
+
+
+def _enum_case(col: str, mapping: dict[str, int]) -> str:
+    whens = " ".join(f"WHEN '{n}' THEN {c}" for n, c in mapping.items())
+    return f"CAST(CASE {col} {whens} ELSE 0 END AS INT)"
+
+
+def snapshot_backend_count_fact(spark: SparkSession) -> DataFrame:
+    b = spark.table("backends").select(
+        F.when(F.col("backend_type") != "walsender", F.col("database_oid")).alias(
+            "database_oid"
+        ),
+        F.when(
+            F.col("backend_type") != "autovacuum worker", F.col("role_oid")
+        ).alias("role_oid"),
+        "state",
+        "backend_type",
+        "waiting",
+    )
+    db_dim = dense_index(
+        b.filter(F.col("database_oid").isNotNull()), ["database_oid"], "database_idx"
+    )
+    role_dim = dense_index(
+        b.filter(F.col("role_oid").isNotNull()), ["role_oid"], "role_idx"
+    )
+    counts = b.groupBy(
+        "database_oid", "role_oid", "state", "backend_type", "waiting"
+    ).agg(F.count("*").alias("backend_count"))
+    order = [
+        "database_idx",
+        "role_idx",
+        "state_enum",
+        "backend_type_enum",
+        "waiting_for_lock",
+    ]
+    return (
+        counts.join(F.broadcast(db_dim), on="database_oid", how="left")
+        .join(F.broadcast(role_dim), on="role_oid", how="left")
+        .select(
+            F.coalesce(F.col("database_idx"), F.lit(-1)).cast("int").alias(
+                "database_idx"
+            ),
+            F.col("database_oid").isNotNull().alias("has_database_idx"),
+            F.coalesce(F.col("role_idx"), F.lit(-1)).cast("int").alias("role_idx"),
+            F.col("role_oid").isNotNull().alias("has_role_idx"),
+            _enum_expr("state", BACKEND_STATE_ENUM).alias("state_enum"),
+            _enum_expr("backend_type", BACKEND_TYPE_ENUM).alias(
+                "backend_type_enum"
+            ),
+            F.col("waiting").alias("waiting_for_lock"),
+            "backend_count",
+        )
+        .orderBy(*order)
+    )
+
+
+def oracle_snapshot_backend_count_fact() -> str:
+    state_case = _enum_case("state", BACKEND_STATE_ENUM)
+    type_case = _enum_case("backend_type", BACKEND_TYPE_ENUM)
+    return f"""
+WITH derived AS (
+  SELECT
+    CASE WHEN backend_type <> 'walsender' THEN database_oid END AS database_oid,
+    CASE WHEN backend_type <> 'autovacuum worker' THEN role_oid END AS role_oid,
+    state, backend_type, waiting
+  FROM backends
+),
+counts AS (
+  SELECT database_oid, role_oid, state, backend_type, waiting,
+    CAST(COUNT(*) AS BIGINT) AS backend_count
+  FROM derived GROUP BY 1, 2, 3, 4, 5
+),
+db_dim AS (
+  SELECT database_oid,
+    CAST(row_number() OVER (ORDER BY database_oid) - 1 AS INT) AS database_idx
+  FROM (SELECT DISTINCT database_oid FROM derived WHERE database_oid IS NOT NULL)
+),
+role_dim AS (
+  SELECT role_oid,
+    CAST(row_number() OVER (ORDER BY role_oid) - 1 AS INT) AS role_idx
+  FROM (SELECT DISTINCT role_oid FROM derived WHERE role_oid IS NOT NULL)
+)
+SELECT CAST(COALESCE(d.database_idx, -1) AS INT) AS database_idx,
+  c.database_oid IS NOT NULL AS has_database_idx,
+  CAST(COALESCE(r.role_idx, -1) AS INT) AS role_idx,
+  c.role_oid IS NOT NULL AS has_role_idx,
+  {state_case} AS state_enum,
+  {type_case} AS backend_type_enum,
+  c.waiting AS waiting_for_lock,
+  c.backend_count
+FROM counts c
+LEFT JOIN db_dim d USING (database_oid)
+LEFT JOIN role_dim r USING (role_oid)
+ORDER BY database_idx, role_idx, state_enum, backend_type_enum,
+  waiting_for_lock
+"""

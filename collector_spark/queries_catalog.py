@@ -155,6 +155,27 @@ register(
     fixtures=["tembo_metric_responses"],
 )
 
+# -- r7: plan fact — QueryPlanReference/Information/Statistic flatten with
+#    the groupPlans add-stats / most-recent-plan-wins semantics
+#    (output/transform/postgres_plans.go:22-117); completes the
+#    every-transform-file-has-a-fact claim for plans
+register(
+    "snapshot_plan_fact",
+    snapshot.snapshot_plan_fact,
+    snapshot.oracle_plan_fact(),
+    fixtures=["stmt_snap1", "stmt_snap2", "stmt_texts", "plan_rows"],
+)
+
+# -- r7: backend-count fact — the dim-linked BackendCountStatistic with
+#    nullable-oid has_* flags and the proto enum codes
+#    (output/transform/postgres_backend_counts.go:9-76)
+register(
+    "snapshot_backend_count_fact",
+    snapshot_facts.snapshot_backend_count_fact,
+    snapshot_facts.oracle_snapshot_backend_count_fact(),
+    fixtures=["backends"],
+)
+
 # -- r7 training-data additions: concatenate-and-chop sequence packing
 #    manifest (sharded cumulative stream), corpus unigram-LM quality score
 #    (CCNet-style mean NLL), and content-keyed deterministic split
@@ -177,6 +198,28 @@ register(
     curation.oracle_unigram_logprob(),
 )
 register("ml_split_assign", curation.split_assign, curation.oracle_split_assign())
+
+# -- r7 tokenizer/LM/sampling additions: BPE merge-candidate statistics
+#    (the tokenizer-training inner loop over the DISTINCT word table),
+#    interpolated bigram-LM quality score (the next rung of the CCNet
+#    quality ladder after E41's unigram), and deterministic weighted
+#    sampling (Efraimidis-Spirakis keys from content hashes — stable
+#    under re-ingestion like ml_split_assign)
+register(
+    "ml_bpe_pair_counts",
+    curation.bpe_pair_counts,
+    curation.oracle_bpe_pair_counts(),
+)
+register(
+    "ml_bigram_logprob",
+    curation.bigram_logprob,
+    curation.oracle_bigram_logprob(),
+)
+register(
+    "ml_weighted_sample",
+    curation.weighted_sample,
+    curation.oracle_weighted_sample(),
+)
 
 # -- r7: the Tembo Loki websocket receiver as a LIVE streaming query (in
 #    production it IS a websocket stream); availableNow equals the batch

@@ -31,6 +31,14 @@ BUDGETS = {
     "a2_statement_rollup": (48, ["BroadcastHashJoin"]),
     # star assembly: every dim join must broadcast
     "snapshot_statement_fact": (52, ["BroadcastHashJoin"]),
+    # plan fact: stats sum + winner selection ride ONE exchange on
+    # (query_idx, plan_id) — the unordered-frame sums share the window's
+    # partitioning; the rest is the rollup/dim lineage (pinned-cache
+    # reprint headroom as for a2/statement_fact)
+    "snapshot_plan_fact": (30, ["BroadcastHashJoin"]),
+    # backend counts: one map-side-combinable agg on the 5-col key + two
+    # broadcast dim joins
+    "snapshot_backend_count_fact": (18, ["BroadcastHashJoin"]),
     "activity_snapshot": (30, ["BroadcastHashJoin"]),
     # relation megascan: anti/equi joins on tiny sets broadcast
     "s10_relation_scan": (34, ["BroadcastHashJoin"]),
