@@ -1027,6 +1027,38 @@ SELECT
 FROM nation
 """
 
+# collector host-info rows (gopsutil host.Info() shape feeding
+# input/collector.go:45-72 getCollectorPlatform): one row per server's
+# collector, cycling architectures/OS/platform families, a
+# virtualization (system, role) pair — the transform only keeps the
+# system when role = 'guest' — and a host_info_error flag exercising the
+# reference's empty-envelope error path.
+COLLECTOR_PLATFORM_ROWS = """
+SELECT
+  CAST(n_nationkey AS INT) AS server_id,
+  CAST(1700000000 + n_nationkey * 86400 AS BIGINT) AS started_epoch,
+  CASE WHEN n_nationkey % 2 = 0 THEN 'amd64' ELSE 'arm64' END AS architecture,
+  'collector-host-' || CAST(n_nationkey AS STRING) AS hostname,
+  CASE WHEN n_nationkey % 5 = 4 THEN 'darwin' ELSE 'linux' END
+    AS operating_system,
+  CASE CAST(n_nationkey % 4 AS INT)
+    WHEN 0 THEN 'ubuntu' WHEN 1 THEN 'debian'
+    WHEN 2 THEN 'rhel' ELSE 'alpine' END AS platform,
+  CASE CAST(n_nationkey % 4 AS INT)
+    WHEN 0 THEN 'debian' WHEN 1 THEN 'debian'
+    WHEN 2 THEN 'rhel' ELSE 'alpine' END AS platform_family,
+  CAST(n_nationkey % 4 + 20 AS STRING) || '.04' AS platform_version,
+  '6.' || CAST(n_nationkey % 9 AS STRING) || '.0-generic' AS kernel_version,
+  CASE CAST(n_nationkey % 4 AS INT)
+    WHEN 0 THEN 'kvm' WHEN 1 THEN 'xen' WHEN 2 THEN 'docker' ELSE '' END
+    AS virtualization_system,
+  CASE CAST(n_nationkey % 3 AS INT)
+    WHEN 0 THEN 'guest' WHEN 1 THEN 'host' ELSE '' END
+    AS virtualization_role,
+  n_nationkey % 11 = 7 AS host_info_error
+FROM nation
+"""
+
 # selfhosted disk partitions (gopsutil disk.Partitions + disk.Usage shape,
 # input/system/selfhosted/system.go:200-256): one row per mountpoint, each
 # backed by one of the disk_snap devices so the snapshot transform's
@@ -1959,6 +1991,7 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "disk_partitions": DISK_PARTITIONS,
     "system_info": SYSTEM_INFO,
     "collector_config_rows": COLLECTOR_CONFIG_ROWS,
+    "collector_platform_rows": COLLECTOR_PLATFORM_ROWS,
     "tembo_metric_responses": TEMBO_METRIC_RESPONSES,
     "rds_portions": RDS_PORTIONS,
     "rds_prev_markers": RDS_PREV_MARKERS,

@@ -91,3 +91,73 @@ SELECT server_id, section_name,
 FROM collector_config_rows
 ORDER BY server_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Collector platform envelope (output/transform/collector_platform.go:9-22
+# + input/collector.go:45-72): the FullSnapshot's collector host-identity
+# fields. Two real semantics beyond the copy: the virtualization system is
+# reported ONLY when the host's virtualization role is 'guest'
+# (collector.go:56-59), and a host.Info() failure produces the EMPTY
+# envelope (zero-value CollectorPlatform, collector.go:48-52) while the
+# telemetry collection aspect flips to error — both paths modeled from the
+# fixture's host_info_error flag.
+#
+# Map-only over an O(servers) relation.
+# ---------------------------------------------------------------------------
+
+
+def collector_platform_fact(spark: SparkSession) -> DataFrame:
+    p = spark.table("collector_platform_rows")
+    err = F.col("host_info_error")
+    blank = lambda c: F.when(err, F.lit("")).otherwise(F.col(c))  # noqa: E731
+    virt = F.when(
+        err | (F.col("virtualization_role") != "guest"), F.lit("")
+    ).otherwise(F.col("virtualization_system"))
+    return (
+        p.select(
+            "server_id",
+            F.when(err, F.lit("error")).otherwise(F.lit("ok")).alias(
+                "telemetry_aspect"
+            ),
+            # StartedAt comes from CollectionOpts, not host.Info — it
+            # survives the error path (the zero-value struct zeroes it in
+            # the reference only because the whole struct is discarded;
+            # the envelope's timestamp field is still emitted as absent)
+            F.when(err, F.lit(None).cast("long"))
+            .otherwise(F.col("started_epoch"))
+            .alias("started_epoch"),
+            blank("architecture").alias("architecture"),
+            blank("hostname").alias("hostname"),
+            blank("operating_system").alias("operating_system"),
+            blank("platform").alias("platform"),
+            blank("platform_family").alias("platform_family"),
+            blank("platform_version").alias("platform_version"),
+            blank("kernel_version").alias("kernel_version"),
+            virt.alias("virtualization_system"),
+        )
+        .orderBy("server_id")
+    )
+
+
+def oracle_collector_platform_fact() -> str:
+    return """
+SELECT server_id,
+  CASE WHEN host_info_error THEN 'error' ELSE 'ok' END AS telemetry_aspect,
+  CASE WHEN host_info_error THEN NULL ELSE started_epoch END AS started_epoch,
+  CASE WHEN host_info_error THEN '' ELSE architecture END AS architecture,
+  CASE WHEN host_info_error THEN '' ELSE hostname END AS hostname,
+  CASE WHEN host_info_error THEN '' ELSE operating_system END
+    AS operating_system,
+  CASE WHEN host_info_error THEN '' ELSE platform END AS platform,
+  CASE WHEN host_info_error THEN '' ELSE platform_family END
+    AS platform_family,
+  CASE WHEN host_info_error THEN '' ELSE platform_version END
+    AS platform_version,
+  CASE WHEN host_info_error THEN '' ELSE kernel_version END
+    AS kernel_version,
+  CASE WHEN host_info_error OR virtualization_role <> 'guest' THEN ''
+       ELSE virtualization_system END AS virtualization_system
+FROM collector_platform_rows
+ORDER BY server_id
+"""

@@ -292,6 +292,17 @@ register(
     fixtures=["collector_config_rows"],
 )
 
+# -- r7: collector platform envelope — the LAST output/transform file
+#    without a registered analog; guest-gated virtualization system and
+#    the host-info-failure empty-envelope path
+#    (output/transform/collector_platform.go, input/collector.go:45-72)
+register(
+    "f21_collector_platform",
+    collector_config.collector_platform_fact,
+    collector_config.oracle_collector_platform_fact(),
+    fixtures=["collector_platform_rows"],
+)
+
 # -- (2) semantics changed this round: span stage is now scoped to exact-dup
 #    canonicals and a window counts as duplicated only when it also occurs
 #    in a smaller-doc_id canonical, so one representative always survives
