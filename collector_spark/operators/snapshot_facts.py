@@ -1181,7 +1181,10 @@ def write_full_snapshot(spark: SparkSession, path: str) -> dict[str, int]:
     (the smoke surface a scheduler would log). Each fact's dense idx space
     is verified before any write so a broken dimension aborts the whole
     snapshot, like the reference's pre-upload VerifyIntegrity."""
-    from collector_spark.operators.snapshot import assemble_statement_fact
+    from collector_spark.operators.snapshot import (
+        assemble_statement_fact,
+        snapshot_plan_fact as _plan_fact,
+    )
 
     facts: dict[str, tuple[DataFrame, str | None, str, str]] = {
         # name -> (df, partition column or None, idx column, idx kind):
@@ -1201,6 +1204,8 @@ def write_full_snapshot(spark: SparkSession, path: str) -> dict[str, int]:
         "extension_fact": (snapshot_extension_fact(spark), None, "database_idx", "link-1"),
         "relation_events": (snapshot_relation_events(spark), None, "relation_idx", "link"),
         "column_type_link": (snapshot_column_type_link(spark), None, "data_type_custom_idx", "link-1"),
+        "plan_fact": (_plan_fact(spark), None, "plan_idx", "dense"),
+        "backend_count_fact": (snapshot_backend_count_fact(spark), None, "database_idx", "link-1"),
     }
     counts: dict[str, int] = {}
     for name, (df, part, idx_col, kind) in facts.items():

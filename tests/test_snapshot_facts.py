@@ -149,6 +149,8 @@ def test_write_full_snapshot_roundtrip(prepared_spark, tmp_path):
         "extension_fact",
         "relation_events",
         "column_type_link",
+        "plan_fact",
+        "backend_count_fact",
     }
     assert all(n > 0 for n in counts.values()), counts
     # partition pruning surface exists for the tenant-keyed facts
