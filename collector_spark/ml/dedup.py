@@ -999,3 +999,116 @@ def dup_clusters_star(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# E54 — LSH dedup recall: the candidate-generation quality diagnostic for
+# the MinHash-LSH dedup path (the E32 ann_recall analog for dedup). Ground
+# truth is the EXACT Jaccard pair set — every (doc_a < doc_b) pair sharing
+# at least one shingle, scored by integer intersection/union counts (a
+# pair with Jaccard >= 0.5 necessarily shares shingles, so the
+# shingle-share join is exhaustive for every threshold here). Recall per
+# threshold = fraction of true pairs the 8-band LSH banding surfaces as
+# candidates — the measurement that justifies (or re-tunes) K/BANDS before
+# a production dedup run.
+#
+# Scale: ground truth is inherently pair-quadratic in hot shingles — like
+# ann_recall's brute-force side, this is an EVALUATION query run on a
+# bounded sample of the corpus, not a production-path operator; the
+# candidate side reuses the production banding unchanged.
+# ---------------------------------------------------------------------------
+
+RECALL_THRESHOLDS = (0.5, 0.7, 0.9)
+
+
+def lsh_dedup_recall(spark: SparkSession) -> DataFrame:
+    sh = _persisted_shingles(spark)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    truth_inter = (
+        sh.alias("sa")
+        .join(
+            sh.alias("sb"),
+            (F.col("sa.h") == F.col("sb.h"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    truth = (
+        truth_inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na.n") + F.col("nb.n") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    cand = _candidate_pairs_from(_signatures_from(sh)).withColumn("c", F.lit(1))
+    flagged = truth.join(cand, on=["doc_a", "doc_b"], how="left")
+    exploded = flagged.select(
+        "jaccard",
+        "c",
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in RECALL_THRESHOLDS])
+        ).alias("threshold"),
+    ).filter(F.col("jaccard") >= F.col("threshold"))
+    return (
+        exploded.groupBy("threshold")
+        .agg(
+            F.count("*").cast("long").alias("truth_pairs"),
+            F.count("c").cast("long").alias("caught_pairs"),
+        )
+        .select(
+            "threshold",
+            "truth_pairs",
+            "caught_pairs",
+            (
+                F.col("caught_pairs").cast("double")
+                / F.col("truth_pairs").cast("double")
+            ).alias("recall"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def oracle_lsh_dedup_recall() -> str:
+    pairs = oracle_minhash_candidate_pairs()
+    pairs_inner = pairs.rsplit("ORDER BY", 1)[0]
+    tlist = ", ".join(str(t) for t in RECALL_THRESHOLDS)
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+truth_inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh sa JOIN sh sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b,
+    CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) AS jaccard
+  FROM truth_inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+),
+cand AS ({pairs_inner}),
+flagged AS (
+  SELECT t.jaccard, CASE WHEN c.doc_a IS NOT NULL THEN 1 END AS c
+  FROM truth t LEFT JOIN cand c USING (doc_a, doc_b)
+),
+exploded AS (
+  SELECT jaccard, c, CAST(g.threshold AS DOUBLE) AS threshold
+  FROM flagged, LATERAL (SELECT unnest([{tlist}]) AS threshold) g
+  WHERE jaccard >= CAST(g.threshold AS DOUBLE)
+)
+SELECT threshold, CAST(COUNT(*) AS BIGINT) AS truth_pairs,
+  CAST(COUNT(c) AS BIGINT) AS caught_pairs,
+  CAST(COUNT(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM exploded
+GROUP BY threshold
+ORDER BY threshold
+"""

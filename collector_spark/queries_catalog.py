@@ -220,6 +220,13 @@ register(
     curation.weighted_sample,
     curation.oracle_weighted_sample(),
 )
+# -- r7: LSH dedup recall — candidate-generation quality vs the exact
+#    Jaccard pair set (the ann_recall analog for the dedup path)
+register(
+    "ml_lsh_dedup_recall",
+    dedup.lsh_dedup_recall,
+    dedup.oracle_lsh_dedup_recall(),
+)
 
 # -- r7: the Tembo Loki websocket receiver as a LIVE streaming query (in
 #    production it IS a websocket stream); availableNow equals the batch
