@@ -1512,3 +1512,139 @@ FROM ranked
 WHERE sample_rank <= {WEIGHTED_SAMPLE_K}
 ORDER BY source, sample_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# E55 — BPE merge application + re-count (the round-2 composition over
+# E51): apply the highest-count merge candidate to the vocabulary's
+# symbol sequences — literal leftmost-first replacement of the pair, the
+# same greedy application order as reference BPE trainers — then re-count
+# adjacent symbol pairs over the re-segmented sequences. Together with
+# E51 this materializes one full iteration of the BPE training loop
+# (count -> merge -> recount); the production loop replays this query per
+# merge with the growing merges table.
+#
+# Post-merge symbols are multi-character, so round-2 pairs are emitted as
+# (sym_a, sym_b) columns, not a concatenation (which would be ambiguous).
+#
+# Scale: identical cost shape to E51 — everything after the word count
+# runs over the DISTINCT word table; the applied merge is a 1-row
+# broadcast.
+# ---------------------------------------------------------------------------
+
+BPE_ROUND2_TOP = 50
+
+
+def bpe_merge_round(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    words = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    wcounts = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs1 = wcounts.select(
+        "wc",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+    )
+    top1 = (
+        pairs1.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("applied_pair"))
+    )
+    seg = F.expr(
+        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')"
+    )
+    with_merge = wcounts.crossJoin(F.broadcast(top1))
+    seg2 = F.replace(
+        seg,
+        F.concat(
+            F.substring("applied_pair", 1, 1),
+            F.lit(" "),
+            F.substring("applied_pair", 2, 1),
+        ),
+        F.col("applied_pair"),
+    )
+    toks = with_merge.select(
+        "wc", "applied_pair", F.split(seg2, " ").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    pairs2 = toks.select(
+        "wc",
+        "applied_pair",
+        F.explode(F.expr("sequence(1, size(toks) - 1)")).alias("i"),
+        "toks",
+    ).select(
+        "wc",
+        "applied_pair",
+        F.element_at("toks", F.col("i").cast("int")).alias("sym_a"),
+        F.element_at("toks", F.col("i").cast("int") + 1).alias("sym_b"),
+    )
+    agg2 = pairs2.groupBy("applied_pair", "sym_a", "sym_b").agg(
+        F.sum("wc").cast("long").alias("pair_count")
+    )
+    top = agg2.orderBy(
+        F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b")
+    ).limit(BPE_ROUND2_TOP)
+    rank = Window.orderBy(F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b"))
+    return (
+        top.withColumn("merge_rank", F.row_number().over(rank).cast("int"))
+        .select("merge_rank", "applied_pair", "sym_a", "sym_b", "pair_count")
+        .orderBy("merge_rank")
+    )
+
+
+def oracle_bpe_merge_round() -> str:
+    return rf"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+wcounts AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM words WHERE length(w) >= 2 GROUP BY w
+),
+pairs1 AS (
+  SELECT wc, substr(w, CAST(i AS INT), 2) AS pair
+  FROM wcounts, LATERAL (SELECT unnest(range(1, length(w))) AS i) g
+),
+top1 AS (
+  SELECT pair AS applied_pair
+  FROM (SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+        FROM pairs1 GROUP BY pair)
+  ORDER BY pair_count DESC, pair ASC LIMIT 1
+),
+segged AS (
+  SELECT wc, applied_pair,
+    string_split(
+      replace(
+        array_to_string(
+          list_transform(range(1, length(w) + 1),
+                         i -> substr(w, CAST(i AS INT), 1)), ' '),
+        substr(applied_pair, 1, 1) || ' ' || substr(applied_pair, 2, 1),
+        applied_pair),
+      ' ') AS toks
+  FROM wcounts CROSS JOIN top1
+),
+pairs2 AS (
+  SELECT wc, applied_pair,
+    toks[CAST(i AS INT)] AS sym_a, toks[CAST(i AS INT) + 1] AS sym_b
+  FROM segged, LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+  WHERE len(toks) >= 2
+),
+agg2 AS (
+  SELECT applied_pair, sym_a, sym_b, CAST(SUM(wc) AS BIGINT) AS pair_count
+  FROM pairs2 GROUP BY applied_pair, sym_a, sym_b
+)
+SELECT CAST(row_number() OVER (
+    ORDER BY pair_count DESC, sym_a ASC, sym_b ASC) AS INT) AS merge_rank,
+  applied_pair, sym_a, sym_b, pair_count
+FROM agg2
+ORDER BY merge_rank
+LIMIT {BPE_ROUND2_TOP}
+"""

@@ -211,6 +211,11 @@ register(
     curation.oracle_bpe_pair_counts(),
 )
 register(
+    "ml_bpe_merge_round",
+    curation.bpe_merge_round,
+    curation.oracle_bpe_merge_round(),
+)
+register(
     "ml_bigram_logprob",
     curation.bigram_logprob,
     curation.oracle_bigram_logprob(),
