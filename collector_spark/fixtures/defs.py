@@ -1027,6 +1027,33 @@ SELECT
 FROM nation
 """
 
+# per-database schema-collection attempts (input/postgres/schema.go:49-118
+# CollectAllSchemas loop): collect order, per-attempt duration, a
+# connect-error flag, and the database's relation count. A few names are
+# duplicated at higher collect_order (GetDatabasesToCollect can yield the
+# same name from config + discovery) to exercise the collected-map skip.
+# Durations sum past the 8-minute schema deadline around the 7th attempt,
+# and the collected relation total crosses the 5000-table limit.
+SCHEMA_COLLECT_DBS = """
+SELECT
+  CAST(n_nationkey AS BIGINT) AS database_oid,
+  'db_' || CAST(n_nationkey AS STRING) AS db_name,
+  CAST(n_nationkey AS INT) AS collect_order,
+  CAST(30 + (n_nationkey * 37) % 90 AS BIGINT) AS collect_secs,
+  n_nationkey % 7 = 3 AS connect_error,
+  CAST(500 + (n_nationkey * 131) % 900 AS BIGINT) AS n_relations
+FROM nation
+UNION ALL
+SELECT
+  CAST(n_nationkey AS BIGINT) AS database_oid,
+  'db_' || CAST(n_nationkey AS STRING) AS db_name,
+  CAST(n_nationkey + 25 AS INT) AS collect_order,
+  CAST(30 + (n_nationkey * 37) % 90 AS BIGINT) AS collect_secs,
+  FALSE AS connect_error,
+  CAST(500 + (n_nationkey * 131) % 900 AS BIGINT) AS n_relations
+FROM nation WHERE n_nationkey % 5 = 0
+"""
+
 # collector host-info rows (gopsutil host.Info() shape feeding
 # input/collector.go:45-72 getCollectorPlatform): one row per server's
 # collector, cycling architectures/OS/platform families, a
@@ -1992,6 +2019,7 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "system_info": SYSTEM_INFO,
     "collector_config_rows": COLLECTOR_CONFIG_ROWS,
     "collector_platform_rows": COLLECTOR_PLATFORM_ROWS,
+    "schema_collect_dbs": SCHEMA_COLLECT_DBS,
     "tembo_metric_responses": TEMBO_METRIC_RESPONSES,
     "rds_portions": RDS_PORTIONS,
     "rds_prev_markers": RDS_PREV_MARKERS,

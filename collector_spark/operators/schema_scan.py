@@ -461,3 +461,141 @@ JOIN db_dim d USING (database_oid)
 JOIN role_dim r USING (role_oid)
 ORDER BY d.database_idx, r.role_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# J14 — schema-collection workflow (input/postgres/schema.go:49-118
+# CollectAllSchemas): the per-database loop as relational routing.
+#
+#   * a database name already collected is skipped without consuming any
+#     attempt time (the `collected` map, :58-64) -> route 'duplicate';
+#   * attempts run in collect order under one 8-minute deadline
+#     (schemaCollectionTimeout, :19); the attempt that crosses it fails on
+#     the schema context AND stops all further collection — already-
+#     collected databases are still sent (:77-82) -> route
+#     'timeout_skipped' for the crossing attempt and everything after it
+#     (the cumulative-seconds running sum is monotone, so the route is a
+#     suffix by construction);
+#   * a connect/collection error before the deadline skips only that
+#     database (:83-91) -> route 'error_skipped';
+#   * everything else is 'collected' (DatabaseOidsWithLocalCatalog append,
+#     :94);
+#   * after the loop, a collected relation total above the table limit
+#     (defaultSchemaTableLimit = 5000, :14, :96-110) suppresses schema
+#     output server-wide: every row carries schema_suppressed = true but
+#     the routes stand (the reference keeps the data and only skips the
+#     send).
+#
+# Error attempts still consume their attempt time (the reference's failed
+# collectOneSchema runs inside the same deadline).
+#
+# Scale: the running sum orders ALL attempts of one server in one window
+# partition — bounded by databases-per-server (config-capped), never
+# data-scaled; the total is a 1-row broadcast.
+# ---------------------------------------------------------------------------
+
+SCHEMA_TIMEOUT_SECS = 480
+SCHEMA_TABLE_LIMIT = 5000
+
+
+def schema_collection_workflow(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import Window
+
+    dbs = spark.table("schema_collect_dbs")
+    rn = F.row_number().over(
+        Window.partitionBy("db_name").orderBy("collect_order")
+    )
+    dedup = dbs.withColumn("rn", rn)
+    attempts = dedup.filter(F.col("rn") == 1).withColumn(
+        "cum_secs",
+        F.sum("collect_secs").over(
+            Window.orderBy("collect_order").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    route = (
+        F.when(F.col("cum_secs") > SCHEMA_TIMEOUT_SECS, F.lit("timeout_skipped"))
+        .when(F.col("connect_error"), F.lit("error_skipped"))
+        .otherwise(F.lit("collected"))
+    )
+    routed = attempts.withColumn("route", route)
+    total = routed.agg(
+        F.sum(
+            F.when(F.col("route") == "collected", F.col("n_relations"))
+        ).cast("long").alias("total_rels")
+    )
+    dups = dedup.filter(F.col("rn") > 1).select(
+        "database_oid",
+        "db_name",
+        "collect_order",
+        F.lit("duplicate").alias("route"),
+        F.lit(None).cast("long").alias("cum_secs"),
+        F.lit(None).cast("long").alias("n_relations"),
+    )
+    main = routed.select(
+        "database_oid",
+        "db_name",
+        "collect_order",
+        "route",
+        "cum_secs",
+        F.when(F.col("route") == "collected", F.col("n_relations")).alias(
+            "n_relations"
+        ),
+    )
+    return (
+        main.unionByName(dups)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "database_oid",
+            "db_name",
+            "collect_order",
+            "route",
+            "cum_secs",
+            "n_relations",
+            (F.col("total_rels") > SCHEMA_TABLE_LIMIT).alias("schema_suppressed"),
+        )
+        .orderBy("collect_order")
+    )
+
+
+def oracle_schema_collection_workflow() -> str:
+    return f"""
+WITH dedup AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY db_name ORDER BY collect_order) AS rn
+  FROM schema_collect_dbs
+),
+attempts AS (
+  SELECT *, CAST(SUM(collect_secs) OVER (
+      ORDER BY collect_order
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+    AS cum_secs
+  FROM dedup WHERE rn = 1
+),
+routed AS (
+  SELECT *,
+    CASE WHEN cum_secs > {SCHEMA_TIMEOUT_SECS} THEN 'timeout_skipped'
+         WHEN connect_error THEN 'error_skipped'
+         ELSE 'collected' END AS route
+  FROM attempts
+),
+total AS (
+  SELECT CAST(SUM(CASE WHEN route = 'collected' THEN n_relations END)
+              AS BIGINT) AS total_rels
+  FROM routed
+),
+unioned AS (
+  SELECT database_oid, db_name, collect_order, route, cum_secs,
+    CASE WHEN route = 'collected' THEN n_relations END AS n_relations
+  FROM routed
+  UNION ALL
+  SELECT database_oid, db_name, collect_order, 'duplicate',
+    CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM dedup WHERE rn > 1
+)
+SELECT u.database_oid, u.db_name, u.collect_order, u.route, u.cum_secs,
+  u.n_relations, t.total_rels > {SCHEMA_TABLE_LIMIT} AS schema_suppressed
+FROM unioned u CROSS JOIN total t
+ORDER BY u.collect_order
+"""

@@ -225,6 +225,17 @@ register(
     curation.weighted_sample,
     curation.oracle_weighted_sample(),
 )
+# -- r7: schema-collection workflow (j14) — per-database loop as routing:
+#    duplicate-name skip, 8-min cumulative deadline (crossing attempt +
+#    all remaining timeout_skipped), error skip, collected append, and the
+#    5000-table server-wide suppression flag (input/postgres/schema.go)
+register(
+    "j14_schema_collection_workflow",
+    schema_scan.schema_collection_workflow,
+    schema_scan.oracle_schema_collection_workflow(),
+    fixtures=["schema_collect_dbs"],
+)
+
 # -- r7: LSH dedup recall — candidate-generation quality vs the exact
 #    Jaccard pair set (the ann_recall analog for the dedup path)
 register(
