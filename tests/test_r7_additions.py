@@ -1,0 +1,118 @@
+"""Structural/property tests for the round-7 continuation operators:
+BPE merge semantics, weighted sampling invariants, schema-collection
+routing, and the plan-fact grouping contract. The value-exactness of each
+operator is covered by the oracle sweep (test_registry_oracle); these pin
+the SEMANTIC invariants an oracle diff alone would not explain."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from collector_spark.registry import REGISTRY
+
+
+def _run(prepared_spark, name):
+    return REGISTRY[name].spark_fn(prepared_spark)
+
+
+def test_bpe_merge_consumes_the_applied_pair(prepared_spark):
+    """After applying merge (x, y), no round-2 adjacency of the single
+    characters x and y may remain: literal leftmost-first replacement
+    rewrites every non-overlapping occurrence, and replacements insert the
+    merged symbol (no separator), so no new 'x y' adjacency can form."""
+    rows = _run(prepared_spark, "ml_bpe_merge_round").collect()
+    assert rows, "round-2 pair table empty"
+    applied = rows[0]["applied_pair"]
+    assert len(applied) == 2
+    p1, p2 = applied[0], applied[1]
+    leftovers = [r for r in rows if r["sym_a"] == p1 and r["sym_b"] == p2]
+    assert leftovers == [], f"unmerged occurrences of {applied!r}: {leftovers}"
+    # the merged symbol participates in round 2 as a unit
+    assert any(
+        r["sym_a"] == applied or r["sym_b"] == applied for r in rows
+    ), "merged symbol never appears in round-2 pairs"
+
+
+def test_bpe_round1_top_pair_matches_round2_applied(prepared_spark):
+    top1 = _run(prepared_spark, "ml_bpe_pair_counts").collect()[0]
+    applied = _run(prepared_spark, "ml_bpe_merge_round").collect()[0][
+        "applied_pair"
+    ]
+    assert top1["pair"] == applied
+
+
+def test_weighted_sample_rank_invariants(prepared_spark):
+    """Per source: ranks are contiguous from 1, at most K rows, and the
+    quantized keys are non-increasing in rank (the A-ES ordering)."""
+    from collector_spark.ml.curation import WEIGHTED_SAMPLE_K
+
+    rows = _run(prepared_spark, "ml_weighted_sample").collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert by_source
+    for source, rs in by_source.items():
+        rs.sort(key=lambda r: r["sample_rank"])
+        assert [r["sample_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= WEIGHTED_SAMPLE_K
+        keys = [r["key_q"] for r in rs]
+        assert keys == sorted(keys, reverse=True), f"{source}: keys not sorted"
+
+
+def test_schema_workflow_timeout_is_a_suffix(prepared_spark):
+    """Once one attempt crosses the deadline every later attempt is
+    timeout_skipped — the reference stops the loop; only duplicate rows
+    (which never consume attempt time) may interleave after it."""
+    rows = (
+        _run(prepared_spark, "j14_schema_collection_workflow")
+        .orderBy("collect_order")
+        .collect()
+    )
+    attempts = [r for r in rows if r["route"] != "duplicate"]
+    seen_timeout = False
+    for r in attempts:
+        if r["route"] == "timeout_skipped":
+            seen_timeout = True
+        elif seen_timeout:
+            raise AssertionError(
+                f"non-timeout route {r['route']} after the deadline crossing"
+            )
+    assert seen_timeout, "fixture no longer exercises the deadline path"
+    assert {r["route"] for r in rows} == {
+        "collected",
+        "error_skipped",
+        "timeout_skipped",
+        "duplicate",
+    }
+
+
+def test_plan_fact_groups_add_stats(prepared_spark):
+    """The plan fact's calls must equal the per-(query_idx, plan_id) SUM
+    over the keyed plan rows — the groupPlans add contract — and plan_idx
+    must be dense."""
+    fact = _run(prepared_spark, "snapshot_plan_fact")
+    rows = fact.collect()
+    assert rows
+    idxs = sorted(r["plan_idx"] for r in rows)
+    assert idxs == list(range(len(rows))), "plan_idx not dense"
+    # every group collapses >= 1 source row and sums are positive
+    assert all(r["calls"] > 0 for r in rows)
+    # grouping actually collapses multiple statement keys per fingerprint
+    # (the fixture maps hundreds of query_ids onto a handful of shapes),
+    # and the summed calls are EXACTLY the keyed source total: every plan
+    # row survives except the collector-marker keys groupPlans drops
+    # (fixture texts are collector-marker iff query_id % 17 == 0 and
+    # query_id % 13 != 0 — the %13 privilege branch wins the CASE first)
+    total_calls = sum(r["calls"] for r in rows)
+    qid = F.col("query_id")
+    src = (
+        prepared_spark.table("plan_rows")
+        .filter(F.col("plan_type").isin("estimate", "actual"))
+        .filter(~((qid % 17 == 0) & (qid % 13 != 0)))
+        .agg(F.count("*").alias("n"), F.sum("calls").alias("calls"))
+        .collect()[0]
+    )
+    assert src["n"] > len(rows), "fixture no longer exercises the add path"
+    assert total_calls == src["calls"], (
+        f"groupPlans sum {total_calls} != keyed source sum {src['calls']}"
+    )
