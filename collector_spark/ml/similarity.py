@@ -985,3 +985,89 @@ SELECT corpus_id, eval_id AS nearest_eval_id, cosine AS max_eval_cosine,
 FROM per_doc WHERE rn = 1
 ORDER BY corpus_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E56 — k-means cluster purity: per-cluster label agreement of the trained
+# Lloyd assignment against the embeddings' ground-truth labels (majority
+# label, its share of the cluster). The standard external evaluation of a
+# clustering used for topic bucketing / diversity sampling — the
+# measurement that says whether the k-means clusters are usable as topic
+# strata before mixing decisions ride on them. Integer counts; purity is
+# one exact int/int division.
+#
+# Scale: rides the k-means assignment (broadcast centroids, combinable
+# aggregates); the label join is a plain vec_id equi-join and the
+# per-cluster windows partition on cluster id (K partitions, bounded).
+# ---------------------------------------------------------------------------
+
+
+def kmeans_purity(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import Window
+
+    _, cent, assign = _kmeans_train(spark)
+    final = assign(cent, 1).select("vec_id", "cid")
+    labeled = final.join(
+        spark.table("embeddings").select("vec_id", "label"), "vec_id"
+    )
+    counts = labeled.groupBy("cid", "label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    top = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cid").orderBy(F.desc("n"), F.asc("label"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("label").alias("majority_label"), F.col("n").alias("majority_count"))
+    )
+    sizes = counts.groupBy("cid").agg(
+        F.sum("n").cast("long").alias("cluster_size")
+    )
+    return (
+        top.join(sizes, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "cluster_size",
+            "majority_label",
+            "majority_count",
+            (
+                F.col("majority_count").cast("double")
+                / F.col("cluster_size").cast("double")
+            ).alias("purity"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def oracle_kmeans_purity() -> str:
+    parts, _ = _oracle_kmeans_parts()
+    parts.append(
+        "labeled AS (SELECT a.cid, e.label FROM afinal a "
+        "JOIN embeddings e USING (vec_id))"
+    )
+    parts.append(
+        "counts AS (SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM labeled GROUP BY cid, label)"
+    )
+    parts.append(
+        "top AS (SELECT cid, label AS majority_label, n AS majority_count, "
+        "row_number() OVER (PARTITION BY cid ORDER BY n DESC, label ASC) AS rn "
+        "FROM counts)"
+    )
+    parts.append(
+        "sizes AS (SELECT cid, CAST(SUM(n) AS BIGINT) AS cluster_size "
+        "FROM counts GROUP BY cid)"
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT t.cid AS cluster_id, s.cluster_size, t.majority_label,
+  t.majority_count,
+  CAST(t.majority_count AS DOUBLE) / CAST(s.cluster_size AS DOUBLE) AS purity
+FROM top t JOIN sizes s USING (cid)
+WHERE t.rn = 1
+ORDER BY cluster_id
+"""

@@ -243,6 +243,13 @@ register(
     dedup.lsh_dedup_recall,
     dedup.oracle_lsh_dedup_recall(),
 )
+# -- r7: k-means cluster purity — external label-agreement evaluation of
+#    the trained clustering (usable-as-topic-strata gate)
+register(
+    "ml_kmeans_purity",
+    similarity.kmeans_purity,
+    similarity.oracle_kmeans_purity(),
+)
 
 # -- r7: the Tembo Loki websocket receiver as a LIVE streaming query (in
 #    production it IS a websocket stream); availableNow equals the batch
