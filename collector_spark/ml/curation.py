@@ -1648,3 +1648,151 @@ FROM agg2
 ORDER BY merge_rank
 LIMIT {BPE_ROUND2_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# E57 — DSIR importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every corpus document
+# by how target-like its hashed n-gram feature distribution is,
+#
+#   log w(doc) = sum over bigram occurrences of ln( p_target(b) / p_raw(b) )
+#
+# with hashed word-bigram buckets (B = 1024), add-one smoothing on both
+# bucket distributions, the EVAL_SOURCE split playing the target domain
+# (as in decontamination) and the full corpus the raw distribution.
+# Sampling proportional to these weights is the DSIR selection step; the
+# weights compose directly with ml_weighted_sample's A-ES keys.
+#
+# Per-occurrence log ratios ride the 2^-20 quantization grid (the E41
+# convention), so per-doc sums are exact integer totals, order-independent
+# under any partitioning. The ratio is computed from integer bucket counts
+# in one expression, so both engines see bit-identical doubles before ln.
+#
+# Scale: both bucket distributions are B rows — broadcast; the corpus side
+# is a map-side bigram explode + broadcast join on the bucket id + one
+# combinable per-doc aggregate. No data-scaled shuffle except the final
+# groupBy(doc_id).
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024
+
+
+def dsir_weights(spark: SparkSession) -> DataFrame:
+    from collector_spark.ml.dedup import _hash60
+
+    docs = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("wl"),
+    )
+    bigrams = (
+        docs.filter(F.size("wl") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(1, size(wl) - 1)")).alias("i"),
+            "wl",
+        )
+        .select(
+            "doc_id",
+            "source",
+            (
+                _hash60(
+                    F.concat_ws(
+                        " ",
+                        F.element_at("wl", F.col("i").cast("int")),
+                        F.element_at("wl", F.col("i").cast("int") + 1),
+                    )
+                )
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    target = bigrams.filter(F.col("source") == EVAL_SOURCE)
+    t_counts = target.groupBy("b").agg(F.count("*").cast("long").alias("ct"))
+    r_counts = bigrams.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
+    # grand totals as a 1-row broadcast relation (the E41 convention), not
+    # driver-side count() actions — one lazy plan, no extra jobs
+    totals = bigrams.agg(
+        F.count("*").cast("long").alias("rt"),
+        F.sum(
+            F.when(F.col("source") == EVAL_SOURCE, 1).otherwise(0)
+        ).cast("long").alias("tt"),
+    )
+    ratio = (
+        r_counts.join(F.broadcast(t_counts), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            (
+                (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                * (F.col("rt") + DSIR_BUCKETS).cast("double")
+                / (
+                    (F.col("cr") + 1).cast("double")
+                    * (F.col("tt") + DSIR_BUCKETS).cast("double")
+                )
+            ).alias("ratio"),
+        )
+    )
+    lq = F.floor(F.log(F.col("ratio")) * _NLL_SCALE).cast("long")
+    scored = bigrams.join(F.broadcast(ratio), "b").select(
+        "doc_id", lq.alias("lq")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lq").alias("sum_q"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("sum_q").cast("double") / _NLL_SCALE).alias("log_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_dsir_weights() -> str:
+    from collector_spark.ml.dedup import _sql_hash60
+
+    h = _sql_hash60("wl[CAST(i AS INT)] || ' ' || wl[CAST(i AS INT) + 1]")
+    return rf"""
+WITH docs AS (
+  SELECT doc_id, source,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, source, ({h}) % {DSIR_BUCKETS} AS b
+  FROM docs, LATERAL (SELECT unnest(range(1, len(wl))) AS i) g
+  WHERE len(wl) >= 2
+),
+t_counts AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS ct FROM bigrams
+  WHERE source = '{EVAL_SOURCE}' GROUP BY b
+),
+r_counts AS (
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr FROM bigrams GROUP BY b
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS rt,
+    CAST(SUM(CASE WHEN source = '{EVAL_SOURCE}' THEN 1 ELSE 0 END) AS BIGINT)
+      AS tt
+  FROM bigrams
+),
+ratio AS (
+  SELECT r.b,
+    CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+      * CAST(x.rt + {DSIR_BUCKETS} AS DOUBLE)
+      / (CAST(r.cr + 1 AS DOUBLE) * CAST(x.tt + {DSIR_BUCKETS} AS DOUBLE))
+      AS ratio
+  FROM r_counts r LEFT JOIN t_counts t USING (b) CROSS JOIN totals x
+)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(CAST(FLOOR(ln(ratio) * {_NLL_SCALE}) AS BIGINT)) AS DOUBLE)
+    / {_NLL_SCALE} AS log_weight
+FROM bigrams g JOIN ratio USING (b)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""

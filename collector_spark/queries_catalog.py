@@ -250,6 +250,13 @@ register(
     similarity.kmeans_purity,
     similarity.oracle_kmeans_purity(),
 )
+# -- r7: DSIR importance weights (hashed-bigram importance resampling;
+#    broadcast B-bucket distributions, map-side corpus scoring)
+register(
+    "ml_dsir_weights",
+    curation.dsir_weights,
+    curation.oracle_dsir_weights(),
+)
 
 # -- r7: the Tembo Loki websocket receiver as a LIVE streaming query (in
 #    production it IS a websocket stream); availableNow equals the batch
