@@ -1677,16 +1677,19 @@ LIMIT {BPE_ROUND2_TOP}
 DSIR_BUCKETS = 1024
 
 
-def dsir_weights(spark: SparkSession) -> DataFrame:
+def _dsir_bigram_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, b): hashed word-bigram bucket per occurrence.
+    Stateless row-local expressions only, so the SAME projection runs
+    unchanged over a streaming DataFrame (st_ml_stream_dsir)."""
     from collector_spark.ml.dedup import _hash60
 
-    docs = spark.table("documents").select(
+    wl = docs.select(
         "doc_id",
         "source",
         F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("wl"),
     )
-    bigrams = (
-        docs.filter(F.size("wl") >= 2)
+    return (
+        wl.filter(F.size("wl") >= 2)
         .select(
             "doc_id",
             "source",
@@ -1708,6 +1711,11 @@ def dsir_weights(spark: SparkSession) -> DataFrame:
             ).alias("b"),
         )
     )
+
+
+def _dsir_ratio_table(bigrams: DataFrame) -> DataFrame:
+    """(b, ratio): smoothed target/raw bucket probability ratio — B rows,
+    broadcastable at any corpus size."""
     target = bigrams.filter(F.col("source") == EVAL_SOURCE)
     t_counts = target.groupBy("b").agg(F.count("*").cast("long").alias("ct"))
     r_counts = bigrams.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
@@ -1719,7 +1727,7 @@ def dsir_weights(spark: SparkSession) -> DataFrame:
             F.when(F.col("source") == EVAL_SOURCE, 1).otherwise(0)
         ).cast("long").alias("tt"),
     )
-    ratio = (
+    return (
         r_counts.join(F.broadcast(t_counts), "b", "left")
         .crossJoin(F.broadcast(totals))
         .select(
@@ -1734,6 +1742,11 @@ def dsir_weights(spark: SparkSession) -> DataFrame:
             ).alias("ratio"),
         )
     )
+
+
+def dsir_weights(spark: SparkSession) -> DataFrame:
+    bigrams = _dsir_bigram_buckets(spark.table("documents"))
+    ratio = _dsir_ratio_table(bigrams)
     lq = F.floor(F.log(F.col("ratio")) * _NLL_SCALE).cast("long")
     scored = bigrams.join(F.broadcast(ratio), "b").select(
         "doc_id", lq.alias("lq")

@@ -257,6 +257,14 @@ register(
     curation.dsir_weights,
     curation.oracle_dsir_weights(),
 )
+# the streaming twin: batch-trained ratio table joined STATIC into the
+# document stream (the train-yesterday / score-today ingest shape);
+# availableNow equals the batch answer, so the same oracle verifies it
+register(
+    "st_ml_stream_dsir",
+    doc_stream.stream_dsir_weights,
+    curation.oracle_dsir_weights(),
+)
 
 # -- r7: the Tembo Loki websocket receiver as a LIVE streaming query (in
 #    production it IS a websocket stream); availableNow equals the batch

@@ -221,3 +221,97 @@ def stream_minhash_candidates(
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+def stream_dsir_weights(spark: SparkSession, n_arrival_batches: int = 8) -> DataFrame:
+    """Streaming DSIR scoring — the stream-STATIC-join ingest shape: the
+    bucket ratio table is trained in batch (a bounded B-row relation,
+    broadcast), and arriving documents are scored against it as they land.
+    This is how importance weighting actually deploys: distributions train
+    on yesterday's corpus; today's crawl is scored on ingest. The per-doc
+    aggregation is a streaming groupBy over stateless row-local
+    projections, so trigger(availableNow) over any arrival batching equals
+    the batch ml_dsir_weights answer row-for-row (same oracle) — with the
+    one documented difference that the batch operator's ratio also counts
+    the scored doc itself; here BOTH sides read the same fixture corpus,
+    preserving that identity exactly.
+
+    Scale: state is O(documents in flight) for the per-doc sums; the
+    static side re-plans per microbatch but is B rows. Production swaps
+    the memory sink for an update-mode table feeding the sampler.
+    """
+    from collector_spark.ml.curation import (
+        _NLL_SCALE,
+        _dsir_bigram_buckets,
+        _dsir_ratio_table,
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), "collector_spark_docstream")
+    src_dir = os.path.join(base, run_id, "src")
+    ckpt_dir = os.path.join(base, run_id, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    (
+        spark.table("documents")
+        .repartitionByRange(n_arrival_batches, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(src_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base_mtime = os.path.getmtime(src_dir)
+    for i, name in enumerate(parts):
+        p = os.path.join(src_dir, name)
+        os.utime(p, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+    # STATIC side: ratio table trained in batch over the full corpus
+    ratio = _dsir_ratio_table(
+        _dsir_bigram_buckets(spark.table("documents"))
+    )
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    stream_bigrams = _dsir_bigram_buckets(raw)
+    lq = F.floor(F.log(F.col("ratio")) * _NLL_SCALE).cast("long")
+    scored = (
+        stream_bigrams.join(F.broadcast(ratio), "b")  # stream-static join
+        .select("doc_id", lq.alias("lq"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("lq").alias("sum_q"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("sum_q").cast("double") / _NLL_SCALE).alias("log_weight"),
+        )
+    )
+
+    qname = f"docdsir_{run_id}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            scored.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+        shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
+
+    return spark.table(qname).orderBy("doc_id")
