@@ -131,6 +131,27 @@ BUDGETS = {
     # tail's join strategy is AQE's call (broadcast at fixture scale,
     # shuffled at 100 TB) so it is deliberately not pinned
     "ml_unigram_logprob_skew": (20, ["BroadcastHashJoin", "TakeOrdered"]),
+    # --- r7 tokenizer/LM/sampling/eval additions ---
+    # BPE: distinct-word explode + combinable pair agg + TakeOrdered top-K
+    # (no global sort shuffle); the rank window runs on K rows
+    "ml_bpe_pair_counts": (5, ["TakeOrdered"]),
+    "ml_bpe_merge_round": (10, ["TakeOrdered"]),
+    # bigram LM: map-side bigram build (no lag window), plain key joins on
+    # the data-scaled count relations, 1-row total broadcast
+    "ml_bigram_logprob": (19, []),
+    # A-ES sampling: map-only scoring + one per-source top-K window
+    "ml_weighted_sample": (4, []),
+    # DSIR: B-row ratio table broadcast; corpus side map-side + one
+    # combinable per-doc agg
+    "ml_dsir_weights": (15, ["BroadcastHashJoin"]),
+    # purity rides the unrolled k-means plan (per-iteration broadcast +
+    # combinable agg); budget pins the iteration count staying put
+    "ml_kmeans_purity": (55, ["BroadcastHashJoin"]),
+    # schema workflow: bounded per-server attempt stream
+    "j14_schema_collection_workflow": (9, []),
+    # recall: truth self-join + candidate build over the pinned shingles
+    "ml_lsh_dedup_recall": (24, []),
+    "f21_collector_platform": (2, []),
     # three per-doc signal relations + doc_id equi-joins, no forced
     # broadcast (each side is O(corpus))
     "ml_quality_keep_list": (17, []),
@@ -146,6 +167,12 @@ SINGLE_PARTITION_OK = {
     "snapshot_system_fact_full": 3,
     "ml_unigram_logprob": 1,
     "ml_unigram_logprob_skew": 2,
+    # 1-row grand-total aggregates (bigram corpus total, DSIR totals)
+    "ml_bigram_logprob": 1,
+    "ml_dsir_weights": 1,
+    # per-server attempt ordering: bounded by databases-per-server
+    # (config-capped), never data-scaled — see the operator docstring
+    "j14_schema_collection_workflow": 2,
 }
 
 
