@@ -1809,3 +1809,113 @@ FROM bigrams g JOIN ratio USING (b)
 GROUP BY g.doc_id
 ORDER BY g.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E58 — the end-to-end curation manifest: one row per corpus document with
+# its final disposition, composing every curation stage this engine ships:
+#
+#   1. eval-source holdout (the benchmark split never trains),
+#   2. dedup keep/drop (exact -> LSH -> verify -> clusters -> span, E31),
+#   3. quality keep/drop (C4 + repetition + score floor, E43),
+#   4. benchmark decontamination (word-8-gram overlap, E19),
+#   5. survivors get their train/valid/test split (E42) and their
+#      source's temperature-scaled mixing weight (E35).
+#
+# The disposition is the FIRST failing stage in that order (the audit
+# convention of E31/E43); kept = disposition 'kept'. This is the table a
+# training run actually reads — the composition is the product, the
+# stages are its explanation.
+#
+# Scale: four left joins on doc_id over per-doc relations — plain hash
+# joins, never forced broadcast (every side is O(corpus)); the mixing
+# weight join is O(sources) and broadcast.
+# ---------------------------------------------------------------------------
+
+
+def curation_manifest(spark: SparkSession) -> DataFrame:
+    from collector_spark.ml.dedup import dedup_keep_list
+
+    docs = spark.table("documents").select("doc_id", "source", "lang")
+    d = dedup_keep_list(spark).select(
+        "doc_id",
+        F.col("keep").alias("dedup_keep"),
+        F.col("drop_reason").alias("dedup_reason"),
+    )
+    q = quality_keep_list(spark).select(
+        "doc_id",
+        F.col("keep").alias("quality_keep"),
+        F.col("drop_reason").alias("quality_reason"),
+    )
+    c = decontaminate(spark).select("doc_id", "contaminated")
+    s = split_assign(spark).select("doc_id", "split")
+    w = sampling_weights(spark).select("source", "temp_scaled_weight")
+
+    joined = (
+        docs.join(d, "doc_id", "left")
+        .join(q, "doc_id", "left")
+        .join(c, "doc_id", "left")
+        .join(s, "doc_id", "left")
+        .join(F.broadcast(w), "source", "left")
+    )
+    disposition = (
+        F.when(F.col("source") == EVAL_SOURCE, F.lit("eval_source"))
+        .when(~F.coalesce(F.col("dedup_keep"), F.lit(True)), F.col("dedup_reason"))
+        .when(
+            ~F.coalesce(F.col("quality_keep"), F.lit(True)),
+            F.col("quality_reason"),
+        )
+        .when(
+            F.coalesce(F.col("contaminated"), F.lit(False)), F.lit("contaminated")
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        joined.withColumn("disposition", disposition)
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            "disposition",
+            (F.col("disposition") == "kept").alias("kept"),
+            F.when(F.col("disposition") == "kept", F.col("split")).alias("split"),
+            F.when(
+                F.col("disposition") == "kept", F.col("temp_scaled_weight")
+            ).alias("mixing_weight"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_curation_manifest() -> str:
+    from collector_spark.ml.dedup import oracle_dedup_keep_list
+
+    return f"""
+WITH d AS (SELECT * FROM ({oracle_dedup_keep_list()}) x),
+q AS (SELECT * FROM ({oracle_quality_keep_list()}) x),
+c AS (SELECT * FROM ({oracle_decontaminate()}) x),
+s AS (SELECT * FROM ({oracle_split_assign()}) x),
+w AS (SELECT * FROM ({oracle_sampling_weights()}) x),
+joined AS (
+  SELECT doc.doc_id, doc.source, doc.lang,
+    CASE
+      WHEN doc.source = '{EVAL_SOURCE}' THEN 'eval_source'
+      WHEN NOT COALESCE(d.keep, TRUE) THEN d.drop_reason
+      WHEN NOT COALESCE(q.keep, TRUE) THEN q.drop_reason
+      WHEN COALESCE(c.contaminated, FALSE) THEN 'contaminated'
+      ELSE 'kept' END AS disposition,
+    s.split, w.temp_scaled_weight
+  FROM documents doc
+  LEFT JOIN d USING (doc_id)
+  LEFT JOIN q USING (doc_id)
+  LEFT JOIN c USING (doc_id)
+  LEFT JOIN s USING (doc_id)
+  LEFT JOIN w ON w.source = doc.source
+)
+SELECT doc_id, source, lang, disposition,
+  disposition = 'kept' AS kept,
+  CASE WHEN disposition = 'kept' THEN split END AS split,
+  CASE WHEN disposition = 'kept' THEN temp_scaled_weight END AS mixing_weight
+FROM joined
+ORDER BY doc_id
+"""

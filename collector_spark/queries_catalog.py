@@ -265,6 +265,15 @@ register(
     doc_stream.stream_dsir_weights,
     curation.oracle_dsir_weights(),
 )
+# -- r7: the end-to-end curation manifest — per-doc final disposition
+#    composing eval holdout, dedup keep list, quality keep list,
+#    decontamination, split assignment and mixing weight (the table a
+#    training run actually reads)
+register(
+    "ml_curation_manifest",
+    curation.curation_manifest,
+    curation.oracle_curation_manifest(),
+)
 
 # -- r7: the Tembo Loki websocket receiver as a LIVE streaming query (in
 #    production it IS a websocket stream); availableNow equals the batch
