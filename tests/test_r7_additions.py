@@ -116,3 +116,31 @@ def test_plan_fact_groups_add_stats(prepared_spark):
     assert total_calls == src["calls"], (
         f"groupPlans sum {total_calls} != keyed source sum {src['calls']}"
     )
+
+
+def test_curation_manifest_partitions_the_corpus(prepared_spark):
+    """Every document gets exactly one disposition; kept rows carry split
+    and mixing weight, dropped rows carry neither; eval-source docs are
+    always held out."""
+    from collector_spark.ml.curation import EVAL_SOURCE
+
+    rows = _run(prepared_spark, "ml_curation_manifest").collect()
+    n_docs = prepared_spark.table("documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc_id"] for r in rows}) == n_docs
+    for r in rows:
+        if r["kept"]:
+            assert r["disposition"] == "kept"
+            assert r["split"] in ("train", "valid", "test")
+            assert r["mixing_weight"] is not None
+        else:
+            assert r["disposition"] != "kept"
+            assert r["split"] is None and r["mixing_weight"] is None
+        if r["source"] == EVAL_SOURCE:
+            assert r["disposition"] == "eval_source"
+    # the composition must exercise more than a pass-through
+    assert {r["disposition"] for r in rows} >= {
+        "kept",
+        "eval_source",
+        "near_duplicate",
+    }
