@@ -194,3 +194,105 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN rolling r USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E59 — full winnowing fingerprints (Schleimer et al. 2003, the MOSS
+# algorithm): char k-gram rolling hashes, then in every window of w
+# consecutive hashes select the minimum — rightmost on ties, the paper's
+# rule — giving a position-aware local fingerprint set with the guarantee
+# that any match of length >= w + k - 1 shares at least one selected
+# fingerprint. This is the LOCAL counterpart of E15's global min-shingle:
+# winnowing detects partial overlap at known offsets (plagiarism-style
+# span matches), not just whole-document similarity.
+#
+# Selections are encoded as pos * 2^31 + fp (fp < 2^31, so the encoding
+# is injective and decodes with %) and the registered row is the bounded
+# per-doc summary: selected count, distinct-fingerprint count, and an
+# order-insensitive modular checksum over the encoded selections — the
+# full selection set validates through the checksum without driver-side
+# megarow output.
+#
+# Scale: entirely row-local array expressions (map-only, no shuffle but
+# the determinism orderBy); density is 2/(w+1) selections per char,
+# independent of corpus size.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window (guarantee threshold t = w + k - 1)
+_ENC = 2_147_483_648  # 2^31: position/fingerprint encoding base
+_CKSUM_P = 1_000_000_007
+
+
+def winnowing_fingerprints(spark: SparkSession) -> DataFrame:
+    from collector_spark.ml.dedup import P31
+
+    k, w = WINNOW_K, WINNOW_W
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    hashes = (
+        f"transform(sequence(1, length(norm) - {k - 1}), i -> "
+        f"CAST(conv(substring(md5(substring(norm, i, {k})), 1, 15), 16, 10) "
+        f"AS BIGINT) % {P31})"
+    )
+    sel = (
+        f"array_distinct(transform(sequence(1, size(hashes) - {w - 1}), j -> "
+        f"(j + {w} - array_position(reverse(slice(hashes, j, {w})), "
+        f"array_min(slice(hashes, j, {w})))) * CAST({_ENC} AS BIGINT) "
+        f"+ array_min(slice(hashes, j, {w}))))"
+    )
+    return (
+        spark.table("documents")
+        .select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") >= k + w - 1)
+        .withColumn("hashes", F.expr(hashes))
+        .withColumn("sel", F.expr(sel))
+        .select(
+            "doc_id",
+            F.size("sel").cast("long").alias("n_selected"),
+            F.expr(
+                f"CAST(size(array_distinct(transform(sel, e -> e % {_ENC}))) "
+                "AS BIGINT)"
+            ).alias("n_distinct_fp"),
+            F.expr(
+                f"aggregate(transform(sel, e -> e % {_CKSUM_P}), "
+                f"CAST(0 AS BIGINT), (acc, x) -> acc + x) % {_CKSUM_P}"
+            ).alias("fp_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_winnowing_fingerprints() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    from collector_spark.ml.dedup import P31
+
+    return rf"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+    list_transform(range(1, length(norm) - {k - 2}), i ->
+      CAST(('0x' || substr(md5(substr(norm, CAST(i AS INT), {k})), 1, 15))
+           AS BIGINT) % {P31}) AS hashes
+  FROM base WHERE length(norm) >= {k + w - 1}
+),
+selected AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(hashes) - {w - 2}), j ->
+      (j + {w} - list_position(list_reverse(hashes[CAST(j AS INT):CAST(j AS INT) + {w - 1}]),
+                               list_min(hashes[CAST(j AS INT):CAST(j AS INT) + {w - 1}])))
+        * CAST({_ENC} AS BIGINT)
+      + list_min(hashes[CAST(j AS INT):CAST(j AS INT) + {w - 1}]))) AS sel
+  FROM hashed
+)
+SELECT doc_id,
+  CAST(len(sel) AS BIGINT) AS n_selected,
+  CAST(len(list_distinct(list_transform(sel, e -> e % {_ENC}))) AS BIGINT)
+    AS n_distinct_fp,
+  CAST(list_aggregate(list_transform(sel, e -> e % {_CKSUM_P}), 'sum')
+       % {_CKSUM_P} AS BIGINT) AS fp_checksum
+FROM selected
+ORDER BY doc_id
+"""

@@ -274,6 +274,14 @@ register(
     curation.curation_manifest,
     curation.oracle_curation_manifest(),
 )
+# -- r7: full winnowing fingerprints (Schleimer et al. 2003) — local
+#    position-aware fingerprint selection with the rightmost-min tie rule;
+#    bounded per-doc summary validated by a modular checksum
+register(
+    "ml_winnowing_fingerprints",
+    textstats.winnowing_fingerprints,
+    textstats.oracle_winnowing_fingerprints(),
+)
 
 # -- r7: the Tembo Loki websocket receiver as a LIVE streaming query (in
 #    production it IS a websocket stream); availableNow equals the batch
