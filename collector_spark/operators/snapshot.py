@@ -160,25 +160,32 @@ PLAN_TYPE_ENUM = {"no plan": 0, "estimate": 1, "actual": 2}
 def snapshot_plan_fact(spark: SparkSession) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from collector_spark.functions.fingerprint import (
-        fingerprint,
-        is_collector_query,
-    )
     from collector_spark.operators.plans import PLAN_TYPES
 
     rollup = _persisted_rollup(spark)
     query_dim = _dense_dim(rollup, ["fingerprint"], "query_idx")
 
-    texts = spark.table("stmt_texts")
-    fp_lookup = (
-        texts.select("query_text")
-        .distinct()
-        .select("query_text", fingerprint(F.col("query_text")).alias("fingerprint"))
-    )
+    # key -> fingerprint map straight off the PINNED rollup's contributing
+    # query_ids (A2 collects them per group): no re-render of the text
+    # relation, no second fingerprint pass — the reference builds
+    # queryIDKeyToIdx from the transformed statement groups the same way
+    # (postgres_statements.go), and the rollup has already dropped the
+    # collector-marker texts (P6) and folded text-less keys into the
+    # unavailable-fingerprint group.
     key_fp = (
-        texts.filter(~is_collector_query(F.col("query_text")))
-        .join(fp_lookup, on="query_text")
-        .select("database_oid", "user_oid", "query_id", "fingerprint")
+        rollup.select(
+            "database_oid",
+            "user_oid",
+            "fingerprint",
+            F.explode(F.split("query_ids", ",")).alias("qid"),
+        )
+        .filter(F.col("qid") != "")
+        .select(
+            "database_oid",
+            "user_oid",
+            F.col("qid").cast("long").alias("query_id"),
+            "fingerprint",
+        )
         .distinct()
     )
 
@@ -236,11 +243,9 @@ def snapshot_plan_fact(spark: SparkSession) -> DataFrame:
 
 
 def oracle_plan_fact() -> str:
-    from collector_spark.functions.fingerprint import oracle_fingerprint
     from collector_spark.operators.plans import PLAN_TYPES
 
     rollup = oracle_statement_rollup()
-    fp = oracle_fingerprint("query_text")
     types = ", ".join(f"'{t}'" for t in PLAN_TYPES)
     return f"""
 WITH rollup AS ({rollup}),
@@ -250,9 +255,10 @@ query_dim AS (
   FROM (SELECT DISTINCT fingerprint FROM rollup)
 ),
 key_fp AS (
-  SELECT DISTINCT database_oid, user_oid, query_id, {fp} AS fingerprint
-  FROM stmt_texts
-  WHERE query_text NOT LIKE '/* pganalyze-collector */%'
+  SELECT DISTINCT database_oid, user_oid,
+    CAST(q.qid AS BIGINT) AS query_id, fingerprint
+  FROM rollup, LATERAL (SELECT unnest(string_split(query_ids, ',')) AS qid) q
+  WHERE q.qid <> ''
 ),
 keyed AS (
   SELECT q.query_idx, b.plan_id, b.plan_type, b.plan_text,

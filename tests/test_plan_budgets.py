@@ -35,7 +35,10 @@ BUDGETS = {
     # (query_idx, plan_id) — the unordered-frame sums share the window's
     # partitioning; the rest is the rollup/dim lineage (pinned-cache
     # reprint headroom as for a2/statement_fact)
-    "snapshot_plan_fact": (30, ["BroadcastHashJoin"]),
+    # the rollup lineage appears twice (query dim + key map) and the warm
+    # pinned-rollup cache reprints its child plan inside each
+    # InMemoryRelation — same printed-plan inflation as a2/statement_fact
+    "snapshot_plan_fact": (56, ["BroadcastHashJoin"]),
     # backend counts: one map-side-combinable agg on the 5-col key + two
     # broadcast dim joins
     "snapshot_backend_count_fact": (18, ["BroadcastHashJoin"]),

@@ -99,16 +99,32 @@ def test_plan_fact_groups_add_stats(prepared_spark):
     assert all(r["calls"] > 0 for r in rows)
     # grouping actually collapses multiple statement keys per fingerprint
     # (the fixture maps hundreds of query_ids onto a handful of shapes),
-    # and the summed calls are EXACTLY the keyed source total: every plan
-    # row survives except the collector-marker keys groupPlans drops
-    # (fixture texts are collector-marker iff query_id % 17 == 0 and
-    # query_id % 13 != 0 — the %13 privilege branch wins the CASE first)
+    # and the summed calls are EXACTLY the keyed source total — the keyed
+    # source being plan rows whose statement key survives into the rollup
+    # (groupPlans drops absent-statement keys: collector-marker texts and
+    # zero-delta-filtered statements)
+    from collector_spark.operators.snapshot import _persisted_rollup
+
     total_calls = sum(r["calls"] for r in rows)
-    qid = F.col("query_id")
+    keys = (
+        _persisted_rollup(prepared_spark)
+        .select(
+            "database_oid",
+            "user_oid",
+            F.explode(F.split("query_ids", ",")).alias("qid"),
+        )
+        .filter(F.col("qid") != "")
+        .select(
+            "database_oid",
+            "user_oid",
+            F.col("qid").cast("long").alias("query_id"),
+        )
+        .distinct()
+    )
     src = (
         prepared_spark.table("plan_rows")
         .filter(F.col("plan_type").isin("estimate", "actual"))
-        .filter(~((qid % 17 == 0) & (qid % 13 != 0)))
+        .join(keys, ["database_oid", "user_oid", "query_id"])
         .agg(F.count("*").alias("n"), F.sum("calls").alias("calls"))
         .collect()[0]
     )
