@@ -296,3 +296,182 @@ SELECT doc_id,
 FROM selected
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E60 — winnowing span matches: the matching stage that makes E59 a
+# pipeline (the MOSS use case). Selected fingerprints explode to
+# (doc, pos, fp) rows, fingerprints bucket documents exactly like LSH
+# bands bucket signatures (groupBy(fp) + in-bucket pair expansion — never
+# an all-pairs join), and each document pair reports how many distinct
+# fingerprints it shares plus its best position ALIGNMENT: the most
+# common pos_a - pos_b offset and how many shared occurrences sit at it.
+# A high aligned count at one offset is a copied SPAN at a known
+# location — the position-aware evidence MinHash similarity cannot give.
+#
+# Stop-fingerprint guard: buckets larger than WINNOW_BUCKET_CAP
+# occurrences are dropped (boilerplate 8-grams shared by everything) —
+# the standard MOSS practice and the skew/blowup bound at 100 TB; the cap
+# is the knob, AQE skew-join splits what remains.
+# ---------------------------------------------------------------------------
+
+WINNOW_BUCKET_CAP = 64
+WINNOW_MIN_SHARED = 2
+# report pairs whose best alignment carries >= this many fingerprints: a
+# run of aligned selections is a copied span (threshold ~ w+k-1 chars per
+# fingerprint); lower alignments are phrase-level noise in prose
+WINNOW_MIN_ALIGNED = 8
+
+
+def winnowing_matches(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import Window
+    from collector_spark.ml.dedup import P31
+
+    k, w = WINNOW_K, WINNOW_W
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    hashes = (
+        f"transform(sequence(1, length(norm) - {k - 1}), i -> "
+        f"CAST(conv(substring(md5(substring(norm, i, {k})), 1, 15), 16, 10) "
+        f"AS BIGINT) % {P31})"
+    )
+    sel = (
+        f"array_distinct(transform(sequence(1, size(hashes) - {w - 1}), j -> "
+        f"(j + {w} - array_position(reverse(slice(hashes, j, {w})), "
+        f"array_min(slice(hashes, j, {w})))) * CAST({_ENC} AS BIGINT) "
+        f"+ array_min(slice(hashes, j, {w}))))"
+    )
+    rows = (
+        spark.table("documents")
+        .select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") >= k + w - 1)
+        .withColumn("hashes", F.expr(hashes))
+        .select("doc_id", F.explode(F.expr(sel)).alias("e"))
+        .select(
+            "doc_id",
+            # integer div, NOT '/': float division of 2^62-scale encodings
+            # rounds in the double mantissa and can cross the pos boundary
+            F.expr(f"e div {_ENC}").alias("pos"),
+            (F.col("e") % _ENC).alias("fp"),
+        )
+    )
+    pair_rows = (
+        rows.groupBy("fp")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "pos"))
+            ).alias("items")
+        )
+        .filter((F.size("items") > 1) & (F.size("items") <= WINNOW_BUCKET_CAP))
+        .select(
+            "fp",
+            F.explode(
+                F.expr(
+                    "flatten(transform(items, (a, i) -> "
+                    "transform(slice(items, i + 2, size(items) - i - 1), "
+                    "b -> struct(a.doc_id AS doc_a, a.pos AS pos_a, "
+                    "b.doc_id AS doc_b, b.pos AS pos_b))))"
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p.doc_a") < F.col("p.doc_b"))
+        .select(
+            "fp",
+            F.col("p.doc_a").alias("doc_a"),
+            F.col("p.doc_b").alias("doc_b"),
+            (F.col("p.pos_a") - F.col("p.pos_b")).alias("delta"),
+        )
+    )
+    shared = pair_rows.groupBy("doc_a", "doc_b").agg(
+        F.count_distinct("fp").cast("long").alias("n_shared_fp")
+    )
+    deltas = pair_rows.groupBy("doc_a", "doc_b", "delta").agg(
+        F.count("*").cast("long").alias("n_at_delta")
+    )
+    best = (
+        deltas.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_a", "doc_b").orderBy(
+                    F.desc("n_at_delta"), F.asc("delta")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("delta").alias("best_delta"),
+            F.col("n_at_delta").alias("n_aligned"),
+        )
+    )
+    return (
+        shared.join(best, ["doc_a", "doc_b"])
+        .filter(
+            (F.col("n_shared_fp") >= WINNOW_MIN_SHARED)
+            & (F.col("n_aligned") >= WINNOW_MIN_ALIGNED)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def oracle_winnowing_matches() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    from collector_spark.ml.dedup import P31
+
+    return rf"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+    list_transform(range(1, length(norm) - {k - 2}), i ->
+      CAST(('0x' || substr(md5(substr(norm, CAST(i AS INT), {k})), 1, 15))
+           AS BIGINT) % {P31}) AS hashes
+  FROM base WHERE length(norm) >= {k + w - 1}
+),
+sel AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(range(1, len(hashes) - {w - 2}), j ->
+      (j + {w} - list_position(
+          list_reverse(hashes[CAST(j AS INT):CAST(j AS INT) + {w - 1}]),
+          list_min(hashes[CAST(j AS INT):CAST(j AS INT) + {w - 1}])))
+        * CAST({_ENC} AS BIGINT)
+      + list_min(hashes[CAST(j AS INT):CAST(j AS INT) + {w - 1}])))) AS e
+  FROM hashed
+),
+rows_ AS (
+  SELECT doc_id, CAST(e // {_ENC} AS BIGINT) AS pos, e % {_ENC} AS fp
+  FROM sel
+),
+sized AS (
+  SELECT fp, CAST(COUNT(*) AS BIGINT) AS n FROM rows_ GROUP BY fp
+),
+pair_rows AS (
+  SELECT a.fp, a.doc_id AS doc_a, b.doc_id AS doc_b,
+    a.pos - b.pos AS delta
+  FROM rows_ a
+  JOIN rows_ b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN sized s ON s.fp = a.fp
+  WHERE s.n > 1 AND s.n <= {WINNOW_BUCKET_CAP}
+),
+shared AS (
+  SELECT doc_a, doc_b, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_shared_fp
+  FROM pair_rows GROUP BY doc_a, doc_b
+),
+deltas AS (
+  SELECT doc_a, doc_b, delta, CAST(COUNT(*) AS BIGINT) AS n_at_delta
+  FROM pair_rows GROUP BY doc_a, doc_b, delta
+),
+best AS (
+  SELECT doc_a, doc_b, delta AS best_delta, n_at_delta AS n_aligned,
+    row_number() OVER (PARTITION BY doc_a, doc_b
+                       ORDER BY n_at_delta DESC, delta ASC) AS rn
+  FROM deltas
+)
+SELECT s.doc_a, s.doc_b, s.n_shared_fp, b.best_delta, b.n_aligned
+FROM shared s JOIN best b USING (doc_a, doc_b)
+WHERE b.rn = 1 AND s.n_shared_fp >= {WINNOW_MIN_SHARED}
+  AND b.n_aligned >= {WINNOW_MIN_ALIGNED}
+ORDER BY s.doc_a, s.doc_b
+"""

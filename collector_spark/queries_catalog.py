@@ -282,6 +282,13 @@ register(
     textstats.winnowing_fingerprints,
     textstats.oracle_winnowing_fingerprints(),
 )
+# the matching stage: fingerprint-bucketed pair expansion (capped buckets
+# = the stop-fingerprint guard) with best position-alignment per pair
+register(
+    "ml_winnowing_matches",
+    textstats.winnowing_matches,
+    textstats.oracle_winnowing_matches(),
+)
 
 # -- r7: the Tembo Loki websocket receiver as a LIVE streaming query (in
 #    production it IS a websocket stream); availableNow equals the batch
