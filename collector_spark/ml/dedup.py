@@ -182,14 +182,15 @@ SELECT doc_id, {mins} FROM sh GROUP BY doc_id ORDER BY doc_id
 """
 
 
-def _band_cols() -> list[tuple[str, list[str]]]:
-    rows = K // BANDS
+def _band_cols(rows: int | None = None) -> list[tuple[str, list[str]]]:
+    rows = K // BANDS if rows is None else rows
+    bands = K // rows
     return [
-        (f"band{b}", [f"mh{b * rows + r}" for r in range(rows)]) for b in range(BANDS)
+        (f"band{b}", [f"mh{b * rows + r}" for r in range(rows)]) for b in range(bands)
     ]
 
 
-def _candidate_pairs_from(sig: DataFrame) -> DataFrame:
+def _candidate_pairs_from(sig: DataFrame, rows_per_band: int | None = None) -> DataFrame:
     # one band-key array exploded per row — the signature aggregate is
     # computed once, not once per band branch (a UNION of 8 projections
     # leans on exchange reuse; the explode makes single-pass structural)
@@ -197,7 +198,7 @@ def _candidate_pairs_from(sig: DataFrame) -> DataFrame:
         F.md5(
             F.concat_ws(",", F.lit(str(b)), *[F.col(c).cast("string") for c in cols])
         )
-        for b, (name, cols) in enumerate(_band_cols())
+        for b, (name, cols) in enumerate(_band_cols(rows_per_band))
     ]
     buckets = sig.select("doc_id", F.explode(F.array(*keys)).alias("bucket"))
     # pair generation by per-bucket expansion instead of a bucket self-join:
@@ -1111,4 +1112,170 @@ SELECT threshold, CAST(COUNT(*) AS BIGINT) AS truth_pairs,
 FROM exploded
 GROUP BY threshold
 ORDER BY threshold
+"""
+
+
+# ---------------------------------------------------------------------------
+# E61 — LSH tuning curve: the (rows-per-band x bands) parameter sweep over
+# the SAME 64 minhash values, reporting for each configuration and Jaccard
+# threshold the empirical candidate recall against exact-Jaccard truth
+# NEXT TO the theoretical S-curve capture probability
+# 1 - (1 - t^r)^b. This is the table that sizes LSH before a 100 TB dedup
+# run: more, narrower bands push the S-curve left (higher recall, bigger
+# buckets); fewer, wider bands push it right (fewer candidates, misses
+# borderline pairs). The theory value is computed once at plan-build time
+# and embedded as the SAME literal in both engines, so no cross-engine
+# pow() determinism is at stake; the empirical side shares one signature
+# aggregate across all configurations (the banding is a projection).
+#
+# Scale: same evaluation framing as E54 — truth is pair-quadratic on a
+# bounded sample; the per-config candidate builds are the production
+# banding shape unchanged.
+# ---------------------------------------------------------------------------
+
+LSH_TUNING_ROWS = (4, 8, 16)
+
+
+def _jaccard_truth(sh: DataFrame) -> DataFrame:
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("sa")
+        .join(
+            sh.alias("sb"),
+            (F.col("sa.h") == F.col("sb.h"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("na.n") + F.col("nb.n") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _scurve(rows: int, t: float) -> float:
+    bands = K // rows
+    return 1.0 - (1.0 - t**rows) ** bands
+
+
+def lsh_tuning(spark: SparkSession) -> DataFrame:
+    sh = _persisted_shingles(spark)
+    sig = _signatures_from(sh)
+    truth = _jaccard_truth(sh)
+    out = None
+    for r in LSH_TUNING_ROWS:
+        cand = _candidate_pairs_from(sig, r).withColumn("c", F.lit(1))
+        flagged = truth.join(cand, on=["doc_a", "doc_b"], how="left")
+        theory = None
+        for t in RECALL_THRESHOLDS:
+            lit_t = F.lit(float(t))
+            branch = F.when(
+                F.col("threshold") == lit_t, F.lit(_scurve(r, float(t)))
+            )
+            theory = branch if theory is None else theory.when(
+                F.col("threshold") == lit_t, F.lit(_scurve(r, float(t)))
+            )
+        agg = (
+            flagged.select(
+                "jaccard",
+                "c",
+                F.explode(
+                    F.array(*[F.lit(float(t)) for t in RECALL_THRESHOLDS])
+                ).alias("threshold"),
+            )
+            .filter(F.col("jaccard") >= F.col("threshold"))
+            .groupBy("threshold")
+            .agg(
+                F.count("*").cast("long").alias("truth_pairs"),
+                F.count("c").cast("long").alias("caught_pairs"),
+            )
+            .select(
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(K // r).cast("int").alias("n_bands"),
+                "threshold",
+                "truth_pairs",
+                "caught_pairs",
+                (
+                    F.col("caught_pairs").cast("double")
+                    / F.col("truth_pairs").cast("double")
+                ).alias("recall"),
+                theory.alias("theory_capture"),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("rows_per_band", "threshold")
+
+
+def _oracle_banded_pairs(r: int) -> str:
+    """Candidate-pair SQL body over the shared sig CTE for a given
+    rows-per-band (mirrors _candidate_pairs_from's banding)."""
+    band_selects = []
+    for b, (name, cols) in enumerate(_band_cols(r)):
+        concat = " || ',' || ".join(
+            [f"'{b}'"] + [f"CAST({c} AS VARCHAR)" for c in cols]
+        )
+        band_selects.append(f"SELECT doc_id, md5({concat}) AS bucket FROM sig")
+    buckets = " UNION ALL ".join(band_selects)
+    return (
+        f"SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
+        f"FROM ({buckets}) l JOIN ({buckets}) r "
+        f"ON l.bucket = r.bucket AND l.doc_id < r.doc_id"
+    )
+
+
+def oracle_lsh_tuning() -> str:
+    mins = ", ".join(
+        f"MIN((h * CAST({A[i]} AS BIGINT) + {B[i]}) % {P31}) AS mh{i}"
+        for i in range(K)
+    )
+    tlist = ", ".join(str(t) for t in RECALL_THRESHOLDS)
+    per_config = []
+    for r in LSH_TUNING_ROWS:
+        theory_case = " ".join(
+            f"WHEN g.threshold = {t} THEN {_scurve(r, float(t))!r}"
+            for t in RECALL_THRESHOLDS
+        )
+        per_config.append(f"""
+SELECT CAST({r} AS INT) AS rows_per_band, CAST({K // r} AS INT) AS n_bands,
+  CAST(g.threshold AS DOUBLE) AS threshold,
+  CAST(COUNT(*) AS BIGINT) AS truth_pairs,
+  CAST(COUNT(c.doc_a) AS BIGINT) AS caught_pairs,
+  CAST(COUNT(c.doc_a) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall,
+  CAST(CASE {theory_case} END AS DOUBLE) AS theory_capture
+FROM truth t
+LEFT JOIN ({_oracle_banded_pairs(r)}) c
+  ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+CROSS JOIN LATERAL (SELECT unnest([{tlist}]) AS threshold) g
+WHERE t.jaccard >= CAST(g.threshold AS DOUBLE)
+GROUP BY g.threshold""")
+    union = " UNION ALL ".join(per_config)
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+truth_inter AS (
+  SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh sa JOIN sh sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
+  GROUP BY sa.doc_id, sb.doc_id
+),
+truth AS (
+  SELECT i.doc_a, i.doc_b,
+    CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) AS jaccard
+  FROM truth_inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+)
+SELECT * FROM ({union}) u
+ORDER BY rows_per_band, threshold
 """

@@ -243,6 +243,14 @@ register(
     dedup.lsh_dedup_recall,
     dedup.oracle_lsh_dedup_recall(),
 )
+# -- r7: LSH tuning curve — (rows x bands) sweep over the shared minhash
+#    signatures: empirical recall vs exact truth next to the theoretical
+#    S-curve capture (literal-embedded, no cross-engine pow)
+register(
+    "ml_lsh_tuning",
+    dedup.lsh_tuning,
+    dedup.oracle_lsh_tuning(),
+)
 # -- r7: k-means cluster purity — external label-agreement evaluation of
 #    the trained clustering (usable-as-topic-strata gate)
 register(
