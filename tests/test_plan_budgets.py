@@ -33,10 +33,8 @@ BUDGETS = {
     "snapshot_statement_fact": (52, ["BroadcastHashJoin"]),
     # plan fact: stats sum + winner selection ride ONE exchange on
     # (query_idx, plan_id) — the unordered-frame sums share the window's
-    # partitioning; the rest is the rollup/dim lineage (pinned-cache
-    # reprint headroom as for a2/statement_fact)
-    # the rollup lineage appears twice (query dim + key map) and the warm
-    # pinned-rollup cache reprints its child plan inside each
+    # partitioning. The rollup lineage appears twice (query dim + key map)
+    # and the warm pinned-rollup cache reprints its child plan inside each
     # InMemoryRelation — same printed-plan inflation as a2/statement_fact
     "snapshot_plan_fact": (56, ["BroadcastHashJoin"]),
     # backend counts: one map-side-combinable agg on the 5-col key + two
@@ -155,6 +153,17 @@ BUDGETS = {
     # recall: truth self-join + candidate build over the pinned shingles
     "ml_lsh_dedup_recall": (24, []),
     "f21_collector_platform": (2, []),
+    # winnowing: selection is map-only row-local arrays; matching buckets
+    # by fingerprint (groupBy + in-bucket expansion, LSH shape) and the
+    # shared/delta aggregates ride the same pair partitioning
+    "ml_winnowing_fingerprints": (3, []),
+    "ml_winnowing_matches": (12, []),
+    # tuning: ONE signature aggregate shared by three band projections —
+    # a blow here means the configs stopped sharing the sig subtree
+    "ml_lsh_tuning": (55, ["BroadcastHashJoin"]),
+    # manifest: the component stages' bounded exchange sets + four doc_id
+    # left joins; only the O(sources) weight join broadcasts
+    "ml_curation_manifest": (54, ["BroadcastHashJoin"]),
     # three per-doc signal relations + doc_id equi-joins, no forced
     # broadcast (each side is O(corpus))
     "ml_quality_keep_list": (17, []),
@@ -176,6 +185,8 @@ SINGLE_PARTITION_OK = {
     # per-server attempt ordering: bounded by databases-per-server
     # (config-capped), never data-scaled — see the operator docstring
     "j14_schema_collection_workflow": 2,
+    # the manifest inherits sampling_weights' 1-row share total
+    "ml_curation_manifest": 1,
 }
 
 
