@@ -273,6 +273,14 @@ register(
     doc_stream.stream_dsir_weights,
     curation.oracle_dsir_weights(),
 )
+# -- r7: watermarked stream-STREAM join — documents and embeddings arrive
+#    on separate, oppositely-ordered streams; cross-batch buffering with
+#    provable state eviction; availableNow equals the batch inner join
+register(
+    "st_ml_stream_embed_join",
+    doc_stream.stream_embedding_join,
+    doc_stream.oracle_stream_embedding_join(),
+)
 # -- r7: the end-to-end curation manifest — per-doc final disposition
 #    composing eval holdout, dedup keep list, quality keep list,
 #    decontamination, split assignment and mixing weight (the table a

@@ -315,3 +315,121 @@ def stream_dsir_weights(spark: SparkSession, n_arrival_batches: int = 8) -> Data
         shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
 
     return spark.table(qname).orderBy("doc_id")
+
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def stream_embedding_join(spark: SparkSession, n_arrival_batches: int = 4) -> DataFrame:
+    """Late-arriving embedding attach — the stream-STREAM join ingest
+    shape: documents and their embeddings arrive on SEPARATE streams (a
+    crawler and an embedding service rarely land in lockstep), and the
+    join buffers whichever side arrives first until its partner shows up.
+    Both sides carry a deterministic event time derived from their id and
+    a watermark, plus an event-time equality in the join condition, so the
+    state store provably evicts matched-and-expired rows — the bounded
+    form Spark requires for production stream-stream joins. The two
+    sources are staggered in OPPOSITE id order, so early-batch documents
+    meet their embeddings only several micro-batches later and the
+    cross-batch buffering path actually executes; under availableNow the
+    result equals the batch inner join on doc_id = vec_id (append mode —
+    inner-join rows are final once emitted).
+
+    Scale: state is O(unmatched rows inside the watermark horizon) per
+    side, keyed and shuffled once on the join id; widen the watermark to
+    tolerate a slower embedding service at the cost of state size.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), "collector_spark_docstream")
+    doc_dir = os.path.join(base, run_id, "docs")
+    emb_dir = os.path.join(base, run_id, "embs")
+    ckpt_dir = os.path.join(base, run_id, "ckpt")
+    os.makedirs(doc_dir, exist_ok=True)
+    os.makedirs(emb_dir, exist_ok=True)
+
+    (
+        spark.table("documents")
+        .repartitionByRange(n_arrival_batches, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(doc_dir)
+    )
+    (
+        spark.table("embeddings")
+        .repartitionByRange(n_arrival_batches, "vec_id")
+        .sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .parquet(emb_dir)
+    )
+    # docs arrive id-ascending, embeddings id-DESCENDING: the first doc
+    # batch waits until the LAST embedding batch for its partners
+    for d, reverse in ((doc_dir, False), (emb_dir, True)):
+        parts = sorted(
+            f for f in os.listdir(d)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        if reverse:
+            parts = list(reversed(parts))
+        base_mtime = os.path.getmtime(d)
+        for i, name in enumerate(parts):
+            p = os.path.join(d, name)
+            os.utime(p, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+    event_ts = lambda idcol: F.timestamp_seconds(  # noqa: E731
+        F.lit(1700000000) + F.col(idcol) % 3600
+    )
+    docs = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(doc_dir)
+        .select("doc_id", "source", "lang", event_ts("doc_id").alias("doc_ts"))
+        .withWatermark("doc_ts", "2 hours")
+    )
+    embs = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(emb_dir)
+        .select(
+            "vec_id",
+            "label",
+            F.size("embedding").alias("emb_dim"),
+            event_ts("vec_id").alias("emb_ts"),
+        )
+        .withWatermark("emb_ts", "2 hours")
+    )
+    joined = docs.join(
+        embs,
+        (F.col("doc_id") == F.col("vec_id")) & (F.col("doc_ts") == F.col("emb_ts")),
+        "inner",
+    ).select("doc_id", "source", "lang", "label", "emb_dim")
+
+    qname = f"docembjoin_{run_id}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+        shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
+
+    return spark.table(qname).orderBy("doc_id")
+
+
+def oracle_stream_embedding_join() -> str:
+    return """
+SELECT d.doc_id, d.source, d.lang, e.label,
+  CAST(len(e.embedding) AS INT) AS emb_dim
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+ORDER BY d.doc_id
+"""
