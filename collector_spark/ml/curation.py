@@ -1919,3 +1919,93 @@ SELECT doc_id, source, lang, disposition,
 FROM joined
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E63 — quality-signal agreement: per-source Spearman rank correlation
+# between the composite heuristic quality score (E13) and the corpus
+# unigram-LM mean NLL (E41). The two signals should anti-correlate
+# (rare-word-heavy text scores low on heuristics); a source where they
+# DON'T is where the heuristics and the LM disagree — exactly the slice a
+# curation owner reviews before trusting either filter. Spearman, not
+# Pearson: ranks are integers (ordinal, doc_id tie-break — declared
+# semantics), so rho = 1 - 6*sum(d^2)/(n(n^2-1)) is integer math until
+# one final division — engine-exact with no sqrt/covariance determinism
+# risk.
+#
+# Scale: two per-source rank windows (partitioned on source) + integer
+# aggregates; the metric inputs ride their own operators' plans.
+# ---------------------------------------------------------------------------
+
+
+def score_correlation(spark: SparkSession) -> DataFrame:
+    from collector_spark.ml.textstats import quality_score
+
+    q = quality_score(spark).select("doc_id", "quality_score")
+    n = unigram_logprob(spark).select("doc_id", "mean_nll")
+    src = spark.table("documents").select("doc_id", "source")
+    joined = src.join(q, "doc_id").join(n, "doc_id")
+    rank_q = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.asc("quality_score"), F.asc("doc_id"))
+    )
+    rank_n = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.asc("mean_nll"), F.asc("doc_id"))
+    )
+    ranked = joined.select(
+        "source",
+        rank_q.cast("long").alias("rq"),
+        rank_n.cast("long").alias("rn"),
+    )
+    d2 = (F.col("rq") - F.col("rn")) * (F.col("rq") - F.col("rn"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(d2).cast("long").alias("sum_d2"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "sum_d2",
+            (
+                F.lit(1.0)
+                - F.lit(6.0)
+                * F.col("sum_d2").cast("double")
+                / (
+                    F.col("n_docs").cast("double")
+                    * (
+                        F.col("n_docs").cast("double")
+                        * F.col("n_docs").cast("double")
+                        - F.lit(1.0)
+                    )
+                )
+            ).alias("spearman_rho"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_score_correlation() -> str:
+    from collector_spark.ml.textstats import oracle_quality_score
+
+    return f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({oracle_quality_score()}) x),
+n AS (SELECT doc_id, mean_nll FROM ({oracle_unigram_logprob()}) x),
+ranked AS (
+  SELECT d.source,
+    CAST(row_number() OVER (PARTITION BY d.source
+        ORDER BY q.quality_score ASC, d.doc_id ASC) AS BIGINT) AS rq,
+    CAST(row_number() OVER (PARTITION BY d.source
+        ORDER BY n.mean_nll ASC, d.doc_id ASC) AS BIGINT) AS rn
+  FROM documents d JOIN q USING (doc_id) JOIN n USING (doc_id)
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM((rq - rn) * (rq - rn)) AS BIGINT) AS sum_d2,
+  1.0 - 6.0 * CAST(SUM((rq - rn) * (rq - rn)) AS DOUBLE)
+    / (CAST(COUNT(*) AS DOUBLE)
+       * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1.0))
+    AS spearman_rho
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""

@@ -281,6 +281,15 @@ register(
     doc_stream.stream_embedding_join,
     doc_stream.oracle_stream_embedding_join(),
 )
+# -- r7: quality-signal agreement — per-source Spearman rank correlation
+#    between the heuristic quality score and the unigram-LM NLL (integer
+#    rank math, engine-exact)
+register(
+    "ml_score_correlation",
+    curation.score_correlation,
+    curation.oracle_score_correlation(),
+)
+
 # -- r7: the end-to-end curation manifest — per-doc final disposition
 #    composing eval holdout, dedup keep list, quality keep list,
 #    decontamination, split assignment and mixing weight (the table a
