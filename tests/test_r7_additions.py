@@ -160,3 +160,56 @@ def test_curation_manifest_partitions_the_corpus(prepared_spark):
         "eval_source",
         "near_duplicate",
     }
+
+
+def test_winnowing_catches_near_identical_pairs(prepared_spark):
+    """Schleimer et al.'s guarantee covers shared substrings of length
+    >= w + k - 1; the fixture's duplicates are near-dups (no byte-exact
+    pairs), but a pair sharing >= 95% of its word trigrams shares long
+    literal runs, so every such pair must surface in the winnowing match
+    table with a strong single-offset alignment."""
+    from collector_spark.ml.dedup import (
+        _jaccard_truth,
+        _persisted_shingles,
+    )
+
+    truth = [
+        (r["doc_a"], r["doc_b"])
+        for r in _jaccard_truth(_persisted_shingles(prepared_spark)).collect()
+        if r["jaccard"] >= 0.95
+    ]
+    if not truth:
+        import pytest
+
+        pytest.skip("fixture has no >=0.95-Jaccard pairs")
+    matches = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in _run(prepared_spark, "ml_winnowing_matches").collect()
+    }
+    from collector_spark.ml.textstats import WINNOW_MIN_ALIGNED
+
+    for pair in truth:
+        assert pair in matches, f"near-identical pair {pair} missing"
+        assert matches[pair]["n_aligned"] >= WINNOW_MIN_ALIGNED
+
+
+def test_lsh_tuning_monotonicity(prepared_spark):
+    """Narrower bands (smaller rows-per-band) can only catch MORE pairs,
+    and the theoretical S-curve rises with the threshold and falls with
+    rows-per-band at fixed threshold."""
+    rows = _run(prepared_spark, "ml_lsh_tuning").collect()
+    by_rt = {(r["rows_per_band"], r["threshold"]): r for r in rows}
+    rs = sorted({r["rows_per_band"] for r in rows})
+    ts = sorted({r["threshold"] for r in rows})
+    for t in ts:
+        caught = [by_rt[(r, t)]["caught_pairs"] for r in rs]
+        assert caught == sorted(caught, reverse=True), (
+            f"caught not non-increasing in rows_per_band at t={t}: {caught}"
+        )
+        theory = [by_rt[(r, t)]["theory_capture"] for r in rs]
+        assert theory == sorted(theory, reverse=True)
+    for r in rs:
+        theory = [by_rt[(r, t)]["theory_capture"] for t in ts]
+        assert theory == sorted(theory), (
+            f"theory not rising with threshold at r={r}: {theory}"
+        )
