@@ -2009,3 +2009,77 @@ FROM ranked
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# E64 — packing efficiency: the audit over E40's concatenate-and-chop
+# manifest a pipeline owner reads before training — per (source, shard):
+# documents, tokens, packs consumed, boundary straddles, the tail waste of
+# the final partially-filled pack, and the fill ratio. All integer math
+# until the one fill-ratio division; the shard-edge waste this surfaces
+# is exactly the tradeoff the sharded cumulative stream accepts for
+# eliminating per-source giant partitions (documented in E40).
+#
+# Scale: one combinable groupBy over the packing manifest's own exchange.
+# ---------------------------------------------------------------------------
+
+
+def pack_efficiency(spark: SparkSession) -> DataFrame:
+    m = sequence_packing(spark)
+    end = F.col("stream_offset") + F.col("n_tokens")
+    per = (
+        m.groupBy("source", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.max(end).cast("long").alias("stream_end"),
+            F.sum(F.col("crosses_boundary").cast("long")).cast("long").alias(
+                "straddles"
+            ),
+        )
+    )
+    n_packs = (F.floor((F.col("stream_end") - 1) / PACK_BUDGET) + 1).cast("long")
+    return (
+        per.select(
+            "source",
+            "shard",
+            "n_docs",
+            "total_tokens",
+            n_packs.alias("n_packs"),
+            "straddles",
+            (n_packs * PACK_BUDGET - F.col("total_tokens")).cast("long").alias(
+                "tail_waste"
+            ),
+            (
+                F.col("total_tokens").cast("double")
+                / (n_packs * PACK_BUDGET).cast("double")
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source", "shard")
+    )
+
+
+def oracle_pack_efficiency() -> str:
+    return f"""
+WITH m AS (SELECT * FROM ({oracle_sequence_packing()}) x),
+per AS (
+  SELECT source, shard,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+    CAST(MAX(stream_offset + n_tokens) AS BIGINT) AS stream_end,
+    CAST(SUM(CASE WHEN crosses_boundary THEN 1 ELSE 0 END) AS BIGINT)
+      AS straddles
+  FROM m GROUP BY source, shard
+)
+SELECT source, shard, n_docs, total_tokens,
+  CAST(FLOOR(CAST(stream_end - 1 AS DOUBLE) / {PACK_BUDGET}) + 1 AS BIGINT)
+    AS n_packs,
+  straddles,
+  CAST((FLOOR(CAST(stream_end - 1 AS DOUBLE) / {PACK_BUDGET}) + 1)
+       * {PACK_BUDGET} - total_tokens AS BIGINT) AS tail_waste,
+  CAST(total_tokens AS DOUBLE)
+    / CAST((FLOOR(CAST(stream_end - 1 AS DOUBLE) / {PACK_BUDGET}) + 1)
+           * {PACK_BUDGET} AS DOUBLE) AS fill_ratio
+FROM per
+ORDER BY source, shard
+"""

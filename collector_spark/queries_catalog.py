@@ -289,6 +289,13 @@ register(
     curation.score_correlation,
     curation.oracle_score_correlation(),
 )
+# -- r7: packing efficiency audit over the E40 manifest (fill ratio,
+#    straddles, shard-edge tail waste — all integer-exact)
+register(
+    "ml_pack_efficiency",
+    curation.pack_efficiency,
+    curation.oracle_pack_efficiency(),
+)
 
 # -- r7: the end-to-end curation manifest — per-doc final disposition
 #    composing eval holdout, dedup keep list, quality keep list,
