@@ -828,14 +828,20 @@ WITH base AS (
   FROM documents
 ),
 c AS (
-  SELECT *, COALESCE(SUM(n_tokens) OVER (
+  -- CAST: DuckDB window SUM(BIGINT) yields HUGEINT, whose pandas
+  -- conversion is float64 on duckdb 1.x — the driver's value-hash then
+  -- sees 512.0 vs Spark's int64 512 and mismatches even though values
+  -- are identical (the r7 red row). BIGINT keeps the dtype int64 on
+  -- both engines.
+  SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
       PARTITION BY source, shard ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS stream_offset
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    AS stream_offset
   FROM base
 )
 SELECT doc_id, source, shard, n_tokens, stream_offset,
   CAST(FLOOR(stream_offset / {PACK_BUDGET}) AS BIGINT) AS pack_id,
-  stream_offset % {PACK_BUDGET} AS offset_in_pack,
+  CAST(stream_offset % {PACK_BUDGET} AS BIGINT) AS offset_in_pack,
   (stream_offset % {PACK_BUDGET}) + n_tokens > {PACK_BUDGET} AS crosses_boundary
 FROM c
 ORDER BY doc_id
@@ -1189,6 +1195,83 @@ def unigram_logprob_skew(spark: SparkSession) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# E41c — the unigram score's TOP-K + OOV form (the second 100 TB
+# refinement the E41 docstring promises, implemented): instead of joining
+# every corpus word against the FULL vocabulary (O(vocab) shuffle state —
+# vocab grows with the corpus), keep only the top-K most frequent words
+# and give everything else a floor probability of 1/total (one occurrence
+# in the corpus — the most pessimistic in-distribution estimate, so OOV
+# NLL = ln(total)). K is a constant, so the vocab side is a bounded
+# broadcast at ANY corpus size and the corpus side never shuffles for the
+# lookup: the whole score is explode -> map-side broadcast left join ->
+# one combinable groupBy(doc_id). Top-K selection is deterministic
+# ((count DESC, word ASC) — TakeOrdered, no global sort) and the oracle
+# applies the identical rule, so results are exactly reproducible.
+# n_oov is emitted alongside: the fraction of mass on the floor is the
+# knob-health signal that tells you K is too small.
+# ---------------------------------------------------------------------------
+
+TOPK_VOCAB_K = 256  # bounded broadcast vocabulary (constant at any SF)
+
+
+def unigram_logprob_topk(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    vocab = words.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
+    topk = vocab.orderBy(F.col("cnt").desc(), "w").limit(TOPK_VOCAB_K)
+    scored = words.join(F.broadcast(topk), "w", "left").crossJoin(
+        F.broadcast(total)
+    )
+    # in-vocab: -ln(cnt/total); OOV floor: cnt := 1  =>  NLL = ln(total)
+    eff_cnt = F.coalesce(F.col("cnt"), F.lit(1).cast("long"))
+    nll = -F.log(eff_cnt.cast("double") / F.col("total").cast("double"))
+    nll_q = F.floor(nll * _NLL_SCALE).cast("long")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt").isNull().cast("long")).alias("n_oov"),
+            F.sum(nll_q).alias("sum_q"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            (
+                F.col("sum_q").cast("double")
+                / (F.col("n_tokens").cast("double") * _NLL_SCALE)
+            ).alias("mean_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_unigram_logprob_topk() -> str:
+    return rf"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY w),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+topk AS (SELECT w, cnt FROM vocab ORDER BY cnt DESC, w ASC LIMIT {TOPK_VOCAB_K})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN t.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  CAST(SUM(CAST(FLOOR(-ln(CAST(COALESCE(t.cnt, 1) AS DOUBLE)
+                          / CAST(total AS DOUBLE))
+                      * {_NLL_SCALE}) AS BIGINT)) AS DOUBLE)
+    / (CAST(COUNT(*) AS DOUBLE) * {_NLL_SCALE}) AS mean_nll
+FROM words LEFT JOIN topk t USING (w) CROSS JOIN total
+GROUP BY doc_id
+ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -1013,17 +1013,55 @@ def dup_clusters_star(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
 # candidates — the measurement that justifies (or re-tunes) K/BANDS before
 # a production dedup run.
 #
-# Scale: ground truth is inherently pair-quadratic in hot shingles — like
-# ann_recall's brute-force side, this is an EVALUATION query run on a
-# bounded sample of the corpus, not a production-path operator; the
-# candidate side reuses the production banding unchanged.
+# Scale: ground truth is pair-quadratic PER SHINGLE HASH, so the truth
+# join is bounded IN-PLAN: shingle hashes occurring in more than
+# TRUTH_BUCKET_CAP documents (boilerplate n-grams shared by everything)
+# are anti-joined out of BOTH the intersection join and the per-doc size
+# denominators before any pair is generated — truth Jaccard is computed
+# over the informative-shingle universe, the same stop-element practice
+# as winnowing's WINNOW_BUCKET_CAP (textstats.py). Worst-case expansion
+# is CAP^2 rows per hash, a constant — the bound lives in the plan, not
+# in run-book prose. Still an EVALUATION query (the exhaustive truth side
+# is not a production-path operator); the candidate side reuses the
+# production banding unchanged.
 # ---------------------------------------------------------------------------
 
 RECALL_THRESHOLDS = (0.5, 0.7, 0.9)
+# shingle hashes in more docs than this are dropped from truth Jaccard:
+# the in-plan blowup bound for the exact-truth self-join (see block
+# comment above). At evaluation SFs no hash comes near it (max df at
+# sf0.01 is 7), so small-scale results are bit-identical to uncapped.
+TRUTH_BUCKET_CAP = 64
+
+
+def _truth_shingles(sh: DataFrame) -> DataFrame:
+    """The informative-shingle relation the exact-Jaccard truth is computed
+    over: doc-frequency > TRUTH_BUCKET_CAP hashes removed (tiny hot set;
+    AQE broadcasts the anti-join build side)."""
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > TRUTH_BUCKET_CAP)
+        .select("h")
+    )
+    return sh.join(hot, "h", "left_anti")
+
+
+# oracle twin of _truth_shingles: consumes a CTE named sh, yields sh_t
+_SQL_TRUTH_SH = f"""
+SELECT sh.doc_id, sh.h FROM sh
+WHERE sh.h NOT IN (
+  SELECT h FROM sh GROUP BY h HAVING COUNT(*) > {TRUTH_BUCKET_CAP}
+)
+"""
 
 
 def lsh_dedup_recall(spark: SparkSession) -> DataFrame:
-    sh = _persisted_shingles(spark)
+    sh_all = _persisted_shingles(spark)
+    # truth Jaccard over informative shingles (capped); the candidate side
+    # below stays on the UNCAPPED relation — it is the production banding
+    # being measured, not part of the diagnostic's truth computation
+    sh = _truth_shingles(sh_all)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     truth_inter = (
         sh.alias("sa")
@@ -1049,7 +1087,9 @@ def lsh_dedup_recall(spark: SparkSession) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    cand = _candidate_pairs_from(_signatures_from(sh)).withColumn("c", F.lit(1))
+    cand = _candidate_pairs_from(_signatures_from(sh_all)).withColumn(
+        "c", F.lit(1)
+    )
     flagged = truth.join(cand, on=["doc_a", "doc_b"], how="left")
     exploded = flagged.select(
         "jaccard",
@@ -1083,10 +1123,11 @@ def oracle_lsh_dedup_recall() -> str:
     tlist = ", ".join(str(t) for t in RECALL_THRESHOLDS)
     return f"""
 WITH sh AS ({_SQL_SHINGLES}),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sh_t AS ({_SQL_TRUTH_SH}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh_t GROUP BY doc_id),
 truth_inter AS (
   SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS inter
-  FROM sh sa JOIN sh sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
+  FROM sh_t sa JOIN sh_t sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
   GROUP BY sa.doc_id, sb.doc_id
 ),
 truth AS (
@@ -1137,6 +1178,10 @@ LSH_TUNING_ROWS = (4, 8, 16)
 
 
 def _jaccard_truth(sh: DataFrame) -> DataFrame:
+    """Exact-Jaccard truth pairs over the informative-shingle universe —
+    the TRUTH_BUCKET_CAP anti-join bounds the per-hash pair expansion
+    in-plan (see the E54 block comment)."""
+    sh = _truth_shingles(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("sa")
@@ -1263,10 +1308,11 @@ GROUP BY g.threshold""")
     return f"""
 WITH sh AS ({_SQL_SHINGLES}),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sh_t AS ({_SQL_TRUTH_SH}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh_t GROUP BY doc_id),
 truth_inter AS (
   SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS inter
-  FROM sh sa JOIN sh sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
+  FROM sh_t sa JOIN sh_t sb ON sa.h = sb.h AND sa.doc_id < sb.doc_id
   GROUP BY sa.doc_id, sb.doc_id
 ),
 truth AS (

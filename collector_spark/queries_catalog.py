@@ -197,6 +197,14 @@ register(
     curation.unigram_logprob_skew,
     curation.oracle_unigram_logprob(),
 )
+# the bounded-broadcast form: top-K vocab + OOV floor probability (the
+# 100 TB lookup path — constant-size vocab side, corpus never shuffles
+# for the join); own oracle, since OOV flooring changes the scores
+register(
+    "ml_unigram_logprob_topk",
+    curation.unigram_logprob_topk,
+    curation.oracle_unigram_logprob_topk(),
+)
 register("ml_split_assign", curation.split_assign, curation.oracle_split_assign())
 
 # -- r7 tokenizer/LM/sampling additions: BPE merge-candidate statistics
@@ -641,11 +649,9 @@ register(
 
 register("ml_doc_chunks", curation.doc_chunks, curation.oracle_doc_chunks())
 
-# cross-source n-gram containment matrix (corpus-level duplication
-# diagnostic; bucketed pair expansion, never an all-pairs source join)
-register(
-    "ml_source_overlap", dedup.source_overlap, dedup.oracle_source_overlap()
-)
+# (ml_source_overlap — the cross-source n-gram containment matrix — is
+# registered once, in the r7 front window above; a second registration
+# here was deleted in r8 and register() now raises on duplicates)
 
 register(
     "ml_embedding_quantize",

@@ -36,6 +36,10 @@ def register(
     oracle: str | None = None,
     fixtures: list[str] | None = None,
 ) -> None:
+    # a silent dict overwrite is exactly how a stale variant ships unnoticed
+    # (r7 verdict: ml_source_overlap was registered twice) — fail loudly
+    if name in REGISTRY:
+        raise ValueError(f"duplicate query registration: {name}")
     REGISTRY[name] = Query(name, spark_fn, oracle, fixtures or [])
 
 

@@ -37,9 +37,34 @@ def _canon_value(v):
     return v
 
 
+def _assert_dtype_families(left: pd.DataFrame, right: pd.DataFrame, context: str) -> None:
+    """Pandas-dtype-family check on the frames the driver actually hashes:
+    a column that is integer-kind on one engine and float-kind on the other
+    (e.g. a DuckDB window SUM -> HUGEINT -> pandas float64 vs Spark's
+    int64) hashes differently in the driver's value-hash even when every
+    value is numerically identical. The value comparison below coerces
+    (float(a) == float(b)), so without this check such a skew passes
+    locally and flakes only in the driver (the r7 ml_sequence_packing red
+    row: oracle stream_offset/offset_in_pack came back float64)."""
+    for c in left.columns:
+        if c not in right.columns:
+            continue  # column-set mismatch reported below
+        lk, rk = left[c].dtype.kind, right[c].dtype.kind
+        if ({lk, rk} <= {"i", "u", "f"}) and (("f" in (lk, rk)) != (lk == rk == "f")):
+            raise AssertionError(
+                f"{context}: col {c}: numeric dtype-family skew "
+                f"spark={left[c].dtype} oracle={right[c].dtype} — driver "
+                f"hash hazard; CAST the oracle (HUGEINT->BIGINT etc.) or "
+                f"align the Spark type"
+            )
+
+
 def assert_frames_match(spark_df, duck_rel, context: str = "") -> None:
-    left = _canon(spark_df.toPandas())
-    right = _canon(duck_rel.fetchdf())
+    left = spark_df.toPandas()
+    right = duck_rel.fetchdf()
+    _assert_dtype_families(left, right, context)
+    left = _canon(left)
+    right = _canon(right)
     assert list(left.columns) == list(right.columns), (
         f"{context}: column mismatch {list(left.columns)} vs {list(right.columns)}"
     )

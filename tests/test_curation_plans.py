@@ -43,3 +43,36 @@ def test_tfidf_uses_partial_top_k(prepared_spark):
     assert "Partial" in plan.split("WindowGroupLimit", 2)[-1] or plan.count(
         "WindowGroupLimit"
     ) >= 2, plan
+
+
+def test_unigram_topk_vocab_is_broadcast(prepared_spark):
+    """E41c's whole point is the bounded lookup side: the top-K vocab must
+    reach the corpus-word join as a broadcast (no shuffle of the exploded
+    corpus for the lookup) and the K-selection must be a TakeOrdered, not
+    a global sort of the vocabulary."""
+    from collector_spark.ml.curation import unigram_logprob_topk
+
+    plan = _plan(unigram_logprob_topk(prepared_spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrdered" in plan, plan
+    # the only hash exchanges are the vocab groupBy(w) (appears twice:
+    # total's subtree and topk's subtree are not fused) and the final
+    # groupBy(doc_id) — the exploded corpus is never hash-exchanged on the
+    # word for the lookup join itself (SinglePartition exchanges exist but
+    # carry only the 1-row total / K-row limit)
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
+
+
+def test_truth_joins_are_capped_in_plan(prepared_spark):
+    """The exact-Jaccard truth self-joins behind lsh_dedup_recall and
+    lsh_tuning must carry the TRUTH_BUCKET_CAP stop-shingle anti-join in
+    the executed plan — the bound on their per-hash quadratic expansion
+    lives in the plan, not in run-book prose (r7 verdict item 2)."""
+    from collector_spark.ml.dedup import lsh_dedup_recall, lsh_tuning
+
+    for fn in (lsh_dedup_recall, lsh_tuning):
+        plan = _plan(fn(prepared_spark))
+        assert "LeftAnti" in plan, (fn.__name__, plan)
+        # the cap literal itself gates the hot-hash build side
+        assert "64" in plan, (fn.__name__, plan)
