@@ -63,7 +63,7 @@ def _word_ngrams(tok_col: str, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def decontaminate(spark: SparkSession) -> DataFrame:
+def decontaminate(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
     """Benchmark decontamination: for every training document (source !=
     EVAL_SOURCE), count how many distinct word 8-grams also occur anywhere
     in the eval split, and flag any overlap as contamination.
@@ -71,16 +71,28 @@ def decontaminate(spark: SparkSession) -> DataFrame:
     The eval n-gram set is DISTINCT'ed then broadcast — the right plan at
     scale, where the benchmark is orders of magnitude smaller than the
     corpus being screened.
+
+    ``docs`` overrides the corpus side being SCREENED (the streaming
+    manifest scores each ingest micro-batch against the static eval set);
+    the eval n-grams always come from the full registered table.
     """
-    docs = spark.table("documents")
-    grams = docs.select(
-        "doc_id", "source", F.split(F.col("text"), " ").alias("t")
-    ).select("doc_id", "source", F.explode(_word_ngrams("t", NGRAM_N)).alias("gram"))
+    eval_docs = spark.table("documents")
+    docs = eval_docs if docs is None else docs
+
+    def _grams(d: DataFrame) -> DataFrame:
+        return d.select(
+            "doc_id", "source", F.split(F.col("text"), " ").alias("t")
+        ).select(
+            "doc_id", "source", F.explode(_word_ngrams("t", NGRAM_N)).alias("gram")
+        )
+
     eval_grams = (
-        grams.filter(F.col("source") == EVAL_SOURCE).select("gram").distinct()
+        _grams(eval_docs.filter(F.col("source") == EVAL_SOURCE))
+        .select("gram")
+        .distinct()
     )
     matched = (
-        grams.filter(F.col("source") != EVAL_SOURCE)
+        _grams(docs).filter(F.col("source") != EVAL_SOURCE)
         .join(F.broadcast(eval_grams), "gram")
         .groupBy("doc_id")
         .agg(F.countDistinct("gram").alias("matched_grams"))
@@ -227,7 +239,7 @@ ORDER BY source, term_rank
 # ---------------------------------------------------------------------------
 
 
-def repetition_signals(spark: SparkSession) -> DataFrame:
+def repetition_signals(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
     """Per-document repetition statistics used as LLM-pretraining quality
     filters (the Gopher/MassiveText rules): distinct-word fraction, the
     fraction of word occurrences claimed by the most frequent unigram and
@@ -237,7 +249,7 @@ def repetition_signals(spark: SparkSession) -> DataFrame:
     the shuffles carry one row per (doc, gram) — combinable, skew bounded
     by the longest document, never all-pairs.
     """
-    docs = spark.table("documents").select(
+    docs = (spark.table("documents") if docs is None else docs).select(
         "doc_id", F.split(F.col("text"), " ").alias("t")
     )
     uni = (
@@ -346,12 +358,12 @@ C4_MEAN_WORD_LEN_LO = 3.0
 C4_MEAN_WORD_LEN_HI = 10.0
 
 
-def c4_filters(spark: SparkSession) -> DataFrame:
+def c4_filters(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
     """C4-style document keep/drop heuristics: minimum word count, mean
     word length inside [3, 10], and stopword presence — each emitted as a
     flag plus the conjunction, so a pipeline can audit *why* a document
     was dropped. Pure per-row expressions: codegen, no shuffle."""
-    docs = spark.table("documents")
+    docs = spark.table("documents") if docs is None else docs
     toks = F.split(F.col("text"), " ")
     n_words = F.size(toks).cast("long")
     # mean word length from the char count net of separators — avoids a
@@ -935,10 +947,10 @@ SPLIT_BOUNDS = (("train", 0.90), ("valid", 0.95))  # remainder -> test
 _SPLIT_MOD = 1_000_000
 
 
-def split_assign(spark: SparkSession) -> DataFrame:
+def split_assign(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
     from collector_spark.ml.dedup import _hash60
 
-    docs = spark.table("documents")
+    docs = spark.table("documents") if docs is None else docs
     u = (
         _hash60(F.concat(F.lit("split:"), F.col("text"))) % _SPLIT_MOD
     ).cast("double") / float(_SPLIT_MOD)
@@ -983,18 +995,18 @@ GOPHER_DUP_TRI_MAX = 0.20
 QUALITY_MIN_SCORE = 0.5
 
 
-def quality_keep_list(spark: SparkSession) -> DataFrame:
+def quality_keep_list(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
     from collector_spark.ml.textstats import quality_score
 
-    c4 = c4_filters(spark).select("doc_id", F.col("keep").alias("c4_ok"))
-    rep = repetition_signals(spark).select(
+    c4 = c4_filters(spark, docs).select("doc_id", F.col("keep").alias("c4_ok"))
+    rep = repetition_signals(spark, docs).select(
         "doc_id",
         (
             (F.col("top_unigram_frac") <= GOPHER_TOP_UNI_MAX)
             & (F.col("dup_trigram_frac") <= GOPHER_DUP_TRI_MAX)
         ).alias("repetition_ok"),
     )
-    q = quality_score(spark).select(
+    q = quality_score(spark, docs).select(
         "doc_id", (F.col("quality_score") >= QUALITY_MIN_SCORE).alias("score_ok")
     )
     reason = (
@@ -1003,7 +1015,7 @@ def quality_keep_list(spark: SparkSession) -> DataFrame:
         .when(~F.col("score_ok"), "low_quality_score")
     )
     return (
-        spark.table("documents")
+        (spark.table("documents") if docs is None else docs)
         .select("doc_id", "source")
         .join(c4, "doc_id")
         .join(rep, "doc_id")
@@ -1916,22 +1928,35 @@ ORDER BY g.doc_id
 # ---------------------------------------------------------------------------
 
 
-def curation_manifest(spark: SparkSession) -> DataFrame:
+def curation_manifest(
+    spark: SparkSession,
+    docs: DataFrame | None = None,
+    dedup: DataFrame | None = None,
+    quality: DataFrame | None = None,
+    contam: DataFrame | None = None,
+    splits: DataFrame | None = None,
+) -> DataFrame:
     from collector_spark.ml.dedup import dedup_keep_list
 
-    docs = spark.table("documents").select("doc_id", "source", "lang")
-    d = dedup_keep_list(spark).select(
+    docs = (
+        spark.table("documents") if docs is None else docs
+    ).select("doc_id", "source", "lang")
+    d = (dedup_keep_list(spark) if dedup is None else dedup).select(
         "doc_id",
         F.col("keep").alias("dedup_keep"),
         F.col("drop_reason").alias("dedup_reason"),
     )
-    q = quality_keep_list(spark).select(
+    q = (quality_keep_list(spark) if quality is None else quality).select(
         "doc_id",
         F.col("keep").alias("quality_keep"),
         F.col("drop_reason").alias("quality_reason"),
     )
-    c = decontaminate(spark).select("doc_id", "contaminated")
-    s = split_assign(spark).select("doc_id", "split")
+    c = (decontaminate(spark) if contam is None else contam).select(
+        "doc_id", "contaminated"
+    )
+    s = (split_assign(spark) if splits is None else splits).select(
+        "doc_id", "split"
+    )
     w = sampling_weights(spark).select("source", "temp_scaled_weight")
 
     joined = (

@@ -264,7 +264,9 @@ def _persisted_shingles(spark: SparkSession) -> DataFrame:
     return sh
 
 
-def ngram_jaccard_pairs(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    spark: SparkSession, threshold: float = 0.5, cand: DataFrame | None = None
+) -> DataFrame:
     """Verify stage: exact shingle Jaccard for LSH candidate pairs.
 
     intersection via join on (h), sizes via per-doc counts; similarity =
@@ -276,7 +278,8 @@ def ngram_jaccard_pairs(spark: SparkSession, threshold: float = 0.5) -> DataFram
     ``_persisted_shingles`` — one live copy per session, not one per call.
     """
     sh = _persisted_shingles(spark)
-    cand = _candidate_pairs_from(_signatures_from(sh))
+    if cand is None:
+        cand = _candidate_pairs_from(_signatures_from(sh))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -381,7 +384,9 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     return labels
 
 
-def dup_clusters(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
+def dup_clusters(
+    spark: SparkSession, threshold: float = 0.5, cand: DataFrame | None = None
+) -> DataFrame:
     """Duplicate clusters: connected components over the verified near-dup
     pair graph, labeling every member with the minimum doc_id reachable
     (the canonical document a training pipeline keeps).
@@ -389,7 +394,7 @@ def dup_clusters(spark: SparkSession, threshold: float = 0.5) -> DataFrame:
     Output: one row per doc participating in >=1 verified pair —
     (doc_id, cluster_id = min reachable doc_id, cluster_size, is_canonical).
     """
-    pairs = ngram_jaccard_pairs(spark, threshold).select("doc_a", "doc_b")
+    pairs = ngram_jaccard_pairs(spark, threshold, cand).select("doc_a", "doc_b")
     labels = connected_components(pairs)
     sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
     # plain key join, NOT broadcast: cluster count is data-scaled (on a
@@ -606,7 +611,11 @@ ORDER BY d.doc_id
 # ---------------------------------------------------------------------------
 
 
-def dedup_keep_list(spark: SparkSession) -> DataFrame:
+def dedup_keep_list(
+    spark: SparkSession,
+    exact: DataFrame | None = None,
+    near: DataFrame | None = None,
+) -> DataFrame:
     """Total over the corpus: every doc gets (keep, reason). Composes the
     already-bucketed stages with two plain left joins on doc_id — NOT
     broadcast: near-dup membership is one row per doc in any verified pair
@@ -621,10 +630,10 @@ def dedup_keep_list(spark: SparkSession) -> DataFrame:
     span-dropped — so exactly one representative of any duplicated content
     survives the composition (Lee et al. 2022 keep-one-occurrence), rather
     than symmetric span-drop removing every copy."""
-    exact = exact_dup_groups(spark).select(
+    exact = (exact_dup_groups(spark) if exact is None else exact).select(
         "doc_id", F.col("keep").alias("exact_keep")
     )
-    near = dup_clusters(spark).select(
+    near = (dup_clusters(spark) if near is None else near).select(
         "doc_id", "cluster_id", "is_canonical"
     )
     span = ngram_span_dedup(spark).select(

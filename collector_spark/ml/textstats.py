@@ -85,8 +85,8 @@ FROM h ORDER BY doc_id
 """
 
 
-def quality_score(spark: SparkSession) -> DataFrame:
-    docs = spark.table("documents")
+def quality_score(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
     words = _words(F.col("text"))
     n_words = F.size(words).cast("long")
     n_chars = F.length(F.col("text")).cast("long")

@@ -369,6 +369,17 @@ register(
     dedup.oracle_minhash_candidate_pairs(),
 )
 
+# -- r8: incremental curation manifest — three concurrent streaming
+#    queries (exact-dup state, LSH bucket state, foreachBatch per-doc
+#    scoring with an idempotent epoch-keyed landing sink) composed by a
+#    batch compaction through the SAME injectable batch operators;
+#    availableNow equals ml_curation_manifest row-for-row (same oracle)
+register(
+    "st_ml_curation_manifest",
+    doc_stream.stream_curation_manifest,
+    curation.oracle_curation_manifest(),
+)
+
 # -- r7: duplicate clusters through alternating large-star/small-star CC
 #    (O(log n) rounds — the adversarial-chain scale path); identical
 #    labels, same recursive-closure oracle as ml_dup_clusters

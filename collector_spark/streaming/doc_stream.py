@@ -433,3 +433,245 @@ SELECT d.doc_id, d.source, d.lang, e.label,
 FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# ST13 — incremental curation manifest: the multi-input stateful
+# composition a streaming ingest pipeline actually deploys. Three
+# concurrent streaming queries consume ONE arrival log:
+#
+#   1. exact-dup state   (stateful complete-mode agg: content_hash ->
+#                         min doc_id / group size — st_ml_stream_dedup's
+#                         fold, consumed here as a state input),
+#   2. LSH bucket state  (stateful complete-mode agg: band bucket ->
+#                         member set — st_ml_stream_lsh's fold),
+#   3. per-doc scoring   (foreachBatch: each micro-batch of arriving docs
+#                         is scored THROUGH THE BATCH OPERATORS — quality
+#                         ladder, static-eval-set decontamination,
+#                         content-keyed split — and appended to an
+#                         epoch-keyed parquet landing table; the epoch
+#                         directory is overwritten deterministically, so
+#                         a replayed batch after restart lands idempotent
+#                         = the exactly-once sink contract).
+#
+# A batch COMPACTION then folds the final states through the *same*
+# composition operators the batch manifest uses (dedup ladder, disposition
+# ladder) via their injectable inputs — so trigger(availableNow) over any
+# arrival batching equals ml_curation_manifest row-for-row and the SAME
+# DuckDB oracle verifies both. The two inherently corpus-global dedup
+# stages (pair verify + connected components, span dedup) run in the
+# compaction — exactly where a production incremental pipeline runs them
+# (a periodic job over the accumulated state, not per-arriving-doc).
+#
+# Scale: streaming state is O(distinct hashes) + O(bucket members); the
+# landing table appends one row per doc; compaction cost is the batch
+# dedup composition it already pins. Production swaps the memory sinks
+# for update-mode tables and runs compaction on a schedule.
+# ---------------------------------------------------------------------------
+
+
+def _content_hash_col():
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return F.md5(norm).alias("content_hash")
+
+
+def _expand_bucket_pairs(state: DataFrame) -> DataFrame:
+    """Final LSH bucket state (bucket, ids sorted array) -> distinct
+    candidate pairs — the same per-bucket expansion as the batch path."""
+    return (
+        state.filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (a, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "b -> struct(a AS doc_a, b AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def _write_arrival_log(spark: SparkSession, dirpath: str, n_batches: int) -> None:
+    (
+        spark.table("documents")
+        .repartitionByRange(n_batches, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(dirpath)
+    )
+    parts = sorted(
+        f for f in os.listdir(dirpath)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base_mtime = os.path.getmtime(dirpath)
+    for i, name in enumerate(parts):
+        p = os.path.join(dirpath, name)
+        os.utime(p, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+
+def _score_batch_fn(land_dir: str):
+    """foreachBatch body for the per-doc scoring stream: run the arriving
+    micro-batch through the batch quality/decontamination/split operators
+    (their ``docs`` parameter exists for exactly this) and overwrite the
+    batch's OWN epoch directory — deterministic output per epoch, so a
+    restart that replays the epoch is a no-op (idempotent sink)."""
+
+    def _score(mb: DataFrame, batch_id: int) -> None:
+        from collector_spark.ml.curation import (
+            decontaminate,
+            quality_keep_list,
+            split_assign,
+        )
+
+        sess = mb.sparkSession
+        base = mb.select(
+            "doc_id", "source", "lang", _content_hash_col()
+        )
+        qk = quality_keep_list(sess, docs=mb).select(
+            "doc_id",
+            F.col("keep").alias("quality_keep"),
+            F.col("drop_reason").alias("quality_reason"),
+        )
+        ct = decontaminate(sess, docs=mb).select("doc_id", "contaminated")
+        sp = split_assign(sess, docs=mb).select("doc_id", "split")
+        out = (
+            base.join(qk, "doc_id", "left")
+            .join(ct, "doc_id", "left")
+            .join(sp, "doc_id", "left")
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(land_dir, f"epoch={batch_id}")
+        )
+
+    return _score
+
+
+def start_manifest_streams(
+    spark: SparkSession, run_dir: str, which: tuple[str, ...] = ("exact", "lsh", "score")
+):
+    """Start the three manifest streams against run_dir's arrival log and
+    return {name: StreamingQuery}. Exposed separately so the resume test
+    can stop/restart an individual stream against the same checkpoints."""
+    src_dir = os.path.join(run_dir, "src")
+    queries = {}
+    if "exact" in which:
+        raw = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        state = (
+            raw.select("doc_id", _content_hash_col())
+            .groupBy("content_hash")
+            .agg(
+                F.min("doc_id").alias("canonical_doc_id"),
+                F.count("*").cast("long").alias("group_size"),
+            )
+        )
+        queries["exact"] = (
+            state.writeStream.format("memory")
+            .queryName("manifest_exact")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt_exact"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    if "lsh" in which:
+        raw = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        buckets = raw.select(
+            "doc_id", F.explode(_row_signature_cols()).alias("bucket")
+        )
+        state = buckets.groupBy("bucket").agg(
+            F.sort_array(F.collect_set("doc_id")).alias("ids")
+        )
+        queries["lsh"] = (
+            state.writeStream.format("memory")
+            .queryName("manifest_lsh")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt_lsh"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    if "score" in which:
+        raw = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        queries["score"] = (
+            raw.writeStream.foreachBatch(
+                _score_batch_fn(os.path.join(run_dir, "land"))
+            )
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt_score"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    return queries
+
+
+def compose_manifest(spark: SparkSession, run_dir: str) -> DataFrame:
+    """Compaction: fold the final streaming states through the batch
+    composition operators (via their injectable inputs) into the manifest.
+    Eagerly localCheckpoints the landing table so run_dir can be removed
+    before the caller consumes the result."""
+    from collector_spark.ml.curation import curation_manifest
+    from collector_spark.ml.dedup import dedup_keep_list, dup_clusters
+
+    landed = (
+        spark.read.parquet(os.path.join(run_dir, "land"))
+        .drop("epoch")
+        .localCheckpoint()
+    )
+    exact_state = spark.table("manifest_exact")
+    exact = (
+        landed.select("doc_id", "content_hash")
+        .join(exact_state, "content_hash")
+        .select(
+            "doc_id", (F.col("doc_id") == F.col("canonical_doc_id")).alias("keep")
+        )
+        .localCheckpoint()
+    )
+    cand = _expand_bucket_pairs(spark.table("manifest_lsh")).localCheckpoint()
+    near = dup_clusters(spark, cand=cand)
+    d = dedup_keep_list(spark, exact=exact, near=near)
+    q = landed.select(
+        "doc_id",
+        F.col("quality_keep").alias("keep"),
+        F.col("quality_reason").alias("drop_reason"),
+    )
+    c = landed.select("doc_id", "contaminated")
+    s = landed.select("doc_id", "split")
+    return curation_manifest(spark, dedup=d, quality=q, contam=c, splits=s)
+
+
+def stream_curation_manifest(
+    spark: SparkSession, n_arrival_batches: int = 6
+) -> DataFrame:
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), "collector_spark_docstream")
+    run_dir = os.path.join(base, run_id)
+    _write_arrival_log(spark, os.path.join(run_dir, "src"), n_arrival_batches)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        queries = start_manifest_streams(spark, run_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        for q in queries.values():
+            q.awaitTermination()
+    finally:
+        for q in queries.values():
+            q.stop()
+    try:
+        return compose_manifest(spark, run_dir)
+    finally:
+        shutil.rmtree(run_dir, ignore_errors=True)

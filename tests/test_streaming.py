@@ -232,3 +232,72 @@ def test_stream_buckets_append_mode_emits_only_closed_windows(prepared_spark):
     for ws, key in missing:
         # all missing windows cluster at the stream tail
         assert (max_open_start - ws).total_seconds() <= 120, (ws, key)
+
+
+def test_manifest_score_stream_kill_resume_idempotent(prepared_spark, tmp_path):
+    """Exactly-once for the st_ml_curation_manifest landing sink: the
+    foreachBatch scoring stream dies after draining half the arrival log
+    (deterministic kill point: the newer files are hidden), restarts from
+    the same checkpoint, and the landing table must hold every document
+    exactly once — the restarted query processes only the new files, and a
+    replayed epoch would overwrite its own deterministic directory instead
+    of appending duplicates. The composed manifest from the resumed run
+    must still equal the batch manifest."""
+    import os
+
+    from collector_spark.ml.curation import curation_manifest
+    from collector_spark.streaming.doc_stream import (
+        _write_arrival_log,
+        compose_manifest,
+        start_manifest_streams,
+    )
+
+    spark = prepared_spark
+    run_dir = str(tmp_path / "manifest_run")
+    src = os.path.join(run_dir, "src")
+    _write_arrival_log(spark, src, 6)
+
+    # deterministic kill point: hide the newest half of the arrival log, so
+    # leg 1's availableNow drains exactly the first 3 files and terminates
+    # (equivalent to a crash after epoch 2's commit)
+    hidden = str(tmp_path / "hidden")
+    os.makedirs(hidden)
+    parts = sorted(
+        f for f in os.listdir(src)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    stashed = []
+    for name in parts[3:]:
+        meta = os.stat(os.path.join(src, name))
+        os.rename(os.path.join(src, name), os.path.join(hidden, name))
+        stashed.append((name, meta.st_mtime))
+    q = start_manifest_streams(spark, run_dir, which=("score",))["score"]
+    q.awaitTermination()
+    land = os.path.join(run_dir, "land")
+    epochs_first = set(os.listdir(land))
+    assert len(epochs_first) == 3, epochs_first
+
+    # resumed leg: restore the remainder (original mtimes), same checkpoint
+    # — the restarted query must process ONLY the new files
+    for name, mtime in stashed:
+        dst = os.path.join(src, name)
+        os.rename(os.path.join(hidden, name), dst)
+        os.utime(dst, (mtime, mtime))
+    q2 = start_manifest_streams(spark, run_dir, which=("score",))["score"]
+    q2.awaitTermination()
+    assert len(set(os.listdir(land))) == 6, os.listdir(land)
+
+    landed = spark.read.parquet(land)
+    n_docs = spark.table("documents").count()
+    assert landed.count() == n_docs
+    assert landed.select("doc_id").distinct().count() == n_docs
+
+    # the state streams still run clean against the same arrival log, and
+    # the composed manifest equals the batch manifest
+    rest = start_manifest_streams(spark, run_dir, which=("exact", "lsh"))
+    for qq in rest.values():
+        qq.awaitTermination()
+    streamed = compose_manifest(spark, run_dir).orderBy("doc_id")
+    batch = curation_manifest(spark).orderBy("doc_id")
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
