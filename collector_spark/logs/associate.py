@@ -20,7 +20,13 @@ LOOKAHEAD = 4
 
 
 def associate_secondaries(spark: SparkSession) -> DataFrame:
-    lines = stitch_lines(spark)
+    return associate_df(stitch_lines(spark))
+
+
+def associate_df(lines: DataFrame) -> DataFrame:
+    """Associate a stitched-lines-shaped frame — parametric so composed
+    consumers (the compact-log snapshot fact) reuse one stitched relation
+    instead of re-deriving the parse+stitch subtree per stage."""
     is_secondary = F.col("log_level").isin(*SECONDARY_LEVELS)
     w = (
         Window.partitionBy("pid")

@@ -63,7 +63,32 @@ def _word_ngrams(tok_col: str, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
-def decontaminate(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+def eval_gram_set(spark: SparkSession) -> DataFrame:
+    """The DISTINCT eval-split word-8-gram relation decontaminate screens
+    against. Exposed so a long-running consumer (the streaming manifest's
+    per-micro-batch scoring) computes it ONCE — persisted/checkpointed —
+    instead of re-deriving the eval explode+distinct every trigger."""
+    eval_docs = spark.table("documents")
+    return (
+        _decon_grams(eval_docs.filter(F.col("source") == EVAL_SOURCE))
+        .select("gram")
+        .distinct()
+    )
+
+
+def _decon_grams(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("t")
+    ).select(
+        "doc_id", "source", F.explode(_word_ngrams("t", NGRAM_N)).alias("gram")
+    )
+
+
+def decontaminate(
+    spark: SparkSession,
+    docs: DataFrame | None = None,
+    eval_grams: DataFrame | None = None,
+) -> DataFrame:
     """Benchmark decontamination: for every training document (source !=
     EVAL_SOURCE), count how many distinct word 8-grams also occur anywhere
     in the eval split, and flag any overlap as contamination.
@@ -74,23 +99,14 @@ def decontaminate(spark: SparkSession, docs: DataFrame | None = None) -> DataFra
 
     ``docs`` overrides the corpus side being SCREENED (the streaming
     manifest scores each ingest micro-batch against the static eval set);
-    the eval n-grams always come from the full registered table.
+    ``eval_grams`` injects a precomputed/persisted eval_gram_set so
+    repeated calls (one per micro-batch) don't re-derive it.
     """
-    eval_docs = spark.table("documents")
-    docs = eval_docs if docs is None else docs
+    docs = spark.table("documents") if docs is None else docs
+    _grams = _decon_grams
 
-    def _grams(d: DataFrame) -> DataFrame:
-        return d.select(
-            "doc_id", "source", F.split(F.col("text"), " ").alias("t")
-        ).select(
-            "doc_id", "source", F.explode(_word_ngrams("t", NGRAM_N)).alias("gram")
-        )
-
-    eval_grams = (
-        _grams(eval_docs.filter(F.col("source") == EVAL_SOURCE))
-        .select("gram")
-        .distinct()
-    )
+    if eval_grams is None:
+        eval_grams = eval_gram_set(spark)
     matched = (
         _grams(docs).filter(F.col("source") != EVAL_SOURCE)
         .join(F.broadcast(eval_grams), "gram")

@@ -35,6 +35,22 @@ K = 64               # minhash permutations
 BANDS = 8            # 8 bands x 8 rows
 SHINGLE = 3          # word-trigram shingles
 
+# Hard per-bucket bound for LSH candidate generation (batch AND streaming):
+# a band bucket with more than this many member docs is dropped before pair
+# expansion, bounding the worst-case expansion at CAP^2 pairs per bucket IN
+# THE PLAN — the same stop-element practice as winnowing's WINNOW_BUCKET_CAP
+# and the truth-side TRUTH_BUCKET_CAP below. Candidate generation is also
+# canonical-first (signatures only for each exact-dup group's min-doc_id
+# member), so the two degenerate blowup sources at 100 TB — exact-duplicate
+# floods putting whole groups into every shared bucket, and boilerplate
+# band collisions — are each bounded by construction, not by run-book
+# tuning. A dropped bucket loses no recall that matters: >CAP canonicals
+# agreeing on a band key is boilerplate-grade content whose pairs the
+# verify stage would score near-zero anyway, and genuinely similar pairs
+# co-occur in multiple independent bands. At evaluation SFs no bucket
+# comes near the cap, so small-scale results equal the uncapped plan.
+LSH_BUCKET_CAP = 64
+
 # deterministic permutation parameters (odd multipliers, arbitrary offsets)
 A = [(2 * i + 1) * 40_503 % P31 for i in range(1, K + 1)]
 B = [(i * 97_911 + 13) % P31 for i in range(K)]
@@ -158,6 +174,13 @@ FROM (
 ) s
 """
 
+# shingles restricted to exact-dedup canonicals — the relation every
+# candidate-generation and truth-evaluation oracle runs on (per-doc shingle
+# sets are unchanged by the filter; whole non-canonical docs drop out)
+_SQL_SHINGLES_CANON = _SQL_SHINGLES.replace(
+    "FROM documents", f"FROM ({_SQL_CANON}) canon_docs"
+)
+
 
 def _signatures_from(sh: DataFrame) -> DataFrame:
     aggs = [
@@ -209,7 +232,7 @@ def _candidate_pairs_from(sig: DataFrame, rows_per_band: int | None = None) -> D
     return (
         buckets.groupBy("bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter((F.size("ids") > 1) & (F.size("ids") <= LSH_BUCKET_CAP))
         .select(
             F.explode(
                 F.expr(
@@ -225,8 +248,15 @@ def _candidate_pairs_from(sig: DataFrame, rows_per_band: int | None = None) -> D
 
 
 def minhash_candidate_pairs(spark: SparkSession) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become a candidate pair."""
-    sig = _signatures_from(_shingle_hashes(spark.table("documents")))
+    """LSH banding: canonical docs sharing any band bucket become a
+    candidate pair. Canonical-first (the same `_exact_canonicals`
+    composition as the span stage): exact-duplicate groups would otherwise
+    place ALL members into identical buckets and expand quadratically in
+    the group size — the E1 stage already owns identical-content drops, so
+    the LSH stage signatures only each group's canonical. Combined with
+    the LSH_BUCKET_CAP bound in `_candidate_pairs_from`, pair expansion is
+    linear in true near-dup structure at any corpus scale."""
+    sig = _signatures_from(_shingle_hashes(_exact_canonicals(spark.table("documents"))))
     return _candidate_pairs_from(sig).orderBy("doc_a", "doc_b")
 
 
@@ -240,11 +270,17 @@ def oracle_minhash_candidate_pairs() -> str:
         band_selects.append(f"SELECT doc_id, md5({concat}) AS bucket FROM sig")
     buckets = " UNION ALL ".join(band_selects)
     return f"""
-WITH sh AS ({_SQL_SHINGLES}),
+WITH sh AS ({_SQL_SHINGLES_CANON}),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
-buckets AS ({buckets})
+buckets AS ({buckets}),
+ok AS (
+  SELECT bucket FROM buckets
+  GROUP BY bucket HAVING COUNT(*) > 1 AND COUNT(*) <= {LSH_BUCKET_CAP}
+)
 SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM buckets l JOIN buckets r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+FROM buckets l
+JOIN ok o ON o.bucket = l.bucket
+JOIN buckets r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
 ORDER BY doc_a, doc_b
 """
 
@@ -256,10 +292,15 @@ _SHINGLE_CACHE: dict[int, DataFrame] = {}
 
 
 def _persisted_shingles(spark: SparkSession) -> DataFrame:
+    """Canonical-doc shingle relation, persisted once per session. Every
+    consumer (verify-stage Jaccard, containment sizes, recall/tuning truth)
+    operates on the exact-dedup keep set — per-doc shingle sets are
+    identical to the unfiltered relation for surviving docs, and dropped
+    exact-dup siblings are the E1 stage's responsibility, not LSH's."""
     prev = _SHINGLE_CACHE.pop(id(spark), None)
     if prev is not None:
         prev.unpersist()
-    sh = _shingle_hashes(spark.table("documents")).persist()
+    sh = _shingle_hashes(_exact_canonicals(spark.table("documents"))).persist()
     _SHINGLE_CACHE[id(spark)] = sh
     return sh
 
@@ -313,7 +354,7 @@ def oracle_ngram_jaccard_pairs(threshold: float = 0.5) -> str:
     pairs_inner = pairs.rsplit("ORDER BY", 1)[0]
     return f"""
 WITH cand AS ({pairs_inner}),
-sh AS ({_SQL_SHINGLES}),
+sh AS ({_SQL_SHINGLES_CANON}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
@@ -785,7 +826,7 @@ cand AS (
   SELECT DISTINCT ga.doc_id AS doc_a, gb.doc_id AS doc_b
   FROM grams ga JOIN grams gb ON ga.h = gb.h AND ga.doc_id < gb.doc_id
 ),
-sh AS ({_SQL_SHINGLES}),
+sh AS ({_SQL_SHINGLES_CANON}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
   SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
@@ -1066,37 +1107,12 @@ WHERE sh.h NOT IN (
 
 
 def lsh_dedup_recall(spark: SparkSession) -> DataFrame:
-    sh_all = _persisted_shingles(spark)
-    # truth Jaccard over informative shingles (capped); the candidate side
-    # below stays on the UNCAPPED relation — it is the production banding
-    # being measured, not part of the diagnostic's truth computation
-    sh = _truth_shingles(sh_all)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    truth_inter = (
-        sh.alias("sa")
-        .join(
-            sh.alias("sb"),
-            (F.col("sa.h") == F.col("sb.h"))
-            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-        )
-        .groupBy(
-            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    truth = (
-        truth_inter.join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
-        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("inter").cast("double")
-                / (F.col("na.n") + F.col("nb.n") - F.col("inter")).cast("double")
-            ).alias("jaccard"),
-        )
-    )
-    cand = _candidate_pairs_from(_signatures_from(sh_all)).withColumn(
+    # truth Jaccard over informative canonical shingles (TRUTH_BUCKET_CAP
+    # anti-joined), materialized ONCE per session (localCheckpoint) — the
+    # candidate side is the production banding (canonical-first +
+    # LSH_BUCKET_CAP) being measured, over the same keep-set universe
+    truth = _checkpointed_truth(spark)
+    cand = _candidate_pairs_from(_signatures_from(_persisted_shingles(spark))).withColumn(
         "c", F.lit(1)
     )
     flagged = truth.join(cand, on=["doc_a", "doc_b"], how="left")
@@ -1131,7 +1147,7 @@ def oracle_lsh_dedup_recall() -> str:
     pairs_inner = pairs.rsplit("ORDER BY", 1)[0]
     tlist = ", ".join(str(t) for t in RECALL_THRESHOLDS)
     return f"""
-WITH sh AS ({_SQL_SHINGLES}),
+WITH sh AS ({_SQL_SHINGLES_CANON}),
 sh_t AS ({_SQL_TRUTH_SH}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh_t GROUP BY doc_id),
 truth_inter AS (
@@ -1218,15 +1234,29 @@ def _jaccard_truth(sh: DataFrame) -> DataFrame:
     )
 
 
+def _checkpointed_truth(spark: SparkSession) -> DataFrame:
+    """The exact-Jaccard truth relation, materialized (localCheckpoint) so
+    every consumer — the recall diagnostic once, the tuning sweep once per
+    (rows, bands) configuration — scans the checkpointed pairs instead of
+    re-deriving the quadratic self-join per plan branch. Recomputed per
+    call (the `documents` view can be re-registered between query builds);
+    the sharing that matters is one call feeding many plan branches."""
+    return _jaccard_truth(_persisted_shingles(spark)).localCheckpoint()
+
+
 def _scurve(rows: int, t: float) -> float:
     bands = K // rows
     return 1.0 - (1.0 - t**rows) ** bands
 
 
 def lsh_tuning(spark: SparkSession) -> DataFrame:
-    sh = _persisted_shingles(spark)
-    sig = _signatures_from(sh)
-    truth = _jaccard_truth(sh)
+    # ONE signature relation and ONE truth relation feed all sweep
+    # configurations: both are localCheckpointed so the nine (config x
+    # threshold) branches scan materialized data — without this, Spark
+    # re-derives the signature aggregate AND the quadratic truth join per
+    # unionByName branch (no cross-branch subtree sharing in Catalyst)
+    sig = _signatures_from(_persisted_shingles(spark)).localCheckpoint()
+    truth = _checkpointed_truth(spark)
     out = None
     for r in LSH_TUNING_ROWS:
         cand = _candidate_pairs_from(sig, r).withColumn("c", F.lit(1))
@@ -1273,7 +1303,8 @@ def lsh_tuning(spark: SparkSession) -> DataFrame:
 
 def _oracle_banded_pairs(r: int) -> str:
     """Candidate-pair SQL body over the shared sig CTE for a given
-    rows-per-band (mirrors _candidate_pairs_from's banding)."""
+    rows-per-band (mirrors _candidate_pairs_from's banding, including the
+    LSH_BUCKET_CAP bucket-size bound)."""
     band_selects = []
     for b, (name, cols) in enumerate(_band_cols(r)):
         concat = " || ',' || ".join(
@@ -1282,8 +1313,11 @@ def _oracle_banded_pairs(r: int) -> str:
         band_selects.append(f"SELECT doc_id, md5({concat}) AS bucket FROM sig")
     buckets = " UNION ALL ".join(band_selects)
     return (
+        f"WITH bk AS ({buckets}), "
+        f"ok AS (SELECT bucket FROM bk GROUP BY bucket "
+        f"HAVING COUNT(*) > 1 AND COUNT(*) <= {LSH_BUCKET_CAP}) "
         f"SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b "
-        f"FROM ({buckets}) l JOIN ({buckets}) r "
+        f"FROM bk l JOIN ok o ON o.bucket = l.bucket JOIN bk r "
         f"ON l.bucket = r.bucket AND l.doc_id < r.doc_id"
     )
 
@@ -1315,7 +1349,7 @@ WHERE t.jaccard >= CAST(g.threshold AS DOUBLE)
 GROUP BY g.threshold""")
     union = " UNION ALL ".join(per_config)
     return f"""
-WITH sh AS ({_SQL_SHINGLES}),
+WITH sh AS ({_SQL_SHINGLES_CANON}),
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 sh_t AS ({_SQL_TRUTH_SH}),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh_t GROUP BY doc_id),

@@ -106,6 +106,112 @@ from collector_spark.streaming.log_stream import stream_classify, stream_stitch
 from collector_spark.streaming.stat_buckets import stream_stat_buckets
 
 # ===========================================================================
+# A-r9. round-9 front window — these MUST hold the first driver-window
+#   positions this round: (1) the two NEW CompactLogSnapshot facts,
+#   (2) every query whose semantics changed with the exact-dup-safe LSH
+#   candidate generation (canonical-first signatures + LSH_BUCKET_CAP,
+#   batch + streaming + all downstream dedup consumers) or whose plan
+#   changed with the checkpointed truth/signature sharing (recall,
+#   tuning), (3) rotation hygiene: snapshot_function_fact and
+#   snapshot_replication_fact cycle back in (r8 verdict item 7).
+# ===========================================================================
+
+from collector_spark.operators import snapshot_logs
+
+register(
+    "snapshot_log_fact",
+    snapshot_logs.snapshot_log_fact,
+    snapshot_logs.oracle_snapshot_log_fact(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "snapshot_query_sample_fact",
+    snapshot_logs.snapshot_query_sample_fact,
+    snapshot_logs.oracle_snapshot_query_sample_fact(),
+    fixtures=["query_samples"],
+)
+
+register(
+    "ml_minhash_candidate_pairs",
+    dedup.minhash_candidate_pairs,
+    dedup.oracle_minhash_candidate_pairs(),
+)
+
+register(
+    "ml_ngram_jaccard",
+    dedup.ngram_jaccard_pairs,
+    dedup.oracle_ngram_jaccard_pairs(),
+)
+
+register("ml_dup_clusters", dedup.dup_clusters, dedup.oracle_dup_clusters())
+
+register(
+    "ml_dup_clusters_star",
+    dedup.dup_clusters_star,
+    dedup.oracle_dup_clusters(),
+)
+
+register(
+    "ml_dedup_keep_list", dedup.dedup_keep_list, dedup.oracle_dedup_keep_list()
+)
+
+register(
+    "ml_ngram_containment",
+    dedup.ngram_containment_pairs,
+    dedup.oracle_ngram_containment_pairs(),
+)
+
+register(
+    "ml_lsh_dedup_recall",
+    dedup.lsh_dedup_recall,
+    dedup.oracle_lsh_dedup_recall(),
+)
+
+register(
+    "ml_lsh_tuning",
+    dedup.lsh_tuning,
+    dedup.oracle_lsh_tuning(),
+)
+
+register(
+    "ml_curation_manifest",
+    curation.curation_manifest,
+    curation.oracle_curation_manifest(),
+)
+
+register(
+    "ml_split_leakage", curation.split_leakage, curation.oracle_split_leakage()
+)
+
+register(
+    "st_ml_stream_lsh",
+    doc_stream.stream_minhash_candidates,
+    dedup.oracle_minhash_candidate_pairs(),
+)
+
+register(
+    "st_ml_curation_manifest",
+    doc_stream.stream_curation_manifest,
+    curation.oracle_curation_manifest(),
+)
+
+register(
+    "snapshot_function_fact",
+    snapshot_facts.snapshot_function_fact,
+    snapshot_facts.oracle_snapshot_function_fact(),
+    fixtures=["func_meta", "func_snap1", "func_snap2"],
+)
+
+register(
+    "snapshot_replication_fact",
+    snapshot_facts.snapshot_replication_fact,
+    snapshot_facts.oracle_snapshot_replication_fact(),
+    fixtures=["standby_rows", "wal_state"],
+)
+
+
+# ===========================================================================
 # A. round-6 front window: (1) the five registrations that have NEVER had a
 #    driver CORRECTNESS row (catalog positions 71-93 in r4/r5 — the r5
 #    verdict's #1 item), (2) queries whose semantics changed this round
@@ -246,19 +352,9 @@ register(
 
 # -- r7: LSH dedup recall — candidate-generation quality vs the exact
 #    Jaccard pair set (the ann_recall analog for the dedup path)
-register(
-    "ml_lsh_dedup_recall",
-    dedup.lsh_dedup_recall,
-    dedup.oracle_lsh_dedup_recall(),
-)
 # -- r7: LSH tuning curve — (rows x bands) sweep over the shared minhash
 #    signatures: empirical recall vs exact truth next to the theoretical
 #    S-curve capture (literal-embedded, no cross-engine pow)
-register(
-    "ml_lsh_tuning",
-    dedup.lsh_tuning,
-    dedup.oracle_lsh_tuning(),
-)
 # -- r7: k-means cluster purity — external label-agreement evaluation of
 #    the trained clustering (usable-as-topic-strata gate)
 register(
@@ -309,11 +405,6 @@ register(
 #    composing eval holdout, dedup keep list, quality keep list,
 #    decontamination, split assignment and mixing weight (the table a
 #    training run actually reads)
-register(
-    "ml_curation_manifest",
-    curation.curation_manifest,
-    curation.oracle_curation_manifest(),
-)
 # -- r7: full winnowing fingerprints (Schleimer et al. 2003) — local
 #    position-aware fingerprint selection with the rightmost-min tie rule;
 #    bounded per-doc summary validated by a modular checksum
@@ -356,39 +447,17 @@ register(
     similarity.embedding_decontaminate,
     similarity.oracle_embedding_decontaminate(),
 )
-register(
-    "ml_split_leakage", curation.split_leakage, curation.oracle_split_leakage()
-)
-
 # -- r7: streaming LSH candidate discovery — near-dup twin of the
 #    streaming exact dedup; stateless per-row signatures + streaming
 #    bucket collect_set; availableNow equals the batch candidate oracle
-register(
-    "st_ml_stream_lsh",
-    doc_stream.stream_minhash_candidates,
-    dedup.oracle_minhash_candidate_pairs(),
-)
-
 # -- r8: incremental curation manifest — three concurrent streaming
 #    queries (exact-dup state, LSH bucket state, foreachBatch per-doc
 #    scoring with an idempotent epoch-keyed landing sink) composed by a
 #    batch compaction through the SAME injectable batch operators;
 #    availableNow equals ml_curation_manifest row-for-row (same oracle)
-register(
-    "st_ml_curation_manifest",
-    doc_stream.stream_curation_manifest,
-    curation.oracle_curation_manifest(),
-)
-
 # -- r7: duplicate clusters through alternating large-star/small-star CC
 #    (O(log n) rounds — the adversarial-chain scale path); identical
 #    labels, same recursive-closure oracle as ml_dup_clusters
-register(
-    "ml_dup_clusters_star",
-    dedup.dup_clusters_star,
-    dedup.oracle_dup_clusters(),
-)
-
 # -- r7: product-quantization ANN (PQ/ADC): corpus stored as M codes,
 #    asymmetric search via broadcast per-query distance LUT
 register("ml_pq_topk", similarity.pq_topk, similarity.oracle_pq_topk())
@@ -434,18 +503,8 @@ register(
 
 # -- (1)+(2) end-to-end keep/drop composition (exact -> LSH -> verify ->
 #    clusters -> span), never driver-verified AND span semantics changed
-register(
-    "ml_dedup_keep_list", dedup.dedup_keep_list, dedup.oracle_dedup_keep_list()
-)
-
 # -- (1) asymmetric containment verify on canonical-first window-hash
 #    candidates (subset duplication that Jaccard under-scores)
-register(
-    "ml_ngram_containment",
-    dedup.ngram_containment_pairs,
-    dedup.oracle_ngram_containment_pairs(),
-)
-
 # -- (1) recall@K of every ANN index vs the brute-force ground truth
 register("ml_ann_recall", similarity.ann_recall, similarity.oracle_ann_recall())
 
@@ -469,8 +528,6 @@ register(
 
 # -- (3) plan changed in r5 (size join de-broadcast), judge-verified only:
 #    duplicate clusters via min-label propagation over verified pairs
-register("ml_dup_clusters", dedup.dup_clusters, dedup.oracle_dup_clusters())
-
 register(
     "ml_embedding_dup_clusters",
     partial(
@@ -531,20 +588,6 @@ register(
     snapshot_facts.snapshot_backend_fact,
     snapshot_facts.oracle_snapshot_backend_fact(),
     fixtures=["backends"],
-)
-
-register(
-    "snapshot_replication_fact",
-    snapshot_facts.snapshot_replication_fact,
-    snapshot_facts.oracle_snapshot_replication_fact(),
-    fixtures=["standby_rows", "wal_state"],
-)
-
-register(
-    "snapshot_function_fact",
-    snapshot_facts.snapshot_function_fact,
-    snapshot_facts.oracle_snapshot_function_fact(),
-    fixtures=["func_meta", "func_snap1", "func_snap2"],
 )
 
 register(
@@ -1215,18 +1258,6 @@ register(
     dedup.oracle_minhash_signatures(),
 )
 
-register(
-    "ml_minhash_candidate_pairs",
-    dedup.minhash_candidate_pairs,
-    dedup.oracle_minhash_candidate_pairs(),
-)
-
-register(
-    "ml_ngram_jaccard",
-    dedup.ngram_jaccard_pairs,
-    dedup.oracle_ngram_jaccard_pairs(),
-)
-
 register("ml_simhash", dedup.simhash, dedup.oracle_simhash())
 
 register(
@@ -1609,3 +1640,4 @@ register(
     buffer_cache.oracle_buffercache_totals(),
     fixtures=["buffercache_rows", "class_rows"],
 )
+

@@ -37,10 +37,36 @@ def register(
     fixtures: list[str] | None = None,
 ) -> None:
     # a silent dict overwrite is exactly how a stale variant ships unnoticed
-    # (r7 verdict: ml_source_overlap was registered twice) — fail loudly
+    # (r7 verdict: ml_source_overlap was registered twice) — fail loudly.
+    # Exception: an IDENTICAL re-registration (same oracle SQL, fixtures,
+    # and function identity by qualified name) is a module reload — e.g.
+    # importlib.reload(queries_catalog) in a driver harness — not a stale
+    # variant; let it replace cleanly.
     if name in REGISTRY:
-        raise ValueError(f"duplicate query registration: {name}")
+        prev = REGISTRY[name]
+        same = (
+            prev.oracle == oracle
+            and prev.fixtures == (fixtures or [])
+            and _fn_identity(prev.spark_fn) == _fn_identity(spark_fn)
+        )
+        if not same:
+            raise ValueError(f"duplicate query registration: {name}")
     REGISTRY[name] = Query(name, spark_fn, oracle, fixtures or [])
+
+
+def _fn_identity(fn: Callable) -> tuple:
+    """Reload-stable identity for a registered callable: qualified name for
+    plain functions, (func, args, kwargs) reprs for functools.partial."""
+    import functools
+
+    if isinstance(fn, functools.partial):
+        return (
+            "partial",
+            getattr(fn.func, "__qualname__", repr(fn.func)),
+            repr(fn.args),
+            repr(sorted((fn.keywords or {}).items())),
+        )
+    return ("fn", getattr(fn, "__qualname__", id(fn)))
 
 
 _PREPARED: set[tuple[int, str]] = set()
@@ -163,5 +189,17 @@ def sink_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    Idempotence is NOT left to Python's import cache alone: a harness that
+    importlib.reload()s the catalog (or re-executes it in-process) would
+    hit register()'s duplicate-name guard on every entry. Re-running the
+    whole catalog is a reload, not a stale-variant bug — clear the registry
+    first so the guard keeps catching true in-catalog duplicates only.
+    """
+    import sys
+
+    if "collector_spark.queries_catalog" in sys.modules:
+        return
+    REGISTRY.clear()
     from collector_spark import queries_catalog  # noqa: F401

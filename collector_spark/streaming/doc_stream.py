@@ -152,15 +152,21 @@ def stream_minhash_candidates(
     """Streaming LSH candidate discovery — the near-dup twin of
     stream_exact_dedup: documents arrive in batches, each row's minhash
     signature and band keys compute STATELESS (per-row expressions), and
-    the running per-bucket membership folds in a streaming collect_set
-    keyed by the band bucket. The final bucket state expands to candidate
-    pairs exactly like the batch operator, so availableNow equals
-    ml_minhash_candidate_pairs' oracle regardless of arrival batching
-    (set union is an order-insensitive monotone fold).
+    the running membership folds in a streaming min keyed by (band bucket,
+    content hash) — ONE state row per bucket per distinct content, so an
+    exact-duplicate flood adds ZERO state growth (the min-doc_id fold is
+    an order-insensitive monotone the replayed batches can't corrupt).
+    The final state expands to candidate pairs after filtering each
+    content's rows to its global canonical (min doc over all its buckets
+    = the exact-dedup canonical, since every doc lands in all its own
+    band buckets) and applying the LSH_BUCKET_CAP bound — exactly the
+    batch operator's canonical-first capped semantics, so availableNow
+    equals ml_minhash_candidate_pairs' oracle regardless of batching.
 
-    Scale: state is O(buckets x members); bucket size is the same skew /
-    blowup knob as the batch path. Production bounds state with a
-    watermark TTL on the bucket key when the dedup horizon is bounded.
+    Scale: state is O(buckets x distinct contents), bounded per bucket by
+    the cap at expansion; bucket size is the same skew knob as the batch
+    path. Production bounds state age with a watermark TTL on the bucket
+    key when the dedup horizon is bounded.
     """
     run_id = uuid.uuid4().hex[:12]
     base = os.path.join(tempfile.gettempdir(), "collector_spark_lshstream")
@@ -180,10 +186,12 @@ def stream_minhash_candidates(
         .parquet(src_dir)
     )
     buckets = raw.select(
-        "doc_id", F.explode(_row_signature_cols()).alias("bucket")
+        "doc_id",
+        _content_hash_col(),
+        F.explode(_row_signature_cols()).alias("bucket"),
     )
-    state = buckets.groupBy("bucket").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("ids")
+    state = buckets.groupBy("bucket", "content_hash").agg(
+        F.min("doc_id").alias("min_doc")
     )
     qname = f"lshstream_{run_id}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -206,21 +214,7 @@ def stream_minhash_candidates(
         shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
 
     final = spark.table(qname)
-    return (
-        final.filter(F.size("ids") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (a, i) -> "
-                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
-                    "b -> struct(a AS doc_a, b AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    )
+    return _expand_bucket_pairs(final).orderBy("doc_a", "doc_b")
 
 
 def stream_dsir_weights(spark: SparkSession, n_arrival_batches: int = 8) -> DataFrame:
@@ -443,8 +437,10 @@ ORDER BY d.doc_id
 #   1. exact-dup state   (stateful complete-mode agg: content_hash ->
 #                         min doc_id / group size — st_ml_stream_dedup's
 #                         fold, consumed here as a state input),
-#   2. LSH bucket state  (stateful complete-mode agg: band bucket ->
-#                         member set — st_ml_stream_lsh's fold),
+#   2. LSH bucket state  (stateful complete-mode agg: (band bucket,
+#                         content hash) -> min doc_id — st_ml_stream_lsh's
+#                         exact-dup-safe fold; one state row per bucket
+#                         per distinct content),
 #   3. per-doc scoring   (foreachBatch: each micro-batch of arriving docs
 #                         is scored THROUGH THE BATCH OPERATORS — quality
 #                         ladder, static-eval-set decontamination,
@@ -476,10 +472,26 @@ def _content_hash_col():
 
 
 def _expand_bucket_pairs(state: DataFrame) -> DataFrame:
-    """Final LSH bucket state (bucket, ids sorted array) -> distinct
-    candidate pairs — the same per-bucket expansion as the batch path."""
+    """Final LSH bucket state (bucket, content_hash, min_doc) -> distinct
+    candidate pairs with the batch operator's canonical-first + capped
+    semantics: a content's rows are kept only where min_doc equals its
+    GLOBAL canonical (min over every bucket the content appears in — every
+    doc lands in all of its own band buckets, so this is the exact-dedup
+    min-doc_id canonical), then buckets regroup, the LSH_BUCKET_CAP bound
+    drops degenerate buckets, and surviving members expand pairwise — the
+    same expansion as ml/dedup.py's _candidate_pairs_from."""
+    from pyspark.sql import Window
+
+    from collector_spark.ml.dedup import LSH_BUCKET_CAP
+
+    w = Window.partitionBy("content_hash")
+    members = state.withColumn("canon", F.min("min_doc").over(w)).filter(
+        F.col("min_doc") == F.col("canon")
+    )
     return (
-        state.filter(F.size("ids") > 1)
+        members.groupBy("bucket")
+        .agg(F.sort_array(F.collect_set("min_doc")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= LSH_BUCKET_CAP))
         .select(
             F.explode(
                 F.expr(
@@ -512,12 +524,17 @@ def _write_arrival_log(spark: SparkSession, dirpath: str, n_batches: int) -> Non
         os.utime(p, (base_mtime + 10 * i, base_mtime + 10 * i))
 
 
-def _score_batch_fn(land_dir: str):
+def _score_batch_fn(land_dir: str, eval_grams: DataFrame | None = None):
     """foreachBatch body for the per-doc scoring stream: run the arriving
     micro-batch through the batch quality/decontamination/split operators
     (their ``docs`` parameter exists for exactly this) and overwrite the
     batch's OWN epoch directory — deterministic output per epoch, so a
-    restart that replays the epoch is a no-op (idempotent sink)."""
+    restart that replays the epoch is a no-op (idempotent sink).
+
+    ``eval_grams``: the precomputed (checkpointed) eval n-gram set —
+    computed ONCE before the stream starts; without it every trigger
+    would re-derive the eval explode+distinct from the full documents
+    table (wasted recomputation that grows with the eval split)."""
 
     def _score(mb: DataFrame, batch_id: int) -> None:
         from collector_spark.ml.curation import (
@@ -535,7 +552,9 @@ def _score_batch_fn(land_dir: str):
             F.col("keep").alias("quality_keep"),
             F.col("drop_reason").alias("quality_reason"),
         )
-        ct = decontaminate(sess, docs=mb).select("doc_id", "contaminated")
+        ct = decontaminate(sess, docs=mb, eval_grams=eval_grams).select(
+            "doc_id", "contaminated"
+        )
         sp = split_assign(sess, docs=mb).select("doc_id", "split")
         out = (
             base.join(qk, "doc_id", "left")
@@ -586,10 +605,12 @@ def start_manifest_streams(
             .parquet(src_dir)
         )
         buckets = raw.select(
-            "doc_id", F.explode(_row_signature_cols()).alias("bucket")
+            "doc_id",
+            _content_hash_col(),
+            F.explode(_row_signature_cols()).alias("bucket"),
         )
-        state = buckets.groupBy("bucket").agg(
-            F.sort_array(F.collect_set("doc_id")).alias("ids")
+        state = buckets.groupBy("bucket", "content_hash").agg(
+            F.min("doc_id").alias("min_doc")
         )
         queries["lsh"] = (
             state.writeStream.format("memory")
@@ -600,6 +621,12 @@ def start_manifest_streams(
             .start()
         )
     if "score" in which:
+        from collector_spark.ml.curation import eval_gram_set
+
+        # materialized ONCE per stream start: every micro-batch screens
+        # against this checkpointed set instead of re-deriving the eval
+        # explode+distinct per trigger
+        eval_grams = eval_gram_set(spark).localCheckpoint()
         raw = (
             spark.readStream.schema(DOC_SCHEMA)
             .option("maxFilesPerTrigger", 1)
@@ -607,13 +634,104 @@ def start_manifest_streams(
         )
         queries["score"] = (
             raw.writeStream.foreachBatch(
-                _score_batch_fn(os.path.join(run_dir, "land"))
+                _score_batch_fn(os.path.join(run_dir, "land"), eval_grams)
             )
             .option("checkpointLocation", os.path.join(run_dir, "ckpt_score"))
             .trigger(availableNow=True)
             .start()
         )
     return queries
+
+
+def _state_update_fn(dirpath: str):
+    """foreachBatch body for an update-mode state leg: land each trigger's
+    UPDATED state rows in that epoch's own directory (deterministic
+    overwrite — a replayed epoch after restart rewrites itself instead of
+    appending duplicates, the same exactly-once contract the score leg
+    pins)."""
+
+    def _upd(mb: DataFrame, batch_id: int) -> None:
+        mb.write.mode("overwrite").parquet(
+            os.path.join(dirpath, f"epoch={batch_id}")
+        )
+
+    return _upd
+
+
+def start_manifest_state_updates(
+    spark: SparkSession, run_dir: str, which: tuple[str, ...] = ("exact", "lsh")
+):
+    """PRODUCTION-sink variant of the two stateful manifest legs: the same
+    folds as start_manifest_streams, but outputMode('update') + foreachBatch
+    landing each trigger's changed state rows in an epoch-keyed changelog —
+    the object-store-native spelling of an update-mode table (upsert log +
+    compaction view, see compact_state_updates), swapped in for the
+    memory-sink oracle harness. Checkpoints are separate from the memory
+    legs', so both harnesses can run against one arrival log."""
+    src_dir = os.path.join(run_dir, "src")
+    queries = {}
+    if "exact" in which:
+        raw = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        state = (
+            raw.select("doc_id", _content_hash_col())
+            .groupBy("content_hash")
+            .agg(
+                F.min("doc_id").alias("canonical_doc_id"),
+                F.count("*").cast("long").alias("group_size"),
+            )
+        )
+        queries["exact"] = (
+            state.writeStream.outputMode("update")
+            .foreachBatch(_state_update_fn(os.path.join(run_dir, "upd_exact")))
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt_upd_exact"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    if "lsh" in which:
+        raw = (
+            spark.readStream.schema(DOC_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        buckets = raw.select(
+            "doc_id",
+            _content_hash_col(),
+            F.explode(_row_signature_cols()).alias("bucket"),
+        )
+        state = buckets.groupBy("bucket", "content_hash").agg(
+            F.min("doc_id").alias("min_doc")
+        )
+        queries["lsh"] = (
+            state.writeStream.outputMode("update")
+            .foreachBatch(_state_update_fn(os.path.join(run_dir, "upd_lsh")))
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt_upd_lsh"))
+            .trigger(availableNow=True)
+            .start()
+        )
+    return queries
+
+
+def compact_state_updates(
+    spark: SparkSession, dirpath: str, key_cols: list[str]
+) -> DataFrame:
+    """Compaction view over an update-mode changelog: the CURRENT state is
+    each key's row from its highest epoch (update mode re-emits a key's
+    full aggregated row whenever it changes, so latest-wins is exact). One
+    window over the key — at scale the changelog is also periodically
+    rewritten to a compacted base table by exactly this query."""
+    from pyspark.sql import Window
+
+    df = spark.read.option("basePath", dirpath).parquet(dirpath)
+    w = Window.partitionBy(*key_cols).orderBy(F.col("epoch").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "epoch")
+    )
 
 
 def compose_manifest(spark: SparkSession, run_dir: str) -> DataFrame:

@@ -72,7 +72,7 @@ def main() -> None:
             elif (d_int and s_float) or (d_float and s_int):
                 print(f"SKEW {qname}.{col}: duck={dt} spark={st}")
                 bad += 1
-            elif dt == "DECIMAL" or dt.startswith("DECIMAL") and not st.startswith("decimal"):
+            elif dt.startswith("DECIMAL") and not st.startswith("decimal"):
                 print(f"DEC  {qname}.{col}: duck={dt} spark={st}")
                 bad += 1
     print(f"\n{bad} flagged column/query issues")

@@ -55,24 +55,38 @@ def test_unigram_topk_vocab_is_broadcast(prepared_spark):
     plan = _plan(unigram_logprob_topk(prepared_spark))
     assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrdered" in plan, plan
-    # the only hash exchanges are the vocab groupBy(w) (appears twice:
-    # total's subtree and topk's subtree are not fused) and the final
-    # groupBy(doc_id) — the exploded corpus is never hash-exchanged on the
-    # word for the lookup join itself (SinglePartition exchanges exist but
-    # carry only the 1-row total / K-row limit)
-    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    # the property protected: the exploded corpus is never shuffle-joined
+    # on the word for the lookup (the K-row vocab broadcasts; only the
+    # final per-doc agg hash-exchanges on doc_id). Total exchange counts
+    # are deliberately NOT pinned — they move with AQE/planner versions.
+    assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning(doc_id") == 1, plan
 
 
 def test_truth_joins_are_capped_in_plan(prepared_spark):
-    """The exact-Jaccard truth self-joins behind lsh_dedup_recall and
-    lsh_tuning must carry the TRUTH_BUCKET_CAP stop-shingle anti-join in
-    the executed plan — the bound on their per-hash quadratic expansion
-    lives in the plan, not in run-book prose (r7 verdict item 2)."""
-    from collector_spark.ml.dedup import lsh_dedup_recall, lsh_tuning
+    """The exact-Jaccard truth self-join must carry the TRUTH_BUCKET_CAP
+    stop-shingle anti-join in the executed plan — the bound on its
+    per-hash quadratic expansion lives in the plan, not in run-book prose
+    (r7 verdict item 2). Asserted on the truth component directly: the
+    registered consumers (recall, tuning) scan it MATERIALIZED
+    (localCheckpoint — one derivation shared by recall and every tuning
+    configuration), so their own plans show the checkpoint scan."""
+    import re
+
+    from collector_spark.ml.dedup import (
+        TRUTH_BUCKET_CAP,
+        _jaccard_truth,
+        _persisted_shingles,
+        lsh_dedup_recall,
+        lsh_tuning,
+    )
+
+    plan = _plan(_jaccard_truth(_persisted_shingles(prepared_spark)))
+    assert "LeftAnti" in plan, plan
+    # the cap predicate itself (df > CAP on the hot-hash build side), not
+    # just the literal appearing anywhere in the plan
+    assert re.search(rf"\(df#\d+L? > {TRUTH_BUCKET_CAP}\)", plan), plan
 
     for fn in (lsh_dedup_recall, lsh_tuning):
-        plan = _plan(fn(prepared_spark))
-        assert "LeftAnti" in plan, (fn.__name__, plan)
-        # the cap literal itself gates the hot-hash build side
-        assert "64" in plan, (fn.__name__, plan)
+        p = _plan(fn(prepared_spark))
+        assert "ExistingRDD" in p, (fn.__name__, p)

@@ -79,3 +79,86 @@ def test_keep_list_invariants(prepared_spark, base, clone_of):
         assert (out[0]["span_dup_fraction"] or 0.0) == 0.0
     finally:
         tables.register_views(prepared_spark, SF_DIR)
+
+
+def test_exact_dup_flood_generates_no_candidate_pairs(prepared_spark):
+    """r9 scale-killer fix: an exact-duplicate flood (one text cloned far
+    past LSH_BUCKET_CAP) must contribute ZERO LSH candidate pairs — the
+    signature build is canonical-first, so the group collapses to one doc
+    before banding. Before the fix every member landed in identical band
+    buckets (N^2/2 pairs per band at any N)."""
+    from collector_spark import tables
+    from collector_spark.ml.dedup import LSH_BUCKET_CAP, minhash_candidate_pairs
+    from tests.conftest import SF_DIR
+
+    n = LSH_BUCKET_CAP * 2  # far past the cap: canonical-first must bound it
+    rows = [
+        (i, "flood body shared verbatim across every clone", "en", "s", 0)
+        for i in range(n)
+    ]
+    rows += [
+        (n, "alpha beta gamma delta epsilon zeta", "en", "s", 0),
+        (n + 1, "one two three four five six seven", "en", "s", 0),
+    ]
+    prepared_spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).createOrReplaceTempView("documents")
+    try:
+        pairs = minhash_candidate_pairs(prepared_spark).collect()
+        non_canonical = set(range(1, n))
+        assert all(
+            r.doc_a not in non_canonical and r.doc_b not in non_canonical
+            for r in pairs
+        ), pairs
+    finally:
+        tables.register_views(prepared_spark, SF_DIR)
+
+
+def test_bucket_cap_bounds_pair_expansion(prepared_spark):
+    """The hard LSH_BUCKET_CAP bound in _candidate_pairs_from: a bucket
+    with more than CAP members yields ZERO pairs (dropped in-plan); at
+    exactly CAP it yields the full C(CAP,2) — the worst-case expansion is
+    a compile-time constant, never data-scaled."""
+    from collector_spark.ml.dedup import K, LSH_BUCKET_CAP, _candidate_pairs_from
+
+    sig_cols = [f"CAST(0 AS BIGINT) AS mh{i}" for i in range(K)]
+    over = prepared_spark.range(LSH_BUCKET_CAP + 1).selectExpr(
+        "id AS doc_id", *sig_cols
+    )
+    assert _candidate_pairs_from(over).count() == 0
+    at_cap = prepared_spark.range(LSH_BUCKET_CAP).selectExpr(
+        "id AS doc_id", *sig_cols
+    )
+    expected = LSH_BUCKET_CAP * (LSH_BUCKET_CAP - 1) // 2
+    assert _candidate_pairs_from(at_cap).count() == expected
+
+
+def test_stream_bucket_expansion_is_canonical_and_capped(prepared_spark):
+    """The streaming fold's compaction (_expand_bucket_pairs): per-content
+    state rows whose min_doc is NOT the content's global canonical are
+    dropped (exact-dup-safe — matches batch canonical-first), and buckets
+    past LSH_BUCKET_CAP are dropped entirely."""
+    from collector_spark.ml.dedup import LSH_BUCKET_CAP
+    from collector_spark.streaming.doc_stream import _expand_bucket_pairs
+
+    state = prepared_spark.createDataFrame(
+        [
+            # content cX seen in b1 only via a non-canonical member (its
+            # canonical 3 appears under b2) -> the b1 row must drop
+            ("b1", "cX", 5),
+            ("b2", "cX", 3),
+            ("b2", "cY", 7),
+            ("b1", "cZ", 9),
+        ],
+        "bucket string, content_hash string, min_doc long",
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b) for r in _expand_bucket_pairs(state).collect()
+    )
+    assert got == [(3, 7)], got
+
+    flood = prepared_spark.createDataFrame(
+        [("hot", f"c{i}", i) for i in range(LSH_BUCKET_CAP + 1)],
+        "bucket string, content_hash string, min_doc long",
+    )
+    assert _expand_bucket_pairs(flood).count() == 0

@@ -53,11 +53,13 @@ BUDGETS = {
     # banded LSH: explode -> one groupBy(bucket) -> self-join rides the
     # same partitioning; an extra exchange here means the bucket join
     # stopped being co-partitioned
-    "ml_minhash_candidate_pairs": (7, []),
+    # +1 exchange in r9: canonical-first signatures (the exact-dup keep
+    # window's content-hash shuffle precedes the shingle explode)
+    "ml_minhash_candidate_pairs": (8, []),
     "ml_exact_dup": (4, []),
     # candidates-only verify: the doc-shingle side joins candidates twice;
     # centroid/eval sides must stay broadcast
-    "ml_ngram_jaccard": (19, ["BroadcastHashJoin"]),
+    "ml_ngram_jaccard": (21, ["BroadcastHashJoin"]),
     "ml_ivf_topk": (14, ["BroadcastHashJoin"]),
     "ml_lsh_topk": (7, ["BroadcastHashJoin"]),
     # one iteration of min-label propagation (the registered fixed-point
@@ -150,17 +152,22 @@ BUDGETS = {
     "ml_kmeans_purity": (55, ["BroadcastHashJoin"]),
     # schema workflow: bounded per-server attempt stream
     "j14_schema_collection_workflow": (9, []),
-    # recall: truth self-join + candidate build over the pinned shingles
-    "ml_lsh_dedup_recall": (24, []),
+    # recall: the exact-Jaccard truth is MATERIALIZED (localCheckpoint,
+    # shared derivation) — the live plan is candidate build + flag join
+    # over the checkpoint scan. A blow here means the truth subtree is
+    # being re-derived inline again (r8: 29 exchanges; r9: 8)
+    "ml_lsh_dedup_recall": (8, []),
     "f21_collector_platform": (2, []),
     # winnowing: selection is map-only row-local arrays; matching buckets
     # by fingerprint (groupBy + in-bucket expansion, LSH shape) and the
     # shared/delta aggregates ride the same pair partitioning
     "ml_winnowing_fingerprints": (3, []),
     "ml_winnowing_matches": (12, []),
-    # tuning: ONE signature aggregate shared by three band projections —
-    # a blow here means the configs stopped sharing the sig subtree
-    "ml_lsh_tuning": (55, ["BroadcastHashJoin"]),
+    # tuning: ONE checkpointed signature relation and ONE checkpointed
+    # truth relation feed all nine (config x threshold) branches — a blow
+    # here means a sweep branch re-derives either subtree inline again
+    # (r8: 85 exchanges from per-config truth re-derivation; r9: 13)
+    "ml_lsh_tuning": (13, []),
     # manifest: the component stages' bounded exchange sets + four doc_id
     # left joins; only the O(sources) weight join broadcasts
     "ml_curation_manifest": (54, ["BroadcastHashJoin"]),

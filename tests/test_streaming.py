@@ -301,3 +301,89 @@ def test_manifest_score_stream_kill_resume_idempotent(prepared_spark, tmp_path):
     batch = curation_manifest(spark).orderBy("doc_id")
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_manifest_state_leg_update_sink_kill_resume(prepared_spark, tmp_path):
+    """Production-sink pin for the STATE legs (r8 verdict item 5): the
+    exact-dup and LSH folds run with outputMode('update') + foreachBatch
+    into an epoch-keyed changelog; the exact leg is killed after draining
+    half the arrival log and resumed from the same checkpoint. The
+    compacted changelog (latest epoch per key) must equal the batch
+    aggregate exactly, and the LSH changelog must expand to the batch
+    candidate-pair set — batch-equal through a crash."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from collector_spark.ml.dedup import minhash_candidate_pairs
+    from collector_spark.streaming.doc_stream import (
+        _expand_bucket_pairs,
+        _write_arrival_log,
+        compact_state_updates,
+        start_manifest_state_updates,
+    )
+
+    spark = prepared_spark
+    run_dir = str(tmp_path / "state_run")
+    src = os.path.join(run_dir, "src")
+    _write_arrival_log(spark, src, 6)
+
+    # kill point: hide the newest half, drain, then restore and resume
+    hidden = str(tmp_path / "hidden")
+    os.makedirs(hidden)
+    parts = sorted(
+        f for f in os.listdir(src)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    stashed = []
+    for name in parts[3:]:
+        meta = os.stat(os.path.join(src, name))
+        os.rename(os.path.join(src, name), os.path.join(hidden, name))
+        stashed.append((name, meta.st_mtime))
+    qs = start_manifest_state_updates(spark, run_dir)
+    for q in qs.values():
+        q.awaitTermination()
+    for name, mtime in stashed:
+        dst = os.path.join(src, name)
+        os.rename(os.path.join(hidden, name), dst)
+        os.utime(dst, (mtime, mtime))
+    qs2 = start_manifest_state_updates(spark, run_dir)
+    for q in qs2.values():
+        q.awaitTermination()
+
+    # exact leg: compacted changelog == batch aggregate
+    got = {
+        r["content_hash"]: (r["canonical_doc_id"], r["group_size"])
+        for r in compact_state_updates(
+            spark, os.path.join(run_dir, "upd_exact"), ["content_hash"]
+        ).collect()
+    }
+    want = {
+        r["content_hash"]: (r["canonical_doc_id"], r["group_size"])
+        for r in spark.table("documents")
+        .select(
+            "doc_id",
+            F.md5(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+            ).alias("content_hash"),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").cast("long").alias("group_size"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # lsh leg: compacted changelog expands to the batch candidate pairs
+    lsh_state = compact_state_updates(
+        spark, os.path.join(run_dir, "upd_lsh"), ["bucket", "content_hash"]
+    )
+    got_pairs = sorted(
+        (r["doc_a"], r["doc_b"]) for r in _expand_bucket_pairs(lsh_state).collect()
+    )
+    want_pairs = sorted(
+        (r["doc_a"], r["doc_b"]) for r in minhash_candidate_pairs(spark).collect()
+    )
+    assert got_pairs == want_pairs
