@@ -900,7 +900,11 @@ ORDER BY doc_id
 _NLL_SCALE = 1048576  # 2^20: NLL quantization grid (exact integer sums)
 
 
-def unigram_logprob(spark: SparkSession) -> DataFrame:
+def _unigram_nll(spark: SparkSession) -> DataFrame:
+    """Unsorted per-doc (doc_id, n_tokens, mean_nll) core shared by the
+    registered query and its downstream compositions (perplexity
+    bucketing) — compositions join this mid-plan and must not inherit a
+    pointless global sort."""
     docs = spark.table("documents")
     words = docs.select(
         "doc_id",
@@ -929,8 +933,11 @@ def unigram_logprob(spark: SparkSession) -> DataFrame:
                 / (F.col("n_tokens").cast("double") * _NLL_SCALE)
             ).alias("mean_nll"),
         )
-        .orderBy("doc_id")
     )
+
+
+def unigram_logprob(spark: SparkSession) -> DataFrame:
+    return _unigram_nll(spark).orderBy("doc_id")
 
 
 def oracle_unigram_logprob() -> str:
@@ -2206,4 +2213,156 @@ SELECT source, shard, n_docs, total_tokens,
            * {PACK_BUDGET} AS DOUBLE) AS fill_ratio
 FROM per
 ORDER BY source, shard
+"""
+
+
+# ---------------------------------------------------------------------------
+# E65 — CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+# High Quality Monolingual Datasets from Web Crawl Data", 2020): documents
+# are split per SOURCE into head / middle / tail terciles of the corpus
+# LM score (here E41's unigram mean-NLL — lower = more fluent), the
+# standard coarse quality strata used to pick how much of each crawl
+# segment enters training. The registered form assigns buckets by the
+# EXACT per-source NLL rank (3*rank vs tercile bounds, doc_id tie-break) —
+# integer logic, so the oracle matches bit-for-bit. At 100 TB the rank
+# window becomes two per-source threshold scalars learned on a sample
+# (approx_percentile, map-side combinable) broadcast into a map-only
+# assignment — the same one-expression swap documented for
+# ml_source_quantiles; rank semantics at the tercile boundary differ only
+# on ties of the quantized NLL grid.
+#
+# Scale (registered form): the NLL core is E41's plan (combinable vocab
+# build + 1-row total broadcast); bucketing adds one shuffle on source for
+# the rank window. No per-doc state, no Python.
+# ---------------------------------------------------------------------------
+
+
+def perplexity_buckets(spark: SparkSession) -> DataFrame:
+    nll = _unigram_nll(spark).select("doc_id", "mean_nll")
+    docs = spark.table("documents").select("doc_id", "source")
+    scored = docs.join(nll, "doc_id")
+    w = Window.partitionBy("source").orderBy("mean_nll", "doc_id")
+    n = Window.partitionBy("source")
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n_src", F.count("*").over(n)
+    )
+    bucket = (
+        F.when(3 * F.col("rnk") <= F.col("n_src"), "head")
+        .when(3 * F.col("rnk") <= 2 * F.col("n_src"), "middle")
+        .otherwise("tail")
+    )
+    return ranked.select(
+        "doc_id", "source", "mean_nll", bucket.alias("ppl_bucket")
+    ).orderBy("doc_id")
+
+
+def oracle_perplexity_buckets() -> str:
+    return rf"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY w),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+nll AS (
+  SELECT doc_id,
+    CAST(SUM(CAST(FLOOR(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                        * {_NLL_SCALE}) AS BIGINT)) AS DOUBLE)
+      / (CAST(COUNT(*) AS DOUBLE) * {_NLL_SCALE}) AS mean_nll
+  FROM words JOIN vocab USING (w) CROSS JOIN total
+  GROUP BY doc_id
+),
+ranked AS (
+  SELECT d.doc_id, d.source, nll.mean_nll,
+    ROW_NUMBER() OVER (
+      PARTITION BY d.source ORDER BY nll.mean_nll, d.doc_id
+    ) AS rnk,
+    COUNT(*) OVER (PARTITION BY d.source) AS n_src
+  FROM documents d JOIN nll USING (doc_id)
+)
+SELECT doc_id, source, mean_nll,
+  CASE WHEN 3 * rnk <= n_src THEN 'head'
+       WHEN 3 * rnk <= 2 * n_src THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E66 — per-source vocabulary coverage vs the bounded top-K vocabulary:
+# token volume, OOV token share, and distinct-type counts per source — the
+# corpus diagnostic that sizes a tokenizer's vocabulary and flags sources
+# whose token distribution the broadcast top-K LM variant (E41c) will
+# floor to OOV. Complements E41c's per-DOC n_oov with the source-level
+# report a mixing decision actually reads.
+#
+# Scale: vocab build is one combinable groupBy(word); the top-K relation
+# is K rows broadcast (TakeOrdered, never a global sort); the coverage
+# aggregate is one combinable groupBy(source) over a map-side explode.
+# The two COUNT(DISTINCT w) force Spark's expand+two-phase distinct on
+# (source, w) — still combinable; at 100 TB the same plan swaps in
+# approx_count_distinct, a one-expression change.
+#
+# K: the fixture corpus holds only ~31 distinct words at every SF, so the
+# E41c vocabulary (256) would cover everything and the OOV path would be
+# vacuously zero — K is data-calibrated (the VERIFY_NEARDUP_THRESHOLD
+# convention) so the report exercises real OOV mass; production sets K to
+# the tokenizer's actual vocabulary size, same plan.
+# ---------------------------------------------------------------------------
+
+VOCAB_COV_K = 16
+
+
+def vocab_coverage(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    words = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    vocab = words.groupBy("w").agg(F.count("*").cast("long").alias("cnt"))
+    topk = vocab.orderBy(F.col("cnt").desc(), "w").limit(VOCAB_COV_K)
+    j = words.join(
+        F.broadcast(topk.select("w", F.lit(True).alias("in_vocab"))), "w", "left"
+    )
+    oov = F.col("in_vocab").isNull()
+    agg = j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(oov.cast("long")).alias("n_oov"),
+        F.count_distinct("w").cast("long").alias("distinct_words"),
+        F.count_distinct(F.when(oov, F.col("w"))).cast("long").alias(
+            "distinct_oov_words"
+        ),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "oov_rate"
+        ),
+        "distinct_words",
+        "distinct_oov_words",
+    ).orderBy("source")
+
+
+def oracle_vocab_coverage() -> str:
+    return rf"""
+WITH words AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM words GROUP BY w),
+topk AS (SELECT w FROM vocab ORDER BY cnt DESC, w ASC LIMIT {VOCAB_COV_K})
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+  CAST(SUM(CASE WHEN t.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+  CAST(SUM(CASE WHEN t.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS oov_rate,
+  CAST(COUNT(DISTINCT words.w) AS BIGINT) AS distinct_words,
+  CAST(COUNT(DISTINCT CASE WHEN t.w IS NULL THEN words.w END) AS BIGINT)
+    AS distinct_oov_words
+FROM words LEFT JOIN topk t ON words.w = t.w
+GROUP BY source
+ORDER BY source
 """

@@ -213,7 +213,7 @@ def _band_cols(rows: int | None = None) -> list[tuple[str, list[str]]]:
     ]
 
 
-def _candidate_pairs_from(sig: DataFrame, rows_per_band: int | None = None) -> DataFrame:
+def _band_buckets(sig: DataFrame, rows_per_band: int | None = None) -> DataFrame:
     # one band-key array exploded per row — the signature aggregate is
     # computed once, not once per band branch (a UNION of 8 projections
     # leans on exchange reuse; the explode makes single-pass structural)
@@ -223,7 +223,11 @@ def _candidate_pairs_from(sig: DataFrame, rows_per_band: int | None = None) -> D
         )
         for b, (name, cols) in enumerate(_band_cols(rows_per_band))
     ]
-    buckets = sig.select("doc_id", F.explode(F.array(*keys)).alias("bucket"))
+    return sig.select("doc_id", F.explode(F.array(*keys)).alias("bucket"))
+
+
+def _candidate_pairs_from(sig: DataFrame, rows_per_band: int | None = None) -> DataFrame:
+    buckets = _band_buckets(sig, rows_per_band)
     # pair generation by per-bucket expansion instead of a bucket self-join:
     # a self-join recomputes the whole signature subtree per branch (no
     # exchange reuse across build/probe sides), while groupBy(bucket) +
@@ -1367,4 +1371,221 @@ truth AS (
 )
 SELECT * FROM ({union}) u
 ORDER BY rows_per_band, threshold
+"""
+
+
+# ---------------------------------------------------------------------------
+# E68 — incremental cross-batch dedup: a NEW arrival batch deduplicated
+# against the EXISTING corpus (the production shape of dedup at 100 TB —
+# nobody re-deduplicates the whole corpus per crawl; each ingest batch is
+# screened against what is already kept). Two screens, mirroring the batch
+# pipeline's stage order: (1) exact — the incoming content hash hits the
+# existing corpus's (content_hash -> min doc_id) dimension; (2) near —
+# MinHash-LSH candidates restricted to CROSS-side (existing x incoming)
+# bucket-mates, canonical-first per side, capped per bucket, then
+# Jaccard-verified. Output is total over the incoming batch: keep /
+# drop_reason / matched existing doc.
+#
+# The batch boundary is doc_id % INC_BATCH_MOD (arrival batches ARE
+# id/time-ordered — unlike E42's train/test split, where content keying
+# prevents leakage, an ingest boundary is positional by nature).
+#
+# Scale: the existing side never re-pairs with itself — per-bucket
+# expansion emits existing x incoming pairs only, so steady-state cost is
+# O(batch) not O(corpus); the exact screen joins the incoming batch
+# against a (hash -> id) dimension that a production layout keeps
+# bucketed on the hash; LSH_BUCKET_CAP bounds the worst bucket exactly as
+# in the batch stage. The streaming twins (st_ml_stream_dedup /
+# st_ml_stream_lsh) hold the same state incrementally; this operator is
+# their batch-mode contract over an explicit two-batch split.
+# ---------------------------------------------------------------------------
+
+INC_BATCH_MOD = 5
+INC_BATCH_REM = 4  # doc_id % 5 == 4 -> the incoming batch (20%)
+INC_JACCARD_THRESHOLD = 0.5
+
+
+def _inc_is_incoming() -> Column:
+    return (F.col("doc_id") % INC_BATCH_MOD) == INC_BATCH_REM
+
+
+def incremental_dedup(
+    spark: SparkSession, docs: DataFrame | None = None
+) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    existing = docs.filter(~_inc_is_incoming())
+    incoming = docs.filter(_inc_is_incoming())
+
+    # exact screen: existing corpus collapses to one row per content hash
+    ex_hash = (
+        existing.select(_norm_hash().alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("ex_exact"))
+    )
+    inc_hashed = incoming.select("doc_id", _norm_hash().alias("h"))
+    # in-batch canonical carrier for the near screen: same-content incoming
+    # docs inherit their canonical's verdict (identical shingle sets)
+    inc_canon_ids = inc_hashed.groupBy("h").agg(F.min("doc_id").alias("canon_id"))
+
+    # near screen: canonical-first signatures per side, cross-side pairs only
+    union_canon = (
+        _exact_canonicals(existing)
+        .select("doc_id", "text")
+        .unionByName(_exact_canonicals(incoming).select("doc_id", "text"))
+    )
+    sh = _shingle_hashes(union_canon)
+    buckets = _band_buckets(_signatures_from(sh)).withColumn(
+        "inc", _inc_is_incoming()
+    )
+    grouped = buckets.groupBy("bucket").agg(
+        F.sort_array(
+            F.collect_list(F.when(~F.col("inc"), F.col("doc_id")))
+        ).alias("ex_ids"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("inc"), F.col("doc_id")))
+        ).alias("inc_ids"),
+    )
+    pairs = (
+        grouped.filter(
+            (F.size("ex_ids") > 0)
+            & (F.size("inc_ids") > 0)
+            & (F.size("ex_ids") + F.size("inc_ids") <= LSH_BUCKET_CAP)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ex_ids, a -> transform(inc_ids, "
+                    "b -> struct(a AS ex_id, b AS inc_id))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ex_id", "p.inc_id")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(sh.alias("sa"), F.col("ex_id") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("inc_id") == F.col("sb.doc_id"))
+            & (F.col("sa.h") == F.col("sb.h")),
+        )
+        .groupBy("ex_id", "inc_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    jaccard = F.col("inter").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("inter")
+    ).cast("double")
+    verified = (
+        inter.join(sizes.alias("na"), F.col("ex_id") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("inc_id") == F.col("nb.doc_id"))
+        .select("ex_id", "inc_id", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= INC_JACCARD_THRESHOLD)
+    )
+    near = verified.groupBy("inc_id").agg(
+        F.min("ex_id").alias("ex_near"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+
+    out = (
+        inc_hashed.join(ex_hash, "h", "left")
+        .join(inc_canon_ids, "h")
+        .join(near, F.col("canon_id") == F.col("inc_id"), "left")
+    )
+    return out.select(
+        "doc_id",
+        (F.col("ex_exact").isNull() & F.col("ex_near").isNull()).alias("keep"),
+        F.when(F.col("ex_exact").isNotNull(), F.lit("exact_duplicate"))
+        .when(F.col("ex_near").isNotNull(), F.lit("near_duplicate"))
+        .alias("drop_reason"),
+        F.coalesce(F.col("ex_exact"), F.col("ex_near")).alias("matched_doc_id"),
+        "best_jaccard",
+    ).orderBy("doc_id")
+
+
+def oracle_incremental_dedup() -> str:
+    mins = ", ".join(
+        f"MIN((h * CAST({A[i]} AS BIGINT) + {B[i]}) % {P31}) AS mh{i}"
+        for i in range(K)
+    )
+    band_selects = []
+    for b, (name, cols) in enumerate(_band_cols()):
+        concat = " || ',' || ".join(
+            [f"'{b}'"] + [f"CAST({c} AS VARCHAR)" for c in cols]
+        )
+        band_selects.append(
+            f"SELECT doc_id, md5({concat}) AS bucket, "
+            f"doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM} AS inc FROM sig"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    canon_ex = _SQL_CANON.replace("FROM documents d", "FROM existing d")
+    canon_inc = _SQL_CANON.replace("FROM documents d", "FROM incoming d")
+    shingles = _SQL_SHINGLES.replace("FROM documents", "FROM union_canon")
+    return f"""
+WITH existing AS (
+  SELECT * FROM documents WHERE doc_id % {INC_BATCH_MOD} <> {INC_BATCH_REM}
+),
+incoming AS (
+  SELECT * FROM documents WHERE doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM}
+),
+ex_hash AS (
+  SELECT {_SQL_NORM_HASH} AS h, MIN(doc_id) AS ex_exact
+  FROM existing GROUP BY 1
+),
+inc_hashed AS (SELECT doc_id, {_SQL_NORM_HASH} AS h FROM incoming),
+inc_canon_ids AS (SELECT h, MIN(doc_id) AS canon_id FROM inc_hashed GROUP BY h),
+union_canon AS (
+  SELECT doc_id, text FROM ({canon_ex}) ec
+  UNION ALL
+  SELECT doc_id, text FROM ({canon_inc}) ic
+),
+sh AS ({shingles}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS ({buckets}),
+ok AS (
+  SELECT bucket FROM buckets
+  GROUP BY bucket
+  HAVING COUNT(*) <= {LSH_BUCKET_CAP}
+     AND SUM(CASE WHEN inc THEN 1 ELSE 0 END) >= 1
+     AND SUM(CASE WHEN inc THEN 0 ELSE 1 END) >= 1
+),
+pairs AS (
+  SELECT DISTINCT e.doc_id AS ex_id, i.doc_id AS inc_id
+  FROM buckets e
+  JOIN ok o ON o.bucket = e.bucket
+  JOIN buckets i ON i.bucket = e.bucket AND i.inc AND NOT e.inc
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.ex_id, p.inc_id, COUNT(*) AS inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.ex_id
+  JOIN sh sb ON sb.doc_id = p.inc_id AND sa.h = sb.h
+  GROUP BY p.ex_id, p.inc_id
+),
+verified AS (
+  SELECT i.ex_id, i.inc_id,
+    CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.ex_id
+  JOIN sizes nb ON nb.doc_id = i.inc_id
+  WHERE CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE)
+        >= {INC_JACCARD_THRESHOLD}
+),
+near AS (
+  SELECT inc_id, MIN(ex_id) AS ex_near, MAX(jaccard) AS best_jaccard
+  FROM verified GROUP BY inc_id
+)
+SELECT ih.doc_id,
+  e.ex_exact IS NULL AND n.ex_near IS NULL AS keep,
+  CASE WHEN e.ex_exact IS NOT NULL THEN 'exact_duplicate'
+       WHEN n.ex_near IS NOT NULL THEN 'near_duplicate'
+  END AS drop_reason,
+  COALESCE(e.ex_exact, n.ex_near) AS matched_doc_id,
+  n.best_jaccard
+FROM inc_hashed ih
+LEFT JOIN ex_hash e ON e.h = ih.h
+JOIN inc_canon_ids c ON c.h = ih.h
+LEFT JOIN near n ON n.inc_id = c.canon_id
+ORDER BY ih.doc_id
 """

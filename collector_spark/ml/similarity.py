@@ -1071,3 +1071,104 @@ FROM top t JOIN sizes s USING (cid)
 WHERE t.rn = 1
 ORDER BY cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E67 — SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication", 2023): k-means the embedding
+# space, then deduplicate WITHIN each cluster by pairwise cosine — pairs
+# of cluster-mates above the threshold are semantic duplicates even when
+# their texts share no n-grams (paraphrases, translations, re-renders),
+# the duplication class lexical MinHash/LSH cannot see. Greedy keep rule:
+# a vector is dropped iff some LOWER vec_id cluster-mate is within the
+# threshold (deterministic, one pass; the paper's keep-farthest-from-
+# centroid variant is the same plan with a different ORDER BY priority).
+#
+# Threshold: the paper operates at ~0.95+ on real embeddings; the fixture
+# embeddings are near-orthogonal random vectors (see NEARDUP_THRESHOLD
+# note), so registration uses the data-calibrated verify threshold to
+# exercise the pair path — same convention as ml_embedding_neardup.
+#
+# Scale: the quadratic pair expansion is confined to cluster-mates — the
+# paper's own design lever: K grows with the corpus so the expected
+# cluster size stays bounded, and the k-means assignment itself is one
+# broadcast-K cross join + argmin (see kmeans_assign). The within-cluster
+# self-join shuffles each vector once on cluster_id; no all-pairs join
+# exists at any scale.
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = VERIFY_NEARDUP_THRESHOLD
+
+
+def semdedup(
+    spark: SparkSession, threshold: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    emb_raw = spark.table("embeddings").select("vec_id", "embedding")
+    _, cent, assign = _kmeans_train(spark)
+    asg = assign(cent, 1).select("vec_id", "cid")
+    m = asg.join(emb_raw, "vec_id")
+    left = m.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"), "cid"
+    )
+    right = m.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"), "cid"
+    )
+    cosine = _fold_dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb"))
+    )
+    pairs = (
+        left.join(right, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    matches = pairs.groupBy("vec_b").agg(
+        F.min("vec_a").alias("dup_of"),
+        F.count("*").cast("long").alias("n_dups_lower"),
+    )
+    return (
+        asg.join(matches, asg.vec_id == matches.vec_b, "left")
+        .select(
+            "vec_id",
+            F.col("cid").alias("cluster_id"),
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            F.coalesce(F.col("n_dups_lower"), F.lit(0)).cast("long").alias(
+                "n_dups_lower"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def oracle_semdedup(threshold: float = SEMDEDUP_THRESHOLD) -> str:
+    parts, _ = _oracle_kmeans_parts()
+    dot = _sql_dot("ea.embedding", "eb.embedding")
+    aa = _sql_dot("ea.embedding", "ea.embedding")
+    bb = _sql_dot("eb.embedding", "eb.embedding")
+    parts.append(
+        f"""pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    ({dot}) / (sqrt({aa}) * sqrt({bb})) AS cos
+  FROM afinal a
+  JOIN afinal b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+)"""
+    )
+    parts.append(
+        f"""matches AS (
+  SELECT vec_b AS vec_id, MIN(vec_a) AS dup_of,
+    CAST(COUNT(*) AS BIGINT) AS n_dups_lower
+  FROM pairs WHERE cos >= {threshold} GROUP BY vec_b
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT f.vec_id, f.cid AS cluster_id,
+  m.dup_of IS NULL AS keep, m.dup_of,
+  CAST(COALESCE(m.n_dups_lower, 0) AS BIGINT) AS n_dups_lower
+FROM afinal f LEFT JOIN matches m USING (vec_id)
+ORDER BY f.vec_id
+"""

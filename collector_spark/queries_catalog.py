@@ -196,6 +196,30 @@ register(
     curation.oracle_curation_manifest(),
 )
 
+# round-9 capability additions (SURVEY §2.10 E65-E69): CCNet perplexity
+# bucketing, per-source vocabulary coverage, SemDeDup, and incremental
+# cross-batch dedup — registered in the front window for fresh driver rows.
+
+register(
+    "ml_perplexity_buckets",
+    curation.perplexity_buckets,
+    curation.oracle_perplexity_buckets(),
+)
+
+register(
+    "ml_vocab_coverage",
+    curation.vocab_coverage,
+    curation.oracle_vocab_coverage(),
+)
+
+register("ml_semdedup", similarity.semdedup, similarity.oracle_semdedup())
+
+register(
+    "ml_incremental_dedup",
+    dedup.incremental_dedup,
+    dedup.oracle_incremental_dedup(),
+)
+
 register(
     "snapshot_function_fact",
     snapshot_facts.snapshot_function_fact,

@@ -162,3 +162,39 @@ def test_stream_bucket_expansion_is_canonical_and_capped(prepared_spark):
         "bucket string, content_hash string, min_doc long",
     )
     assert _expand_bucket_pairs(flood).count() == 0
+
+
+def test_incremental_dedup_all_three_arms(prepared_spark):
+    """r9 E69: the incremental screen's three decision arms on a corpus
+    where each provably fires (the sf0.01 fixture corpus holds no exact
+    duplicates at all, so the oracle sweep alone exercises only the
+    near/keep paths; sf0.1 has straddling exact groups). doc_id % 5 == 4
+    is the incoming batch:
+
+      doc 4  == doc 0's text verbatim      -> exact_duplicate, matched 0
+      doc 9  == doc 1's text + one word    -> near_duplicate,  matched 1
+      doc 14 == unrelated text             -> keep
+    """
+    from collector_spark.ml.dedup import incremental_dedup
+
+    text_a = " ".join(f"a{i % 9}" for i in range(40))
+    text_b = " ".join(f"b{i % 7}" for i in range(50))
+    other = " ".join(f"z{i % 5}" for i in range(30))
+    rows = [
+        (0, text_a, "en", "s", 0),
+        (1, text_b, "en", "s", 0),
+        (4, text_a, "en", "s", 0),
+        (9, text_b + " tail", "en", "s", 0),
+        (14, other, "en", "s", 0),
+    ]
+    docs = prepared_spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r.doc_id: (r.keep, r.drop_reason, r.matched_doc_id)
+        for r in incremental_dedup(prepared_spark, docs).collect()
+    }
+    assert set(got) == {4, 9, 14}
+    assert got[4] == (False, "exact_duplicate", 0)
+    assert got[9] == (False, "near_duplicate", 1)
+    assert got[14] == (True, None, None)
