@@ -221,6 +221,12 @@ register(
 )
 
 register(
+    "st_ml_incremental_dedup",
+    doc_stream.stream_incremental_dedup,
+    dedup.oracle_incremental_dedup(),
+)
+
+register(
     "snapshot_function_fact",
     snapshot_facts.snapshot_function_fact,
     snapshot_facts.oracle_snapshot_function_fact(),

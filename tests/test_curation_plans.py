@@ -90,3 +90,59 @@ def test_truth_joins_are_capped_in_plan(prepared_spark):
     for fn in (lsh_dedup_recall, lsh_tuning):
         p = _plan(fn(prepared_spark))
         assert "ExistingRDD" in p, (fn.__name__, p)
+
+
+def test_vocab_coverage_topk_is_broadcast(prepared_spark):
+    """E66: the bounded top-K vocab must broadcast into the exploded
+    corpus-word probe (TakeOrdered selection, no shuffle join on the word
+    column for the lookup)."""
+    from collector_spark.ml.curation import vocab_coverage
+
+    plan = _plan(vocab_coverage(prepared_spark))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrdered" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_perplexity_buckets_window_is_per_source(prepared_spark):
+    """E65: the tercile rank window must partition by source — a global
+    single-partition rank would serialize the corpus through one task.
+    (The one SinglePartition exchange in the plan is the 1-row vocab
+    total broadcast, same as E41.)"""
+    from collector_spark.ml.curation import perplexity_buckets
+
+    plan = _plan(perplexity_buckets(prepared_spark))
+    assert "Exchange hashpartitioning(source" in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_semdedup_pairs_confined_to_clusters(prepared_spark):
+    """E67: the pairwise-cosine expansion must be keyed on cluster_id —
+    no all-pairs CartesianProduct may appear anywhere; the only
+    nested-loop joins are the broadcast-K centroid assignments (Lloyd's
+    cross join over K rows)."""
+    from collector_spark.ml.similarity import semdedup
+
+    plan = _plan(semdedup(prepared_spark))
+    assert "CartesianProduct" not in plan, plan
+    # the pair join itself is an equi-join on cid
+    assert "cid#" in plan and "Join" in plan, plan
+
+
+def test_incremental_dedup_cap_and_cross_side_in_plan(prepared_spark):
+    """E68: the per-bucket bound and the cross-side-only expansion live in
+    the executed plan — buckets above LSH_BUCKET_CAP (combined sides) are
+    dropped before pair expansion, and the pair transform crosses
+    ex_ids x inc_ids only (the existing corpus never re-pairs with
+    itself)."""
+    import re
+
+    from collector_spark.ml.dedup import LSH_BUCKET_CAP, incremental_dedup
+
+    plan = _plan(incremental_dedup(prepared_spark))
+    assert re.search(
+        rf"size\(ex_ids#\d+, false\) \+ size\(inc_ids#\d+, false\)\) <= "
+        rf"{LSH_BUCKET_CAP}",
+        plan,
+    ), plan
+    assert re.search(r"transform\(ex_ids#\d+", plan), plan
