@@ -226,8 +226,7 @@ def _band_buckets(sig: DataFrame, rows_per_band: int | None = None) -> DataFrame
     return sig.select("doc_id", F.explode(F.array(*keys)).alias("bucket"))
 
 
-def _candidate_pairs_from(sig: DataFrame, rows_per_band: int | None = None) -> DataFrame:
-    buckets = _band_buckets(sig, rows_per_band)
+def _pairs_from_buckets(buckets: DataFrame) -> DataFrame:
     # pair generation by per-bucket expansion instead of a bucket self-join:
     # a self-join recomputes the whole signature subtree per branch (no
     # exchange reuse across build/probe sides), while groupBy(bucket) +
@@ -249,6 +248,10 @@ def _candidate_pairs_from(sig: DataFrame, rows_per_band: int | None = None) -> D
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+
+
+def _candidate_pairs_from(sig: DataFrame, rows_per_band: int | None = None) -> DataFrame:
+    return _pairs_from_buckets(_band_buckets(sig, rows_per_band))
 
 
 def minhash_candidate_pairs(spark: SparkSession) -> DataFrame:
@@ -485,10 +488,9 @@ ORDER BY doc_id
 """
 
 
-def simhash(spark: SparkSession, bits: int = 16) -> DataFrame:
-    """16-bit SimHash over word hashes: bit j set iff sum over words of
-    (2*bit_j(h) - 1) > 0."""
-    docs = spark.table("documents")
+def _simhash_from(docs: DataFrame, bits: int = 16) -> DataFrame:
+    """Unsorted (doc_id, simhash) core shared by the registered E5 query
+    and the Hamming candidate generator (E69)."""
     exploded = docs.select(
         "doc_id", F.explode(_words(F.col("text"))).alias("w")
     ).select("doc_id", _hash60(F.col("w")).alias("h"))
@@ -504,7 +506,13 @@ def simhash(spark: SparkSession, bits: int = 16) -> DataFrame:
     for j in range(bits):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         sim = term if sim is None else (sim + term)
-    return bit_sums.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash(spark: SparkSession, bits: int = 16) -> DataFrame:
+    """16-bit SimHash over word hashes: bit j set iff sum over words of
+    (2*bit_j(h) - 1) > 0."""
+    return _simhash_from(spark.table("documents"), bits).orderBy("doc_id")
 
 
 def oracle_simhash(bits: int = 16) -> str:
@@ -1588,4 +1596,105 @@ LEFT JOIN ex_hash e ON e.h = ih.h
 JOIN inc_canon_ids c ON c.h = ih.h
 LEFT JOIN near n ON n.inc_id = c.canon_id
 ORDER BY ih.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E69 — SimHash Hamming near-dup pairs (Manku, Jain & Das Sarma, "Detecting
+# Near-Duplicates for Web Crawling", WWW 2007): the pigeonhole-banded form
+# of Hamming-distance search. Split the SIMHASH_BITS fingerprint into
+# SIMHASH_BANDS contiguous blocks; any pair within Hamming distance
+# <= SIMHASH_BANDS - 1 agrees EXACTLY on at least one whole block
+# (pigeonhole), so block-equality buckets are a lossless candidate
+# generator for the <= HAMMING_MAX ball — unlike MinHash banding, which
+# is probabilistic. Verification is one bit_count(xor) per candidate.
+#
+# Canonical-first + LSH_BUCKET_CAP, same as MinHash banding and for the
+# same reason: identical docs have identical fingerprints in every block.
+#
+# Scale: fingerprints are one combinable groupBy(doc_id) over the word
+# explode; blocks explode to SIMHASH_BANDS rows/doc; pair expansion runs
+# through the same capped per-bucket transform as E3. Width: 48 bits /
+# 12-bit blocks — wide enough that no sf0.01 block bucket reaches the
+# cap, so the pigeonhole guarantee is EXACT there and test-pinned
+# (candidates == the brute-force <=HAMMING_MAX ball); Manku's production
+# config (64-bit fingerprints, 16-bit blocks) is the same plan with
+# different constants — 64 is avoided here only because bit 63 overflows
+# a signed BIGINT identically on neither engine. The registered E5
+# 16-bit simhash is unchanged.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 48
+SIMHASH_BANDS = 4
+SIMHASH_HAMMING_MAX = SIMHASH_BANDS - 1  # pigeonhole-covered radius
+_SIM_BLOCK = SIMHASH_BITS // SIMHASH_BANDS
+
+
+def simhash_candidate_pairs(spark: SparkSession) -> DataFrame:
+    sim = _simhash_from(_exact_canonicals(spark.table("documents")), SIMHASH_BITS)
+    mask = (1 << _SIM_BLOCK) - 1
+    # integer bucket key: block index in the high bits, block value low
+    keys = [
+        (
+            F.lit(b * (1 << _SIM_BLOCK))
+            + F.shiftright(F.col("simhash"), b * _SIM_BLOCK).bitwiseAND(
+                F.lit(mask)
+            )
+        ).cast("string")
+        for b in range(SIMHASH_BANDS)
+    ]
+    buckets = sim.select("doc_id", F.explode(F.array(*keys)).alias("bucket"))
+    pairs = _pairs_from_buckets(buckets)
+    hamming = F.bit_count(
+        F.col("sa.simhash").bitwiseXOR(F.col("sb.simhash"))
+    ).cast("int")
+    return (
+        pairs.join(sim.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sim.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def oracle_simhash_candidate_pairs() -> str:
+    sums = ", ".join(
+        f"SUM(((h >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    simexpr = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    mask = (1 << _SIM_BLOCK) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({b * (1 << _SIM_BLOCK)} + ((simhash >> "
+        f"{b * _SIM_BLOCK}) & {mask}) AS VARCHAR) AS bucket FROM sim"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+WITH canon AS ({_SQL_CANON}),
+ex AS (
+  SELECT doc_id, {_sql_hash60('w')} AS h
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM canon) t
+),
+bs AS (SELECT doc_id, {sums} FROM ex GROUP BY doc_id),
+sim AS (SELECT doc_id, CAST({simexpr} AS BIGINT) AS simhash FROM bs),
+buckets AS ({band_selects}),
+ok AS (
+  SELECT bucket FROM buckets
+  GROUP BY bucket HAVING COUNT(*) > 1 AND COUNT(*) <= {LSH_BUCKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM buckets l
+  JOIN ok o ON o.bucket = l.bucket
+  JOIN buckets r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+FROM pairs p
+JOIN sim sa ON sa.doc_id = p.doc_a
+JOIN sim sb ON sb.doc_id = p.doc_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_HAMMING_MAX}
+ORDER BY p.doc_a, p.doc_b
 """

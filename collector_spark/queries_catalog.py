@@ -227,6 +227,12 @@ register(
 )
 
 register(
+    "ml_simhash_candidate_pairs",
+    dedup.simhash_candidate_pairs,
+    dedup.oracle_simhash_candidate_pairs(),
+)
+
+register(
     "snapshot_function_fact",
     snapshot_facts.snapshot_function_fact,
     snapshot_facts.oracle_snapshot_function_fact(),

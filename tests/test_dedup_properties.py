@@ -198,3 +198,41 @@ def test_incremental_dedup_all_three_arms(prepared_spark):
     assert got[4] == (False, "exact_duplicate", 0)
     assert got[9] == (False, "near_duplicate", 1)
     assert got[14] == (True, None, None)
+
+
+def test_simhash_pigeonhole_is_lossless_at_fixture_scale(prepared_spark):
+    """r9 E69: with 12-bit blocks no sf0.01 bucket reaches LSH_BUCKET_CAP,
+    so block-bucket candidates must equal the EXACT brute-force Hamming
+    ball (<= SIMHASH_HAMMING_MAX) over canonical docs — the pigeonhole
+    guarantee, not an approximation. (MinHash banding has no such test:
+    its recall is probabilistic by construction.)"""
+    from pyspark.sql import functions as F
+
+    from collector_spark.ml.dedup import (
+        SIMHASH_BITS,
+        SIMHASH_HAMMING_MAX,
+        _exact_canonicals,
+        _simhash_from,
+        simhash_candidate_pairs,
+    )
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs(prepared_spark).collect()
+    }
+    sim = _simhash_from(
+        _exact_canonicals(prepared_spark.table("documents")), SIMHASH_BITS
+    )
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            <= SIMHASH_HAMMING_MAX
+        )
+        .collect()
+    }
+    assert brute, "fixture must exercise the Hamming ball"
+    assert got == brute
