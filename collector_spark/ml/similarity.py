@@ -1172,3 +1172,196 @@ SELECT f.vec_id, f.cid AS cluster_id,
 FROM afinal f LEFT JOIN matches m USING (vec_id)
 ORDER BY f.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E70 — IVF + SQ8 asymmetric scoring with exact rerank: the memory-bound
+# production ANN shape (FAISS IndexIVFScalarQuantizer). The corpus is
+# stored as per-vector symmetric int8 codes (E38's quantizer: scale =
+# 127/max_abs, floor, clamp); a query probes IVF_PROBES lists and scores
+# their members ASYMMETRICALLY — full-precision query against dequantized
+# codes (ADC) — then the top SQ8_RERANK_R candidates are reranked with
+# exact cosine on the raw vectors. Ranking quality sits between PQ and
+# exact IVF; memory/bandwidth is 4x float32.
+#
+# Scale: the int8 code table is the only relation scanned per probe (4x
+# less I/O than raw vectors); the rerank join touches SQ8_RERANK_R raw
+# vectors per query — a targeted lookup, not a second scan. All
+# quantize/dequantize arithmetic is the exactly-rounded IEEE sequence E38
+# proved cross-engine (floor/clamp on doubles, one division), so the ADC
+# ordering — and therefore the candidate set handed to rerank — is
+# engine-identical.
+# ---------------------------------------------------------------------------
+
+SQ8_RERANK_R = 2 * TOP_K
+
+
+def ivf_sq8_topk(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = spark.table("embeddings")
+    centroids = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centv"),
+    )
+
+    def nearest(df, vec_col, keep, n):
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            *keep,
+            "centroid_id",
+            (
+                _fold_dot(F.col(vec_col), F.col("centv"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("centv")))
+            ).alias("cent_cos"),
+        )
+        w = Window.partitionBy(keep[0]).orderBy(
+            F.desc("cent_cos"), F.asc("centroid_id")
+        )
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .drop("__r", "cent_cos")
+        )
+
+    # the stored index: per-vector int8 codes + scale (E38's quantizer)
+    xs = F.transform(F.col("cv"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(xs, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / max_abs
+    codes = F.transform(
+        xs,
+        lambda x: F.least(
+            F.greatest(F.floor(x * scale), F.lit(-127.0)), F.lit(127.0)
+        ).cast("int"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv")
+    )
+    corpus_lists = (
+        nearest(corpus, "cv", ["corpus_id", "cv"], 1)
+        .filter(max_abs > 0)
+        .select(
+            "corpus_id",
+            "centroid_id",
+            scale.alias("scale"),
+            codes.alias("codes"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probes = nearest(queries, "qv", ["query_id", "qv"], IVF_PROBES)
+
+    dq = F.transform(F.col("codes"), lambda c: c.cast("double") / F.col("scale"))
+    cand = (
+        corpus_lists.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .select(
+            "query_id",
+            "corpus_id",
+            "qv",
+            (
+                _fold_dot(F.col("qv"), dq)
+                / (_norm(F.col("qv")) * _norm(dq))
+            ).alias("adc_cos"),
+        )
+        .distinct()
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_cos"), F.asc("corpus_id")
+    )
+    shortlist = (
+        cand.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= SQ8_RERANK_R)
+        .select("query_id", "corpus_id", "qv", "adc_cos")
+    )
+    exact = shortlist.join(corpus, "corpus_id").select(
+        "query_id",
+        "corpus_id",
+        "adc_cos",
+        (
+            _fold_dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv")))
+        ).alias("cosine"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("corpus_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "corpus_id", "adc_cos", "cosine", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def oracle_ivf_sq8_topk() -> str:
+    dotc = _sql_dot("x.embedding", "c.embedding")
+    xx = _sql_dot("x.embedding", "x.embedding")
+    cc2 = _sql_dot("c.embedding", "c.embedding")
+    adc_dot = _sql_dot("q.qv", "co.dq")
+    qq = _sql_dot("q.qv", "q.qv")
+    dqdq = _sql_dot("co.dq", "co.dq")
+    ex_dot = _sql_dot("s.qv", "e.embedding")
+    sqq = _sql_dot("s.qv", "s.qv")
+    ee = _sql_dot("e.embedding", "e.embedding")
+    return f"""
+WITH centroids AS (
+  SELECT CAST(vec_id - {N_QUERIES} AS INT) AS centroid_id, embedding
+  FROM embeddings WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+),
+corpus_scored AS (
+  SELECT x.vec_id AS corpus_id, x.embedding AS cv, c.centroid_id,
+    ({dotc}) / (sqrt({xx}) * sqrt({cc2})) AS cent_cos
+  FROM embeddings x CROSS JOIN centroids c
+),
+corpus_lists0 AS (
+  SELECT corpus_id, cv, centroid_id FROM corpus_scored
+  QUALIFY row_number() OVER (PARTITION BY corpus_id ORDER BY cent_cos DESC, centroid_id) <= 1
+),
+corpus_lists AS (
+  SELECT corpus_id, centroid_id,
+    127.0 / list_max(list_transform(cv, x -> abs(CAST(x AS DOUBLE)))) AS scale,
+    list_transform(cv, x -> CAST(LEAST(GREATEST(FLOOR(CAST(x AS DOUBLE)
+      * (127.0 / list_max(list_transform(cv, y -> abs(CAST(y AS DOUBLE)))))),
+      -127.0), 127.0) AS INT)) AS codes
+  FROM corpus_lists0
+  WHERE list_max(list_transform(cv, x -> abs(CAST(x AS DOUBLE)))) > 0
+),
+query_scored AS (
+  SELECT x.vec_id AS query_id, x.embedding AS qv, c.centroid_id,
+    ({dotc}) / (sqrt({xx}) * sqrt({cc2})) AS cent_cos
+  FROM embeddings x CROSS JOIN centroids c
+  WHERE x.vec_id < {N_QUERIES}
+),
+query_probes AS (
+  SELECT query_id, qv, centroid_id FROM query_scored
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cent_cos DESC, centroid_id) <= {IVF_PROBES}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, co.corpus_id, q.qv,
+    ({adc_dot}) / (sqrt({qq}) * sqrt({dqdq})) AS adc_cos
+  FROM (
+    SELECT corpus_id, centroid_id,
+      list_transform(codes, c -> CAST(c AS DOUBLE) / scale) AS dq
+    FROM corpus_lists
+  ) co
+  JOIN query_probes q USING (centroid_id)
+  WHERE q.query_id <> co.corpus_id
+),
+shortlist AS (
+  SELECT query_id, corpus_id, qv, adc_cos FROM cand
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, corpus_id) <= {SQ8_RERANK_R}
+),
+exact AS (
+  SELECT s.query_id, s.corpus_id, s.adc_cos,
+    ({ex_dot}) / (sqrt({sqq}) * sqrt({ee})) AS cosine
+  FROM shortlist s JOIN embeddings e ON e.vec_id = s.corpus_id
+)
+SELECT query_id, corpus_id, adc_cos, cosine,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank
+FROM exact
+QUALIFY rank <= {TOP_K}
+ORDER BY query_id, rank
+"""

@@ -233,6 +233,12 @@ register(
 )
 
 register(
+    "ml_ivf_sq8_topk",
+    similarity.ivf_sq8_topk,
+    similarity.oracle_ivf_sq8_topk(),
+)
+
+register(
     "snapshot_function_fact",
     snapshot_facts.snapshot_function_fact,
     snapshot_facts.oracle_snapshot_function_fact(),
