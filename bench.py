@@ -71,6 +71,11 @@ HEADLINE = [
     # new regex extraction)
     "ml_ngram_span_dedup",
     "u7w_autovacuum_full",
+    # round-9 additions: the incremental cross-batch screen (the new dedup
+    # family's flagship, exact + cross-side LSH + verify in one plan) and
+    # the SQ8 compressed-index ANN (ADC shortlist + exact rerank)
+    "ml_incremental_dedup",
+    "ml_ivf_sq8_topk",
 ]
 
 N_RUNS = 3  # median-of-3 per query

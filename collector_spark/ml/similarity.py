@@ -704,6 +704,7 @@ def ann_recall(spark: SparkSession) -> DataFrame:
         ("lsh", lsh_topk(spark)),
         ("lsh_multiprobe", lsh_multiprobe_topk(spark)),
         ("ivf", ivf_topk(spark)),
+        ("ivf_sq8", ivf_sq8_topk(spark)),
         ("pq", pq_topk(spark)),
     )
     marked = truth.withColumn("hit", F.lit(1))
@@ -747,6 +748,7 @@ def oracle_ann_recall() -> str:
         ("lsh", oracle_lsh_topk().rsplit("ORDER BY", 1)[0]),
         ("lsh_multiprobe", oracle_lsh_multiprobe_topk().rsplit("ORDER BY", 1)[0]),
         ("ivf", oracle_ivf_topk().rsplit("ORDER BY", 1)[0]),
+        ("ivf_sq8", oracle_ivf_sq8_topk().rsplit("ORDER BY", 1)[0]),
         ("pq", oracle_pq_topk().rsplit("ORDER BY", 1)[0]),
     )
     branches = []

@@ -795,56 +795,17 @@ def stream_curation_manifest(
         shutil.rmtree(run_dir, ignore_errors=True)
 
 
-def stream_incremental_dedup(
-    spark: SparkSession, n_arrival_batches: int = 4
-) -> DataFrame:
-    """Streaming incremental cross-batch dedup — the ingest deployment of
-    ml/dedup.py's E68 screen: the EXISTING corpus is a pinned static side;
-    each arriving micro-batch of new documents runs the batch screen
-    kernel against it inside foreachBatch and appends its decisions to an
-    idempotent per-batch changelog (overwrite keyed by batch_id, so a
-    replayed epoch rewrites rather than duplicates). Every decision is
-    content-determined (exact hash hit / canonical-first LSH + Jaccard vs
-    a FIXED corpus), so the union over micro-batches equals the one-shot
-    batch answer for ANY arrival batching — the same DuckDB oracle checks
-    both.
+def _write_incoming_log(spark: SparkSession, src_dir: str, n_batches: int) -> None:
+    """The INCOMING batch (doc_id % INC_BATCH_MOD == INC_BATCH_REM) written
+    as an arrival-ordered file log (same staggered-mtime convention as
+    _write_arrival_log, which writes the whole corpus)."""
+    from collector_spark.ml.dedup import INC_BATCH_MOD, INC_BATCH_REM
 
-    Scale notes: the static relations (content-hash dimension, canonical
-    shingles, capped band buckets) are re-derived per micro-batch here
-    because the harness corpus is small; production pins them once as
-    bucketed tables (the eval-grams checkpoint in _score_batch_fn is the
-    same discipline) and refreshes them on corpus compaction. Steady-state
-    per-trigger cost is O(batch), never O(corpus). Divergence from a
-    LIVE state fold: this screen does not admit kept incoming docs into
-    the reference corpus mid-stream — that accumulation is exactly what
-    st_ml_stream_dedup / st_ml_stream_lsh demonstrate; composing the two
-    is a state-compaction policy choice, not a new operator.
-    """
-    from collector_spark.ml.dedup import (
-        INC_BATCH_MOD,
-        INC_BATCH_REM,
-        incremental_dedup,
-    )
-    from collector_spark.registry import drop_trailing_sort
-
-    run_id = uuid.uuid4().hex[:12]
-    base = os.path.join(tempfile.gettempdir(), "collector_spark_docstream")
-    src_dir = os.path.join(base, run_id, "src")
-    ckpt_dir = os.path.join(base, run_id, "ckpt")
-    out_dir = os.path.join(base, run_id, "out")
     os.makedirs(src_dir, exist_ok=True)
-    os.makedirs(out_dir, exist_ok=True)
-
-    docs = spark.table("documents")
-    incoming = docs.filter((F.col("doc_id") % INC_BATCH_MOD) == INC_BATCH_REM)
-    # pin the static corpus once — the foreachBatch kernel must not chase
-    # live lineage back through the source per trigger
-    existing = docs.filter(
-        (F.col("doc_id") % INC_BATCH_MOD) != INC_BATCH_REM
-    ).localCheckpoint()
-
     (
-        incoming.repartitionByRange(n_arrival_batches, "doc_id")
+        spark.table("documents")
+        .filter((F.col("doc_id") % INC_BATCH_MOD) == INC_BATCH_REM)
+        .repartitionByRange(n_batches, "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
         .parquet(src_dir)
@@ -858,6 +819,32 @@ def stream_incremental_dedup(
         p = os.path.join(src_dir, name)
         os.utime(p, (base_mtime + 10 * i, base_mtime + 10 * i))
 
+
+def start_incremental_screen(spark: SparkSession, run_dir: str):
+    """Start (or resume, from the checkpoint under run_dir) the screening
+    stream over run_dir/src, writing decisions to run_dir/out as an
+    idempotent per-batch changelog (each epoch overwrites its own
+    deterministic batch=N directory — a replayed epoch rewrites instead of
+    duplicating, which is what makes kill/resume exactly-once)."""
+    from collector_spark.ml.dedup import (
+        INC_BATCH_MOD,
+        INC_BATCH_REM,
+        incremental_dedup,
+    )
+    from collector_spark.registry import drop_trailing_sort
+
+    src_dir = os.path.join(run_dir, "src")
+    ckpt_dir = os.path.join(run_dir, "ckpt")
+    out_dir = os.path.join(run_dir, "out")
+    os.makedirs(out_dir, exist_ok=True)
+
+    # pin the static corpus once — the foreachBatch kernel must not chase
+    # live lineage back through the source per trigger
+    existing = (
+        spark.table("documents")
+        .filter((F.col("doc_id") % INC_BATCH_MOD) != INC_BATCH_REM)
+        .localCheckpoint()
+    )
     cols = existing.columns
 
     def screen_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -880,7 +867,7 @@ def stream_incremental_dedup(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        query = (
+        return (
             raw.writeStream.foreachBatch(screen_batch)
             .option("checkpointLocation", ckpt_dir)
             .trigger(availableNow=True)
@@ -888,15 +875,49 @@ def stream_incremental_dedup(
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def collect_incremental_results(spark: SparkSession, run_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(run_dir, "out", "batch=*")).select(
+        "doc_id", "keep", "drop_reason", "matched_doc_id", "best_jaccard"
+    )
+
+
+def stream_incremental_dedup(
+    spark: SparkSession, n_arrival_batches: int = 4
+) -> DataFrame:
+    """Streaming incremental cross-batch dedup — the ingest deployment of
+    ml/dedup.py's E68 screen: the EXISTING corpus is a pinned static side;
+    each arriving micro-batch of new documents runs the batch screen
+    kernel against it inside foreachBatch and appends its decisions to an
+    idempotent per-batch changelog (overwrite keyed by batch_id, so a
+    replayed epoch rewrites rather than duplicates — kill/resume
+    exactly-once is test-pinned in tests/test_streaming.py). Every
+    decision is content-determined (exact hash hit / canonical-first LSH
+    + Jaccard vs a FIXED corpus), so the union over micro-batches equals
+    the one-shot batch answer for ANY arrival batching — the same DuckDB
+    oracle checks both.
+
+    Scale notes: the static relations (content-hash dimension, canonical
+    shingles, capped band buckets) are re-derived per micro-batch here
+    because the harness corpus is small; production pins them once as
+    bucketed tables (the eval-grams checkpoint in _score_batch_fn is the
+    same discipline) and refreshes them on corpus compaction. Steady-state
+    per-trigger cost is O(batch), never O(corpus). Divergence from a
+    LIVE state fold: this screen does not admit kept incoming docs into
+    the reference corpus mid-stream — that accumulation is exactly what
+    st_ml_stream_dedup / st_ml_stream_lsh demonstrate; composing the two
+    is a state-compaction policy choice, not a new operator.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), "collector_spark_docstream")
+    run_dir = os.path.join(base, run_id)
+    _write_incoming_log(spark, os.path.join(run_dir, "src"), n_arrival_batches)
+    query = start_incremental_screen(spark, run_dir)
     try:
         query.awaitTermination()
     finally:
         query.stop()
-
-    out = (
-        spark.read.parquet(os.path.join(out_dir, "batch=*"))
-        .select("doc_id", "keep", "drop_reason", "matched_doc_id", "best_jaccard")
-        .localCheckpoint()
-    )
-    shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
+    out = collect_incremental_results(spark, run_dir).localCheckpoint()
+    shutil.rmtree(run_dir, ignore_errors=True)
     return out.orderBy("doc_id")

@@ -387,3 +387,58 @@ def test_manifest_state_leg_update_sink_kill_resume(prepared_spark, tmp_path):
         (r["doc_a"], r["doc_b"]) for r in minhash_candidate_pairs(spark).collect()
     )
     assert got_pairs == want_pairs
+
+
+def test_incremental_screen_kill_resume_idempotent(prepared_spark, tmp_path):
+    """r9 E68b: the incremental screening stream dies after draining half
+    the incoming arrival log (kill point: newer files hidden), resumes
+    from the same checkpoint, and the changelog must hold every incoming
+    document exactly once with the resumed total equal to the batch
+    screen's answer — replayed epochs overwrite their own batch=N
+    directory instead of appending duplicates."""
+    import os
+
+    from collector_spark.ml.dedup import incremental_dedup
+    from collector_spark.streaming.doc_stream import (
+        _write_incoming_log,
+        collect_incremental_results,
+        start_incremental_screen,
+    )
+
+    spark = prepared_spark
+    run_dir = str(tmp_path / "inc_run")
+    src = os.path.join(run_dir, "src")
+    _write_incoming_log(spark, src, 4)
+
+    hidden = str(tmp_path / "hidden")
+    os.makedirs(hidden)
+    parts = sorted(
+        f for f in os.listdir(src)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    stashed = []
+    for name in parts[2:]:
+        meta = os.stat(os.path.join(src, name))
+        os.rename(os.path.join(src, name), os.path.join(hidden, name))
+        stashed.append((name, meta.st_mtime))
+
+    q = start_incremental_screen(spark, run_dir)
+    q.awaitTermination()
+    out_dir = os.path.join(run_dir, "out")
+    first_epochs = set(os.listdir(out_dir))
+    assert len(first_epochs) == 2, first_epochs
+
+    for name, mtime in stashed:
+        dst = os.path.join(src, name)
+        os.rename(os.path.join(hidden, name), dst)
+        os.utime(dst, (mtime, mtime))
+    q2 = start_incremental_screen(spark, run_dir)
+    q2.awaitTermination()
+    assert len(set(os.listdir(out_dir))) == 4, os.listdir(out_dir)
+
+    streamed = collect_incremental_results(spark, run_dir)
+    batch = incremental_dedup(spark)
+    assert streamed.count() == batch.count()
+    assert streamed.select("doc_id").distinct().count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
