@@ -579,6 +579,13 @@ FROM region
 # One activity row per pid (GROUP BY pid, every projection a function of
 # MIN(event_id)); progress rows only for even MIN-events; relid sometimes
 # NULL / out of relation_meta range to exercise the name-fallback path.
+# The %7=2 branch emits pg_toast.pg_toast_<oid> autovacuums (surfacing via
+# the regex path when relid is NULL/out-of-range) so the post-scan TOAST
+# parent resolution (vacuum_progress.go:119-131) has rows to resolve; the
+# toast oid range deliberately exceeds relation_meta at small SF so both
+# the resolved (toast=true) and unresolvable (name kept, toast=false)
+# paths occur. The %11=0 NULL usename exercises COALESCE(usename,'') →
+# role_idx -1 (vacuumProgressSQLDefault line 35 / transform/activity.go:56).
 # ---------------------------------------------------------------------------
 
 VACUUM_ACTIVITY = """
@@ -587,10 +594,13 @@ SELECT
   MIN(ts)                                         AS query_start,
   MIN(ts)                                         AS backend_start,
   'db_' || CAST(MIN(event_id) % 5 AS STRING)      AS datname,
-  'u' || CAST(MIN(user_id) % 50 AS STRING)        AS usename,
+  CASE WHEN MIN(event_id) % 11 = 0 THEN NULL
+       ELSE 'u' || CAST(MIN(user_id) % 50 AS STRING) END AS usename,
   CASE
     WHEN MIN(event_id) % 7 = 0 THEN '<insufficient privilege>'
     WHEN MIN(event_id) % 7 = 1 THEN 'SELECT pg_sleep(1)'
+    WHEN MIN(event_id) % 7 = 2 THEN 'autovacuum: VACUUM pg_toast.pg_toast_'
+      || CAST(MIN(event_id) % 2500 AS STRING)
     ELSE 'autovacuum: VACUUM '
       || CASE WHEN MIN(event_id) % 3 = 0 THEN 'ANALYZE ' ELSE '' END
       || 'public.rel_' || CAST(MIN(event_id) % 300 AS STRING)

@@ -132,6 +132,25 @@ register(
     fixtures=["query_samples"],
 )
 
+# S27 re-registered here (moved from the scan section): the scan gained the
+# reference's post-scan TOAST parent resolution + COALESCE(usename,'')
+# (input/postgres/vacuum_progress.go:119-131, SQL line 35) — fresh driver
+# row wanted. F28 is the CompactActivitySnapshot vacuum transform over it.
+
+register(
+    "s27_vacuum_progress",
+    vacuum.vacuum_progress,
+    vacuum.oracle_vacuum_progress(),
+    fixtures=["vacuum_activity", "vacuum_progress", "relation_meta"],
+)
+
+register(
+    "snapshot_vacuum_fact",
+    vacuum.snapshot_vacuum_fact,
+    vacuum.oracle_snapshot_vacuum_fact(),
+    fixtures=["vacuum_activity", "vacuum_progress", "relation_meta"],
+)
+
 register(
     "ml_minhash_candidate_pairs",
     dedup.minhash_candidate_pairs,
@@ -1611,13 +1630,6 @@ register(
     replication.standby_lag,
     replication.oracle_standby_lag(),
     fixtures=["standby_rows", "wal_state"],
-)
-
-register(
-    "s27_vacuum_progress",
-    vacuum.vacuum_progress,
-    vacuum.oracle_vacuum_progress(),
-    fixtures=["vacuum_activity", "vacuum_progress", "relation_meta"],
 )
 
 register(
