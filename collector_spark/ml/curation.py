@@ -2366,3 +2366,334 @@ FROM words LEFT JOIN topk t ON words.w = t.w
 GROUP BY source
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# E71 — Gopher document-level quality rules (Rae et al. 2021, §A1.1).
+# The repetition caps of that rule set already live in quality_keep_list
+# (GOPHER_TOP_UNI_MAX / GOPHER_DUP_TRI_MAX over repetition_signals); this
+# is the rest of the document table: word-count window, mean-word-length
+# window, symbol-to-word ratio, alphabetic-word fraction, and the
+# stop-word floor (>=2 hits from the canonical 8-word list). The line
+# rules (bullet/ellipsis line fractions) need line structure the synthetic
+# corpus does not have — documented out, not silently skipped.
+#
+# Scale: pure per-row array expressions (split once, filter/aggregate on
+# the token array) — map-only, whole-stage codegen, no shuffle, no UDF.
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = 3.0
+GOPHER_MWL_HI = 10.0
+GOPHER_SYMBOL_RATIO_MAX = 0.10
+GOPHER_ALPHA_FRAC_MIN = 0.80
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_filters(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    n_words = F.size(toks).cast("long")
+    mean_wl = (F.col("n_chars") - (n_words - 1)).cast("double") / n_words
+    # '#' and '...' are Gopher's symbol set; count occurrences in the raw
+    # text (not per word — ellipses can span token joins)
+    n_sym = F.regexp_count(F.col("text"), F.lit(r"#|\.\.\.")).cast("long")
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("long")
+    stop_hits = F.size(
+        F.filter(toks, lambda w: w.isin(GOPHER_STOPWORDS))
+    ).cast("long")
+    word_count_ok = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    mwl_ok = (mean_wl >= GOPHER_MWL_LO) & (mean_wl <= GOPHER_MWL_HI)
+    symbol_ok = n_sym.cast("double") / n_words <= GOPHER_SYMBOL_RATIO_MAX
+    alpha_ok = n_alpha.cast("double") / n_words >= GOPHER_ALPHA_FRAC_MIN
+    stop_ok = stop_hits >= GOPHER_MIN_STOP_HITS
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_alpha.alias("n_alpha_words"),
+        stop_hits.alias("stop_hits"),
+        word_count_ok.alias("word_count_ok"),
+        mwl_ok.alias("mean_word_len_ok"),
+        symbol_ok.alias("symbol_ratio_ok"),
+        alpha_ok.alias("alpha_frac_ok"),
+        stop_ok.alias("stopword_ok"),
+        (word_count_ok & mwl_ok & symbol_ok & alpha_ok & stop_ok).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def oracle_gopher_filters() -> str:
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    return rf"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+    CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(n_chars - (len(toks) - 1) AS DOUBLE) / len(toks) AS mean_wl,
+    n_sym,
+    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+    CAST(len(list_filter(toks, w -> w IN ({stops}))) AS BIGINT) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, n_alpha AS n_alpha_words, stop_hits,
+  n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} AS word_count_ok,
+  mean_wl >= {GOPHER_MWL_LO} AND mean_wl <= {GOPHER_MWL_HI} AS mean_word_len_ok,
+  CAST(n_sym AS DOUBLE) / n_words <= {GOPHER_SYMBOL_RATIO_MAX} AS symbol_ratio_ok,
+  CAST(n_alpha AS DOUBLE) / n_words >= {GOPHER_ALPHA_FRAC_MIN} AS alpha_frac_ok,
+  stop_hits >= {GOPHER_MIN_STOP_HITS} AS stopword_ok,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+   AND mean_wl >= {GOPHER_MWL_LO} AND mean_wl <= {GOPHER_MWL_HI}
+   AND CAST(n_sym AS DOUBLE) / n_words <= {GOPHER_SYMBOL_RATIO_MAX}
+   AND CAST(n_alpha AS DOUBLE) / n_words >= {GOPHER_ALPHA_FRAC_MIN}
+   AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E72 — Kneser-Ney interpolated bigram language model (the standard n-gram
+# smoothing; Chen & Goodman 1998 eq. 4.17 with a single absolute discount
+# D). Per-document mean NLL under the corpus-trained model:
+#
+#   P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 ·)
+#            + (D * N1+(w1 ·) / c(w1 ·)) * N1+(· w2) / N1+(· ·)
+#
+# where c(w1 ·) is the bigram-context total, N1+(w1 ·) the distinct
+# continuations of w1, N1+(· w2) the distinct left-contexts of w2, and
+# N1+(· ·) the bigram type count. Every scored bigram exists in training
+# (self-trained), so the max() arm is always live alongside the backoff.
+#
+# Scale: same shape as bigram_logprob — one shuffle keyed on (w1,w2) for
+# counts, w1/w2-keyed model joins (AQE-broadcast at small vocab, shuffle
+# joins at web vocab), and two 1-row totals broadcast. NLL quantized on
+# the shared 2^20 grid so both engines sum identical integers.
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75
+
+
+def kneser_ney_bigram(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents").select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("wl")
+    )
+    bigrams = (
+        docs.filter(F.size("wl") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.expr("sequence(1, size(wl) - 1)")).alias("i"),
+            "wl",
+        )
+        .select(
+            "doc_id",
+            F.element_at("wl", F.col("i").cast("int")).alias("w1"),
+            F.element_at("wl", F.col("i").cast("int") + 1).alias("w2"),
+        )
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cnt2"))
+    ctx = c2.groupBy("w1").agg(
+        F.sum("cnt2").cast("long").alias("ctx_total"),
+        F.count("*").cast("long").alias("fanout"),  # N1+(w1 ·)
+    )
+    cont = c2.groupBy("w2").agg(F.count("*").cast("long").alias("n_left"))  # N1+(· w2)
+    types_total = c2.agg(F.count("*").cast("long").alias("n_types"))
+    d = F.lit(KN_DISCOUNT)
+    p = (
+        F.greatest(F.col("cnt2").cast("double") - d, F.lit(0.0))
+        / F.col("ctx_total").cast("double")
+    ) + (
+        d * F.col("fanout").cast("double") / F.col("ctx_total").cast("double")
+    ) * (
+        F.col("n_left").cast("double") / F.col("n_types").cast("double")
+    )
+    nll_q = F.floor(-F.log(p) * _NLL_SCALE).cast("long")
+    return (
+        bigrams.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types_total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(nll_q).alias("sum_q"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.col("sum_q").cast("double")
+                / (F.col("n_bigrams").cast("double") * _NLL_SCALE)
+            ).alias("mean_kn_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_kneser_ney_bigram() -> str:
+    return rf"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, wl[CAST(i AS INT)] AS w1, wl[CAST(i AS INT) + 1] AS w2
+  FROM docs, LATERAL (SELECT unnest(range(1, len(wl))) AS i) g
+  WHERE len(wl) >= 2
+),
+c2 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt2
+  FROM bigrams GROUP BY w1, w2
+),
+ctx AS (
+  SELECT w1, CAST(SUM(cnt2) AS BIGINT) AS ctx_total,
+         CAST(COUNT(*) AS BIGINT) AS fanout
+  FROM c2 GROUP BY w1
+),
+cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_left FROM c2 GROUP BY w2),
+types_total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c2),
+scored AS (
+  SELECT b.doc_id,
+    CAST(FLOOR(-ln(
+      GREATEST(CAST(c2.cnt2 AS DOUBLE) - {KN_DISCOUNT}, 0.0)
+        / CAST(ctx.ctx_total AS DOUBLE)
+      + ({KN_DISCOUNT} * CAST(ctx.fanout AS DOUBLE)
+           / CAST(ctx.ctx_total AS DOUBLE))
+        * (CAST(cont.n_left AS DOUBLE) / CAST(tt.n_types AS DOUBLE))
+    ) * {_NLL_SCALE}) AS BIGINT) AS nll_q
+  FROM bigrams b
+  JOIN c2 USING (w1, w2)
+  JOIN ctx USING (w1)
+  JOIN cont USING (w2)
+  CROSS JOIN types_total tt
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+  CAST(SUM(nll_q) AS DOUBLE)
+    / (CAST(COUNT(*) AS DOUBLE) * {_NLL_SCALE}) AS mean_kn_nll
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E73 — Zipf law fit per source: least-squares slope of log(freq) on
+# log(rank) over the top-R word types. A healthy natural-language corpus
+# sits near slope -1; template/boilerplate floods flatten the head and
+# spam/noise steepens the tail, so the slope (plus fit quality) is a cheap
+# corpus-health monitor per source shard.
+#
+# Scale: word counts are one combinable groupBy; the per-source top-R
+# ranking is a window over at most |vocab(source)| rows of aggregated
+# counts (already tiny next to the corpus), and the regression is closed
+# form over five INTEGER sums. Integer, not covar_pop/var_pop: float
+# aggregation order differs between engines (and between Spark partition
+# layouts), so the log inputs are floor-quantized onto the shared 2^20
+# grid and summed exactly — order-free — with doubles entering only in
+# the final one-expression combination (identical expression tree on both
+# engines => identical IEEE result).
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_R = 200
+
+
+def zipf_fit(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import Window
+
+    words = spark.table("documents").select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    counts = words.groupBy("source", "w").agg(F.count("*").cast("long").alias("cnt"))
+    ranked = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("w"))
+        ),
+    ).filter(F.col("rank") <= ZIPF_TOP_R)
+    qx = F.floor(F.log(F.col("rank").cast("double")) * _NLL_SCALE).cast("long")
+    qy = F.floor(F.log(F.col("cnt").cast("double")) * _NLL_SCALE).cast("long")
+    sums = ranked.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(qx).alias("sx"),
+        F.sum(qy).alias("sy"),
+        F.sum(qx * qy).alias("sxy"),
+        F.sum(qx * qx).alias("sxx"),
+        F.sum(qy * qy).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    slope = cov / vx
+    return sums.select(
+        "source",
+        F.col("n").alias("n_points"),
+        slope.alias("zipf_slope"),
+        ((sy - (cov / vx) * sx) / (n * _NLL_SCALE)).alias("zipf_intercept"),
+        ((cov * cov) / (vx * vy)).alias("r_squared"),
+    ).orderBy("source")
+
+
+def oracle_zipf_fit() -> str:
+    s = _NLL_SCALE
+    return rf"""
+WITH words AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+counts AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM words GROUP BY source, w
+),
+ranked AS (
+  SELECT source, cnt,
+    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, w ASC) AS rank
+  FROM counts
+  QUALIFY rank <= {ZIPF_TOP_R}
+),
+q AS (
+  SELECT source,
+    CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * {s}) AS BIGINT) AS qx,
+    CAST(FLOOR(ln(CAST(cnt AS DOUBLE)) * {s}) AS BIGINT) AS qy
+  FROM ranked
+),
+sums AS (
+  SELECT source,
+    CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(qx) AS BIGINT) AS sx,
+    CAST(SUM(qy) AS BIGINT) AS sy,
+    CAST(SUM(qx * qy) AS BIGINT) AS sxy,
+    CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+    CAST(SUM(qy * qy) AS BIGINT) AS syy
+  FROM q GROUP BY source
+)
+SELECT source,
+  n AS n_points,
+  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+    AS zipf_slope,
+  (CAST(sy AS DOUBLE)
+     - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+       * CAST(sx AS DOUBLE))
+    / (CAST(n AS DOUBLE) * {s}) AS zipf_intercept,
+  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+    AS r_squared
+FROM sums
+ORDER BY source
+"""

@@ -1367,3 +1367,114 @@ FROM exact
 QUALIFY rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# E74 — embedding outlier / mislabel screen: every corpus vector scored by
+# cosine against its OWN label centroid and its best OTHER label centroid.
+# margin = cos_own - cos_best_other; a negative margin means another
+# label's centroid explains the vector better — the classic cleanlab-style
+# label-noise candidate, and the embedding-space analogue of the quality
+# screens the text side runs. One row per vector keeps the operator
+# audit-shaped (filter on is_mislabel_candidate downstream).
+#
+# Determinism: centroid components are per-dim SUMs of 2^-20-quantized
+# values (exact in doubles at any aggregation order — the KMEANS_SCALE
+# property) divided once by n; cosines fold products in index order on
+# both engines. Scale: centroids are one combinable groupBy (L labels ->
+# L*DIM sums); scoring is a broadcast cross join with L rows — map-only
+# over the corpus, no vector shuffle.
+# ---------------------------------------------------------------------------
+
+
+def embedding_outliers(spark: SparkSession) -> DataFrame:
+    emb = spark.table("embeddings").select(
+        "vec_id", "label", _quantize(F.col("embedding")).alias("v")
+    )
+    cents = (
+        emb.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("v", d)).alias(f"s{d}") for d in range(1, _DIM + 1)],
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            F.array(*[F.col(f"s{d}") / F.col("n") for d in range(1, _DIM + 1)]).alias(
+                "c"
+            ),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        (
+            _fold_dot(F.col("v"), F.col("c")) / (_norm(F.col("v")) * _norm(F.col("c")))
+        ).alias("cos"),
+    )
+    # one pass, no self-join: the own-label cosine and the best other-label
+    # cosine reduce in a single groupBy(vec_id); the other-label argmax is
+    # a struct MIN on (-cos, clabel) — ties on cos break to the lower
+    # label, and MIN ignores the NULL the own-label row contributes
+    own = F.col("label") == F.col("clabel")
+    best = F.min(
+        F.when(
+            ~own,
+            F.struct(
+                (-F.col("cos")).alias("neg_cos"),
+                F.col("clabel").alias("clabel"),
+                F.col("cos").alias("cos"),
+            ),
+        )
+    )
+    return (
+        scored.groupBy("vec_id", "label")
+        .agg(
+            F.max(F.when(own, F.col("cos"))).alias("cos_own"),
+            best.alias("best"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "cos_own",
+            F.col("best.clabel").alias("best_other_label"),
+            F.col("best.cos").alias("cos_best_other"),
+            (F.col("cos_own") - F.col("best.cos")).alias("margin"),
+            (F.col("cos_own") < F.col("best.cos")).alias("is_mislabel_candidate"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def oracle_embedding_outliers() -> str:
+    dims = range(1, _DIM + 1)
+    q = (
+        "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * "
+        f"{KMEANS_SCALE}) / {KMEANS_SCALE}.0)"
+    )
+    sums = ", ".join(f"SUM(v[{d}]) AS s{d}" for d in dims)
+    mean_list = ", ".join(f"s{d} / n" for d in dims)
+    dot_vc = " + ".join(f"e.v[{d}] * c.c[{d}]" for d in dims)
+    vv = " + ".join(f"e.v[{d}] * e.v[{d}]" for d in dims)
+    cc = " + ".join(f"c.c[{d}] * c.c[{d}]" for d in dims)
+    return f"""
+WITH scaled AS MATERIALIZED (SELECT vec_id, label, {q} AS v FROM embeddings),
+cent_sums AS (SELECT label, COUNT(*) AS n, {sums} FROM scaled GROUP BY label),
+cents AS MATERIALIZED (SELECT label AS clabel, [{mean_list}] AS c FROM cent_sums),
+scored AS MATERIALIZED (
+  SELECT e.vec_id, e.label, c.clabel,
+    ({dot_vc}) / (sqrt({vv}) * sqrt({cc})) AS cos
+  FROM scaled e CROSS JOIN cents c
+),
+own AS (SELECT vec_id, label, cos AS cos_own FROM scored WHERE label = clabel),
+other AS (
+  SELECT vec_id, clabel AS best_other_label, cos AS cos_best_other
+  FROM scored WHERE label <> clabel
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, clabel ASC) = 1
+)
+SELECT o.vec_id, o.label, o.cos_own, t.best_other_label, t.cos_best_other,
+  o.cos_own - t.cos_best_other AS margin,
+  o.cos_own < t.cos_best_other AS is_mislabel_candidate
+FROM own o JOIN other t USING (vec_id)
+ORDER BY vec_id
+"""

@@ -215,6 +215,34 @@ register(
     curation.oracle_curation_manifest(),
 )
 
+# round-9 capability additions (SURVEY §2.10 E71-E73, this session):
+# Gopher document-level quality rules, Kneser-Ney bigram LM scoring, and
+# the per-source Zipf-law fit — front window for fresh driver rows.
+
+register(
+    "ml_gopher_filters",
+    curation.gopher_filters,
+    curation.oracle_gopher_filters(),
+)
+
+register(
+    "ml_kneser_ney_bigram",
+    curation.kneser_ney_bigram,
+    curation.oracle_kneser_ney_bigram(),
+)
+
+register(
+    "ml_zipf_fit",
+    curation.zipf_fit,
+    curation.oracle_zipf_fit(),
+)
+
+register(
+    "ml_embedding_outliers",
+    similarity.embedding_outliers,
+    similarity.oracle_embedding_outliers(),
+)
+
 # round-9 capability additions (SURVEY §2.10 E65-E69): CCNet perplexity
 # bucketing, per-source vocabulary coverage, SemDeDup, and incremental
 # cross-batch dedup — registered in the front window for fresh driver rows.

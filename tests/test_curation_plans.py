@@ -146,3 +146,49 @@ def test_incremental_dedup_cap_and_cross_side_in_plan(prepared_spark):
         plan,
     ), plan
     assert re.search(r"transform\(ex_ids#\d+", plan), plan
+
+
+def test_gopher_filters_is_map_only(prepared_spark):
+    """E71 is per-row array math: nothing but the presentation sort may
+    shuffle — no aggregate exchange, no join, no UDF."""
+    from collector_spark.ml.curation import gopher_filters
+
+    plan = _plan(gopher_filters(prepared_spark))
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, plan
+
+
+def test_kneser_ney_totals_broadcast(prepared_spark):
+    """E72's two corpus-level statistics (bigram type count) enter as a
+    1-row broadcast, never a shuffled join side; the model joins stay on
+    the bigram/word keys."""
+    from collector_spark.ml.curation import kneser_ney_bigram
+
+    plan = _plan(kneser_ney_bigram(prepared_spark))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_zipf_fit_two_exchanges(prepared_spark):
+    """E73: one shuffle for the (source, word) counts, one for the
+    per-source ranking/regression — the regression itself adds none
+    (integer sums reduce in the same agg)."""
+    from collector_spark.ml.curation import zipf_fit
+
+    plan = _plan(zipf_fit(prepared_spark))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    # map-side partial top-R before the per-source window shuffle
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_embedding_outliers_single_pass(prepared_spark):
+    """E74 must not self-join the scored relation: own/best-other reduce in
+    ONE groupBy(vec_id) over the broadcast-scored rows."""
+    from collector_spark.ml.similarity import embedding_outliers
+
+    plan = _plan(embedding_outliers(prepared_spark))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # L-row centroid side
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
