@@ -1418,11 +1418,18 @@ def _inc_is_incoming() -> Column:
 
 
 def incremental_dedup(
-    spark: SparkSession, docs: DataFrame | None = None
+    spark: SparkSession,
+    docs: DataFrame | None = None,
+    materialize: bool | None = None,
 ) -> DataFrame:
     docs = spark.table("documents") if docs is None else docs
     existing = docs.filter(~_inc_is_incoming())
     incoming = docs.filter(_inc_is_incoming())
+    if materialize is None:
+        materialize = (
+            spark.conf.get("collector_spark.incremental.materialize", "false")
+            == "true"
+        )
 
     # exact screen: existing corpus collapses to one row per content hash
     ex_hash = (
@@ -1436,11 +1443,26 @@ def incremental_dedup(
     inc_canon_ids = inc_hashed.groupBy("h").agg(F.min("doc_id").alias("canon_id"))
 
     # near screen: canonical-first signatures per side, cross-side pairs only
+    # `materialize` pins the canonical union once for its three consumers
+    # (band buckets via signatures, both sides of the intersection join,
+    # per-doc sizes), which otherwise each re-derive the exact-canonical
+    # window from the source scan — the unmaterialized plan reads the
+    # corpus 46 times with zero exchange reuse (tests/test_curation_plans
+    # pins both shapes). At fixture scale recompute WINS on wall clock
+    # (the checkpoint barrier costs more than 46 tiny scans: measured
+    # 4.8 s vs 6.2 s cold at sf0.1), so the local default is off; on a
+    # cluster ingesting a real corpus batch, set
+    # collector_spark.incremental.materialize=true — one corpus read +
+    # one canonical-batch materialization instead of 46 corpus reads.
+    # The checkpoint sits BEFORE the shingle explode: one row per
+    # canonical doc, not ~50 shingles per doc.
     union_canon = (
         _exact_canonicals(existing)
         .select("doc_id", "text")
         .unionByName(_exact_canonicals(incoming).select("doc_id", "text"))
     )
+    if materialize:
+        union_canon = union_canon.localCheckpoint(eager=False)
     sh = _shingle_hashes(union_canon)
     buckets = _band_buckets(_signatures_from(sh)).withColumn(
         "inc", _inc_is_incoming()

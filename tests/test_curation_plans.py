@@ -192,3 +192,20 @@ def test_embedding_outliers_single_pass(prepared_spark):
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # L-row centroid side
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_incremental_dedup_materialize_collapses_scans(prepared_spark):
+    """E68's production knob: with materialize=True the canonical union is
+    checkpointed once and the plan's source-scan count collapses (46 -> a
+    handful); default (off) trades scans for zero-barrier wall clock at
+    fixture scale. Both shapes pinned so neither silently regresses."""
+    from collector_spark.ml.dedup import incremental_dedup
+
+    def scans(df):
+        plan = _plan(df)
+        return plan.count("Scan parquet") + plan.count("FileScan")
+
+    lazy_scans = scans(incremental_dedup(prepared_spark, materialize=False))
+    mat_scans = scans(incremental_dedup(prepared_spark, materialize=True))
+    assert mat_scans <= 8, mat_scans
+    assert lazy_scans > 3 * mat_scans, (lazy_scans, mat_scans)
