@@ -705,6 +705,7 @@ def ann_recall(spark: SparkSession) -> DataFrame:
         ("lsh_multiprobe", lsh_multiprobe_topk(spark)),
         ("ivf", ivf_topk(spark)),
         ("ivf_sq8", ivf_sq8_topk(spark)),
+        ("ivf_pq", ivf_pq_topk(spark)),
         ("pq", pq_topk(spark)),
     )
     marked = truth.withColumn("hit", F.lit(1))
@@ -749,6 +750,7 @@ def oracle_ann_recall() -> str:
         ("lsh_multiprobe", oracle_lsh_multiprobe_topk().rsplit("ORDER BY", 1)[0]),
         ("ivf", oracle_ivf_topk().rsplit("ORDER BY", 1)[0]),
         ("ivf_sq8", oracle_ivf_sq8_topk().rsplit("ORDER BY", 1)[0]),
+        ("ivf_pq", oracle_ivf_pq_topk().rsplit("ORDER BY", 1)[0]),
         ("pq", oracle_pq_topk().rsplit("ORDER BY", 1)[0]),
     )
     branches = []
@@ -1477,4 +1479,254 @@ SELECT o.vec_id, o.label, o.cos_own, t.best_other_label, t.cos_best_other,
   o.cos_own < t.cos_best_other AS is_mislabel_candidate
 FROM own o JOIN other t USING (vec_id)
 ORDER BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E75 — IVF-PQ with residual encoding (FAISS IndexIVFPQ, by_residual):
+# corpus vectors assign to IVF lists; what PQ encodes is the RESIDUAL
+# v - centroid(list) — residuals concentrate near the origin, so a shared
+# codebook spends its K entries on the part of the geometry the list has
+# not already explained. A query probes IVF_PROBES lists, builds one
+# (M x K) LUT of subspace distances per probed list from ITS residual
+# against the shared codebook, ADC-sums the stored codes against the LUT,
+# and the top RERANK_R shortlist is reranked with exact cosine — the
+# composition every billion-vector deployment runs (PQ shortlist, exact
+# or SQ8 rerank).
+#
+# Determinism: vectors and centroids live on the 2^-20 grid, so residuals
+# are exact, per-subspace squared distances are exact multiples of 2^-40
+# (<= 48 significant bits through every fold), and the ADC sum over M
+# subspaces is order-free — both engines rank identical doubles.
+#
+# Scale: the stored index per corpus vector is M int8 codes + a list id
+# (the raw-vector relation is touched only by the RERANK_R-row lookup);
+# LUTs are (queries x probes x M x K) rows — broadcast; the ADC join is
+# list-id + code equality against the broadcast LUT, map-only over the
+# code table, folded by a combinable per-(query, corpus) SUM.
+# ---------------------------------------------------------------------------
+
+IVFPQ_RERANK_R = 2 * TOP_K
+
+
+def _residual(v: Column, c: Column) -> Column:
+    return F.zip_with(v, c, lambda x, y: x - y)
+
+
+def ivf_pq_topk(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = spark.table("embeddings").select(
+        "vec_id", _quantize(F.col("embedding")).alias("v")
+    )
+    centroids = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).cast("int").alias("centroid_id"),
+        F.col("v").alias("centv"),
+    )
+
+    def nearest(df, vec_col, keep, n):
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            *keep,
+            "centroid_id",
+            "centv",
+            (
+                _fold_dot(F.col(vec_col), F.col("centv"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("centv")))
+            ).alias("cent_cos"),
+        )
+        w = Window.partitionBy(keep[0]).orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
+        return (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= n)
+            .drop("__r", "cent_cos")
+        )
+
+    ms = F.explode(F.sequence(F.lit(0), F.lit(PQ_M - 1))).alias("m")
+    sub_r = F.expr(f"slice(r, m * {PQ_SUB} + 1, {PQ_SUB})")
+
+    # shared residual codebook: the PQ_K designated vectors' residuals
+    # w.r.t. their own assigned list
+    cb_src = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + PQ_K)
+    )
+    cb = (
+        nearest(cb_src, "v", ["vec_id", "v"], 1)
+        .select(
+            (F.col("vec_id") - N_QUERIES).cast("int").alias("k"),
+            _residual(F.col("v"), F.col("centv")).alias("r"),
+        )
+        .select("k", ms, "r")
+        .select("m", "k", sub_r.alias("cb"))
+    )
+
+    # stored index: per corpus vector, its list id + M codes
+    corpus_assigned = nearest(
+        emb.select(F.col("vec_id").alias("corpus_id"), "v"), "v", ["corpus_id", "v"], 1
+    ).select(
+        "corpus_id", "centroid_id", _residual(F.col("v"), F.col("centv")).alias("r")
+    )
+    corpus_sub = corpus_assigned.select("corpus_id", "centroid_id", ms, "r").select(
+        "corpus_id", "centroid_id", "m", sub_r.alias("sv")
+    )
+    wc = Window.partitionBy("corpus_id", "m").orderBy(F.asc("d2"), F.asc("k"))
+    codes = (
+        corpus_sub.join(F.broadcast(cb), "m")
+        .select(
+            "corpus_id",
+            "centroid_id",
+            "m",
+            "k",
+            _sqdist(F.col("sv"), F.col("cb")).alias("d2"),
+        )
+        .withColumn("__r", F.row_number().over(wc))
+        .filter(F.col("__r") == 1)
+        .select("corpus_id", "centroid_id", "m", "k")
+    )
+
+    # query side: IVF_PROBES lists, one LUT per probed list from the
+    # query's residual against that list's centroid
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probes = nearest(queries, "qv", ["query_id", "qv"], IVF_PROBES).select(
+        "query_id", "qv", "centroid_id", _residual(F.col("qv"), F.col("centv")).alias("r")
+    )
+    lut = (
+        probes.select("query_id", "centroid_id", ms, "r")
+        .select("query_id", "centroid_id", "m", sub_r.alias("qs"))
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id",
+            "centroid_id",
+            "m",
+            "k",
+            _sqdist(F.col("qs"), F.col("cb")).alias("ld2"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["centroid_id", "m", "k"])
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .groupBy("query_id", "corpus_id")
+        .agg(F.sum("ld2").alias("adc_d2"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("corpus_id"))
+    shortlist = (
+        adc.withColumn("__r", F.row_number().over(wq))
+        .filter(F.col("__r") <= IVFPQ_RERANK_R)
+        .select("query_id", "corpus_id", "adc_d2")
+    )
+    corpus_raw = emb.select(F.col("vec_id").alias("corpus_id"), F.col("v").alias("cv"))
+    exact = (
+        shortlist.join(queries, "query_id")
+        .join(corpus_raw, "corpus_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            "adc_d2",
+            (
+                _fold_dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv")))
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .orderBy("query_id", "rank")
+    )
+
+
+def oracle_ivf_pq_topk() -> str:
+    q = (
+        "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * "
+        f"{KMEANS_SCALE}) / {KMEANS_SCALE}.0)"
+    )
+    dotc = _sql_dot("x.v", "c.centv")
+    xx = _sql_dot("x.v", "x.v")
+    cc2 = _sql_dot("c.centv", "c.centv")
+    sd = (
+        f"list_reduce(list_transform(generate_series(1, {PQ_SUB}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+    ex_dot = _sql_dot("qr.qv", "cr.cv")
+    qq = _sql_dot("qr.qv", "qr.qv")
+    cv = _sql_dot("cr.cv", "cr.cv")
+    return f"""
+WITH scaled AS MATERIALIZED (SELECT vec_id, {q} AS v FROM embeddings),
+centroids AS MATERIALIZED (
+  SELECT CAST(vec_id - {N_QUERIES} AS INT) AS centroid_id, v AS centv
+  FROM scaled WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, v, centroid_id, centv,
+    list_transform(generate_series(1, {_DIM}), i -> v[i] - centv[i]) AS r
+  FROM (
+    SELECT x.vec_id, x.v, c.centroid_id, c.centv,
+      row_number() OVER (PARTITION BY x.vec_id
+        ORDER BY ({dotc}) / (sqrt({xx}) * sqrt({cc2})) DESC, c.centroid_id ASC) AS rn
+    FROM scaled x CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+cb AS MATERIALIZED (
+  SELECT t.m, CAST(a.vec_id - {N_QUERIES} AS INT) AS k,
+    a.r[t.m * {PQ_SUB} + 1 : t.m * {PQ_SUB} + {PQ_SUB}] AS cb
+  FROM assigned a, UNNEST(generate_series(0, {PQ_M - 1})) AS t(m)
+  WHERE a.vec_id >= {N_QUERIES} AND a.vec_id < {N_QUERIES + PQ_K}
+),
+corpus_sub AS (
+  SELECT a.vec_id AS corpus_id, a.centroid_id, t.m,
+    a.r[t.m * {PQ_SUB} + 1 : t.m * {PQ_SUB} + {PQ_SUB}] AS sv
+  FROM assigned a, UNNEST(generate_series(0, {PQ_M - 1})) AS t(m)
+),
+codes AS MATERIALIZED (
+  SELECT corpus_id, centroid_id, m, k FROM (
+    SELECT s.corpus_id, s.centroid_id, s.m, c.k,
+      row_number() OVER (PARTITION BY s.corpus_id, s.m
+        ORDER BY {sd.format(a='s.sv', b='c.cb')} ASC, c.k ASC) AS rn
+    FROM corpus_sub s JOIN cb c USING (m)
+  ) WHERE rn = 1
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, v AS qv, centroid_id,
+    list_transform(generate_series(1, {_DIM}), i -> v[i] - centv[i]) AS r
+  FROM (
+    SELECT x.vec_id, x.v, c.centroid_id, c.centv,
+      row_number() OVER (PARTITION BY x.vec_id
+        ORDER BY ({dotc}) / (sqrt({xx}) * sqrt({cc2})) DESC, c.centroid_id ASC) AS rn
+    FROM scaled x CROSS JOIN centroids c
+    WHERE x.vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_PROBES}
+),
+lut AS MATERIALIZED (
+  SELECT p.query_id, p.centroid_id, t.m, c.k,
+    {sd.format(a="(p.r[t.m * " + str(PQ_SUB) + " + 1 : t.m * " + str(PQ_SUB) + " + " + str(PQ_SUB) + "])", b='c.cb')} AS ld2
+  FROM probes p, UNNEST(generate_series(0, {PQ_M - 1})) AS t(m)
+  JOIN cb c ON c.m = t.m
+),
+adc AS (
+  SELECT l.query_id, co.corpus_id, SUM(l.ld2) AS adc_d2
+  FROM codes co
+  JOIN lut l ON l.centroid_id = co.centroid_id AND l.m = co.m AND l.k = co.k
+  WHERE l.query_id <> co.corpus_id
+  GROUP BY l.query_id, co.corpus_id
+),
+shortlist AS (
+  SELECT query_id, corpus_id, adc_d2 FROM adc
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_d2 ASC, corpus_id ASC) <= {IVFPQ_RERANK_R}
+),
+exact AS (
+  SELECT s.query_id, s.corpus_id, s.adc_d2,
+    ({ex_dot}) / (sqrt({qq}) * sqrt({cv})) AS cosine
+  FROM shortlist s
+  JOIN (SELECT vec_id AS query_id, v AS qv FROM scaled) qr USING (query_id)
+  JOIN (SELECT vec_id AS corpus_id, v AS cv FROM scaled) cr USING (corpus_id)
+)
+SELECT query_id, corpus_id, adc_d2, cosine,
+  CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INT) AS rank
+FROM exact
+QUALIFY rank <= {TOP_K}
+ORDER BY query_id, rank
 """

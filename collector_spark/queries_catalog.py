@@ -243,6 +243,12 @@ register(
     similarity.oracle_embedding_outliers(),
 )
 
+register(
+    "ml_ivf_pq_topk",
+    similarity.ivf_pq_topk,
+    similarity.oracle_ivf_pq_topk(),
+)
+
 # round-9 capability additions (SURVEY §2.10 E65-E69): CCNet perplexity
 # bucketing, per-source vocabulary coverage, SemDeDup, and incremental
 # cross-batch dedup — registered in the front window for fresh driver rows.
