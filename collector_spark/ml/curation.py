@@ -2603,13 +2603,20 @@ ZIPF_TOP_R = 200
 
 
 def zipf_fit(spark: SparkSession) -> DataFrame:
-    from pyspark.sql import Window
-
     words = spark.table("documents").select(
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
     )
     counts = words.groupBy("source", "w").agg(F.count("*").cast("long").alias("cnt"))
+    return zipf_fit_from_counts(counts)
+
+
+def zipf_fit_from_counts(counts: DataFrame) -> DataFrame:
+    """The rank/regression stage over a (source, w, cnt) relation — shared
+    by the batch operator and the streaming twin (word counts are additive,
+    so a streamed count state feeds the identical fit)."""
+    from pyspark.sql import Window
+
     ranked = counts.withColumn(
         "rank",
         F.row_number().over(

@@ -249,6 +249,12 @@ register(
     similarity.oracle_ivf_pq_topk(),
 )
 
+register(
+    "st_ml_zipf_fit",
+    doc_stream.stream_zipf_fit,
+    curation.oracle_zipf_fit(),
+)
+
 # round-9 capability additions (SURVEY §2.10 E65-E69): CCNet perplexity
 # bucketing, per-source vocabulary coverage, SemDeDup, and incremental
 # cross-batch dedup — registered in the front window for fresh driver rows.

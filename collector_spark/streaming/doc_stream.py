@@ -921,3 +921,76 @@ def stream_incremental_dedup(
     out = collect_incremental_results(spark, run_dir).localCheckpoint()
     shutil.rmtree(run_dir, ignore_errors=True)
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ST15 / E73b — streaming corpus-health monitor: the per-(source, word)
+# count state folds incrementally over arriving document batches (counts
+# are additive — the canonical streaming aggregation), and the Zipf fit
+# reads the final state through the IDENTICAL rank/regression stage as the
+# batch operator (curation.zipf_fit_from_counts). Batch-equal by
+# construction, so it shares ml_zipf_fit's oracle. Production shape: the
+# count state lives in the state store (RocksDB at vocab scale), the fit
+# re-evaluates per trigger off the update stream — a live per-source
+# corpus-health dashboard during a crawl ingest.
+# ---------------------------------------------------------------------------
+
+
+def stream_zipf_fit(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    from collector_spark.ml.curation import zipf_fit_from_counts
+
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), "collector_spark_docstream")
+    src_dir = os.path.join(base, run_id, "src")
+    ckpt_dir = os.path.join(base, run_id, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    (
+        spark.table("documents")
+        .repartitionByRange(n_arrival_batches, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(src_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base_mtime = os.path.getmtime(src_dir)
+    for i, name in enumerate(parts):
+        p = os.path.join(src_dir, name)
+        os.utime(p, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    counts_state = (
+        raw.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+        )
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    qname = f"zipfcounts_{run_id}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            counts_state.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+        shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
+
+    return zipf_fit_from_counts(spark.table(qname))

@@ -222,3 +222,58 @@ def test_containment_dominates_jaccard(prepared_spark):
     pairs = ngram_containment_pairs(prepared_spark, threshold=0.0)
     bad = pairs.filter(F.col("containment") < F.col("jaccard")).count()
     assert bad == 0
+
+
+def test_kneser_ney_mass_sums_to_one(prepared_spark):
+    """KN's defining algebraic property: for every context w1, summing
+    P(w2|w1) over the full continuation vocabulary gives exactly 1 — the
+    discounted mass D*N1+(w1,.)/c(w1,.) is redistributed by Pcont, not
+    lost. Checked for every context in the corpus model."""
+    from pyspark.sql import functions as F
+    from collector_spark.ml.curation import KN_DISCOUNT
+
+    spark = prepared_spark
+    docs = spark.table("documents").select(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("wl")
+    )
+    bigrams = (
+        docs.filter(F.size("wl") >= 2)
+        .select(F.explode(F.expr("sequence(1, size(wl) - 1)")).alias("i"), "wl")
+        .select(
+            F.element_at("wl", F.col("i").cast("int")).alias("w1"),
+            F.element_at("wl", F.col("i").cast("int") + 1).alias("w2"),
+        )
+    )
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cnt2"))
+    ctx = c2.groupBy("w1").agg(
+        F.sum("cnt2").alias("ctx_total"), F.count("*").alias("fanout")
+    )
+    cont = c2.groupBy("w2").agg(F.count("*").alias("n_left"))
+    n_types = c2.count()
+    # sum over the FULL vocab: cross join every context with every
+    # continuation type, coalescing unobserved bigrams to count 0
+    vocab = cont
+    full = (
+        ctx.crossJoin(vocab)
+        .join(c2, ["w1", "w2"], "left")
+        .select(
+            "w1",
+            (
+                F.greatest(
+                    F.coalesce(F.col("cnt2"), F.lit(0)).cast("double") - KN_DISCOUNT,
+                    F.lit(0.0),
+                )
+                / F.col("ctx_total").cast("double")
+                + (
+                    KN_DISCOUNT
+                    * F.col("fanout").cast("double")
+                    / F.col("ctx_total").cast("double")
+                )
+                * (F.col("n_left").cast("double") / F.lit(float(n_types)))
+            ).alias("p"),
+        )
+    )
+    mass = full.groupBy("w1").agg(F.sum("p").alias("mass")).collect()
+    assert mass
+    worst = max(abs(r.mass - 1.0) for r in mass)
+    assert worst < 1e-9, worst
