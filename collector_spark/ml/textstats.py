@@ -34,14 +34,14 @@ def _hits(words: Column, profile: list[str]) -> Column:
     return F.size(F.filter(words, lambda w: F.array_contains(lits, w))).cast("long")
 
 
-def language_id(spark: SparkSession) -> DataFrame:
-    docs = spark.table("documents")
+def _detect_exprs() -> tuple[dict[str, Column], Column]:
+    """(per-profile hit counts, argmax detected-lang column) over the text
+    column. Argmax across profiles with deterministic tie-break (profile
+    order): the chain is built last-profile-first with a >= condition, so
+    the earliest profile overwrites on ties — en beats es beats de,
+    matching the oracle CASE, which resolves ties to the first profile."""
     words = _words(F.col("text"))
     hits = {lang: _hits(words, prof) for lang, prof in PROFILES.items()}
-    # argmax across profiles with deterministic tie-break (profile order).
-    # The chain is built last-profile-first with a >= condition, so the
-    # earliest profile overwrites on ties: en beats es beats de (matches the
-    # oracle CASE, which resolves ties to the first profile).
     best = F.lit("unknown")
     best_hits = F.lit(0).cast("long")
     for lang in reversed(list(PROFILES)):
@@ -49,6 +49,12 @@ def language_id(spark: SparkSession) -> DataFrame:
         cond = (h > 0) & (h >= best_hits)
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_hits = F.when(cond, h).otherwise(best_hits)
+    return hits, best
+
+
+def language_id(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    hits, best = _detect_exprs()
     sel = [F.col("doc_id")]
     for lang in PROFILES:
         sel.append(hits[lang].alias(f"hits_{lang}"))
@@ -82,6 +88,57 @@ def oracle_language_id() -> str:
 WITH h AS (SELECT doc_id, {cols} FROM documents)
 SELECT doc_id, hits_en, hits_es, hits_de, {case} AS detected_lang
 FROM h ORDER BY doc_id
+"""
+
+
+def lang_confusion(spark: SparkSession) -> DataFrame:
+    """E76 — detector evaluation: confusion matrix of the ground-truth lang
+    column vs the n-gram detector, with each cell's share of its truth row
+    (recall when lang == detected_lang). The grading loop every language-ID
+    deployment runs before trusting the filter downstream.
+
+    Scale: one combinable groupBy over (lang, detected) — at most
+    |langs| x (|profiles|+1) cells out; the truth-row total joins back as a
+    broadcast of that same bounded cell relation."""
+    docs = spark.table("documents")
+    _, best = _detect_exprs()
+    cells = (
+        docs.select(F.col("lang"), best.alias("detected_lang"))
+        .groupBy("lang", "detected_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    totals = cells.groupBy("lang").agg(F.sum("n").cast("long").alias("truth_total"))
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "detected_lang",
+            "n",
+            "truth_total",
+            (F.col("n").cast("double") / F.col("truth_total").cast("double")).alias(
+                "share_of_truth"
+            ),
+            (F.col("lang") == F.col("detected_lang")).alias("is_correct"),
+        )
+        .orderBy("lang", "detected_lang")
+    )
+
+
+def oracle_lang_confusion() -> str:
+    det = oracle_language_id().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH det AS ({det}),
+cells AS (
+  SELECT d.lang, det.detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents d JOIN det ON det.doc_id = d.doc_id
+  GROUP BY d.lang, det.detected_lang
+),
+totals AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS truth_total FROM cells GROUP BY lang)
+SELECT c.lang, c.detected_lang, c.n, t.truth_total,
+  CAST(c.n AS DOUBLE) / CAST(t.truth_total AS DOUBLE) AS share_of_truth,
+  c.lang = c.detected_lang AS is_correct
+FROM cells c JOIN totals t USING (lang)
+ORDER BY lang, detected_lang
 """
 
 

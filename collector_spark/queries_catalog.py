@@ -255,6 +255,12 @@ register(
     curation.oracle_zipf_fit(),
 )
 
+register(
+    "ml_lang_confusion",
+    textstats.lang_confusion,
+    textstats.oracle_lang_confusion(),
+)
+
 # round-9 capability additions (SURVEY §2.10 E65-E69): CCNet perplexity
 # bucketing, per-source vocabulary coverage, SemDeDup, and incremental
 # cross-batch dedup — registered in the front window for fresh driver rows.
