@@ -1720,3 +1720,137 @@ JOIN sim sb ON sb.doc_id = p.doc_b
 WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {SIMHASH_HAMMING_MAX}
 ORDER BY p.doc_a, p.doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# E77 — Bloom-filter dedup pre-screen (the Dolma/CCNet production shape:
+# a compact bitset screens each arrival batch BEFORE any expensive join;
+# "definitely new" docs skip the exact/near stages entirely). The filter
+# is a plain relation: BLOOM_K salted positions per existing-corpus
+# content hash, OR-folded into BLOOM_WORDS 32-bit words by a combinable
+# bit_or groupBy. Probing is a broadcast join of that (<= BLOOM_WORDS)-row
+# bitset against the incoming batch's positions. Everything is integer
+# arithmetic (md5-derived positions, pow-of-two masks exact in doubles
+# below 2^53) — bit-identical across engines, no RNG.
+#
+# The screen's contract — NO false negatives (every true duplicate is
+# flagged maybe) — is structural: a true dup shares the content hash, so
+# all K positions are already set. Test-pinned, plus the observed
+# false-positive rate is emitted per doc for audit.
+#
+# Scale: the bitset relation is O(M/32) rows regardless of corpus size
+# (size M to the corpus: m = -n ln p / ln2^2); building it is one
+# map-side-combinable bit_or over K rows per existing doc; the probe
+# touches only the arrival batch. At 100 TB the filter is still MBs —
+# THE asymmetric screen.
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4
+BLOOM_BITS = 1 << 16
+BLOOM_WORD = 32
+BLOOM_WORDS = BLOOM_BITS // BLOOM_WORD
+
+
+def _bloom_positions(salt_prefix: str = "bloom") -> Column:
+    """Array of BLOOM_K bit positions for the current row's normalized
+    content."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return F.array(
+        *[
+            (_hash60(F.concat(F.lit(f"{salt_prefix}{j}:"), norm)) % BLOOM_BITS)
+            for j in range(BLOOM_K)
+        ]
+    )
+
+
+def bloom_screen(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    existing = docs.filter(~_inc_is_incoming())
+    incoming = docs.filter(_inc_is_incoming())
+
+    mask = F.pow(F.lit(2.0), (F.col("pos") % BLOOM_WORD).cast("double")).cast("long")
+    bits = (
+        existing.select(F.explode(_bloom_positions()).alias("pos"))
+        .select(F.floor(F.col("pos") / BLOOM_WORD).alias("w_idx"), mask.alias("m"))
+        .groupBy("w_idx")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    probes = incoming.select(
+        "doc_id", F.explode(_bloom_positions()).alias("pos")
+    ).select(
+        "doc_id",
+        F.floor(F.col("pos") / BLOOM_WORD).alias("w_idx"),
+        mask.alias("m"),
+    )
+    present = (
+        F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("m")) == F.col("m")
+    ).cast("int")
+    screened = (
+        probes.join(F.broadcast(bits), "w_idx", "left")
+        .groupBy("doc_id")
+        .agg((F.min(present) == 1).alias("maybe_duplicate"))
+    )
+    ex_hash = existing.select(_norm_hash().alias("h")).distinct()
+    truth = (
+        incoming.select("doc_id", _norm_hash().alias("h"))
+        .join(ex_hash.withColumn("hit", F.lit(1)), "h", "left")
+        .select("doc_id", (F.col("hit") == 1).alias("is_true_duplicate"))
+        .na.fill({"is_true_duplicate": False})
+    )
+    return (
+        screened.join(truth, "doc_id")
+        .select(
+            "doc_id",
+            "maybe_duplicate",
+            "is_true_duplicate",
+            (F.col("maybe_duplicate") & ~F.col("is_true_duplicate")).alias(
+                "is_false_positive"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_bloom_screen() -> str:
+    norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+    pos_rows = " UNION ALL ".join(
+        "SELECT doc_id, ({h}) % {m} AS pos FROM {{side}}".format(
+            h=_sql_hash60("'bloom" + str(j) + ":' || " + norm), m=BLOOM_BITS
+        )
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH existing AS (
+  SELECT * FROM documents WHERE doc_id % {INC_BATCH_MOD} <> {INC_BATCH_REM}
+),
+incoming AS (
+  SELECT * FROM documents WHERE doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM}
+),
+ex_pos AS ({pos_rows.format(side='existing')}),
+bits AS (
+  SELECT CAST(FLOOR(pos / {BLOOM_WORD}.0) AS BIGINT) AS w_idx,
+         bit_or(CAST(2 ** (pos % {BLOOM_WORD}) AS BIGINT)) AS bits
+  FROM ex_pos GROUP BY 1
+),
+inc_pos AS ({pos_rows.format(side='incoming')}),
+screened AS (
+  SELECT p.doc_id,
+    MIN(CASE WHEN (COALESCE(b.bits, 0) & CAST(2 ** (p.pos % {BLOOM_WORD}) AS BIGINT))
+               = CAST(2 ** (p.pos % {BLOOM_WORD}) AS BIGINT)
+         THEN 1 ELSE 0 END) = 1 AS maybe_duplicate
+  FROM inc_pos p
+  LEFT JOIN bits b ON b.w_idx = CAST(FLOOR(p.pos / {BLOOM_WORD}.0) AS BIGINT)
+  GROUP BY p.doc_id
+),
+truth AS (
+  SELECT i.doc_id,
+    COALESCE(md5({norm.replace('text', 'i.text')}) IN (
+      SELECT md5({norm.replace('text', 'e.text')}) FROM existing e
+    ), FALSE) AS is_true_duplicate
+  FROM incoming i
+)
+SELECT s.doc_id, s.maybe_duplicate, t.is_true_duplicate,
+  s.maybe_duplicate AND NOT t.is_true_duplicate AS is_false_positive
+FROM screened s JOIN truth t USING (doc_id)
+ORDER BY doc_id
+"""

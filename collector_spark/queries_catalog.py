@@ -261,6 +261,12 @@ register(
     textstats.oracle_lang_confusion(),
 )
 
+register(
+    "ml_bloom_screen",
+    dedup.bloom_screen,
+    dedup.oracle_bloom_screen(),
+)
+
 # round-9 capability additions (SURVEY §2.10 E65-E69): CCNet perplexity
 # bucketing, per-source vocabulary coverage, SemDeDup, and incremental
 # cross-batch dedup — registered in the front window for fresh driver rows.

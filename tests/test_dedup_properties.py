@@ -236,3 +236,18 @@ def test_simhash_pigeonhole_is_lossless_at_fixture_scale(prepared_spark):
     }
     assert brute, "fixture must exercise the Hamming ball"
     assert got == brute
+
+
+def test_bloom_screen_no_false_negatives(prepared_spark):
+    """E77's structural guarantee: every true duplicate is flagged maybe
+    (its content hash set all K bits when the existing corpus built the
+    filter). False positives are allowed and reported — false negatives
+    never."""
+    from collector_spark.ml.dedup import bloom_screen
+
+    rows = bloom_screen(prepared_spark).collect()
+    assert rows
+    for r in rows:
+        if r.is_true_duplicate:
+            assert r.maybe_duplicate, f"false negative at doc {r.doc_id}"
+        assert r.is_false_positive == (r.maybe_duplicate and not r.is_true_duplicate)
