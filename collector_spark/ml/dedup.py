@@ -1854,3 +1854,77 @@ SELECT s.doc_id, s.maybe_duplicate, t.is_true_duplicate,
 FROM screened s JOIN truth t USING (doc_id)
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E78 — novelty curve over arrival batches: what fraction of each crawl
+# batch's content has never been seen before it? Grams are the E2 word
+# trigrams; a gram's first owner is the earliest batch containing it.
+# Per batch: distinct grams appearing, grams appearing for the FIRST
+# time, their ratio (the marginal-value curve of continued crawling — the
+# number every data-acquisition owner wants before buying the next crawl)
+# and the cumulative distinct-gram universe after the batch.
+#
+# Scale: two combinable aggregates over the exploded gram stream (global
+# min-batch per gram, per-batch distinct counts); the cumulative window
+# runs over ONE ROW PER BATCH — a bounded gauge relation, so its
+# single-partition window is O(#batches), never data-sized.
+# ---------------------------------------------------------------------------
+
+NOVELTY_BATCH_SPAN = 100  # doc_ids per arrival batch
+
+
+def novelty_curve(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import Window
+
+    sh = _shingle_hashes(spark.table("documents")).select(
+        F.floor(F.col("doc_id") / NOVELTY_BATCH_SPAN).alias("batch"), "h"
+    )
+    batch_grams = sh.distinct()
+    first = batch_grams.groupBy("h").agg(F.min("batch").alias("first_batch"))
+    per_batch = batch_grams.groupBy("batch").agg(
+        F.count("*").cast("long").alias("n_grams")
+    )
+    novel = first.groupBy(F.col("first_batch").alias("batch")).agg(
+        F.count("*").cast("long").alias("n_novel")
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_batch.join(novel, "batch", "left")
+        .select(
+            "batch",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        )
+        .withColumn(
+            "novelty_rate",
+            F.col("n_novel").cast("double") / F.col("n_grams").cast("double"),
+        )
+        .withColumn("cum_distinct_grams", F.sum("n_novel").over(w).cast("long"))
+        .orderBy("batch")
+    )
+
+
+def oracle_novelty_curve() -> str:
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+batch_grams AS (
+  SELECT DISTINCT CAST(FLOOR(doc_id / {NOVELTY_BATCH_SPAN}.0) AS BIGINT) AS batch, h
+  FROM sh
+),
+first AS (SELECT h, MIN(batch) AS first_batch FROM batch_grams GROUP BY h),
+per_batch AS (
+  SELECT batch, CAST(COUNT(*) AS BIGINT) AS n_grams FROM batch_grams GROUP BY batch
+),
+novel AS (
+  SELECT first_batch AS batch, CAST(COUNT(*) AS BIGINT) AS n_novel
+  FROM first GROUP BY first_batch
+)
+SELECT p.batch, p.n_grams,
+  CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+  CAST(COALESCE(n.n_novel, 0) AS DOUBLE) / CAST(p.n_grams AS DOUBLE) AS novelty_rate,
+  CAST(SUM(COALESCE(n.n_novel, 0)) OVER (ORDER BY p.batch
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_distinct_grams
+FROM per_batch p LEFT JOIN novel n USING (batch)
+ORDER BY batch
+"""

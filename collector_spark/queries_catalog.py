@@ -267,6 +267,12 @@ register(
     dedup.oracle_bloom_screen(),
 )
 
+register(
+    "ml_novelty_curve",
+    dedup.novelty_curve,
+    dedup.oracle_novelty_curve(),
+)
+
 # round-9 capability additions (SURVEY §2.10 E65-E69): CCNet perplexity
 # bucketing, per-source vocabulary coverage, SemDeDup, and incremental
 # cross-batch dedup — registered in the front window for fresh driver rows.
