@@ -1928,3 +1928,236 @@ SELECT p.batch, p.n_grams,
 FROM per_batch p LEFT JOIN novel n USING (batch)
 ORDER BY batch
 """
+
+
+# ---------------------------------------------------------------------------
+# E79 — HyperLogLog distinct-gram estimate, built RELATIONALLY (Flajolet
+# et al. 2007): bucket = low b bits of the 60-bit gram hash, rho = rank of
+# the first set bit in the remaining bits, register = max rho per bucket,
+# E = alpha_m * m^2 / sum(2^-reg) with the small-range linear-counting
+# correction. No engine sketch object is used (Spark's
+# approx_count_distinct and DuckDB's approx sketches differ internally) —
+# the registers ARE rows, so both engines compute the identical estimate
+# and the oracle is exact. Emitted next to the true distinct count and
+# the relative error, which the HLL theory bounds at ~1.04/sqrt(m).
+#
+# Determinism of the harmonic sum: registers are capped at HLL_RHO_CAP so
+# sum(2^(CAP - reg)) is an exact BIGINT fold (max m * 2^CAP < 2^63) — the
+# float division happens once, outside any aggregation order.
+#
+# Scale: the gram stream folds into m=256 register rows via one
+# combinable max groupBy — constant state regardless of corpus size; this
+# is the sketch a 100 TB pipeline uses to size dedup before running it.
+# ---------------------------------------------------------------------------
+
+HLL_B = 8
+HLL_M = 1 << HLL_B          # 256 registers
+HLL_HASH_BITS = 31          # the gram hashes are h % P31 — 31 usable bits
+HLL_RHO_CAP = HLL_HASH_BITS - HLL_B + 1   # 24: w == 0 sentinel rank
+# alpha for m >= 128 (Flajolet et al., fig. 3)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def hll_distinct(spark: SparkSession) -> DataFrame:
+    sh = _shingle_hashes(spark.table("documents")).select("h")
+    bucket = (F.col("h") % HLL_M).cast("long")
+    w = F.floor(F.col("h") / HLL_M).cast("long")
+    # rank of the first set bit of w within the top (31 - HLL_B) bits:
+    # rho = (31 - b) - floor(log2(w)) for w > 0 (1..23), else the w == 0
+    # sentinel rank 24. floor/log2 over exact integers < 2^52 is the same
+    # double on both engines.
+    rho = F.when(
+        F.col("w") > 0,
+        F.lit(HLL_HASH_BITS - HLL_B) - F.floor(F.log2(F.col("w").cast("double"))),
+    ).otherwise(F.lit(HLL_RHO_CAP)).cast("long")
+    regs = (
+        sh.select(bucket.alias("bucket"), w.alias("w"))
+        .select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    # exact integer harmonic fold: empty buckets contribute 2^CAP each
+    folded = regs.agg(
+        F.sum(F.pow(F.lit(2.0), (F.lit(HLL_RHO_CAP) - F.col("reg")).cast("double")).cast("long")).alias("s_nonempty"),
+        F.count("*").cast("long").alias("m_nonempty"),
+    ).select(
+        (
+            F.col("s_nonempty")
+            + (F.lit(HLL_M) - F.col("m_nonempty")) * F.lit(1 << HLL_RHO_CAP).cast("long")
+        ).alias("s_int"),
+        (F.lit(HLL_M) - F.col("m_nonempty")).alias("zeros"),
+    )
+    exact = (
+        sh.distinct()
+        .agg(F.count("*").cast("long").alias("exact_distinct"))
+    )
+    raw_e = (
+        F.lit(HLL_ALPHA)
+        * F.lit(float(HLL_M * HLL_M))
+        * F.lit(float(1 << HLL_RHO_CAP))
+        / F.col("s_int").cast("double")
+    )
+    # small-range correction: linear counting when E <= 2.5m and zeros > 0
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / F.col("zeros").cast("double")
+    )
+    est = F.when((raw_e <= 2.5 * HLL_M) & (F.col("zeros") > 0), lc).otherwise(raw_e)
+    return (
+        folded.crossJoin(F.broadcast(exact))
+        .select(
+            est.alias("hll_estimate"),
+            "exact_distinct",
+            (
+                (est - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct").cast("double")
+            ).alias("rel_error"),
+            F.col("zeros").alias("empty_registers"),
+        )
+    )
+
+
+def oracle_hll_distinct() -> str:
+    cap2 = 1 << HLL_RHO_CAP
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ws AS (
+  SELECT h % {HLL_M} AS bucket, CAST(FLOOR(h / {HLL_M}.0) AS BIGINT) AS w
+  FROM sh
+),
+rhos AS (
+  SELECT bucket,
+    CASE WHEN w > 0
+      THEN {HLL_HASH_BITS - HLL_B} - CAST(FLOOR(log2(CAST(w AS DOUBLE))) AS BIGINT)
+      ELSE {HLL_RHO_CAP} END AS rho
+  FROM ws
+),
+regs AS (SELECT bucket, MAX(rho) AS reg FROM rhos GROUP BY bucket),
+folded AS (
+  SELECT
+    CAST(SUM(CAST(2 ** ({HLL_RHO_CAP} - reg) AS BIGINT)) AS BIGINT)
+      + ({HLL_M} - CAST(COUNT(*) AS BIGINT)) * {cap2} AS s_int,
+    {HLL_M} - CAST(COUNT(*) AS BIGINT) AS zeros
+  FROM regs
+),
+exact AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_distinct FROM (SELECT DISTINCT h FROM sh)),
+est AS (
+  SELECT
+    CASE WHEN (CAST({HLL_ALPHA} AS DOUBLE) * CAST({float(HLL_M * HLL_M)} AS DOUBLE) * CAST({float(cap2)} AS DOUBLE) / CAST(s_int AS DOUBLE)) <= CAST({2.5 * HLL_M} AS DOUBLE)
+          AND zeros > 0
+      THEN CAST({float(HLL_M)} AS DOUBLE) * ln(CAST({float(HLL_M)} AS DOUBLE) / CAST(zeros AS DOUBLE))
+      ELSE CAST({HLL_ALPHA} AS DOUBLE) * CAST({float(HLL_M * HLL_M)} AS DOUBLE) * CAST({float(cap2)} AS DOUBLE) / CAST(s_int AS DOUBLE)
+    END AS hll_estimate,
+    zeros
+  FROM folded
+)
+SELECT e.hll_estimate, x.exact_distinct,
+  (e.hll_estimate - CAST(x.exact_distinct AS DOUBLE)) / CAST(x.exact_distinct AS DOUBLE) AS rel_error,
+  e.zeros AS empty_registers
+FROM est e CROSS JOIN exact x
+"""
+
+
+# ---------------------------------------------------------------------------
+# E80 — Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+# CMS_D salted hash rows x CMS_W counters fold from the word stream via
+# one combinable groupBy (the sketch IS a (row, col, count) relation);
+# a word's point estimate is the MIN across its CMS_D counters. The
+# sketch's one-sided guarantee — estimate >= true count, overshoot
+# bounded by (e/CMS_W) * total mass per row w.h.p. — is test-pinned.
+# Emitted for the exact top CMS_TOP_N words so the overshoot is auditable
+# next to ground truth.
+#
+# Scale: sketch state is CMS_D * CMS_W counters regardless of vocabulary
+# (the whole point at web scale — heavy-hitter tracking without a
+# data-sized groupBy); here the exact side exists only as the audit
+# column, computed once over the same stream.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 1024
+CMS_TOP_N = 20
+
+
+def cms_heavy_hitters(spark: SparkSession) -> DataFrame:
+    words = spark.table("documents").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    rows = []
+    for d in range(CMS_D):
+        rows.append(
+            words.select(
+                F.lit(d).alias("d"),
+                (_hash60(F.concat(F.lit(f"cms{d}:"), F.col("w"))) % CMS_W).alias("col"),
+            )
+        )
+    pos = rows[0]
+    for r in rows[1:]:
+        pos = pos.unionByName(r)
+    sketch = pos.groupBy("d", "col").agg(F.count("*").cast("long").alias("cnt"))
+
+    exact = words.groupBy("w").agg(F.count("*").cast("long").alias("true_count"))
+    top = exact.orderBy(F.desc("true_count"), F.asc("w")).limit(CMS_TOP_N)
+    probes = top.select(
+        "w",
+        "true_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            _hash60(F.concat(F.lit(f"cms{d}:"), F.col("w"))) % CMS_W
+                        ).alias("col"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("w", "true_count", "p.d", "p.col")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "col"])
+        .groupBy("w", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select(
+            "w",
+            "true_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("true_count")).alias("overshoot"),
+        )
+        .orderBy(F.desc("true_count"), F.asc("w"))
+    )
+
+
+def oracle_cms_heavy_hitters() -> str:
+    pos_rows = " UNION ALL ".join(
+        "SELECT {d} AS d, ({h}) % {w} AS col FROM words".format(
+            d=d, h=_sql_hash60("'cms" + str(d) + ":' || w"), w=CMS_W
+        )
+        for d in range(CMS_D)
+    )
+    probe_rows = " UNION ALL ".join(
+        "SELECT w, true_count, {d} AS d, ({h}) % {wd} AS col FROM top".format(
+            d=d, h=_sql_hash60("'cms" + str(d) + ":' || w"), wd=CMS_W
+        )
+        for d in range(CMS_D)
+    )
+    return rf"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+),
+pos AS ({pos_rows}),
+sketch AS (
+  SELECT d, col, CAST(COUNT(*) AS BIGINT) AS cnt FROM pos GROUP BY d, col
+),
+exact AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS true_count FROM words GROUP BY w),
+top AS (
+  SELECT w, true_count FROM exact ORDER BY true_count DESC, w ASC LIMIT {CMS_TOP_N}
+),
+probes AS ({probe_rows})
+SELECT p.w, p.true_count, MIN(s.cnt) AS cms_estimate,
+  MIN(s.cnt) - p.true_count AS overshoot
+FROM probes p JOIN sketch s USING (d, col)
+GROUP BY p.w, p.true_count
+ORDER BY true_count DESC, w ASC
+"""

@@ -273,6 +273,18 @@ register(
     dedup.oracle_novelty_curve(),
 )
 
+register(
+    "ml_hll_distinct",
+    dedup.hll_distinct,
+    dedup.oracle_hll_distinct(),
+)
+
+register(
+    "ml_cms_heavy_hitters",
+    dedup.cms_heavy_hitters,
+    dedup.oracle_cms_heavy_hitters(),
+)
+
 # round-9 capability additions (SURVEY §2.10 E65-E69): CCNet perplexity
 # bucketing, per-source vocabulary coverage, SemDeDup, and incremental
 # cross-batch dedup — registered in the front window for fresh driver rows.

@@ -251,3 +251,37 @@ def test_bloom_screen_no_false_negatives(prepared_spark):
         if r.is_true_duplicate:
             assert r.maybe_duplicate, f"false negative at doc {r.doc_id}"
         assert r.is_false_positive == (r.maybe_duplicate and not r.is_true_duplicate)
+
+
+def test_hll_error_within_theory_bound(prepared_spark):
+    """E79: |relative error| must sit within ~4 sigma of the HLL theory
+    bound 1.04/sqrt(m) — a broken rho/bucket width shows up as orders of
+    magnitude, not percent."""
+    from collector_spark.ml.dedup import HLL_M, hll_distinct
+
+    row = hll_distinct(prepared_spark).collect()[0]
+    bound = 4 * 1.04 / (HLL_M ** 0.5)
+    assert abs(row.rel_error) < bound, row
+    assert row.exact_distinct > 0
+
+
+def test_cms_never_underestimates(prepared_spark):
+    """E80's one-sided guarantee: min-of-counters >= true count, always
+    (hash collisions only ADD mass). Overshoot stays within the
+    (e / CMS_W) * stream-mass bound at 3x slack."""
+    import math
+    from pyspark.sql import functions as F
+    from collector_spark.ml.dedup import CMS_W, cms_heavy_hitters
+
+    rows = cms_heavy_hitters(prepared_spark).collect()
+    assert rows
+    total_mass = (
+        prepared_spark.table("documents")
+        .select(F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+        .count()
+    )
+    bound = 3 * math.e / CMS_W * total_mass
+    for r in rows:
+        assert r.overshoot >= 0, r
+        assert r.cms_estimate == r.true_count + r.overshoot
+        assert r.overshoot <= bound, (r, bound)
