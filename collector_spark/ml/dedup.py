@@ -1763,18 +1763,29 @@ def _bloom_positions(salt_prefix: str = "bloom") -> Column:
     )
 
 
-def bloom_screen(spark: SparkSession) -> DataFrame:
-    docs = spark.table("documents")
-    existing = docs.filter(~_inc_is_incoming())
-    incoming = docs.filter(_inc_is_incoming())
+def _bloom_mask() -> Column:
+    return F.pow(F.lit(2.0), (F.col("pos") % BLOOM_WORD).cast("double")).cast("long")
 
-    mask = F.pow(F.lit(2.0), (F.col("pos") % BLOOM_WORD).cast("double")).cast("long")
-    bits = (
+
+def bloom_bits(existing: DataFrame) -> DataFrame:
+    """The filter itself: (w_idx, bits) rows OR-folded from the existing
+    corpus — a combinable (and streaming-safe: bit_or is a monotone fold)
+    aggregation."""
+    return (
         existing.select(F.explode(_bloom_positions()).alias("pos"))
-        .select(F.floor(F.col("pos") / BLOOM_WORD).alias("w_idx"), mask.alias("m"))
+        .select(F.floor(F.col("pos") / BLOOM_WORD).alias("w_idx"), _bloom_mask().alias("m"))
         .groupBy("w_idx")
         .agg(F.bit_or("m").alias("bits"))
     )
+
+
+def bloom_screen_from_bits(
+    bits: DataFrame, existing: DataFrame, incoming: DataFrame
+) -> DataFrame:
+    """Probe + truth stages over a prebuilt filter relation — shared by
+    the batch operator and the streaming twin (whose bits arrive from the
+    streaming bit_or state)."""
+    mask = _bloom_mask()
     probes = incoming.select(
         "doc_id", F.explode(_bloom_positions()).alias("pos")
     ).select(
@@ -1809,6 +1820,13 @@ def bloom_screen(spark: SparkSession) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def bloom_screen(spark: SparkSession) -> DataFrame:
+    docs = spark.table("documents")
+    existing = docs.filter(~_inc_is_incoming())
+    incoming = docs.filter(_inc_is_incoming())
+    return bloom_screen_from_bits(bloom_bits(existing), existing, incoming)
 
 
 def oracle_bloom_screen() -> str:

@@ -285,6 +285,12 @@ register(
     dedup.oracle_cms_heavy_hitters(),
 )
 
+register(
+    "st_ml_bloom_screen",
+    doc_stream.stream_bloom_screen,
+    dedup.oracle_bloom_screen(),
+)
+
 # round-9 capability additions (SURVEY §2.10 E65-E69): CCNet perplexity
 # bucketing, per-source vocabulary coverage, SemDeDup, and incremental
 # cross-batch dedup — registered in the front window for fresh driver rows.

@@ -994,3 +994,87 @@ def stream_zipf_fit(spark: SparkSession, n_arrival_batches: int = 6) -> DataFram
         shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
 
     return zipf_fit_from_counts(spark.table(qname))
+
+
+# ---------------------------------------------------------------------------
+# ST16 / E77b — streaming Bloom filter: the bitset state folds
+# incrementally as existing-corpus documents arrive (bit_or is a monotone
+# fold — bits only turn on, so ANY arrival batching yields the identical
+# filter), then the arrival batch is screened against the final state
+# through the same probe/truth stages as the batch operator. Shares E77's
+# oracle. Production shape: the (w_idx, bits) state lives in the state
+# store and the probe side reads it as a stream-static join per trigger.
+# ---------------------------------------------------------------------------
+
+
+def stream_bloom_screen(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    from collector_spark.ml.dedup import (
+        _bloom_positions,
+        _bloom_mask,
+        _inc_is_incoming,
+        BLOOM_WORD,
+        bloom_screen_from_bits,
+    )
+
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), "collector_spark_docstream")
+    src_dir = os.path.join(base, run_id, "src")
+    ckpt_dir = os.path.join(base, run_id, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    (
+        spark.table("documents")
+        .filter(~_inc_is_incoming())
+        .repartitionByRange(n_arrival_batches, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(src_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base_mtime = os.path.getmtime(src_dir)
+    for i, name in enumerate(parts):
+        p = os.path.join(src_dir, name)
+        os.utime(p, (base_mtime + 10 * i, base_mtime + 10 * i))
+
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    bits_state = (
+        raw.select(F.explode(_bloom_positions()).alias("pos"))
+        .select(
+            F.floor(F.col("pos") / BLOOM_WORD).alias("w_idx"),
+            _bloom_mask().alias("m"),
+        )
+        .groupBy("w_idx")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    qname = f"bloombits_{run_id}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            bits_state.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+        shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
+
+    docs = spark.table("documents")
+    return bloom_screen_from_bits(
+        spark.table(qname),
+        docs.filter(~_inc_is_incoming()),
+        docs.filter(_inc_is_incoming()),
+    )
