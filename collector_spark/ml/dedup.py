@@ -51,9 +51,17 @@ SHINGLE = 3          # word-trigram shingles
 # comes near the cap, so small-scale results equal the uncapped plan.
 LSH_BUCKET_CAP = 64
 
-# deterministic permutation parameters (odd multipliers, arbitrary offsets)
-A = [(2 * i + 1) * 40_503 % P31 for i in range(1, K + 1)]
-B = [(i * 97_911 + 13) % P31 for i in range(K)]
+# Deterministic permutation parameters: successive powers of the classic
+# Lehmer/minstd multipliers mod P31 — scattered across the field, no
+# arithmetic structure. The original (2i+1)*40503 progression was NOT
+# min-wise usable: consecutive A[i] differ by a constant step, so a
+# single shared shingle whose (step * h) mod P31 lands small wins the min
+# in a long run of components — E81 (minhash_estimate_quality) measured
+# 44/64 signature agreement on a pair with true Jaccard 0.007. With the
+# Lehmer powers the estimator sits inside its binomial error bound
+# (test-pinned in test_dedup_properties).
+A = [pow(16807, i + 1, P31) for i in range(K)]
+B = [pow(48271, i + 1, P31) for i in range(K)]
 
 
 def _hash60(col: Column) -> Column:
@@ -2178,4 +2186,102 @@ SELECT p.w, p.true_count, MIN(s.cnt) AS cms_estimate,
 FROM probes p JOIN sketch s USING (d, col)
 GROUP BY p.w, p.true_count
 ORDER BY true_count DESC, w ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# E81 — minhash estimator quality: for every LSH candidate pair, the
+# signature-agreement estimate (matching components / K — the unbiased
+# minhash Jaccard estimator, Broder 1997) NEXT TO the exact shingle
+# Jaccard and the absolute error. This is the table that justifies K=64:
+# the estimator's per-pair std is sqrt(J(1-J)/K) <= 1/(2 sqrt(K)), and the
+# observed errors should sit inside it (test-pinned) — if K were too
+# small, the tuning curve (E61) would be built on noise.
+#
+# Scale: signatures and candidates ride the shared canonical-first plan;
+# the agreement join touches only candidate pairs (bucket-capped), K
+# equality checks fold per pair in one projection.
+# ---------------------------------------------------------------------------
+
+
+def minhash_estimate_quality(spark: SparkSession) -> DataFrame:
+    sh = _persisted_shingles(spark)
+    sig = _signatures_from(sh)
+    cand = _candidate_pairs_from(sig)
+    exact = ngram_jaccard_pairs(spark, threshold=0.0, cand=cand).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    matches = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+        for i in range(K)
+    )
+    est = (
+        cand.join(sig.alias("a"), F.col("doc_a") == F.col("a.doc_id"))
+        .join(sig.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.cast("long").alias("matching_components"),
+        )
+    )
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "matching_components",
+            (F.col("matching_components").cast("double") / F.lit(float(K))).alias(
+                "est_jaccard"
+            ),
+            "jaccard",
+            F.abs(
+                F.col("matching_components").cast("double") / F.lit(float(K))
+                - F.col("jaccard")
+            ).alias("abs_error"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def oracle_minhash_estimate_quality() -> str:
+    mins = ", ".join(
+        f"MIN((h * CAST({A[i]} AS BIGINT) + {B[i]}) % {P31}) AS mh{i}"
+        for i in range(K)
+    )
+    pairs_inner = oracle_minhash_candidate_pairs().rsplit("ORDER BY", 1)[0]
+    match_sum = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(K)
+    )
+    return f"""
+WITH cand AS ({pairs_inner}),
+sh AS ({_SQL_SHINGLES_CANON}),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
+  GROUP BY c.doc_a, c.doc_b
+),
+exact AS (
+  SELECT i.doc_a, i.doc_b,
+    CAST(i.inter AS DOUBLE) / CAST(na.n + nb.n - i.inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+    CAST({match_sum} AS BIGINT) AS matching_components
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.doc_a
+  JOIN sig b ON b.doc_id = c.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.matching_components,
+  CAST(e.matching_components AS DOUBLE) / {float(K)} AS est_jaccard,
+  x.jaccard,
+  ABS(CAST(e.matching_components AS DOUBLE) / {float(K)} - x.jaccard) AS abs_error
+FROM est e JOIN exact x USING (doc_a, doc_b)
+ORDER BY doc_a, doc_b
 """

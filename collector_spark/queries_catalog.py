@@ -291,6 +291,12 @@ register(
     dedup.oracle_bloom_screen(),
 )
 
+register(
+    "ml_minhash_estimate_quality",
+    dedup.minhash_estimate_quality,
+    dedup.oracle_minhash_estimate_quality(),
+)
+
 # round-9 capability additions (SURVEY §2.10 E65-E69): CCNet perplexity
 # bucketing, per-source vocabulary coverage, SemDeDup, and incremental
 # cross-batch dedup — registered in the front window for fresh driver rows.

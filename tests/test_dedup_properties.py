@@ -285,3 +285,17 @@ def test_cms_never_underestimates(prepared_spark):
         assert r.overshoot >= 0, r
         assert r.cms_estimate == r.true_count + r.overshoot
         assert r.overshoot <= bound, (r, bound)
+
+
+def test_minhash_estimator_error_within_binomial_bound(prepared_spark):
+    """E81: per-pair |est - exact| should sit within ~5 sigma of the
+    binomial bound 1/(2 sqrt(K)) and the mean error well under it — a
+    broken permutation or banding shows up as order-of-magnitude error."""
+    from collector_spark.ml.dedup import K, minhash_estimate_quality
+
+    rows = minhash_estimate_quality(prepared_spark).collect()
+    assert rows
+    sigma_max = 0.5 / (K ** 0.5)
+    errs = [r.abs_error for r in rows]
+    assert max(errs) <= 5 * sigma_max, max(errs)
+    assert sum(errs) / len(errs) <= 2 * sigma_max, sum(errs) / len(errs)
