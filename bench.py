@@ -76,6 +76,11 @@ HEADLINE = [
     # the SQ8 compressed-index ANN (ADC shortlist + exact rerank)
     "ml_incremental_dedup",
     "ml_ivf_sq8_topk",
+    # round-9 session-2 additions: the Kneser-Ney bigram LM (the heaviest
+    # new model-scoring join tree) and the Bloom pre-screen (the sketch
+    # path: bitset build + broadcast probe + truth audit)
+    "ml_kneser_ney_bigram",
+    "ml_bloom_screen",
 ]
 
 N_RUNS = 3  # median-of-3 per query
