@@ -209,3 +209,129 @@ SELECT doc_id, media_type,
   'bytestats-fake' AS decoder
 FROM media_rows ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# mm_caption_align — caption<->document alignment score (the LAION-style
+# caption filter): share of caption tokens that appear in the document's
+# own text, plus a keep flag at CAPTION_ALIGN_MIN. A production pipeline
+# scores this with a cross-modal embedding (CLIP image<->caption cosine) —
+# exactly the `embedding` column path the similarity operators already
+# implement; the lexical overlap here is the deterministic stand-in that
+# pins the plumbing (per-row set math, no shuffle, keep-list shape) while
+# the container has no vision model. Captions come from the media table,
+# document text joins by doc_id — one plain hash join, both sides
+# O(corpus), never forced broadcast.
+# ---------------------------------------------------------------------------
+
+CAPTION_ALIGN_MIN = 0.5
+
+
+def caption_align(spark: SparkSession) -> DataFrame:
+    media = spark.table("media_rows").select("doc_id", "media_type", "caption")
+    docs = spark.table("documents").select("doc_id", "text")
+    cap_toks = F.array_distinct(F.split(F.trim(F.lower(F.col("caption"))), r"\s+"))
+    doc_toks = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    joined = media.join(docs, "doc_id").select(
+        "doc_id",
+        "media_type",
+        F.size(cap_toks).cast("long").alias("caption_tokens"),
+        F.size(F.array_intersect(cap_toks, doc_toks)).cast("long").alias(
+            "aligned_tokens"
+        ),
+    )
+    score = F.col("aligned_tokens").cast("double") / F.col("caption_tokens").cast(
+        "double"
+    )
+    return joined.select(
+        "doc_id",
+        "media_type",
+        "caption_tokens",
+        "aligned_tokens",
+        score.alias("align_score"),
+        (score >= CAPTION_ALIGN_MIN).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def oracle_caption_align() -> str:
+    return rf"""
+WITH j AS (
+  SELECT m.doc_id, m.media_type,
+    CAST(len(list_distinct(regexp_split_to_array(trim(lower(m.caption)), '\s+'))) AS BIGINT) AS caption_tokens,
+    CAST(len(list_intersect(
+      list_distinct(regexp_split_to_array(trim(lower(m.caption)), '\s+')),
+      list_distinct(regexp_split_to_array(trim(lower(d.text)), '\s+'))
+    )) AS BIGINT) AS aligned_tokens
+  FROM media_rows m JOIN documents d USING (doc_id)
+)
+SELECT doc_id, media_type, caption_tokens, aligned_tokens,
+  CAST(aligned_tokens AS DOUBLE) / CAST(caption_tokens AS DOUBLE) AS align_score,
+  CAST(aligned_tokens AS DOUBLE) / CAST(caption_tokens AS DOUBLE)
+    >= {CAPTION_ALIGN_MIN} AS keep
+FROM j
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_chunk_plan — fixed-window audio chunk manifest (the Whisper-
+# style 30 s segmentation, scaled to the synthetic payloads): for each
+# audio row, derive total samples from the payload size (BYTES_PER_SAMPLE
+# synthetic encoding), then emit one row per AUDIO_CHUNK_SEC window with
+# sample offsets and a short-tail flag — the audio twin of ml_doc_chunks.
+# Pure per-row sequence explode: map-only, the decode stays behind the
+# stubbed feature stage.
+# ---------------------------------------------------------------------------
+
+BYTES_PER_SAMPLE = 2
+AUDIO_CHUNK_SEC = 1
+
+
+def audio_chunk_plan(spark: SparkSession) -> DataFrame:
+    audio = spark.table("media_rows").filter(F.col("media_type") == "audio/wav")
+    n_samples = (F.octet_length("payload") / BYTES_PER_SAMPLE).cast("long")
+    chunk_samples = (F.col("sample_rate") * AUDIO_CHUNK_SEC).cast("long")
+    n_chunks = F.ceil(n_samples.cast("double") / chunk_samples.cast("double")).cast(
+        "long"
+    )
+    planned = audio.select(
+        "doc_id",
+        "sample_rate",
+        n_samples.alias("total_samples"),
+        chunk_samples.alias("chunk_samples"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * F.col("chunk_samples")
+    end = F.least(start + F.col("chunk_samples"), F.col("total_samples"))
+    return planned.select(
+        "doc_id",
+        "chunk_idx",
+        "sample_rate",
+        start.alias("start_sample"),
+        end.alias("end_sample"),
+        ((end - start) < F.col("chunk_samples")).alias("is_short_tail"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def oracle_audio_chunk_plan() -> str:
+    return f"""
+WITH a AS (
+  SELECT doc_id, sample_rate,
+    CAST(octet_length(payload) / {BYTES_PER_SAMPLE} AS BIGINT) AS total_samples,
+    CAST(sample_rate * {AUDIO_CHUNK_SEC} AS BIGINT) AS chunk_samples
+  FROM media_rows WHERE media_type = 'audio/wav'
+),
+planned AS (
+  SELECT doc_id, sample_rate, total_samples, chunk_samples,
+    unnest(generate_series(0,
+      CAST(CEIL(CAST(total_samples AS DOUBLE) / chunk_samples) AS BIGINT) - 1)) AS chunk_idx
+  FROM a
+)
+SELECT doc_id, chunk_idx, sample_rate,
+  chunk_idx * chunk_samples AS start_sample,
+  LEAST(chunk_idx * chunk_samples + chunk_samples, total_samples) AS end_sample,
+  LEAST(chunk_idx * chunk_samples + chunk_samples, total_samples)
+    - chunk_idx * chunk_samples < chunk_samples AS is_short_tail
+FROM planned
+ORDER BY doc_id, chunk_idx
+"""

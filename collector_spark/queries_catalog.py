@@ -297,6 +297,20 @@ register(
     dedup.oracle_minhash_estimate_quality(),
 )
 
+register(
+    "mm_caption_align",
+    multimodal.caption_align,
+    multimodal.oracle_caption_align(),
+    fixtures=["media_rows"],
+)
+
+register(
+    "mm_audio_chunk_plan",
+    multimodal.audio_chunk_plan,
+    multimodal.oracle_audio_chunk_plan(),
+    fixtures=["media_rows"],
+)
+
 # round-9 capability additions (SURVEY §2.10 E65-E69): CCNet perplexity
 # bucketing, per-source vocabulary coverage, SemDeDup, and incremental
 # cross-batch dedup — registered in the front window for fresh driver rows.
