@@ -297,6 +297,16 @@ register(
     dedup.oracle_minhash_estimate_quality(),
 )
 
+# values changed with the Lehmer-power permutation fix — fresh driver rows
+
+register(
+    "ml_minhash_signatures",
+    dedup.minhash_signatures,
+    dedup.oracle_minhash_signatures(),
+)
+
+register("ml_corpus_report", curation.corpus_report, curation.oracle_corpus_report())
+
 register(
     "mm_caption_align",
     multimodal.caption_align,
@@ -626,8 +636,6 @@ register(
     curation.quality_keep_list,
     curation.oracle_quality_keep_list(),
 )
-register("ml_corpus_report", curation.corpus_report, curation.oracle_corpus_report())
-
 # -- r7: CollectorConfig envelope with secret hygiene — GetDbURLRedacted
 #    (config_test.go goldens), URL-derived effective host/port, has-secret
 #    booleans (output/transform/collector_config.go, config/config.go:437)
@@ -1408,12 +1416,6 @@ register(
 # --- training-data pipeline extensions (documents/embeddings base tables) --
 
 register("ml_exact_dup", dedup.exact_dup_groups, dedup.oracle_exact_dup_groups())
-
-register(
-    "ml_minhash_signatures",
-    dedup.minhash_signatures,
-    dedup.oracle_minhash_signatures(),
-)
 
 register("ml_simhash", dedup.simhash, dedup.oracle_simhash())
 
