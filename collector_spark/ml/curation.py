@@ -2704,3 +2704,205 @@ SELECT source,
 FROM sums
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# E84 — filter ablation report: for each document-quality rule (the five
+# Gopher flags + the three C4 flags), how many documents fail it, how
+# many fail ONLY it (its unique contribution — the number that tells a
+# curation owner which rule to tune or drop), and the fail rate. The
+# standard ablation every filter-stack review starts from.
+#
+# Scale: per-doc flags come from the two map-only filter operators joined
+# on doc_id; the rule explosion is a constant 8-element array per doc and
+# the report reduces in ONE combinable groupBy(rule) — a single pass, no
+# per-rule rescan.
+# ---------------------------------------------------------------------------
+
+ABLATION_RULES = [
+    ("gopher_word_count", "word_count_ok"),
+    ("gopher_mean_word_len", "mean_word_len_ok"),
+    ("gopher_symbol_ratio", "symbol_ratio_ok"),
+    ("gopher_alpha_frac", "alpha_frac_ok"),
+    ("gopher_stopwords", "stopword_ok"),
+    ("c4_min_words", "min_words_ok"),
+    ("c4_word_len", "word_len_ok"),
+    ("c4_stopword", "has_stopword"),
+]
+
+
+def filter_ablation(spark: SparkSession) -> DataFrame:
+    g = gopher_filters(spark).select(
+        "doc_id",
+        "word_count_ok",
+        "mean_word_len_ok",
+        "symbol_ratio_ok",
+        "alpha_frac_ok",
+        "stopword_ok",
+    )
+    c = c4_filters(spark).select(
+        "doc_id", "min_words_ok", "word_len_ok", "has_stopword"
+    )
+    flags = g.join(c, "doc_id")
+    fails_total = sum(
+        F.when(~F.col(col), 1).otherwise(0) for _, col in ABLATION_RULES
+    )
+    exploded = flags.withColumn("fails_total", fails_total).select(
+        "fails_total",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(rule).alias("rule"),
+                        (~F.col(col)).cast("int").alias("fail"),
+                    )
+                    for rule, col in ABLATION_RULES
+                ]
+            )
+        ).alias("r"),
+    )
+    n_docs = spark.table("documents").count()
+    return (
+        exploded.groupBy(F.col("r.rule").alias("rule"))
+        .agg(
+            F.sum("r.fail").cast("long").alias("n_fail"),
+            F.sum(
+                F.when((F.col("r.fail") == 1) & (F.col("fails_total") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_unique_fail"),
+        )
+        .select(
+            "rule",
+            "n_fail",
+            "n_unique_fail",
+            (F.col("n_fail").cast("double") / F.lit(float(n_docs))).alias("fail_rate"),
+        )
+        .orderBy("rule")
+    )
+
+
+def oracle_filter_ablation() -> str:
+    g = oracle_gopher_filters().rsplit("ORDER BY", 1)[0]
+    c4 = oracle_c4_filters().rsplit("ORDER BY", 1)[0]
+    fails_total = " + ".join(
+        f"CASE WHEN NOT {col} THEN 1 ELSE 0 END" for _, col in ABLATION_RULES
+    )
+    structs = ", ".join(
+        f"{{'rule': '{rule}', 'fail': CASE WHEN NOT {col} THEN 1 ELSE 0 END}}"
+        for rule, col in ABLATION_RULES
+    )
+    return f"""
+WITH g AS ({g}), c AS ({c4}),
+flags AS (
+  SELECT g.doc_id, g.word_count_ok, g.mean_word_len_ok, g.symbol_ratio_ok,
+         g.alpha_frac_ok, g.stopword_ok, c.min_words_ok, c.word_len_ok,
+         c.has_stopword
+  FROM g JOIN c USING (doc_id)
+),
+exploded AS (
+  SELECT ({fails_total}) AS fails_total, unnest([{structs}]) AS r
+  FROM flags
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT r.rule AS rule,
+  CAST(SUM(r.fail) AS BIGINT) AS n_fail,
+  CAST(SUM(CASE WHEN r.fail = 1 AND fails_total = 1 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_unique_fail,
+  CAST(SUM(r.fail) AS DOUBLE) / CAST(ANY_VALUE(n.n_docs) AS DOUBLE) AS fail_rate
+FROM exploded CROSS JOIN n
+GROUP BY r.rule
+ORDER BY rule
+"""
+
+
+# ---------------------------------------------------------------------------
+# E85 — token-budget allocation plan: turn the per-source mixing weights
+# (E44's temperature-scaled weights) into INTEGER per-source token quotas
+# that sum to the budget EXACTLY, via the largest-remainder method
+# (floor the exact shares, hand the leftover tokens to the largest
+# fractional remainders; ties break by source name). The table a dataset
+# assembly job reads to cut shards — fractional quotas or drifting sums
+# are exactly what this closes out.
+#
+# Scale: everything after the per-source aggregate operates on one row
+# per source (bounded); the remainder ranking is a window over that
+# gauge relation.
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 1_000_000
+
+
+TBP_GRID = 1 << 30  # weight quantization grid: order-free double sums
+
+
+def token_budget_plan(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import Window
+
+    # weights floor-quantized onto the 2^-30 grid BEFORE the sum: sums of
+    # grid multiples are exactly representable at any aggregation order,
+    # so wsum (and every floor(exact_quota) boundary downstream) is the
+    # identical double on both engines regardless of partitioning
+    wq = (
+        F.floor(F.col("temp_scaled_weight") * TBP_GRID) / F.lit(float(TBP_GRID))
+    ).alias("wq")
+    w = sampling_weights(spark).select("source", "tokens", wq)
+    wsum = w.agg(F.sum("wq").alias("wsum"))
+    exact = F.lit(float(TOKEN_BUDGET)) * F.col("wq") / F.col("wsum")
+    with_exact = w.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "tokens",
+        exact.alias("exact_quota"),
+        F.floor(exact).cast("long").alias("floor_quota"),
+        (exact - F.floor(exact)).alias("remainder"),
+    )
+    leftover = with_exact.agg(
+        (F.lit(TOKEN_BUDGET) - F.sum("floor_quota")).cast("long").alias("leftover")
+    )
+    rank_w = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    return (
+        with_exact.crossJoin(F.broadcast(leftover))
+        .withColumn("remainder_rank", F.row_number().over(rank_w).cast("long"))
+        .select(
+            "source",
+            "tokens",
+            "exact_quota",
+            "floor_quota",
+            "remainder_rank",
+            (F.col("floor_quota") + (F.col("remainder_rank") <= F.col("leftover")).cast("long")).alias(
+                "final_quota"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_token_budget_plan() -> str:
+    sw = oracle_sampling_weights().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH sw AS ({sw}),
+wq AS (
+  SELECT source, tokens,
+    FLOOR(temp_scaled_weight * {TBP_GRID}) / CAST({TBP_GRID} AS DOUBLE) AS wq
+  FROM sw
+),
+wsum AS (SELECT SUM(wq) AS wsum FROM wq),
+with_exact AS (
+  SELECT source, tokens,
+    CAST({TOKEN_BUDGET} AS DOUBLE) * wq / wsum AS exact_quota,
+    CAST(FLOOR(CAST({TOKEN_BUDGET} AS DOUBLE) * wq / wsum) AS BIGINT) AS floor_quota,
+    CAST({TOKEN_BUDGET} AS DOUBLE) * wq / wsum
+      - FLOOR(CAST({TOKEN_BUDGET} AS DOUBLE) * wq / wsum) AS remainder
+  FROM wq CROSS JOIN wsum
+),
+leftover AS (
+  SELECT CAST({TOKEN_BUDGET} - SUM(floor_quota) AS BIGINT) AS leftover FROM with_exact
+)
+SELECT source, tokens, exact_quota, floor_quota,
+  CAST(row_number() OVER (ORDER BY remainder DESC, source ASC) AS BIGINT) AS remainder_rank,
+  floor_quota + CASE WHEN row_number() OVER (ORDER BY remainder DESC, source ASC)
+                       <= leftover THEN 1 ELSE 0 END AS final_quota
+FROM with_exact CROSS JOIN leftover
+ORDER BY source
+"""

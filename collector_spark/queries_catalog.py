@@ -321,6 +321,18 @@ register(
     fixtures=["media_rows"],
 )
 
+register(
+    "ml_filter_ablation",
+    curation.filter_ablation,
+    curation.oracle_filter_ablation(),
+)
+
+register(
+    "ml_token_budget_plan",
+    curation.token_budget_plan,
+    curation.oracle_token_budget_plan(),
+)
+
 # round-9 capability additions (SURVEY §2.10 E65-E69): CCNet perplexity
 # bucketing, per-source vocabulary coverage, SemDeDup, and incremental
 # cross-batch dedup — registered in the front window for fresh driver rows.

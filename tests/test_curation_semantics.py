@@ -277,3 +277,24 @@ def test_kneser_ney_mass_sums_to_one(prepared_spark):
     assert mass
     worst = max(abs(r.mass - 1.0) for r in mass)
     assert worst < 1e-9, worst
+
+
+def test_token_budget_quotas_sum_exactly(prepared_spark):
+    """E85's defining property: integer final quotas sum to TOKEN_BUDGET
+    exactly (largest-remainder closes the floor drift)."""
+    from collector_spark.ml.curation import TOKEN_BUDGET, token_budget_plan
+
+    rows = token_budget_plan(prepared_spark).collect()
+    assert rows
+    assert sum(r.final_quota for r in rows) == TOKEN_BUDGET
+    for r in rows:
+        assert r.final_quota in (r.floor_quota, r.floor_quota + 1)
+
+
+def test_filter_ablation_unique_bounded_by_fail(prepared_spark):
+    from collector_spark.ml.curation import filter_ablation
+
+    rows = filter_ablation(prepared_spark).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r.n_unique_fail <= r.n_fail
