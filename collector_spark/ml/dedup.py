@@ -2002,6 +2002,14 @@ def hll_distinct(spark: SparkSession) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rho").alias("reg"))
     )
+    return hll_from_regs(spark, regs)
+
+
+def hll_from_regs(spark: SparkSession, regs: DataFrame) -> DataFrame:
+    """Estimate stage over a (bucket, reg) register relation — shared by
+    the batch operator and the streaming twin (max is a monotone fold, so
+    streamed registers equal the batch registers)."""
+    sh = _shingle_hashes(spark.table("documents")).select("h")
     # exact integer harmonic fold: empty buckets contribute 2^CAP each
     folded = regs.agg(
         F.sum(F.pow(F.lit(2.0), (F.lit(HLL_RHO_CAP) - F.col("reg")).cast("double")).cast("long")).alias("s_nonempty"),
@@ -2120,7 +2128,16 @@ def cms_heavy_hitters(spark: SparkSession) -> DataFrame:
     for r in rows[1:]:
         pos = pos.unionByName(r)
     sketch = pos.groupBy("d", "col").agg(F.count("*").cast("long").alias("cnt"))
+    return cms_report_from_sketch(spark, sketch)
 
+
+def cms_report_from_sketch(spark: SparkSession, sketch: DataFrame) -> DataFrame:
+    """Point-estimate report over a (d, col, cnt) counter relation —
+    shared by the batch operator and the streaming twin (counts are
+    additive folds)."""
+    words = spark.table("documents").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
     exact = words.groupBy("w").agg(F.count("*").cast("long").alias("true_count"))
     top = exact.orderBy(F.desc("true_count"), F.asc("w")).limit(CMS_TOP_N)
     probes = top.select(

@@ -333,6 +333,18 @@ register(
     curation.oracle_token_budget_plan(),
 )
 
+register(
+    "st_ml_hll_distinct",
+    doc_stream.stream_hll_distinct,
+    dedup.oracle_hll_distinct(),
+)
+
+register(
+    "st_ml_cms_heavy_hitters",
+    doc_stream.stream_cms_heavy_hitters,
+    dedup.oracle_cms_heavy_hitters(),
+)
+
 # round-9 capability additions (SURVEY §2.10 E65-E69): CCNet perplexity
 # bucketing, per-source vocabulary coverage, SemDeDup, and incremental
 # cross-batch dedup — registered in the front window for fresh driver rows.

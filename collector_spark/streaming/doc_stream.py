@@ -1078,3 +1078,140 @@ def stream_bloom_screen(spark: SparkSession, n_arrival_batches: int = 6) -> Data
         docs.filter(~_inc_is_incoming()),
         docs.filter(_inc_is_incoming()),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST17 / E79b-E80b — streaming sketches: the HLL registers (max rho per
+# bucket — monotone) and the CMS counters (counts — additive) fold
+# incrementally over arriving documents, so both final states equal the
+# batch sketch under ANY arrival batching; the estimate/report stages
+# read the final state through the batch operators' own math and check
+# against the SAME oracles. Production shape: both states live in the
+# state store and the dashboards re-evaluate per trigger — live
+# distinct-gram cardinality and heavy-hitter tracking during a crawl.
+# ---------------------------------------------------------------------------
+
+
+def _staged_doc_stream(spark: SparkSession, n_arrival_batches: int = 6):
+    """Stage the documents table as an arrival-ordered file stream;
+    returns (raw stream DF, run cleanup fn, run dirs)."""
+    run_id = uuid.uuid4().hex[:12]
+    base = os.path.join(tempfile.gettempdir(), "collector_spark_docstream")
+    src_dir = os.path.join(base, run_id, "src")
+    ckpt_dir = os.path.join(base, run_id, "ckpt")
+    os.makedirs(src_dir, exist_ok=True)
+    (
+        spark.table("documents")
+        .repartitionByRange(n_arrival_batches, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(src_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    base_mtime = os.path.getmtime(src_dir)
+    for i, name in enumerate(parts):
+        p = os.path.join(src_dir, name)
+        os.utime(p, (base_mtime + 10 * i, base_mtime + 10 * i))
+    raw = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def cleanup():
+        shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
+
+    return raw, cleanup, run_id, ckpt_dir
+
+
+def _run_state_to_memory(spark, state_df, qname: str, ckpt_dir: str, cleanup):
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            state_df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    try:
+        query.awaitTermination()
+    finally:
+        query.stop()
+        cleanup()
+
+
+def stream_hll_distinct(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    from collector_spark.ml.dedup import (
+        HLL_B,
+        HLL_HASH_BITS,
+        HLL_M,
+        HLL_RHO_CAP,
+        _shingle_hashes,
+        hll_distinct,
+    )
+    from collector_spark.ml import dedup as _dedup
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    sh = _shingle_hashes(raw)
+    bucket = (F.col("h") % HLL_M).cast("long")
+    w = F.floor(F.col("h") / HLL_M).cast("long")
+    rho = (
+        F.when(
+            F.col("w") > 0,
+            F.lit(HLL_HASH_BITS - HLL_B)
+            - F.floor(F.log2(F.col("w").cast("double"))),
+        )
+        .otherwise(F.lit(HLL_RHO_CAP))
+        .cast("long")
+    )
+    regs = (
+        sh.select(bucket.alias("bucket"), w.alias("w"))
+        .select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    qname = f"hllregs_{run_id}"
+    _run_state_to_memory(spark, regs, qname, ckpt_dir, cleanup)
+    # estimate off the streamed registers through the batch math; the
+    # exact-count audit column recomputes batch-side (it is the audit, not
+    # the sketch)
+    return _dedup.hll_from_regs(spark, spark.table(qname))
+
+
+def stream_cms_heavy_hitters(
+    spark: SparkSession, n_arrival_batches: int = 6
+) -> DataFrame:
+    from collector_spark.ml.dedup import CMS_D, CMS_W, _hash60
+    from collector_spark.ml import dedup as _dedup
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    words = raw.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    pos = words.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            _hash60(F.concat(F.lit(f"cms{d}:"), F.col("w"))) % CMS_W
+                        ).alias("col"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("p")
+    ).select("p.d", "p.col")
+    sketch = pos.groupBy("d", "col").agg(F.count("*").cast("long").alias("cnt"))
+    qname = f"cmssketch_{run_id}"
+    _run_state_to_memory(spark, sketch, qname, ckpt_dir, cleanup)
+    return _dedup.cms_report_from_sketch(spark, spark.table(qname))
