@@ -2906,3 +2906,122 @@ SELECT source, tokens, exact_quota, floor_quota,
 FROM with_exact CROSS JOIN leftover
 ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# E86 — score-distribution drift (PSI): the population stability index of
+# the composite quality score between the existing corpus and the
+# incoming arrival batch (E68's split) over 10 fixed score deciles with
+# add-1/2 smoothing. PSI is THE production drift monitor for any scorer:
+# < 0.1 stable, 0.1-0.25 drifting, > 0.25 retrain/investigate — run it
+# before trusting yesterday's quality threshold on today's crawl.
+#
+# Scale: two combinable bucket-count aggregates over the map-only score
+# projection; the PSI math runs on 10 rows.
+# ---------------------------------------------------------------------------
+
+PSI_BUCKETS = 10
+PSI_SMOOTH = 0.5
+
+
+def score_drift(spark: SparkSession) -> DataFrame:
+    from collector_spark.ml.dedup import _inc_is_incoming
+    from collector_spark.ml.textstats import quality_score
+
+    scores = quality_score(spark).select("doc_id", "quality_score")
+    docs = spark.table("documents").select("doc_id")
+    split = docs.withColumn("incoming", _inc_is_incoming())
+    bucket = F.least(
+        F.floor(F.col("quality_score") * PSI_BUCKETS), F.lit(PSI_BUCKETS - 1)
+    ).cast("long")
+    tagged = scores.join(split, "doc_id").select(
+        bucket.alias("bucket"), "incoming"
+    )
+    # dense 10-bucket frame so empty buckets still contribute smoothed mass
+    frame = spark.range(PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    counts = (
+        frame.join(
+            tagged.groupBy("bucket").agg(
+                F.sum(F.when(~F.col("incoming"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_existing"),
+                F.sum(F.when(F.col("incoming"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_incoming"),
+            ),
+            "bucket",
+            "left",
+        )
+        .select(
+            "bucket",
+            F.coalesce("n_existing", F.lit(0)).cast("long").alias("n_existing"),
+            F.coalesce("n_incoming", F.lit(0)).cast("long").alias("n_incoming"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_existing").cast("long").alias("te"),
+        F.sum("n_incoming").cast("long").alias("ti"),
+    )
+    p = (F.col("n_existing").cast("double") + PSI_SMOOTH) / (
+        F.col("te").cast("double") + PSI_SMOOTH * PSI_BUCKETS
+    )
+    q = (F.col("n_incoming").cast("double") + PSI_SMOOTH) / (
+        F.col("ti").cast("double") + PSI_SMOOTH * PSI_BUCKETS
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_existing",
+            "n_incoming",
+            p.alias("p_existing"),
+            q.alias("q_incoming"),
+            # floor-quantized on the shared 2^20 grid: Java's Math.log and
+            # libm log may differ in the last ulp for the same argument —
+            # the same cross-engine hazard the NLL scores pin this way
+            (
+                F.floor((p - q) * F.log(p / q) * _NLL_SCALE)
+                / F.lit(float(_NLL_SCALE))
+            ).alias("psi_contrib"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def oracle_score_drift() -> str:
+    from collector_spark.ml.dedup import INC_BATCH_MOD, INC_BATCH_REM
+    from collector_spark.ml.textstats import oracle_quality_score
+
+    qs = oracle_quality_score().rsplit("ORDER BY", 1)[0]
+    sm = PSI_SMOOTH
+    sb = PSI_SMOOTH * PSI_BUCKETS
+    return f"""
+WITH qs AS ({qs}),
+tagged AS (
+  SELECT LEAST(CAST(FLOOR(q.quality_score * {PSI_BUCKETS}) AS BIGINT), {PSI_BUCKETS - 1}) AS bucket,
+    d.doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM} AS incoming
+  FROM qs q JOIN documents d USING (doc_id)
+),
+frame AS (SELECT unnest(generate_series(0, {PSI_BUCKETS - 1})) AS bucket),
+counts AS (
+  SELECT f.bucket,
+    CAST(COALESCE(SUM(CASE WHEN NOT t.incoming THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_existing,
+    CAST(COALESCE(SUM(CASE WHEN t.incoming THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_incoming
+  FROM frame f LEFT JOIN tagged t ON t.bucket = f.bucket
+  GROUP BY f.bucket
+),
+totals AS (
+  SELECT CAST(SUM(n_existing) AS BIGINT) AS te, CAST(SUM(n_incoming) AS BIGINT) AS ti
+  FROM counts
+)
+SELECT bucket, n_existing, n_incoming,
+  (CAST(n_existing AS DOUBLE) + {sm}) / (CAST(te AS DOUBLE) + {sb}) AS p_existing,
+  (CAST(n_incoming AS DOUBLE) + {sm}) / (CAST(ti AS DOUBLE) + {sb}) AS q_incoming,
+  FLOOR(((CAST(n_existing AS DOUBLE) + {sm}) / (CAST(te AS DOUBLE) + {sb})
+   - (CAST(n_incoming AS DOUBLE) + {sm}) / (CAST(ti AS DOUBLE) + {sb}))
+  * ln(((CAST(n_existing AS DOUBLE) + {sm}) / (CAST(te AS DOUBLE) + {sb}))
+       / ((CAST(n_incoming AS DOUBLE) + {sm}) / (CAST(ti AS DOUBLE) + {sb})))
+  * {_NLL_SCALE}) / CAST({_NLL_SCALE} AS DOUBLE) AS psi_contrib
+FROM counts CROSS JOIN totals
+ORDER BY bucket
+"""

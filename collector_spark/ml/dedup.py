@@ -1914,6 +1914,14 @@ def novelty_curve(spark: SparkSession) -> DataFrame:
     novel = first.groupBy(F.col("first_batch").alias("batch")).agg(
         F.count("*").cast("long").alias("n_novel")
     )
+    return _novelty_report(per_batch, novel)
+
+
+def _novelty_report(per_batch: DataFrame, novel: DataFrame) -> DataFrame:
+    """Join + rate + cumulative stage over the two bounded per-batch
+    aggregates — shared by the batch operator and the streaming twin."""
+    from pyspark.sql import Window
+
     w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
     return (
         per_batch.join(novel, "batch", "left")
@@ -1929,6 +1937,24 @@ def novelty_curve(spark: SparkSession) -> DataFrame:
         .withColumn("cum_distinct_grams", F.sum("n_novel").over(w).cast("long"))
         .orderBy("batch")
     )
+
+
+def novelty_from_state(rel: DataFrame) -> DataFrame:
+    """E78 report from a streamed (h, first_batch, batch) incidence
+    relation (min first-owner fold + per-gram batch set)."""
+    per_batch = (
+        rel.select("batch", "h")
+        .distinct()
+        .groupBy("batch")
+        .agg(F.count("*").cast("long").alias("n_grams"))
+    )
+    novel = (
+        rel.select("h", "first_batch")
+        .distinct()
+        .groupBy(F.col("first_batch").alias("batch"))
+        .agg(F.count("*").cast("long").alias("n_novel"))
+    )
+    return _novelty_report(per_batch, novel)
 
 
 def oracle_novelty_curve() -> str:

@@ -345,6 +345,18 @@ register(
     dedup.oracle_cms_heavy_hitters(),
 )
 
+register(
+    "st_ml_novelty_curve",
+    doc_stream.stream_novelty_curve,
+    dedup.oracle_novelty_curve(),
+)
+
+register(
+    "ml_score_drift",
+    curation.score_drift,
+    curation.oracle_score_drift(),
+)
+
 # round-9 capability additions (SURVEY §2.10 E65-E69): CCNet perplexity
 # bucketing, per-source vocabulary coverage, SemDeDup, and incremental
 # cross-batch dedup — registered in the front window for fresh driver rows.

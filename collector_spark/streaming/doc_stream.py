@@ -1215,3 +1215,36 @@ def stream_cms_heavy_hitters(
     qname = f"cmssketch_{run_id}"
     _run_state_to_memory(spark, sketch, qname, ckpt_dir, cleanup)
     return _dedup.cms_report_from_sketch(spark, spark.table(qname))
+
+
+# ---------------------------------------------------------------------------
+# ST18 / E78b — streaming novelty curve: the per-gram first-owner batch is
+# a MIN fold (monotone), so the streamed (gram -> first_batch) state
+# equals the batch attribution under any arrival batching; per-batch
+# distinct-gram counts are additive. The curve reads both final states
+# through the batch operator's own aggregation; shares E78's oracle.
+# ---------------------------------------------------------------------------
+
+
+def stream_novelty_curve(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    from collector_spark.ml.dedup import NOVELTY_BATCH_SPAN, _shingle_hashes
+    from collector_spark.ml import dedup as _dedup
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    batch_grams = (
+        _shingle_hashes(raw)
+        .select(
+            F.floor(F.col("doc_id") / NOVELTY_BATCH_SPAN).alias("batch"), "h"
+        )
+        .groupBy("h")
+        .agg(
+            F.min("batch").alias("first_batch"),
+            F.collect_set("batch").alias("batches"),
+        )
+    )
+    qname = f"novelty_{run_id}"
+    _run_state_to_memory(spark, batch_grams, qname, ckpt_dir, cleanup)
+    state = spark.table(qname)
+    return _dedup.novelty_from_state(
+        state.select("h", "first_batch", F.explode("batches").alias("batch"))
+    )
