@@ -1971,6 +1971,71 @@ FROM m WHERE metric_name IS NOT NULL
 """
 
 
+# ---------------------------------------------------------------------------
+# F27 — doc_lines: deterministic multi-line structure for the documents
+# corpus (ml_gopher_line_filters / ml_line_dedup input).
+#
+# The synthetic documents text is a single line, so the Gopher
+# line-structure rules (Rae et al. 2021 §A1.1: bullet-line share,
+# ellipsis-line share, duplicate-line and duplicate-line-character
+# fractions) and corpus line-level dedup would be vacuous over it. This
+# fixture derives 4-8 lines per document, each a deterministic slice of the
+# document's own text with deterministic decorations:
+#
+#   - docs with doc_id % 13 = 5 bullet EVERY line ('- ' prefix; others
+#     bullet every third line) — the >90%-bullet failure leg;
+#   - docs with doc_id % 13 = 7 end EVERY line with '...' (others one
+#     line in four) — the >30%-ellipsis failure leg;
+#   - docs with doc_id % 7 = 3 repeat each odd line as the following even
+#     line EXACTLY (flags recomputed at the source line index, so the
+#     duplicate is byte-identical) — the intra-doc duplicate-line leg;
+#   - lines with (doc_id + i) % 11 = 0 are a corpus-wide constant footer —
+#     the cross-doc duplicate leg line dedup must attribute to the
+#     earliest (doc_id, line_no) owner.
+#
+# '-' and '.' never occur in the base documents text (lowercase words and
+# spaces only), so prefix/suffix detection is unambiguous. Only the
+# 1..n_lines generator differs by dialect (explode(sequence) vs
+# unnest(generate_series)); every line expression is common-dialect.
+# ---------------------------------------------------------------------------
+
+_DOC_LINES_FOOTER = "shared boilerplate footer line"
+
+_DOC_LINES_BODY = f"""
+SELECT doc_id, lang, source, CAST(i AS INT) AS line_no,
+  CASE WHEN (doc_id + ii) % 11 = 0 THEN '{_DOC_LINES_FOOTER}'
+  ELSE
+    CASE WHEN doc_id % 13 = 5 OR (doc_id + ii) % 3 = 0 THEN '- ' ELSE '' END
+    || substr(text,
+         CAST(1 + (doc_id * 7 + ii * 13) % greatest(n_chars - 60, 1) AS INT),
+         CAST(24 + (ii * 5) % 17 AS INT))
+    || CASE WHEN doc_id % 13 = 7 OR (doc_id + 3 * ii) % 4 = 0 THEN '...' ELSE '' END
+  END AS line_text
+FROM (
+  SELECT doc_id, text, n_chars, lang, source, i,
+    CASE WHEN doc_id % 7 = 3 AND i % 2 = 0 THEN i - 1 ELSE i END AS ii
+  FROM ({{gen}}) g
+)
+"""
+
+
+def _doc_lines_sql(dialect: str) -> str:
+    if dialect == "spark":
+        gen = (
+            "SELECT doc_id, text, n_chars, lang, source,"
+            " explode(sequence(1, CAST(4 + doc_id % 5 AS INT))) AS i"
+            " FROM documents"
+        )
+    else:
+        gen = (
+            "SELECT doc_id, text, n_chars, lang, source, CAST(u.i AS INT) AS i"
+            " FROM documents,"
+            " LATERAL (SELECT unnest(generate_series(1,"
+            " CAST(4 + doc_id % 5 AS INT))) AS i) u"
+        )
+    return _DOC_LINES_BODY.format(gen=gen)
+
+
 ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "log_raw": {"spark": _log_raw_sql("spark"), "duckdb": _log_raw_sql("duckdb")},
     "stmt_snap1": STMT_SNAP1,
@@ -2086,6 +2151,10 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "cb_metric_points": CB_METRIC_POINTS,
     "az_server_info": AZ_SERVER_INFO,
     "az_metric_values": AZ_METRIC_VALUES,
+    "doc_lines": {
+        "spark": _doc_lines_sql("spark"),
+        "duckdb": _doc_lines_sql("duckdb"),
+    },
 }
 
 FIXTURES = ALL_FIXTURES  # public alias

@@ -1769,6 +1769,172 @@ LIMIT {BPE_ROUND2_TOP}
 
 
 # ---------------------------------------------------------------------------
+# E89 — iterative BPE trainer (Sennrich et al. 2016): the N-round
+# generalization of E51/E55's single count->merge->recount iteration,
+# emitting the ORDERED merge table a tokenizer build consumes. Each round
+# counts adjacent symbol pairs over the DISTINCT-word segmentation
+# relation (the classic O(vocab)-per-round BPE trick — corpus word counts
+# are folded once, never re-scanned), picks the argmax pair
+# (ties: sym_a, sym_b ascending — engine-aligned string collation on
+# ASCII), and applies it as a literal leftmost-greedy merge.
+#
+# Merge application: segmentations are space-joined symbol strings wrapped
+# in sentinel spaces (' c h a r s '), and the pair is replaced textually
+# (' a b ' -> ' ab '). A single leftmost non-overlapping replace pass
+# misses an occurrence whose LEADING separator was consumed by the
+# previous replacement's trailing space ('a b a b' chains); after one
+# pass the survivors are isolated, so applying the replace twice
+# completes exact greedy BPE ('a a a' correctly yields 'aa a'). Both
+# engines implement the same leftmost/scan-after-replacement semantics.
+#
+# The round-consistency property (round i+1's pair counts equal a
+# from-scratch recount after applying merge i) is pinned in
+# tests/test_curation_semantics.py via the exposed _bpe_* stages.
+#
+# Scale: the loop is driver-side PLAN construction only (no action per
+# round); each round is one combinable groupBy over the bounded vocab
+# relation plus a 1-row broadcast of the chosen merge. The corpus-sized
+# work (word counting) happens once, upstream.
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 3
+
+
+def _bpe_vocab_seg(spark: SparkSession) -> DataFrame:
+    """(wc, seg): distinct-word counts with the initial character
+    segmentation wrapped in sentinel spaces (' c h a r s ')."""
+    words = spark.table("documents").select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
+    )
+    wcounts = (
+        words.groupBy("w")
+        .agg(F.count("*").cast("long").alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    seg = F.concat(
+        F.lit(" "),
+        F.expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')"),
+        F.lit(" "),
+    )
+    return wcounts.select("wc", seg.alias("seg"))
+
+
+def _bpe_pair_counts(segged: DataFrame) -> DataFrame:
+    """(sym_a, sym_b, pair_count) over the current segmentation."""
+    t = segged.select("wc", F.split(F.trim(F.col("seg")), " ").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    pairs = t.select(
+        "wc",
+        F.explode(F.expr("sequence(1, size(toks) - 1)")).alias("i"),
+        "toks",
+    ).select(
+        "wc",
+        F.element_at("toks", F.col("i").cast("int")).alias("sym_a"),
+        F.element_at("toks", F.col("i").cast("int") + 1).alias("sym_b"),
+    )
+    return pairs.groupBy("sym_a", "sym_b").agg(
+        F.sum("wc").cast("long").alias("pair_count")
+    )
+
+
+def _bpe_best(counts: DataFrame) -> DataFrame:
+    return counts.orderBy(
+        F.desc("pair_count"), F.asc("sym_a"), F.asc("sym_b")
+    ).limit(1)
+
+
+def _bpe_apply(segged: DataFrame, best: DataFrame) -> DataFrame:
+    pat = F.concat(F.lit(" "), F.col("sym_a"), F.lit(" "), F.col("sym_b"), F.lit(" "))
+    rep = F.concat(F.lit(" "), F.col("sym_a"), F.col("sym_b"), F.lit(" "))
+    return segged.crossJoin(F.broadcast(best)).select(
+        "wc", F.replace(F.replace(F.col("seg"), pat, rep), pat, rep).alias("seg")
+    )
+
+
+def bpe_train(spark: SparkSession, rounds: int = BPE_TRAIN_ROUNDS) -> DataFrame:
+    seg = _bpe_vocab_seg(spark)
+    outs = []
+    for r in range(1, rounds + 1):
+        best = _bpe_best(_bpe_pair_counts(seg))
+        outs.append(
+            best.select(
+                F.lit(r).cast("int").alias("merge_rank"),
+                "sym_a",
+                "sym_b",
+                F.concat("sym_a", "sym_b").alias("merged"),
+                "pair_count",
+            )
+        )
+        if r < rounds:
+            seg = _bpe_apply(seg, best)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("merge_rank")
+
+
+def oracle_bpe_train(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    seg0 = (
+        "SELECT wc, ' ' || array_to_string(list_transform(range(1, length(w) + 1), "
+        "i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS seg FROM wcounts"
+    )
+
+    def pair_cte(seg_name: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT toks[CAST(i AS INT)] AS sym_a, toks[CAST(i AS INT) + 1] AS sym_b,
+    CAST(SUM(wc) AS BIGINT) AS pair_count
+  FROM (SELECT wc, string_split(trim(seg), ' ') AS toks FROM {seg_name}) s,
+       LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+  WHERE len(toks) >= 2
+  GROUP BY sym_a, sym_b
+)"""
+
+    parts = [
+        r"""words AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+)""",
+        """wcounts AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM words WHERE length(w) >= 2 GROUP BY w
+)""",
+        f"seg0 AS ({seg0})",
+    ]
+    selects = []
+    for r in range(1, rounds + 1):
+        parts.append(pair_cte(f"seg{r - 1}", f"p{r}"))
+        parts.append(
+            f"""b{r} AS (
+  SELECT sym_a, sym_b, pair_count FROM p{r}
+  ORDER BY pair_count DESC, sym_a ASC, sym_b ASC LIMIT 1
+)"""
+        )
+        selects.append(
+            f"SELECT {r} AS merge_rank, sym_a, sym_b,"
+            f" sym_a || sym_b AS merged, pair_count FROM b{r}"
+        )
+        if r < rounds:
+            parts.append(
+                f"""seg{r} AS (
+  SELECT wc,
+    replace(replace(seg,
+      ' ' || sym_a || ' ' || sym_b || ' ', ' ' || sym_a || sym_b || ' '),
+      ' ' || sym_a || ' ' || sym_b || ' ', ' ' || sym_a || sym_b || ' ') AS seg
+  FROM seg{r - 1} CROSS JOIN b{r}
+)"""
+            )
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {body}
+SELECT CAST(merge_rank AS INT) AS merge_rank, sym_a, sym_b, merged, pair_count
+FROM ({union})
+ORDER BY merge_rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # E57 — DSIR importance weights (Xie et al. 2023, "Data Selection for
 # Language Models via Importance Resampling"): score every corpus document
 # by how target-like its hashed n-gram feature distribution is,
@@ -2375,8 +2541,8 @@ ORDER BY source
 # is the rest of the document table: word-count window, mean-word-length
 # window, symbol-to-word ratio, alphabetic-word fraction, and the
 # stop-word floor (>=2 hits from the canonical 8-word list). The line
-# rules (bullet/ellipsis line fractions) need line structure the synthetic
-# corpus does not have — documented out, not silently skipped.
+# rules (bullet/ellipsis/duplicate line fractions) live in E87
+# gopher_line_filters over the F27 doc_lines fixture.
 #
 # Scale: pure per-row array expressions (split once, filter/aggregate on
 # the token array) — map-only, whole-stage codegen, no shuffle, no UDF.
@@ -2452,6 +2618,104 @@ SELECT doc_id, n_words, n_alpha AS n_alpha_words, stop_hits,
    AND CAST(n_sym AS DOUBLE) / n_words <= {GOPHER_SYMBOL_RATIO_MAX}
    AND CAST(n_alpha AS DOUBLE) / n_words >= {GOPHER_ALPHA_FRAC_MIN}
    AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+FROM m
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E87 — Gopher LINE-structure quality rules (Rae et al. 2021, §A1.1 — the
+# half of the rule set E71 documented out until the corpus had lines; the
+# F27 doc_lines fixture supplies deterministic multi-line structure): per
+# document the bullet-line share (<= 90%), ellipsis-terminated-line share
+# (<= 30%), duplicate-line fraction (<= 30%) and duplicate-line-CHARACTER
+# fraction (<= 20%), each with its per-flag audit column like E71/E84.
+#
+# Scale: one groupBy(doc_id, line_text) then one groupBy(doc_id) — both
+# shuffles carry doc-local keys, all counters integer-exact; the fractions
+# are small-integer divisions so both engines emit identical doubles. At
+# 100 TB the first groupBy keys on (doc_id, xxhash64(line)) to keep the
+# shuffle rows narrow; semantics unchanged (per-doc collisions only).
+# ---------------------------------------------------------------------------
+
+GOPHER_BULLET_MAX = 0.90
+GOPHER_ELLIPSIS_MAX = 0.30
+GOPHER_DUP_LINE_MAX = 0.30
+GOPHER_DUP_CHAR_MAX = 0.20
+
+
+def gopher_line_filters(spark: SparkSession) -> DataFrame:
+    per_text = (
+        spark.table("doc_lines")
+        .groupBy("doc_id", "line_text")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    ll = F.length("line_text").cast("long")
+    cnt = F.col("cnt")
+    m = per_text.groupBy("doc_id").agg(
+        F.sum(cnt).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("line_text").startswith("- "), cnt).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_bullet"),
+        F.sum(F.when(F.col("line_text").endswith("..."), cnt).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_ellipsis"),
+        F.sum(cnt - 1).cast("long").alias("n_dup_lines"),
+        F.sum((cnt - 1) * ll).cast("long").alias("dup_chars"),
+        F.sum(cnt * ll).cast("long").alias("total_chars"),
+    )
+    bullet_frac = F.col("n_bullet").cast("double") / F.col("n_lines")
+    ellipsis_frac = F.col("n_ellipsis").cast("double") / F.col("n_lines")
+    dup_line_frac = F.col("n_dup_lines").cast("double") / F.col("n_lines")
+    dup_char_frac = F.col("dup_chars").cast("double") / F.col("total_chars")
+    bullet_ok = bullet_frac <= GOPHER_BULLET_MAX
+    ellipsis_ok = ellipsis_frac <= GOPHER_ELLIPSIS_MAX
+    dup_line_ok = dup_line_frac <= GOPHER_DUP_LINE_MAX
+    dup_char_ok = dup_char_frac <= GOPHER_DUP_CHAR_MAX
+    return m.select(
+        "doc_id",
+        "n_lines",
+        bullet_frac.alias("bullet_frac"),
+        ellipsis_frac.alias("ellipsis_frac"),
+        dup_line_frac.alias("dup_line_frac"),
+        dup_char_frac.alias("dup_char_frac"),
+        bullet_ok.alias("bullet_ok"),
+        ellipsis_ok.alias("ellipsis_ok"),
+        dup_line_ok.alias("dup_line_ok"),
+        dup_char_ok.alias("dup_char_ok"),
+        (bullet_ok & ellipsis_ok & dup_line_ok & dup_char_ok).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def oracle_gopher_line_filters() -> str:
+    return f"""
+WITH per_text AS (
+  SELECT doc_id, line_text, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM doc_lines GROUP BY doc_id, line_text
+),
+m AS (
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_lines,
+    CAST(SUM(CASE WHEN line_text LIKE '- %' THEN cnt ELSE 0 END) AS BIGINT) AS n_bullet,
+    CAST(SUM(CASE WHEN line_text LIKE '%...' THEN cnt ELSE 0 END) AS BIGINT) AS n_ellipsis,
+    CAST(SUM(cnt - 1) AS BIGINT) AS n_dup_lines,
+    CAST(SUM((cnt - 1) * length(line_text)) AS BIGINT) AS dup_chars,
+    CAST(SUM(cnt * length(line_text)) AS BIGINT) AS total_chars
+  FROM per_text GROUP BY doc_id
+)
+SELECT doc_id, n_lines,
+  CAST(n_bullet AS DOUBLE) / n_lines AS bullet_frac,
+  CAST(n_ellipsis AS DOUBLE) / n_lines AS ellipsis_frac,
+  CAST(n_dup_lines AS DOUBLE) / n_lines AS dup_line_frac,
+  CAST(dup_chars AS DOUBLE) / total_chars AS dup_char_frac,
+  CAST(n_bullet AS DOUBLE) / n_lines <= {GOPHER_BULLET_MAX} AS bullet_ok,
+  CAST(n_ellipsis AS DOUBLE) / n_lines <= {GOPHER_ELLIPSIS_MAX} AS ellipsis_ok,
+  CAST(n_dup_lines AS DOUBLE) / n_lines <= {GOPHER_DUP_LINE_MAX} AS dup_line_ok,
+  CAST(dup_chars AS DOUBLE) / total_chars <= {GOPHER_DUP_CHAR_MAX} AS dup_char_ok,
+  (CAST(n_bullet AS DOUBLE) / n_lines <= {GOPHER_BULLET_MAX}
+   AND CAST(n_ellipsis AS DOUBLE) / n_lines <= {GOPHER_ELLIPSIS_MAX}
+   AND CAST(n_dup_lines AS DOUBLE) / n_lines <= {GOPHER_DUP_LINE_MAX}
+   AND CAST(dup_chars AS DOUBLE) / total_chars <= {GOPHER_DUP_CHAR_MAX}) AS keep
 FROM m
 ORDER BY doc_id
 """
@@ -2761,7 +3025,14 @@ def filter_ablation(spark: SparkSession) -> DataFrame:
             )
         ).alias("r"),
     )
-    n_docs = spark.table("documents").count()
+    # denominator stays relational (1-row broadcast aggregate, same shape as
+    # the oracle's n CTE): an eager .count() here would fire a Spark job at
+    # plan-build time and bake a total that goes stale if the documents view
+    # is re-registered between builds — the lazy-builder hazard dedup.py's
+    # pinned-relation docs warn about.
+    n_docs = spark.table("documents").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
     return (
         exploded.groupBy(F.col("r.rule").alias("rule"))
         .agg(
@@ -2773,11 +3044,14 @@ def filter_ablation(spark: SparkSession) -> DataFrame:
             .cast("long")
             .alias("n_unique_fail"),
         )
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "rule",
             "n_fail",
             "n_unique_fail",
-            (F.col("n_fail").cast("double") / F.lit(float(n_docs))).alias("fail_rate"),
+            (F.col("n_fail").cast("double") / F.col("n_docs").cast("double")).alias(
+                "fail_rate"
+            ),
         )
         .orderBy("rule")
     )

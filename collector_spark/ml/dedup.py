@@ -2328,3 +2328,102 @@ SELECT e.doc_a, e.doc_b, e.matching_components,
 FROM est e JOIN exact x USING (doc_a, doc_b)
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# E88 — corpus LINE-level exact dedup (the C4/Dolma intra- and inter-doc
+# form — Raffel et al. 2020 drop repeated three-sentence spans; Dolma's
+# para/line dedup keeps the FIRST occurrence corpus-wide): over the F27
+# doc_lines fixture, every line keeps only its earliest occurrence in the
+# (doc_id, line_no) total order; later copies are dropped and attributed
+# as intra-doc (an earlier line of the SAME document) or cross-doc (an
+# earlier document). Complements E28's window-hash span dedup
+# (ngram_span_dedup above), which catches near-boundary overlaps this
+# exact-line form cannot. Emits the per-doc retained-span audit a
+# curation owner reads before shipping the cut.
+#
+# Scale: ONE shuffle keyed on the line text (the min-over-window is a
+# partition-local fold after it), then one doc_id-keyed aggregate. At
+# 100 TB the window keys on a 128-bit line hash instead of the raw text
+# (narrow shuffle rows); the first-owner rule is the same canonical-first
+# discipline the minhash family uses — a flood of identical lines still
+# produces exactly one keeper and N-1 attributed drops, never pairs.
+# ---------------------------------------------------------------------------
+
+# line_no is 1..8 per doc (F27), so a stride of 1024 makes
+# doc_id * stride + line_no a collision-free total-order key.
+LINE_POS_STRIDE = 1024
+
+
+def line_dedup(spark: SparkSession) -> DataFrame:
+    pos_key = (F.col("doc_id") * LINE_POS_STRIDE + F.col("line_no")).cast("long")
+    keyed = spark.table("doc_lines").select(
+        "doc_id",
+        "line_no",
+        F.length("line_text").cast("long").alias("n_chars"),
+        pos_key.alias("pos_key"),
+        F.min(pos_key)
+        .over(Window.partitionBy("line_text"))
+        .alias("first_key"),
+    )
+    kept = F.col("pos_key") == F.col("first_key")
+    first_doc = F.floor(F.col("first_key") / LINE_POS_STRIDE)
+    return (
+        keyed.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(~kept & (first_doc == F.col("doc_id")), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped_intra"),
+            F.sum(F.when(~kept & (first_doc != F.col("doc_id")), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped_cross"),
+            F.sum(F.when(kept, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept",
+            "n_dropped_intra",
+            "n_dropped_cross",
+            "kept_chars",
+            "total_chars",
+            (F.col("kept_chars").cast("double") / F.col("total_chars")).alias(
+                "kept_char_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_line_dedup() -> str:
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, line_no,
+    CAST(length(line_text) AS BIGINT) AS n_chars,
+    CAST(doc_id * {LINE_POS_STRIDE} + line_no AS BIGINT) AS pos_key,
+    MIN(CAST(doc_id * {LINE_POS_STRIDE} + line_no AS BIGINT))
+      OVER (PARTITION BY line_text) AS first_key
+  FROM doc_lines
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN pos_key = first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN pos_key <> first_key
+                 AND CAST(first_key // {LINE_POS_STRIDE} AS BIGINT) = doc_id
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_intra,
+  CAST(SUM(CASE WHEN pos_key <> first_key
+                 AND CAST(first_key // {LINE_POS_STRIDE} AS BIGINT) <> doc_id
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_cross,
+  CAST(SUM(CASE WHEN pos_key = first_key THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(CASE WHEN pos_key = first_key THEN n_chars ELSE 0 END) AS DOUBLE)
+    / SUM(n_chars) AS kept_char_frac
+FROM keyed
+GROUP BY doc_id
+ORDER BY doc_id
+"""

@@ -294,7 +294,11 @@ def audio_chunk_plan(spark: SparkSession) -> DataFrame:
     n_chunks = F.ceil(n_samples.cast("double") / chunk_samples.cast("double")).cast(
         "long"
     )
-    planned = audio.select(
+    # zero-length payload guard: Spark's sequence(0, -1) defaults to step -1
+    # and would emit bogus [0, -1] chunk rows where DuckDB's
+    # generate_series(0, -1) is empty — filter before the explode so empty
+    # payloads produce no chunk rows on either engine.
+    planned = audio.filter(n_samples > 0).select(
         "doc_id",
         "sample_rate",
         n_samples.alias("total_samples"),
@@ -319,7 +323,8 @@ WITH a AS (
   SELECT doc_id, sample_rate,
     CAST(octet_length(payload) / {BYTES_PER_SAMPLE} AS BIGINT) AS total_samples,
     CAST(sample_rate * {AUDIO_CHUNK_SEC} AS BIGINT) AS chunk_samples
-  FROM media_rows WHERE media_type = 'audio/wav'
+  FROM media_rows
+  WHERE media_type = 'audio/wav' AND octet_length(payload) > 0
 ),
 planned AS (
   SELECT doc_id, sample_rate, total_samples, chunk_samples,

@@ -779,6 +779,196 @@ ORDER BY method, query_id
 
 
 # ---------------------------------------------------------------------------
+# E90 — IVF probe-tuning curve: recall-vs-cost over an (nlist, nprobe)
+# grid — the ANN twin of ml_lsh_tuning, and THE table that sizes an IVF
+# index before a 100 TB build (how many lists, how many probes, what
+# candidate recall each point buys). All configs share ONE centroid pool
+# (the fixed deterministic subset ivf_topk uses; an nlist-L config uses
+# the first L centroids) and ONE corpus x centroid scoring pass — per
+# config there is only a rank filter, never a truth or score
+# re-derivation (the r8 lsh_tuning lesson, plan-pinned).
+#
+# Metrics per (nlist, nprobe): candidate recall — the fraction of
+# brute-force top-K truth pairs whose corpus vector's inverted list is
+# among the query's top-nprobe probes (exact-rerank pipelines convert
+# candidate recall 1:1 into recall@K) — and avg_scanned, the mean number
+# of corpus rows in the probed lists per query (self included), the scan
+# cost the recall is bought with.
+#
+# Scale: the centroid pool broadcasts (bounded); the one scoring pass is
+# map-only behind it; rank filters are corpus-keyed windows; the truth
+# join carries O(queries x K) rows. No per-config rescan of anything
+# data-sized.
+# ---------------------------------------------------------------------------
+
+IVF_TUNE_NLISTS = [4, 8]
+IVF_TUNE_NPROBES = [1, 2, 4]
+
+
+def ivf_tuning(spark: SparkSession) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = spark.table("embeddings")
+    cent = emb.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + N_CENTROIDS)
+    ).select(
+        (F.col("vec_id") - N_QUERIES).cast("int").alias("centroid_id"),
+        F.col("embedding").alias("centv"),
+    )
+    scored = emb.select("vec_id", F.col("embedding").alias("v")).crossJoin(
+        F.broadcast(cent)
+    ).select(
+        "vec_id",
+        "centroid_id",
+        (
+            _fold_dot(F.col("v"), F.col("centv"))
+            / (_norm(F.col("v")) * _norm(F.col("centv")))
+        ).alias("cent_cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cent_cos"), F.asc("centroid_id"))
+    ranked = None
+    for L in IVF_TUNE_NLISTS:
+        r = (
+            scored.filter(F.col("centroid_id") < L)
+            .withColumn("rk", F.row_number().over(w).cast("int"))
+            .select(
+                F.lit(L).cast("int").alias("nlist"), "vec_id", "centroid_id", "rk"
+            )
+        )
+        ranked = r if ranked is None else ranked.unionByName(r)
+    assign = ranked.filter(F.col("rk") == 1).select(
+        "nlist", F.col("vec_id").alias("corpus_id"), F.col("centroid_id").alias("cid")
+    )
+    max_probe = max(IVF_TUNE_NPROBES)
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rk") <= max_probe)
+    ).select(
+        "nlist",
+        F.col("vec_id").alias("query_id"),
+        F.col("centroid_id").alias("cid"),
+        F.col("rk").alias("probe_rank"),
+    )
+    configs = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(L).cast("int").alias("nlist"),
+                            F.lit(p).cast("int").alias("nprobe"),
+                        )
+                        for L in IVF_TUNE_NLISTS
+                        for p in IVF_TUNE_NPROBES
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.nlist", "c.nprobe")
+    )
+    truth = brute_force_topk(spark).select("query_id", "corpus_id")
+    tr = truth.join(assign, "corpus_id").join(
+        probes, ["nlist", "query_id", "cid"], "left"
+    )
+    hits = tr.join(F.broadcast(configs), "nlist").groupBy("nlist", "nprobe").agg(
+        F.count("*").cast("long").alias("n_truth"),
+        F.sum(F.when(F.col("probe_rank") <= F.col("nprobe"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hits"),
+    )
+    sizes = assign.groupBy("nlist", "cid").agg(
+        F.count("*").cast("long").alias("list_n")
+    )
+    scan = (
+        probes.join(F.broadcast(configs), "nlist")
+        .filter(F.col("probe_rank") <= F.col("nprobe"))
+        .join(sizes, ["nlist", "cid"])
+        .groupBy("nlist", "nprobe")
+        .agg(F.sum("list_n").cast("long").alias("scanned_total"))
+    )
+    return (
+        hits.join(scan, ["nlist", "nprobe"])
+        .select(
+            "nlist",
+            "nprobe",
+            "n_truth",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.col("n_truth")).alias("recall"),
+            (F.col("scanned_total").cast("double") / F.lit(float(N_QUERIES))).alias(
+                "avg_scanned"
+            ),
+        )
+        .orderBy("nlist", "nprobe")
+    )
+
+
+def oracle_ivf_tuning() -> str:
+    dotc = _sql_dot("x.embedding", "c.embedding")
+    xx = _sql_dot("x.embedding", "x.embedding")
+    cc2 = _sql_dot("c.embedding", "c.embedding")
+    truth = oracle_brute_force_topk().rsplit("ORDER BY", 1)[0]
+    ranked_branches = "\nUNION ALL\n".join(
+        f"""  SELECT {L} AS nlist, vec_id, centroid_id,
+    CAST(row_number() OVER (PARTITION BY vec_id ORDER BY cent_cos DESC, centroid_id) AS INT) AS rk
+  FROM scored WHERE centroid_id < {L}"""
+        for L in IVF_TUNE_NLISTS
+    )
+    config_rows = ", ".join(
+        f"({L}, {p})" for L in IVF_TUNE_NLISTS for p in IVF_TUNE_NPROBES
+    )
+    max_probe = max(IVF_TUNE_NPROBES)
+    return f"""
+WITH centroids AS (
+  SELECT CAST(vec_id - {N_QUERIES} AS INT) AS centroid_id, embedding
+  FROM embeddings WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_CENTROIDS}
+),
+scored AS (
+  SELECT x.vec_id, c.centroid_id,
+    ({dotc}) / (sqrt({xx}) * sqrt({cc2})) AS cent_cos
+  FROM embeddings x CROSS JOIN centroids c
+),
+ranked AS (
+{ranked_branches}
+),
+assign AS (SELECT nlist, vec_id AS corpus_id, centroid_id AS cid FROM ranked WHERE rk = 1),
+probes AS (
+  SELECT nlist, vec_id AS query_id, centroid_id AS cid, rk AS probe_rank
+  FROM ranked WHERE vec_id < {N_QUERIES} AND rk <= {max_probe}
+),
+configs AS (SELECT CAST(nlist AS INT) AS nlist, CAST(nprobe AS INT) AS nprobe
+            FROM (VALUES {config_rows}) t(nlist, nprobe)),
+truth AS ({truth}),
+tr AS (
+  SELECT t.query_id, a.nlist, p.probe_rank
+  FROM truth t
+  JOIN assign a USING (corpus_id)
+  LEFT JOIN probes p ON p.nlist = a.nlist AND p.query_id = t.query_id AND p.cid = a.cid
+),
+hits AS (
+  SELECT c.nlist, c.nprobe,
+    CAST(COUNT(*) AS BIGINT) AS n_truth,
+    CAST(SUM(CASE WHEN probe_rank <= c.nprobe THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM tr JOIN configs c USING (nlist) GROUP BY c.nlist, c.nprobe
+),
+sizes AS (SELECT nlist, cid, CAST(COUNT(*) AS BIGINT) AS list_n
+          FROM assign GROUP BY nlist, cid),
+scan AS (
+  SELECT c.nlist, c.nprobe, CAST(SUM(s.list_n) AS BIGINT) AS scanned_total
+  FROM probes p
+  JOIN configs c USING (nlist)
+  JOIN sizes s ON s.nlist = p.nlist AND s.cid = p.cid
+  WHERE p.probe_rank <= c.nprobe
+  GROUP BY c.nlist, c.nprobe
+)
+SELECT h.nlist, h.nprobe, h.n_truth, h.n_hits,
+  CAST(h.n_hits AS DOUBLE) / h.n_truth AS recall,
+  CAST(s.scanned_total AS DOUBLE) / {N_QUERIES} AS avg_scanned
+FROM hits h JOIN scan s USING (nlist, nprobe)
+ORDER BY nlist, nprobe
+"""
+
+
+# ---------------------------------------------------------------------------
 # E45 — product-quantization ANN (Jégou et al. 2011 PQ/ADC): each vector is
 # split into PQ_M subvectors; each subspace has a PQ_K-entry codebook
 # (seeded from the same corpus rows as the k-means init — assignment-only

@@ -5,16 +5,13 @@ extension operators). Names follow the SURVEY inventory ids so the judge can
 check coverage line by line.
 
 REGISTRATION ORDER MATTERS: the driver's correctness sweep verifies the first
-50 registrations in catalog order. The file is therefore laid out as:
-
-  A. registrations that have never had a driver CORRECTNESS row (round-3
-     additions that sat past the window) — these MUST come first;
-  B. queries whose semantics or plan changed this round (lock_type remap,
-     Cosmos prefix gating, lenient transport timestamps, fingerprint
-     precompute, stream state codec) — fresh driver rows wanted;
-  C. driver-green in a prior round and unchanged — pinned by
-     tests/test_registry_oracle.py, which runs the identical DuckDB
-     comparison over ALL registrations regardless of order.
+50 registrations in registry order. Since round 10 that order is declared
+explicitly by the DRIVER_WINDOW rotation at the END of this file (new
+operators + changed plans + the stalest prior driver rows), so physical
+register() position in this file no longer matters. Every registration —
+windowed or not — is verified in-repo each round by
+tests/test_registry_oracle.py, which runs the identical DuckDB comparison
+over ALL entries.
 """
 
 from __future__ import annotations
@@ -104,6 +101,41 @@ from collector_spark.registry import register
 from collector_spark.streaming import doc_stream
 from collector_spark.streaming.log_stream import stream_classify, stream_stitch
 from collector_spark.streaming.stat_buckets import stream_stat_buckets
+
+# ===========================================================================
+# A-r10. round-10 capability additions (SURVEY §2.10 E87-E90): Gopher
+#   line-structure rules + corpus line-level dedup (over the NEW F27
+#   doc_lines fixture), the N-round BPE trainer, and the IVF probe-tuning
+#   curve. Physical position no longer decides the driver window — the
+#   DRIVER_WINDOW rotation at the END of this file does (round-10 verdict
+#   item 1); these four are in its front block.
+# ===========================================================================
+
+register(
+    "ml_gopher_line_filters",
+    curation.gopher_line_filters,
+    curation.oracle_gopher_line_filters(),
+    fixtures=["doc_lines"],
+)
+
+register(
+    "ml_line_dedup",
+    dedup.line_dedup,
+    dedup.oracle_line_dedup(),
+    fixtures=["doc_lines"],
+)
+
+register(
+    "ml_bpe_train",
+    curation.bpe_train,
+    curation.oracle_bpe_train(),
+)
+
+register(
+    "ml_ivf_tuning",
+    similarity.ivf_tuning,
+    similarity.oracle_ivf_tuning(),
+)
 
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
@@ -1829,3 +1861,99 @@ register(
     fixtures=["buffercache_rows", "class_rows"],
 )
 
+
+
+# ===========================================================================
+# Driver-window rotation. The driver's per-round correctness sweep verifies
+# the FIRST 50 registrations in registry (dict) order. Physically reordering
+# 234 register() calls each round buried the rotation in diff noise, so the
+# window is now declared explicitly: the names below are moved to the front
+# of the registry, in this order, after the whole catalog registers.
+#
+# Round-10 window (r9 verdict item 1 — rotate the stale driver rows):
+#   1-4    NEW this round (E87-E90);
+#   5-8    queries whose plan or semantics changed this round (audio chunk
+#          zero-payload guard, filter-ablation relational denominator, the
+#          zipf/bloom streaming-twin refactor onto the shared staging
+#          helpers) — fresh driver rows wanted;
+#   9-46   every query whose latest driver row is round 2 (38 names);
+#   47-50  the oldest round-3 names the verdict called out (j6/j10,
+#          ml_exact_dup, and the ANN truth baseline).
+# Remaining r3 rows rotate in round 11, r5/r6 rows in rounds 11-12 — every
+# query has a driver row <= 5 rounds old by r12. The full catalog is still
+# verified in-repo every round by tests/test_registry_oracle.py regardless
+# of window position.
+# ===========================================================================
+
+DRIVER_WINDOW = [
+    # -- new (r10)
+    "ml_gopher_line_filters",
+    "ml_line_dedup",
+    "ml_bpe_train",
+    "ml_ivf_tuning",
+    # -- changed (r10)
+    "mm_audio_chunk_plan",
+    "ml_filter_ablation",
+    "st_ml_zipf_fit",
+    "st_ml_bloom_screen",
+    # -- stale since round 2
+    "a1_statement_diff",
+    "a3_relation_diff",
+    "a4_database_diff",
+    "a5_cpu_percentages",
+    "a6_disk_rates",
+    "a7_io_diff",
+    "a8_function_diff",
+    "a9_collector_diff",
+    "a11_buffercache_totals",
+    "a12_bucket_accumulation",
+    "a13_latest_split",
+    "a14_xmin_horizon",
+    "j5_parent_size_rollup",
+    "log_parse",
+    "mm_media_metadata",
+    "mm_resize_frame_plan",
+    "p1_ignore_filter",
+    "p7_log_early_ignore",
+    "p11_explain_skip",
+    "p12_time_window",
+    "s3_statements_info",
+    "s5_backend_identity",
+    "s6_backend_counts",
+    "s7_databases_scan",
+    "s9_buffercache_scan",
+    "s10_relation_scan",
+    "s25_replication_primary",
+    "s26_standby_lag",
+    "s28_xmin_horizon_full",
+    "s29_txid_scan",
+    "st7_reset_decision",
+    "st10_stream_buckets",
+    "st_u7_stream_classify",
+    "u7c_parameter_details",
+    "u8_log_redact",
+    "w1_settings_dedup",
+    "w3_log_stitch",
+    "w4_log_associate",
+    # -- oldest round-3 names (the rest rotate in round 11)
+    "j6_plan_statement_join",
+    "j10_dimension_upsert",
+    "ml_exact_dup",
+    "ml_brute_force_topk",
+]
+
+
+def _rotate_front(names: list[str]) -> None:
+    from collector_spark.registry import REGISTRY
+
+    missing = [n for n in names if n not in REGISTRY]
+    if missing:
+        raise ValueError(f"driver window names not registered: {missing}")
+    front = {n: REGISTRY.pop(n) for n in names}
+    rest = dict(REGISTRY)
+    REGISTRY.clear()
+    REGISTRY.update(front)
+    REGISTRY.update(rest)
+
+
+_rotate_front(DRIVER_WINDOW)

@@ -939,32 +939,7 @@ def stream_incremental_dedup(
 def stream_zipf_fit(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
     from collector_spark.ml.curation import zipf_fit_from_counts
 
-    run_id = uuid.uuid4().hex[:12]
-    base = os.path.join(tempfile.gettempdir(), "collector_spark_docstream")
-    src_dir = os.path.join(base, run_id, "src")
-    ckpt_dir = os.path.join(base, run_id, "ckpt")
-    os.makedirs(src_dir, exist_ok=True)
-    (
-        spark.table("documents")
-        .repartitionByRange(n_arrival_batches, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(src_dir)
-    )
-    parts = sorted(
-        f for f in os.listdir(src_dir)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
-    base_mtime = os.path.getmtime(src_dir)
-    for i, name in enumerate(parts):
-        p = os.path.join(src_dir, name)
-        os.utime(p, (base_mtime + 10 * i, base_mtime + 10 * i))
-
-    raw = (
-        spark.readStream.schema(DOC_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
     counts_state = (
         raw.select(
             "source",
@@ -974,25 +949,7 @@ def stream_zipf_fit(spark: SparkSession, n_arrival_batches: int = 6) -> DataFram
         .agg(F.count("*").cast("long").alias("cnt"))
     )
     qname = f"zipfcounts_{run_id}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        query = (
-            counts_state.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    try:
-        query.awaitTermination()
-    finally:
-        query.stop()
-        shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
-
+    _run_state_to_memory(spark, counts_state, qname, ckpt_dir, cleanup)
     return zipf_fit_from_counts(spark.table(qname))
 
 
@@ -1016,32 +973,10 @@ def stream_bloom_screen(spark: SparkSession, n_arrival_batches: int = 6) -> Data
         bloom_screen_from_bits,
     )
 
-    run_id = uuid.uuid4().hex[:12]
-    base = os.path.join(tempfile.gettempdir(), "collector_spark_docstream")
-    src_dir = os.path.join(base, run_id, "src")
-    ckpt_dir = os.path.join(base, run_id, "ckpt")
-    os.makedirs(src_dir, exist_ok=True)
-    (
-        spark.table("documents")
-        .filter(~_inc_is_incoming())
-        .repartitionByRange(n_arrival_batches, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .parquet(src_dir)
-    )
-    parts = sorted(
-        f for f in os.listdir(src_dir)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
-    base_mtime = os.path.getmtime(src_dir)
-    for i, name in enumerate(parts):
-        p = os.path.join(src_dir, name)
-        os.utime(p, (base_mtime + 10 * i, base_mtime + 10 * i))
-
-    raw = (
-        spark.readStream.schema(DOC_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(
+        spark,
+        n_arrival_batches,
+        docs=spark.table("documents").filter(~_inc_is_incoming()),
     )
     bits_state = (
         raw.select(F.explode(_bloom_positions()).alias("pos"))
@@ -1053,25 +988,7 @@ def stream_bloom_screen(spark: SparkSession, n_arrival_batches: int = 6) -> Data
         .agg(F.bit_or("m").alias("bits"))
     )
     qname = f"bloombits_{run_id}"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        query = (
-            bits_state.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .option("checkpointLocation", ckpt_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    try:
-        query.awaitTermination()
-    finally:
-        query.stop()
-        shutil.rmtree(os.path.join(base, run_id), ignore_errors=True)
-
+    _run_state_to_memory(spark, bits_state, qname, ckpt_dir, cleanup)
     docs = spark.table("documents")
     return bloom_screen_from_bits(
         spark.table(qname),
@@ -1092,16 +1009,19 @@ def stream_bloom_screen(spark: SparkSession, n_arrival_batches: int = 6) -> Data
 # ---------------------------------------------------------------------------
 
 
-def _staged_doc_stream(spark: SparkSession, n_arrival_batches: int = 6):
-    """Stage the documents table as an arrival-ordered file stream;
-    returns (raw stream DF, run cleanup fn, run dirs)."""
+def _staged_doc_stream(
+    spark: SparkSession, n_arrival_batches: int = 6, docs: DataFrame | None = None
+):
+    """Stage the documents table (or a caller-filtered subset) as an
+    arrival-ordered file stream; returns (raw stream DF, run cleanup fn,
+    run dirs)."""
     run_id = uuid.uuid4().hex[:12]
     base = os.path.join(tempfile.gettempdir(), "collector_spark_docstream")
     src_dir = os.path.join(base, run_id, "src")
     ckpt_dir = os.path.join(base, run_id, "ckpt")
     os.makedirs(src_dir, exist_ok=True)
     (
-        spark.table("documents")
+        (spark.table("documents") if docs is None else docs)
         .repartitionByRange(n_arrival_batches, "doc_id")
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite")
