@@ -1434,8 +1434,14 @@ def incremental_dedup(
     existing = docs.filter(~_inc_is_incoming())
     incoming = docs.filter(_inc_is_incoming())
     if materialize is None:
+        # default ON: the scale-correct shape (one corpus read + one
+        # canonical-batch checkpoint) must be what an unconfigured
+        # production call gets — a wrong-at-scale default is a footgun
+        # (r9 verdict item 5). Only the registered local oracle/bench
+        # form opts out explicitly (recompute measured faster than the
+        # checkpoint barrier at fixture scale: 4.8 s vs 6.2 s at sf0.1).
         materialize = (
-            spark.conf.get("collector_spark.incremental.materialize", "false")
+            spark.conf.get("collector_spark.incremental.materialize", "true")
             == "true"
         )
 
@@ -1456,12 +1462,11 @@ def incremental_dedup(
     # per-doc sizes), which otherwise each re-derive the exact-canonical
     # window from the source scan — the unmaterialized plan reads the
     # corpus 46 times with zero exchange reuse (tests/test_curation_plans
-    # pins both shapes). At fixture scale recompute WINS on wall clock
-    # (the checkpoint barrier costs more than 46 tiny scans: measured
-    # 4.8 s vs 6.2 s cold at sf0.1), so the local default is off; on a
-    # cluster ingesting a real corpus batch, set
-    # collector_spark.incremental.materialize=true — one corpus read +
-    # one canonical-batch materialization instead of 46 corpus reads.
+    # pins both shapes). The DEFAULT is materialize=True (the cluster
+    # shape); the registered oracle/bench form passes materialize=False
+    # because at fixture scale recompute wins on wall clock (the
+    # checkpoint barrier costs more than 46 tiny scans: measured 4.8 s
+    # vs 6.2 s cold at sf0.1).
     # The checkpoint sits BEFORE the shingle explode: one row per
     # canonical doc, not ~50 shingles per doc.
     union_canon = (

@@ -407,9 +407,13 @@ register(
 
 register("ml_semdedup", similarity.semdedup, similarity.oracle_semdedup())
 
+# the oracle/bench form opts OUT of the (now default-on) canonical-union
+# materialization: at fixture scale recompute beats the checkpoint barrier
+# (measured 4.8 s vs 6.2 s at sf0.1); production paths (the foreachBatch
+# twin, unconfigured calls) take the default — r9 verdict item 5
 register(
     "ml_incremental_dedup",
-    dedup.incremental_dedup,
+    partial(dedup.incremental_dedup, materialize=False),
     dedup.oracle_incremental_dedup(),
 )
 

@@ -197,8 +197,8 @@ def test_embedding_outliers_single_pass(prepared_spark):
 def test_incremental_dedup_materialize_collapses_scans(prepared_spark):
     """E68's production knob: with materialize=True the canonical union is
     checkpointed once and the plan's source-scan count collapses (46 -> a
-    handful); default (off) trades scans for zero-barrier wall clock at
-    fixture scale. Both shapes pinned so neither silently regresses."""
+    handful); materialize=False trades scans for zero-barrier wall clock
+    at fixture scale. Both shapes pinned so neither silently regresses."""
     from collector_spark.ml.dedup import incremental_dedup
 
     def scans(df):
@@ -209,3 +209,26 @@ def test_incremental_dedup_materialize_collapses_scans(prepared_spark):
     mat_scans = scans(incremental_dedup(prepared_spark, materialize=True))
     assert mat_scans <= 8, mat_scans
     assert lazy_scans > 3 * mat_scans, (lazy_scans, mat_scans)
+
+
+def test_incremental_dedup_default_is_sink_shape(prepared_spark):
+    """r9 verdict item 5: the DEFAULT (what an unconfigured production
+    call — including the foreachBatch streaming twin — gets) must be the
+    materialized 6-scan cluster shape; only the registered oracle/bench
+    form opts into recompute."""
+    from collector_spark import registry
+    from collector_spark.ml.dedup import incremental_dedup
+
+    def scans(df):
+        plan = _plan(df)
+        return plan.count("Scan parquet") + plan.count("FileScan")
+
+    default_scans = scans(incremental_dedup(prepared_spark))
+    mat_scans = scans(incremental_dedup(prepared_spark, materialize=True))
+    assert default_scans == mat_scans, (default_scans, mat_scans)
+
+    registry.load_all()
+    registered = registry.REGISTRY["ml_incremental_dedup"].spark_fn
+    reg_scans = scans(registered(prepared_spark))
+    lazy_scans = scans(incremental_dedup(prepared_spark, materialize=False))
+    assert reg_scans == lazy_scans, (reg_scans, lazy_scans)
