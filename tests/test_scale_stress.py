@@ -1,0 +1,287 @@
+"""Adversarial-scale stress: the cap invariants must bound ACTUAL pair
+counts, not just appear in the plan (r9 verdict item 6).
+
+Builds a skewed ~sf0.5 slice in a temp dir from the sf0.1 parquet:
+  - documents x5 (remapped doc_ids), PLUS an exact-duplicate flood
+    (one content x 1000 ids) and a hot LSH band (200 near-identical
+    docs sharing a 95-word prefix -> band buckets far above
+    LSH_BUCKET_CAP)
+  - orders/lineitem x5 (remapped orderkeys, all fixture mods
+    preserved), PLUS one hot statement fingerprint: 2000 orders all
+    landing on (database_oid=3, user_oid=7, query_id=3,
+    toplevel=false) with 5 lineitems each, 3 of them in snap1 (the
+    fixture's l_linenumber <= 3 cut) so the hot group also exercises
+    the diff path
+
+and asserts, by COUNTING ROWS on the skewed corpus:
+  - exact dedup keeps exactly 1 of the 1000-dup flood (linear
+    hash-groupBy, no pair expansion at any group size)
+  - LSH candidate generation emits ZERO flood-flood pairs
+    (canonical-first: only one signature per exact group) and its
+    total pair count is bounded by sum over <=CAP buckets of C(n,2)
+    (over-cap buckets verifiably exist AND verifiably emit nothing)
+  - incremental dedup drops every incoming flood doc as an exact
+    duplicate of the existing canonical
+  - a1/a2 still match their DuckDB oracle bit-for-bit on the skewed
+    input (partial aggregation absorbs the hot fingerprint)
+
+Wall times are recorded per operator and printed in the teardown
+summary (pytest -s); README's stress note carries a measured run.
+
+The stress session is `spark.newSession()` (isolated temp views /
+SQLConf, shared SparkContext) so preparing the stress dir never
+invalidates the shared session fixture's prepared views.
+"""
+
+from __future__ import annotations
+
+import time
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SF_SRC = "/root/testdata/sf0.1"
+REPLICAS = 5
+DOC_STRIDE = 10_000  # % 5 == 0: replica doc_ids keep their batch residue
+ORDER_STRIDE = 10_000_000  # % 500 == 0: replicas keep query_id/db/toplevel
+
+FLOOD_DOC_BASE = 100_000
+N_FLOOD_DOCS = 1_000
+FLOOD_TEXT = " ".join(f"flood{j} corpus{j % 7}" for j in range(20))
+
+HOT_DOC_BASE = 200_000
+N_HOT_DOCS = 200
+HOT_PREFIX = " ".join(f"tok{j}" for j in range(95))
+
+# 50_000_003 + 500*i: % 500 == 3 (query_id 3 -- neither the %7 new-key
+# nor the %11 reset leg), % 5 == 3, odd (toplevel false); above every
+# replicated orderkey (max ~40.15M) so no collisions
+FLOOD_ORDER_BASE = 50_000_003
+N_FLOOD_ORDERS = 2_000
+FLOOD_CUSTKEY = 7  # user_oid 7
+
+
+class _Stress:
+    def __init__(self, spark, duck, sf_dir):
+        self.spark = spark
+        self.duck = duck
+        self.sf_dir = sf_dir
+        self.times: dict[str, float] = {}
+
+
+def _generate(dst: str) -> None:
+    con = duckdb.connect()
+    q = lambda sql: con.execute(sql)  # noqa: E731
+    q(
+        f"""
+COPY (
+  SELECT doc_id, text, lang, source, length(text) AS n_chars FROM (
+    SELECT doc_id + {DOC_STRIDE} * r AS doc_id, text, lang, source
+    FROM read_parquet('{SF_SRC}/documents.parquet'), range({REPLICAS}) t(r)
+    UNION ALL
+    SELECT {FLOOD_DOC_BASE} + i, '{FLOOD_TEXT}', 'en', 'stress_flood'
+    FROM range({N_FLOOD_DOCS}) f(i)
+    UNION ALL
+    SELECT {HOT_DOC_BASE} + i,
+           '{HOT_PREFIX}' || ' u' || i || ' v' || i || ' w' || i
+             || ' x' || i || ' y' || i,
+           'en', 'stress_hot'
+    FROM range({N_HOT_DOCS}) h(i)
+  )
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+"""
+    )
+    q(
+        f"""
+COPY (
+  SELECT o_orderkey + {ORDER_STRIDE} * r AS o_orderkey, o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM read_parquet('{SF_SRC}/orders.parquet'), range({REPLICAS}) t(r)
+  UNION ALL
+  SELECT {FLOOD_ORDER_BASE} + 500 * i, {FLOOD_CUSTKEY},
+         'O', 100.0, TIMESTAMP '1995-01-01', '1-URGENT'
+  FROM range({N_FLOOD_ORDERS}) f(i)
+) TO '{dst}/orders.parquet' (FORMAT PARQUET)
+"""
+    )
+    q(
+        f"""
+COPY (
+  SELECT l_orderkey + {ORDER_STRIDE} * r AS l_orderkey, l_partkey,
+         l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+  FROM read_parquet('{SF_SRC}/lineitem.parquet'), range({REPLICAS}) t(r)
+  UNION ALL
+  SELECT {FLOOD_ORDER_BASE} + 500 * i, (i % 200) + 1, (i % 100) + 1,
+         CAST(ln AS INTEGER), 1.0, 10.0, 0.05, 0.01,
+         'N', 'O', TIMESTAMP '1995-01-02'
+  FROM range({N_FLOOD_ORDERS}) f(i), range(1, 6) l(ln)
+) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+"""
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "events", "embeddings"):
+        q(
+            f"COPY (SELECT * FROM read_parquet('{SF_SRC}/{t}.parquet')) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def stress(spark, tmp_path_factory):
+    from collector_spark import registry, tables
+
+    dst = str(tmp_path_factory.mktemp("stress_sf"))
+    _generate(dst)
+
+    registry.load_all()
+    old_dir = tables.LAST_SF_DIR
+    s = spark.newSession()
+    registry.prepare(s, dst)
+    tables.LAST_SF_DIR = old_dir  # streaming sources keep the session dir
+
+    duck = duckdb.connect()
+    for name in tables.TABLE_NAMES:
+        duck.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{dst}/{name}.parquet')"
+        )
+    st = _Stress(s, duck, dst)
+    yield st
+    duck.close()
+    print(
+        "\nstress wall times (sf~0.5 skewed): "
+        + ", ".join(f"{k}={v:.1f}s" for k, v in st.times.items())
+    )
+
+
+def test_exact_dup_flood_is_linear(stress):
+    """1000 identical docs collapse in one hash-groupBy: exactly one
+    keeper, group_size 1000 — no structure in the plan or result grows
+    with the square of the flood size."""
+    from collector_spark import registry
+
+    t0 = time.monotonic()
+    df = registry.REGISTRY["ml_exact_dup"].spark_fn(stress.spark)
+    flood = df.filter(
+        (F.col("doc_id") >= FLOOD_DOC_BASE)
+        & (F.col("doc_id") < FLOOD_DOC_BASE + N_FLOOD_DOCS)
+    )
+    row = flood.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("int")).alias("keeps"),
+        F.min("canonical_doc_id").alias("canon_min"),
+        F.max("canonical_doc_id").alias("canon_max"),
+        F.max("group_size").alias("gs"),
+    ).first()
+    stress.times["ml_exact_dup"] = time.monotonic() - t0
+    assert (row["n"], row["keeps"]) == (N_FLOOD_DOCS, 1)
+    assert row["canon_min"] == row["canon_max"] == FLOOD_DOC_BASE
+    assert row["gs"] == N_FLOOD_DOCS
+
+
+def test_lsh_caps_bound_counted_pairs(stress):
+    """The two cap invariants, verified by counting rows on the skewed
+    corpus: (a) canonical-first means the x1000 exact flood contributes
+    ZERO candidate pairs; (b) over-cap band buckets exist (the hot-band
+    leg really formed) and the emitted pair count respects the exact
+    per-bucket C(n,2) bound over <=CAP buckets only."""
+    from collector_spark.ml import dedup as D
+
+    docs = stress.spark.table("documents")
+    buckets = D._band_buckets(
+        D._signatures_from(D._shingle_hashes(D._exact_canonicals(docs)))
+    )
+    sizes = buckets.groupBy("bucket").agg(F.count("*").alias("n"))
+    stats = sizes.agg(
+        F.sum((F.col("n") > D.LSH_BUCKET_CAP).cast("int")).alias("over_cap"),
+        F.max("n").alias("max_bucket"),
+        F.sum(
+            F.when(
+                (F.col("n") >= 2) & (F.col("n") <= D.LSH_BUCKET_CAP),
+                (F.col("n") * (F.col("n") - 1) / 2).cast("long"),
+            ).otherwise(F.lit(0))
+        ).alias("pairs_upper"),
+    ).first()
+    assert stats["over_cap"] >= 1, "stress failed to create a hot band"
+    assert stats["max_bucket"] > D.LSH_BUCKET_CAP
+
+    t0 = time.monotonic()
+    pairs = D.minhash_candidate_pairs(stress.spark)
+    in_flood = lambda c: (c >= FLOOD_DOC_BASE) & (  # noqa: E731
+        c < FLOOD_DOC_BASE + N_FLOOD_DOCS
+    )
+    counted = pairs.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            (in_flood(F.col("doc_a")) & in_flood(F.col("doc_b"))).cast("int")
+        ).alias("flood_pairs"),
+    ).first()
+    stress.times["ml_minhash_candidate_pairs"] = time.monotonic() - t0
+
+    assert counted["flood_pairs"] == 0
+    assert counted["total"] <= stats["pairs_upper"]
+    # an uncapped, non-canonical-first implementation emits at least the
+    # full quadratic flood + hot-band expansion
+    naive_floor = N_FLOOD_DOCS * (N_FLOOD_DOCS - 1) // 2
+    assert counted["total"] < naive_floor / 10, counted["total"]
+
+
+def test_incremental_dedup_drops_flood_incoming(stress):
+    """Every incoming-batch flood doc (doc_id % 5 == 4: 200 of 1000) is
+    dropped as an exact duplicate of the existing canonical (100000) —
+    the default materialized (cluster-shape) path, under flood skew."""
+    from collector_spark.ml import dedup as D
+
+    t0 = time.monotonic()
+    out = D.incremental_dedup(stress.spark)
+    flood = out.filter(
+        (F.col("doc_id") >= FLOOD_DOC_BASE)
+        & (F.col("doc_id") < FLOOD_DOC_BASE + N_FLOOD_DOCS)
+    )
+    row = flood.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("int")).alias("keeps"),
+        F.count_distinct("drop_reason").alias("reasons"),
+        F.min("drop_reason").alias("reason"),
+        F.min("matched_doc_id").alias("m_min"),
+        F.max("matched_doc_id").alias("m_max"),
+    ).first()
+    stress.times["ml_incremental_dedup"] = time.monotonic() - t0
+    assert row["n"] == N_FLOOD_DOCS // 5
+    assert row["keeps"] == 0
+    assert (row["reasons"], row["reason"]) == (1, "exact_duplicate")
+    assert row["m_min"] == row["m_max"] == FLOOD_DOC_BASE
+
+
+@pytest.mark.parametrize("name", ["a1_statement_diff", "a2_statement_rollup"])
+def test_statement_pipeline_hot_fingerprint(stress, name):
+    """a1/a2 stay bit-identical to DuckDB on the skewed slice (partial
+    aggregation absorbs the 10k-row hot group), and the hot fingerprint
+    row is really there with its full flood delta."""
+    from collector_spark import registry
+    from collector_spark.fixtures.defs import oracle_query
+    from tests.oracle import assert_frames_match
+
+    q = registry.REGISTRY[name]
+    t0 = time.monotonic()
+    sdf = q.spark_fn(stress.spark)
+    rel = stress.duck.execute(oracle_query(q.oracle, q.fixtures))
+    assert_frames_match(sdf, rel, context=f"{name}@stress")
+    stress.times[name] = time.monotonic() - t0
+
+    if name == "a1_statement_diff":
+        hot = (
+            q.spark_fn(stress.spark)
+            .filter(
+                (F.col("database_oid") == 3)
+                & (F.col("user_oid") == FLOOD_CUSTKEY)
+                & (F.col("query_id") == 3)
+                & (~F.col("toplevel"))
+            )
+            .agg(F.sum("calls").alias("calls"))
+            .first()
+        )
+        # flood contributes snap2(5 lineitems/order) - snap1(3) = 2 per
+        # order; base keys sharing the group can only add on top
+        assert hot["calls"] >= 2 * N_FLOOD_ORDERS
