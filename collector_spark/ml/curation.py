@@ -1086,6 +1086,86 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# E92 — quality-aware cluster representative selection: production dedup
+# keeps the BEST member of each near-duplicate cluster, not the smallest
+# id (the min-id canonical is a tie-break convention, not a judgment —
+# near-dup copies genuinely differ in formatting noise and truncation, and
+# pipelines like RefinedWeb/FineWeb keep the highest-quality copy). Joins
+# the E33 connected-component clusters with the E17 quality score and
+# ranks within each cluster by (quality_score DESC, doc_id ASC); the
+# rank-1 member is the keeper, and `canonical_is_best` audits how often
+# the naive min-id rule would have shipped a worse copy.
+#
+# Per-doc scores are bit-identical across engines (shared IEEE expression
+# tree), so the DESC rank is deterministic with the doc_id tiebreak.
+#
+# Scale: the cluster relation is O(docs-in-clusters) and the score join is
+# a doc_id equi-join of same-cardinality relations (plain hash join, never
+# broadcast); the rank is one window keyed on cluster_id — cluster sizes
+# are bounded by the verified-pair graph (LSH_BUCKET_CAP upstream), so no
+# window partition degenerates.
+# ---------------------------------------------------------------------------
+
+
+def cluster_keep_best(spark: SparkSession) -> DataFrame:
+    from collector_spark.ml.dedup import dup_clusters
+    from collector_spark.ml.textstats import quality_score
+
+    clusters = dup_clusters(spark).select(
+        "doc_id", "cluster_id", "cluster_size", "is_canonical"
+    )
+    q = quality_score(spark).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    best_w = Window.partitionBy("cluster_id")
+    ranked = (
+        clusters.join(q, "doc_id")
+        .withColumn("qrank", F.row_number().over(w).cast("int"))
+        .withColumn(
+            "canonical_is_best",
+            F.max(F.when(F.col("qrank") == 1, F.col("is_canonical"))).over(best_w),
+        )
+    )
+    return ranked.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "quality_score",
+        "qrank",
+        (F.col("qrank") == 1).alias("keep_best"),
+        "is_canonical",
+        "canonical_is_best",
+    ).orderBy("doc_id")
+
+
+def oracle_cluster_keep_best() -> str:
+    from collector_spark.ml.dedup import oracle_dup_clusters
+    from collector_spark.ml.textstats import oracle_quality_score
+
+    cl = oracle_dup_clusters().rsplit("ORDER BY", 1)[0]
+    q = oracle_quality_score().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH clusters AS ({cl}),
+q_full AS ({q}),
+ranked AS (
+  SELECT c.doc_id, c.cluster_id, c.cluster_size, s.quality_score,
+    c.is_canonical,
+    CAST(row_number() OVER (
+      PARTITION BY c.cluster_id
+      ORDER BY s.quality_score DESC, c.doc_id ASC) AS INT) AS qrank
+  FROM clusters c JOIN q_full s USING (doc_id)
+)
+SELECT doc_id, cluster_id, cluster_size, quality_score, qrank,
+  qrank = 1 AS keep_best, is_canonical,
+  MAX(CASE WHEN qrank = 1 THEN is_canonical END)
+    OVER (PARTITION BY cluster_id) AS canonical_is_best
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # E44 — corpus report fact: the per-(source, lang) dashboard a curation run
 # publishes — volume (docs/tokens), mean quality, exact-duplicate rate,
 # and the quality-drop rate with its dominant reason. One groupBy over
@@ -1800,9 +1880,11 @@ LIMIT {BPE_ROUND2_TOP}
 BPE_TRAIN_ROUNDS = 3
 
 
-def _bpe_vocab_seg(spark: SparkSession) -> DataFrame:
+def _bpe_vocab_seg(spark: SparkSession, keep_word: bool = False) -> DataFrame:
     """(wc, seg): distinct-word counts with the initial character
-    segmentation wrapped in sentinel spaces (' c h a r s ')."""
+    segmentation wrapped in sentinel spaces (' c h a r s ').
+    keep_word additionally carries the word itself (the encoder's join
+    key back to the corpus)."""
     words = spark.table("documents").select(
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w")
     )
@@ -1816,7 +1898,8 @@ def _bpe_vocab_seg(spark: SparkSession) -> DataFrame:
         F.expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')"),
         F.lit(" "),
     )
-    return wcounts.select("wc", seg.alias("seg"))
+    cols = (["w"] if keep_word else []) + ["wc", seg.alias("seg")]
+    return wcounts.select(*cols)
 
 
 def _bpe_pair_counts(segged: DataFrame) -> DataFrame:
@@ -1847,8 +1930,9 @@ def _bpe_best(counts: DataFrame) -> DataFrame:
 def _bpe_apply(segged: DataFrame, best: DataFrame) -> DataFrame:
     pat = F.concat(F.lit(" "), F.col("sym_a"), F.lit(" "), F.col("sym_b"), F.lit(" "))
     rep = F.concat(F.lit(" "), F.col("sym_a"), F.col("sym_b"), F.lit(" "))
+    others = [c for c in segged.columns if c != "seg"]
     return segged.crossJoin(F.broadcast(best)).select(
-        "wc", F.replace(F.replace(F.col("seg"), pat, rep), pat, rep).alias("seg")
+        *others, F.replace(F.replace(F.col("seg"), pat, rep), pat, rep).alias("seg")
     )
 
 
@@ -1931,6 +2015,151 @@ WITH {body}
 SELECT CAST(merge_rank AS INT) AS merge_rank, sym_a, sym_b, merged, pair_count
 FROM ({union})
 ORDER BY merge_rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# E91 — BPE encoder: apply the E89-trained merge table to the corpus and
+# report per-document token counts under the learned vocabulary — the
+# measurement a tokenizer build runs before committing (real
+# tokens-per-doc vs the chars/4 estimate in E21, compression vs the
+# character baseline, packing-budget inputs for E54). Training and
+# application share one plan: the merge at round r is the argmax pair
+# over round r-1's segmentation — exactly ml_bpe_train's merges — and the
+# final segmentation's token count per DISTINCT word joins back to the
+# corpus word explosion (left join: length-1 words are single tokens by
+# construction and never enter the trainable vocab).
+#
+# Scale: the merge loop is driver-side plan construction over the bounded
+# DISTINCT-word relation (same O(vocab)-per-round shape as E89); the only
+# corpus-sized work is the word explode + the word->token-count join,
+# which keys on the word string (vocab side is the post-aggregation small
+# side — AQE broadcasts it at any realistic vocab size; never forced, a
+# 100 TB crawl's raw vocab can exceed driver memory before length/utf
+# pruning). Production replaces the per-round lineage nesting with a
+# checkpoint of the segmentation per merge round — the same
+# materialization discipline as incremental dedup's canonical union.
+# ---------------------------------------------------------------------------
+
+BPE_ENCODE_ROUNDS = 4
+
+
+def bpe_encode(
+    spark: SparkSession,
+    rounds: int = BPE_ENCODE_ROUNDS,
+    materialize: bool | None = None,
+) -> DataFrame:
+    if materialize is None:
+        # default ON (the cluster shape, same policy as incremental_dedup):
+        # each round's argmax AND the next segmentation both read round
+        # r-1's segmentation, so the unmaterialized lineage doubles per
+        # round — 2^rounds re-derivations of the corpus word count.
+        # Checkpointing the bounded vocab relation per round makes the
+        # plan linear: the corpus is scanned once for the vocab fold and
+        # once for the final doc join, regardless of rounds.
+        materialize = (
+            spark.conf.get("collector_spark.bpe.materialize", "true") == "true"
+        )
+    seg = _bpe_vocab_seg(spark, keep_word=True)
+    if materialize:
+        seg = seg.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        best = _bpe_best(_bpe_pair_counts(seg))
+        seg = _bpe_apply(seg, best)
+        if materialize:
+            seg = seg.localCheckpoint(eager=False)
+    tok_per_word = seg.select(
+        "w", F.size(F.split(F.trim("seg"), " ")).cast("long").alias("w_tokens")
+    )
+    words = spark.table("documents").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    return (
+        words.join(tok_per_word, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.coalesce(F.col("w_tokens"), F.lit(1)))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_word_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            "n_word_chars",
+            (F.col("n_tokens").cast("double") / F.col("n_words").cast("double")).alias(
+                "tokens_per_word"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_bpe_encode(rounds: int = BPE_ENCODE_ROUNDS) -> str:
+    seg0 = (
+        "SELECT w, wc, ' ' || array_to_string(list_transform(range(1, length(w) + 1), "
+        "i -> substr(w, CAST(i AS INT), 1)), ' ') || ' ' AS seg FROM wcounts"
+    )
+
+    def pair_cte(seg_name: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT toks[CAST(i AS INT)] AS sym_a, toks[CAST(i AS INT) + 1] AS sym_b,
+    CAST(SUM(wc) AS BIGINT) AS pair_count
+  FROM (SELECT wc, string_split(trim(seg), ' ') AS toks FROM {seg_name}) s,
+       LATERAL (SELECT unnest(range(1, len(toks))) AS i) g
+  WHERE len(toks) >= 2
+  GROUP BY sym_a, sym_b
+)"""
+
+    parts = [
+        r"""words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+)""",
+        """wcounts AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+  FROM words WHERE length(w) >= 2 GROUP BY w
+)""",
+        f"seg0 AS ({seg0})",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(pair_cte(f"seg{r - 1}", f"p{r}"))
+        parts.append(
+            f"""b{r} AS (
+  SELECT sym_a, sym_b FROM p{r}
+  ORDER BY pair_count DESC, sym_a ASC, sym_b ASC LIMIT 1
+)"""
+        )
+        parts.append(
+            f"""seg{r} AS (
+  SELECT w, wc,
+    replace(replace(seg,
+      ' ' || sym_a || ' ' || sym_b || ' ', ' ' || sym_a || sym_b || ' '),
+      ' ' || sym_a || ' ' || sym_b || ' ', ' ' || sym_a || sym_b || ' ') AS seg
+  FROM seg{r - 1} CROSS JOIN b{r}
+)"""
+        )
+    parts.append(
+        f"""tokw AS (
+  SELECT w, CAST(len(string_split(trim(seg), ' ')) AS BIGINT) AS w_tokens
+  FROM seg{rounds}
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(COALESCE(w_tokens, 1)) AS BIGINT) AS n_tokens,
+  CAST(SUM(length(w)) AS BIGINT) AS n_word_chars,
+  CAST(SUM(COALESCE(w_tokens, 1)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    AS tokens_per_word
+FROM words LEFT JOIN tokw USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
 """
 
 

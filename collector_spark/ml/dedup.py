@@ -2371,6 +2371,36 @@ def line_dedup(spark: SparkSession) -> DataFrame:
         .over(Window.partitionBy("line_text"))
         .alias("first_key"),
     )
+    return _line_dedup_report(keyed).orderBy("doc_id")
+
+
+def line_dedup_from_first_keys(
+    spark: SparkSession, first_keys: DataFrame
+) -> DataFrame:
+    """E88's report stage driven by an externally-folded first-owner state
+    (line_text -> MIN pos_key). MIN is a monotone fold, so a streaming
+    groupBy state equals the batch window for ANY arrival batching — the
+    streaming twin (streaming/doc_stream.py stream_line_dedup) feeds its
+    final state through here and shares the batch oracle. Plain key join
+    on the line text (the state is O(distinct lines) — corpus-scaled, so
+    never force-broadcast; at 100 TB both sides key on a 128-bit line
+    hash)."""
+    pos_key = (F.col("doc_id") * LINE_POS_STRIDE + F.col("line_no")).cast("long")
+    keyed = (
+        spark.table("doc_lines")
+        .join(first_keys, "line_text")
+        .select(
+            "doc_id",
+            "line_no",
+            F.length("line_text").cast("long").alias("n_chars"),
+            pos_key.alias("pos_key"),
+            "first_key",
+        )
+    )
+    return _line_dedup_report(keyed).orderBy("doc_id")
+
+
+def _line_dedup_report(keyed: DataFrame) -> DataFrame:
     kept = F.col("pos_key") == F.col("first_key")
     first_doc = F.floor(F.col("first_key") / LINE_POS_STRIDE)
     return (
@@ -2401,7 +2431,6 @@ def line_dedup(spark: SparkSession) -> DataFrame:
                 "kept_char_frac"
             ),
         )
-        .orderBy("doc_id")
     )
 
 

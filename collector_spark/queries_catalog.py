@@ -137,6 +137,34 @@ register(
     similarity.oracle_ivf_tuning(),
 )
 
+# session-2 additions (E91/E92/ST19): BPE encoder over the E89-trained
+# merges, quality-aware cluster representative selection, and the
+# streaming twin of corpus line dedup (MIN first-owner state is a
+# monotone fold => batch-equal, shares E88's oracle)
+
+# like ml_incremental_dedup: the oracle/bench form opts OUT of the
+# default-on per-round segmentation checkpoint (recompute measured faster
+# at fixture scale: 1.1 s vs 1.8 s at sf0.01); unconfigured production
+# calls get the linear 2-scan cluster shape
+register(
+    "ml_bpe_encode",
+    partial(curation.bpe_encode, materialize=False),
+    curation.oracle_bpe_encode(),
+)
+
+register(
+    "ml_cluster_keep_best",
+    curation.cluster_keep_best,
+    curation.oracle_cluster_keep_best(),
+)
+
+register(
+    "st_ml_line_dedup",
+    doc_stream.stream_line_dedup,
+    dedup.oracle_line_dedup(),
+    fixtures=["doc_lines"],
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,
@@ -1895,6 +1923,9 @@ DRIVER_WINDOW = [
     "ml_line_dedup",
     "ml_bpe_train",
     "ml_ivf_tuning",
+    "ml_bpe_encode",
+    "ml_cluster_keep_best",
+    "st_ml_line_dedup",
     # -- changed (r10)
     "mm_audio_chunk_plan",
     "ml_filter_ablation",
@@ -1939,11 +1970,9 @@ DRIVER_WINDOW = [
     "w1_settings_dedup",
     "w3_log_stitch",
     "w4_log_associate",
-    # -- oldest round-3 names (the rest rotate in round 11)
+    # -- oldest round-3 name (the rest rotate in round 11; three slots
+    #    ceded to the session-2 additions above to hold the window at 50)
     "j6_plan_statement_join",
-    "j10_dimension_upsert",
-    "ml_exact_dup",
-    "ml_brute_force_topk",
 ]
 
 

@@ -1168,3 +1168,44 @@ def stream_novelty_curve(spark: SparkSession, n_arrival_batches: int = 6) -> Dat
     return _dedup.novelty_from_state(
         state.select("h", "first_batch", F.explode("batches").alias("batch"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ST19 / E88b — streaming corpus line dedup: the first-owner key per line
+# (MIN over doc_id * stride + line_no) is a monotone fold, so the streamed
+# (line_text -> first_key) state equals the batch window's min under ANY
+# arrival batching; the final state drives the batch report stage
+# (ml/dedup.py line_dedup_from_first_keys) and shares E88's oracle.
+# Production shape: the first-owner state lives in the state store keyed
+# on a 128-bit line hash; arriving documents render lines, probe the
+# state, and the kept-span audit streams out per trigger — the ingest
+# form of the C4/Dolma line-dedup cut.
+# ---------------------------------------------------------------------------
+
+
+def stream_line_dedup(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    from collector_spark.fixtures.defs import _doc_lines_sql
+    from collector_spark.ml.dedup import LINE_POS_STRIDE, line_dedup_from_first_keys
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    # render lines on the STREAM with the exact F27 fixture SQL (the line
+    # derivation is the input contract — re-expressing it in DataFrame ops
+    # here would let the two drift); only the source relation is swapped
+    view = f"docstream_lines_{run_id}"
+    raw.createOrReplaceTempView(view)
+    sql = _doc_lines_sql("spark")
+    assert sql.count("FROM documents") == 1, "fixture SQL shape changed"
+    lines = spark.sql(sql.replace("FROM documents", f"FROM {view}"))
+    state = (
+        lines.select(
+            "line_text",
+            (F.col("doc_id") * LINE_POS_STRIDE + F.col("line_no"))
+            .cast("long")
+            .alias("pos_key"),
+        )
+        .groupBy("line_text")
+        .agg(F.min("pos_key").alias("first_key"))
+    )
+    qname = f"linefirst_{run_id}"
+    _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
+    return line_dedup_from_first_keys(spark, spark.table(qname))

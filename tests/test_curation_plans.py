@@ -232,3 +232,26 @@ def test_incremental_dedup_default_is_sink_shape(prepared_spark):
     reg_scans = scans(registered(prepared_spark))
     lazy_scans = scans(incremental_dedup(prepared_spark, materialize=False))
     assert reg_scans == lazy_scans, (reg_scans, lazy_scans)
+
+
+def test_bpe_encode_default_is_linear_shape(prepared_spark):
+    """E91's materialization policy (same as incremental dedup): the
+    unconfigured default checkpoints the bounded vocab segmentation per
+    round (linear 2-scan plan — corpus read once for the vocab fold, once
+    for the doc join); only the registered oracle/bench form recomputes
+    (2^rounds lineage, faster than the barrier at fixture scale)."""
+    from collector_spark import registry
+    from collector_spark.ml.curation import bpe_encode
+
+    def scans(df):
+        plan = _plan(df)
+        return plan.count("Scan parquet") + plan.count("FileScan")
+
+    default_scans = scans(bpe_encode(prepared_spark))
+    lazy_scans = scans(bpe_encode(prepared_spark, materialize=False))
+    assert default_scans <= 4, default_scans
+    assert lazy_scans > 3 * default_scans, (lazy_scans, default_scans)
+
+    registry.load_all()
+    registered = registry.REGISTRY["ml_bpe_encode"].spark_fn
+    assert scans(registered(prepared_spark)) == lazy_scans

@@ -178,3 +178,141 @@ def test_driver_window_is_registry_front():
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
     assert list(registry.REGISTRY)[:50] == DRIVER_WINDOW
+
+
+# ---------------------------------------------------------------------------
+# E91 — BPE encoder (session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_encode_bounds_and_monotone_compression(prepared_spark):
+    """Token counts sit between the word count (every word >= 1 token) and
+    the word-character count (rounds=0 tokenizes to characters, each merge
+    only ever joins two adjacent tokens), per document; total tokens are
+    non-increasing in rounds and strictly drop by round 4 somewhere."""
+    from collector_spark.ml.curation import bpe_encode
+
+    spark = prepared_spark
+    r0 = bpe_encode(spark, rounds=0).select(
+        "doc_id", "n_words", "n_tokens", "n_word_chars"
+    )
+    bad = r0.filter(F.col("n_tokens") != F.col("n_word_chars")).count()
+    assert bad == 0, "rounds=0 must be the character baseline"
+
+    prev_total = None
+    for r in (1, 4):
+        enc = bpe_encode(spark, rounds=r)
+        assert (
+            enc.filter(
+                (F.col("n_tokens") < F.col("n_words"))
+                | (F.col("n_tokens") > F.col("n_word_chars"))
+            ).count()
+            == 0
+        )
+        total = enc.agg(F.sum("n_tokens")).first()[0]
+        if prev_total is not None:
+            assert total <= prev_total
+        prev_total = total
+    base_total = r0.agg(F.sum("n_tokens")).first()[0]
+    assert prev_total < base_total, "4 merges must compress the corpus"
+
+
+def test_bpe_encode_applies_the_trainer_merges(prepared_spark):
+    """The encoder's per-doc token counts equal a from-scratch replay of
+    ml_bpe_train's COLLECTED merge table — training and application share
+    one merge sequence, independent of the lazy argmax chain."""
+    from collector_spark.ml.curation import (
+        _bpe_vocab_seg,
+        bpe_encode,
+        bpe_train,
+    )
+
+    spark = prepared_spark
+    rounds = 3
+    merges = bpe_train(spark, rounds).collect()
+    seg_col = F.col("seg")
+    for mm in merges:
+        pat = f" {mm.sym_a} {mm.sym_b} "
+        rep = f" {mm.sym_a}{mm.sym_b} "
+        seg_col = F.replace(
+            F.replace(seg_col, F.lit(pat), F.lit(rep)), F.lit(pat), F.lit(rep)
+        )
+    tokw = _bpe_vocab_seg(spark, keep_word=True).select(
+        "w",
+        F.size(F.split(F.trim(seg_col), " ")).cast("long").alias("w_tokens"),
+    )
+    words = spark.table("documents").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    scratch = (
+        words.join(tokw, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("w_tokens"), F.lit(1)))
+            .cast("long")
+            .alias("n_tokens")
+        )
+    )
+    enc = bpe_encode(spark, rounds).select("doc_id", "n_tokens")
+    assert enc.exceptAll(scratch).count() == 0
+    assert scratch.exceptAll(enc).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# E92 — quality-aware cluster representative selection (session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_keep_best_invariants(prepared_spark):
+    """Exactly one keeper per cluster; the keeper carries the cluster's
+    max quality; qrank is a 1..cluster_size permutation; and
+    canonical_is_best is true exactly when the min-id canonical IS the
+    quality argmax."""
+    from collector_spark.ml.curation import cluster_keep_best
+
+    df = cluster_keep_best(prepared_spark).localCheckpoint()
+    per = df.groupBy("cluster_id").agg(
+        F.sum(F.col("keep_best").cast("int")).alias("keepers"),
+        F.count("*").alias("n"),
+        F.max("cluster_size").alias("size"),
+        F.min("qrank").alias("rmin"),
+        F.max("qrank").alias("rmax"),
+        F.count_distinct("qrank").alias("rdistinct"),
+        F.max("quality_score").alias("qmax"),
+        F.max(F.when(F.col("keep_best"), F.col("quality_score"))).alias("qkeep"),
+        F.max(F.when(F.col("keep_best"), F.col("is_canonical"))).alias(
+            "keeper_is_canon"
+        ),
+        F.max("canonical_is_best").alias("canon_best"),
+    )
+    assert df.count() > 0
+    assert per.filter(F.col("keepers") != 1).count() == 0
+    assert per.filter(F.col("n") != F.col("size")).count() == 0
+    assert (
+        per.filter(
+            (F.col("rmin") != 1)
+            | (F.col("rmax") != F.col("n"))
+            | (F.col("rdistinct") != F.col("n"))
+        ).count()
+        == 0
+    )
+    assert per.filter(F.col("qkeep") != F.col("qmax")).count() == 0
+    assert per.filter(F.col("keeper_is_canon") != F.col("canon_best")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ST19 — streaming line dedup twin (session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_line_dedup_batch_equal(prepared_spark):
+    """MIN over the position key is a monotone fold, so the streamed
+    first-owner state must reproduce the batch window exactly — row-for-row
+    against ml_line_dedup, at an arrival batching the batch form never saw."""
+    from collector_spark.ml.dedup import line_dedup
+    from collector_spark.streaming.doc_stream import stream_line_dedup
+
+    batch = line_dedup(prepared_spark).collect()
+    streamed = stream_line_dedup(prepared_spark, n_arrival_batches=3).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
