@@ -81,6 +81,11 @@ HEADLINE = [
     # path: bitset build + broadcast probe + truth audit)
     "ml_kneser_ney_bigram",
     "ml_bloom_screen",
+    # round-10 additions: corpus line dedup (the heaviest new line-wise
+    # shuffle: F27 explode + corpus-wide first-owner window) and the BPE
+    # encoder (trainer + application in one linear checkpointed plan)
+    "ml_line_dedup",
+    "ml_bpe_encode",
 ]
 
 N_RUNS = 3  # median-of-3 per query

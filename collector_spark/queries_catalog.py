@@ -142,13 +142,13 @@ register(
 # streaming twin of corpus line dedup (MIN first-owner state is a
 # monotone fold => batch-equal, shares E88's oracle)
 
-# like ml_incremental_dedup: the oracle/bench form opts OUT of the
-# default-on per-round segmentation checkpoint (recompute measured faster
-# at fixture scale: 1.1 s vs 1.8 s at sf0.01); unconfigured production
-# calls get the linear 2-scan cluster shape
+# registered as the default (materialized linear 2-scan) form: unlike
+# incremental dedup, the cluster shape also WINS at bench scale (sf0.1
+# steady-state 2.6 s vs 4.0 s recompute — the 2^rounds lineage already
+# costs more than the tiny per-round checkpoint barriers here)
 register(
     "ml_bpe_encode",
-    partial(curation.bpe_encode, materialize=False),
+    curation.bpe_encode,
     curation.oracle_bpe_encode(),
 )
 

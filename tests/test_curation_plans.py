@@ -235,11 +235,13 @@ def test_incremental_dedup_default_is_sink_shape(prepared_spark):
 
 
 def test_bpe_encode_default_is_linear_shape(prepared_spark):
-    """E91's materialization policy (same as incremental dedup): the
-    unconfigured default checkpoints the bounded vocab segmentation per
-    round (linear 2-scan plan — corpus read once for the vocab fold, once
-    for the doc join); only the registered oracle/bench form recomputes
-    (2^rounds lineage, faster than the barrier at fixture scale)."""
+    """E91's materialization policy: the unconfigured default checkpoints
+    the bounded vocab segmentation per round (linear 2-scan plan — corpus
+    read once for the vocab fold, once for the doc join, at ANY round
+    count) and the registered form IS the default — unlike incremental
+    dedup, the cluster shape also wins at bench scale (sf0.1 steady-state
+    2.6 s vs 4.0 s recompute). The lazy form's 2^rounds lineage doubling
+    is pinned so a regression in either direction is visible."""
     from collector_spark import registry
     from collector_spark.ml.curation import bpe_encode
 
@@ -254,4 +256,4 @@ def test_bpe_encode_default_is_linear_shape(prepared_spark):
 
     registry.load_all()
     registered = registry.REGISTRY["ml_bpe_encode"].spark_fn
-    assert scans(registered(prepared_spark)) == lazy_scans
+    assert scans(registered(prepared_spark)) == default_scans
