@@ -285,3 +285,40 @@ def test_statement_pipeline_hot_fingerprint(stress, name):
         # flood contributes snap2(5 lineitems/order) - snap1(3) = 2 per
         # order; base keys sharing the group can only add on top
         assert hot["calls"] >= 2 * N_FLOOD_ORDERS
+
+
+def test_line_dedup_hot_line_single_owner(stress):
+    """At stress scale the F27 cross-doc footer line appears tens of
+    thousands of times (documents x5, plus every flood replica renders
+    identical lines) — ONE window key owns them all. The first-owner rule
+    must attribute every copy to the single earliest (doc_id, line_no)
+    and the per-doc audit must stay total over the corpus."""
+    from collector_spark import registry
+    from collector_spark.ml import dedup as D
+
+    t0 = time.monotonic()
+    lines = stress.spark.table("doc_lines")
+    footer = "shared boilerplate footer line"
+    n_footer, n_docs_with = (
+        lines.filter(F.col("line_text") == footer)
+        .agg(F.count("*"), F.count_distinct("doc_id"))
+        .first()
+    )
+    assert n_footer > 10_000, n_footer  # the hot key is real
+
+    out = registry.REGISTRY["ml_line_dedup"].spark_fn(stress.spark)
+    totals = out.agg(
+        F.sum("n_lines").alias("lines"),
+        F.sum("n_kept").alias("kept"),
+        F.sum("n_dropped_intra").alias("intra"),
+        F.sum("n_dropped_cross").alias("cross"),
+    ).first()
+    stress.times["ml_line_dedup"] = time.monotonic() - t0
+    # audit is total: every line is kept or attributed, none lost
+    assert totals["lines"] == totals["kept"] + totals["intra"] + totals["cross"]
+    assert out.count() == lines.select("doc_id").distinct().count()
+    # the footer's n_footer copies produce exactly ONE keeper corpus-wide:
+    # total kept == distinct line texts (first-owner is a bijection onto
+    # the distinct-line universe)
+    distinct_lines = lines.select("line_text").distinct().count()
+    assert totals["kept"] == distinct_lines
