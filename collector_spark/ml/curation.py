@@ -155,6 +155,123 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# E93 — decontamination n-gram sensitivity sweep: the table that picks the
+# screening window before a production decontamination run (GPT-3 used
+# 13-grams, FLAN 8, some evals 5 — the choice trades missed paraphrase
+# contamination against false-positive boilerplate hits). For each n in
+# SWEEP_NS: the eval split's distinct n-gram count, how many training
+# docs overlap at that n, and the contaminated fraction. A doc
+# contaminated at a larger n is contaminated at every smaller n (a shared
+# n-gram's subwindows are shared too), so the doc counts are monotone
+# non-increasing in n — property-pinned.
+#
+# Scale: ONE corpus tokenization and ONE explode carry all three window
+# lengths ((n, gram) structs flattened together), so the sweep costs one
+# pass over ~3x the 8-gram volume, not three passes; the eval side stays
+# a broadcast (distinct (n, gram) of the benchmark split — small by
+# definition), and the per-n rollup is two combinable groupBys. The
+# training-doc denominator is relational (broadcast one-row count), never
+# an eager driver-side count.
+# ---------------------------------------------------------------------------
+
+SWEEP_NS = (5, 8, 13)
+
+
+def decontaminate_sweep(
+    spark: SparkSession, docs: DataFrame | None = None
+) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    toks = docs.select("doc_id", "source", F.split(F.col("text"), " ").alias("t"))
+    def _tag(n: int):
+        # a ONE-parameter lambda: F.transform hands a 2-parameter callable
+        # (element, index) — a captured default would be clobbered by the
+        # window index
+        return lambda g: F.struct(F.lit(n).cast("int").alias("n"), g.alias("gram"))
+
+    gram_arrays = F.flatten(
+        F.array(*[F.transform(_word_ngrams("t", n), _tag(n)) for n in SWEEP_NS])
+    )
+    grams = toks.select(
+        "doc_id", "source", F.explode(gram_arrays).alias("g")
+    ).select("doc_id", "source", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    eval_g = (
+        grams.filter(F.col("source") == EVAL_SOURCE).select("n", "gram").distinct()
+    )
+    eval_counts = eval_g.groupBy("n").agg(
+        F.count("*").cast("long").alias("n_eval_grams")
+    )
+    matched = (
+        grams.filter(F.col("source") != EVAL_SOURCE)
+        .join(F.broadcast(eval_g), ["n", "gram"])
+        .select("n", "doc_id")
+        .distinct()
+        .groupBy("n")
+        .agg(F.count("*").cast("long").alias("n_contaminated_docs"))
+    )
+    total = (
+        docs.filter(F.col("source") != EVAL_SOURCE)
+        .agg(F.count("*").cast("long").alias("n_train_docs"))
+    )
+    return (
+        eval_counts.join(matched, "n", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "n",
+            "n_eval_grams",
+            F.coalesce(F.col("n_contaminated_docs"), F.lit(0).cast("long")).alias(
+                "n_contaminated_docs"
+            ),
+            "n_train_docs",
+            (
+                F.coalesce(F.col("n_contaminated_docs"), F.lit(0)).cast("double")
+                / F.col("n_train_docs").cast("double")
+            ).alias("contaminated_frac"),
+        )
+        .orderBy("n")
+    )
+
+
+def oracle_decontaminate_sweep() -> str:
+    parts = [
+        "toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)",
+        f"""total AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train_docs FROM documents
+  WHERE source <> '{EVAL_SOURCE}'
+)""",
+    ]
+    selects = []
+    for n in SWEEP_NS:
+        parts.append(
+            f"""g{n} AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(t) - {n - 1}),
+                               i -> array_to_string(t[i:i+{n - 1}], ' '))) AS gram
+  FROM toks WHERE len(t) >= {n}
+)"""
+        )
+        parts.append(
+            f"e{n} AS (SELECT DISTINCT gram FROM g{n} WHERE source = '{EVAL_SOURCE}')"
+        )
+        selects.append(
+            f"""SELECT {n} AS n,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e{n}) AS n_eval_grams,
+  (SELECT CAST(COUNT(DISTINCT g.doc_id) AS BIGINT)
+   FROM g{n} g JOIN e{n} USING (gram)
+   WHERE g.source <> '{EVAL_SOURCE}') AS n_contaminated_docs"""
+        )
+    body = ",\n".join(parts)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {body}
+SELECT CAST(n AS INT) AS n, n_eval_grams, n_contaminated_docs, n_train_docs,
+  CAST(n_contaminated_docs AS DOUBLE) / CAST(n_train_docs AS DOUBLE)
+    AS contaminated_frac
+FROM ({union}) CROSS JOIN total
+ORDER BY n
+"""
+
+
 def stratified_sample(spark: SparkSession) -> DataFrame:
     """Deterministic quota sampling per (lang, source) stratum: rank every
     doc inside its stratum by a Knuth multiplicative hash of doc_id (a

@@ -159,6 +159,12 @@ register(
 )
 
 register(
+    "ml_decontaminate_sweep",
+    curation.decontaminate_sweep,
+    curation.oracle_decontaminate_sweep(),
+)
+
+register(
     "st_ml_line_dedup",
     doc_stream.stream_line_dedup,
     dedup.oracle_line_dedup(),
@@ -1926,6 +1932,7 @@ DRIVER_WINDOW = [
     "ml_bpe_encode",
     "ml_cluster_keep_best",
     "st_ml_line_dedup",
+    "ml_decontaminate_sweep",
     # -- changed (r10)
     "mm_audio_chunk_plan",
     "ml_filter_ablation",
@@ -1970,9 +1977,9 @@ DRIVER_WINDOW = [
     "w1_settings_dedup",
     "w3_log_stitch",
     "w4_log_associate",
-    # -- oldest round-3 name (the rest rotate in round 11; three slots
-    #    ceded to the session-2 additions above to hold the window at 50)
-    "j6_plan_statement_join",
+    # (four of the oldest round-3 names ceded their slots to the
+    #  session-2 additions above to hold the window at 50; they rotate
+    #  back in round 11)
 ]
 
 

@@ -316,3 +316,40 @@ def test_stream_line_dedup_batch_equal(prepared_spark):
     batch = line_dedup(prepared_spark).collect()
     streamed = stream_line_dedup(prepared_spark, n_arrival_batches=3).collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+# ---------------------------------------------------------------------------
+# E93 — decontamination n-gram sensitivity sweep (session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_sweep_monotone_and_exact(prepared_spark):
+    """Contaminated-doc counts are monotone non-increasing in n (a shared
+    n-gram's subwindows are shared too) — pinned on a crafted corpus where
+    the decrease is STRICT: train docs overlapping the eval text on
+    exactly 5, 8, and 13 consecutive words contaminate at n<=5 / n<=8 /
+    n<=13 respectively."""
+    from collector_spark.ml.curation import EVAL_SOURCE, decontaminate_sweep
+
+    spark = prepared_spark
+    eval_words = " ".join(f"e{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, eval_words, EVAL_SOURCE),
+            # shares words e0..e4 (5), padded with unique tokens
+            (2, " ".join(f"e{i}" for i in range(5)) + " x1 x2 x3 x4 x5 x6 x7 x8 x9", "train"),
+            # shares e0..e7 (8)
+            (3, " ".join(f"e{i}" for i in range(8)) + " y1 y2 y3 y4 y5 y6", "train"),
+            # shares e0..e12 (13)
+            (4, " ".join(f"e{i}" for i in range(13)) + " z1", "train"),
+            # no overlap
+            (5, "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14", "train"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["n"]: r for r in decontaminate_sweep(spark, docs).collect()}
+    assert rows[5]["n_contaminated_docs"] == 3
+    assert rows[8]["n_contaminated_docs"] == 2
+    assert rows[13]["n_contaminated_docs"] == 1
+    assert all(rows[n]["n_train_docs"] == 4 for n in rows)
+    assert rows[13]["contaminated_frac"] == 0.25
