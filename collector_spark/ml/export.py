@@ -1,0 +1,132 @@
+"""Curated-corpus parquet exporter — the SINK stage of the training-data
+pipeline: compose the dedup (E29) and quality (E43) keep-lists, shard the
+surviving documents into size-targeted parquet files partitioned by
+source, and publish the manifest a downstream training job consumes.
+
+Two faces:
+
+- ``export_manifest`` (registered as ``ml_export_manifest``) is the PURE
+  relational plan of the export: per source the kept doc/char volume and
+  the planned shard count under EXPORT_MAX_RECORDS — DuckDB-oracle-checked
+  like every other query.
+- ``export_corpus`` performs the real write (an action, so never
+  registered): repartitionByRange over (source, doc_id) onto the planned
+  shard count, sortWithinPartitions so every file carries a contiguous
+  doc_id range (parquet min/max pruning works on read-back),
+  ``partitionBy(source)`` for partition-pruned consumption, and
+  ``maxRecordsPerFile`` as the hard per-file cap. Returns the read-back
+  audit. The write path is test-pinned against the manifest
+  (tests/test_r10_additions.py): exact per-source row totals, per-file
+  cap honored, actual file count within the range-straddle bound of the
+  plan.
+
+Scale notes: the only driver-side action in ``export_corpus`` is
+collecting the per-source manifest (O(sources) rows) to size the range
+partitioner — the same bounded collect a production writer does to pick
+its shard count. Everything else is one range shuffle of the kept corpus.
+At 100 TB, EXPORT_MAX_RECORDS becomes the rows-per-~1 GB-shard target and
+the range exchange is the job's single full shuffle; the keep-list joins
+upstream stay doc_id-partitioned (see dedup_keep_list's notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# fixture-scale shard target; production sets rows-per-target-shard-size
+EXPORT_MAX_RECORDS = 500
+
+
+def curated_docs(spark: SparkSession) -> DataFrame:
+    """Documents surviving BOTH the dedup and the quality cut — the
+    corpus the export ships. Plain doc_id equi-joins of total-over-corpus
+    relations (never broadcast; see dedup_keep_list)."""
+    from collector_spark.ml.curation import quality_keep_list
+    from collector_spark.ml.dedup import dedup_keep_list
+
+    dk = dedup_keep_list(spark).select("doc_id", F.col("keep").alias("dedup_keep"))
+    qk = quality_keep_list(spark).select(
+        "doc_id", F.col("keep").alias("quality_keep")
+    )
+    return (
+        spark.table("documents")
+        .join(dk, "doc_id")
+        .join(qk, "doc_id")
+        .filter(F.col("dedup_keep") & F.col("quality_keep"))
+        .drop("dedup_keep", "quality_keep")
+    )
+
+
+def export_manifest(spark: SparkSession) -> DataFrame:
+    """Per-source export plan: kept docs, kept chars, planned shard count
+    under EXPORT_MAX_RECORDS (ceil division, exact integer math)."""
+    kept = curated_docs(spark)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            F.ceil(F.col("n_docs") / F.lit(float(EXPORT_MAX_RECORDS)))
+            .cast("long")
+            .alias("n_shards"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_export_manifest() -> str:
+    from collector_spark.ml.curation import oracle_quality_keep_list
+    from collector_spark.ml.dedup import oracle_dedup_keep_list
+
+    dk = oracle_dedup_keep_list().rsplit("ORDER BY", 1)[0]
+    qk = oracle_quality_keep_list().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH dk_full AS ({dk}),
+qk_full AS ({qk})
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+  CAST(CEIL(COUNT(*) / {float(EXPORT_MAX_RECORDS)}) AS BIGINT) AS n_shards
+FROM documents d
+JOIN dk_full k ON k.doc_id = d.doc_id
+JOIN qk_full q ON q.doc_id = d.doc_id
+WHERE k.keep AND q.keep
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+def export_corpus(
+    spark: SparkSession,
+    out_dir: str,
+    max_records: int = EXPORT_MAX_RECORDS,
+) -> DataFrame:
+    """Write the curated corpus as source-partitioned, size-capped,
+    doc_id-clustered parquet shards; return the read-back per-source
+    audit (rows + files actually produced)."""
+    plan = export_manifest(spark).collect()  # O(sources) — sizes the range
+    n_parts = max(1, sum(r["n_shards"] for r in plan))
+    (
+        curated_docs(spark)
+        .repartitionByRange(n_parts, "source", "doc_id")
+        .sortWithinPartitions("source", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .option("maxRecordsPerFile", max_records)
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir).withColumn("_file", F.input_file_name())
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("_file").cast("long").alias("n_files"),
+        )
+        .orderBy("source")
+    )

@@ -21,7 +21,7 @@ from functools import partial
 from collector_spark.logs import filters as log_filters
 from collector_spark.logs import pipeline as log_pipeline
 from collector_spark.logs import querysample, transport
-from collector_spark.ml import curation, dedup, multimodal, similarity, textstats
+from collector_spark.ml import curation, dedup, export, multimodal, similarity, textstats
 from collector_spark.logs.associate import (
     associate_secondaries_q,
     oracle_parameter_details,
@@ -162,6 +162,12 @@ register(
     "ml_decontaminate_sweep",
     curation.decontaminate_sweep,
     curation.oracle_decontaminate_sweep(),
+)
+
+register(
+    "ml_export_manifest",
+    export.export_manifest,
+    export.oracle_export_manifest(),
 )
 
 register(
@@ -1933,6 +1939,7 @@ DRIVER_WINDOW = [
     "ml_cluster_keep_best",
     "st_ml_line_dedup",
     "ml_decontaminate_sweep",
+    "ml_export_manifest",
     # -- changed (r10)
     "mm_audio_chunk_plan",
     "ml_filter_ablation",

@@ -353,3 +353,48 @@ def test_decontaminate_sweep_monotone_and_exact(prepared_spark):
     assert rows[13]["n_contaminated_docs"] == 1
     assert all(rows[n]["n_train_docs"] == 4 for n in rows)
     assert rows[13]["contaminated_frac"] == 0.25
+
+
+# ---------------------------------------------------------------------------
+# E94 — curated-corpus parquet export (session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_export_corpus_matches_manifest(prepared_spark, tmp_path):
+    """The sink write is reconciled against the relational plan: exact
+    per-source row totals, every file under the record cap, and the
+    actual shard count within the range-straddle bound of the planned
+    count (each of the n_parts range partitions can straddle at most one
+    source boundary and add one extra file there)."""
+    from collector_spark.ml.export import (
+        EXPORT_MAX_RECORDS,
+        export_corpus,
+        export_manifest,
+    )
+
+    spark = prepared_spark
+    plan = {r["source"]: r for r in export_manifest(spark).collect()}
+    out = str(tmp_path / "corpus")
+    audit = {r["source"]: r for r in export_corpus(spark, out).collect()}
+
+    assert set(audit) == set(plan)
+    n_parts = sum(r["n_shards"] for r in plan.values())
+    for src, p in plan.items():
+        a = audit[src]
+        assert a["n_docs"] == p["n_docs"], src
+        assert a["n_files"] >= p["n_shards"] or p["n_docs"] < EXPORT_MAX_RECORDS, src
+    total_files = sum(a["n_files"] for a in audit.values())
+    assert total_files <= n_parts + len(plan), (total_files, n_parts)
+
+    # per-file cap: no parquet file exceeds EXPORT_MAX_RECORDS rows
+    back = spark.read.parquet(out)
+    from pyspark.sql import functions as FF
+
+    per_file = (
+        back.withColumn("_f", FF.input_file_name())
+        .groupBy("_f")
+        .count()
+        .agg(FF.max("count"))
+        .first()[0]
+    )
+    assert per_file <= EXPORT_MAX_RECORDS

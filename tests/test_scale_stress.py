@@ -138,6 +138,14 @@ def stress(spark, tmp_path_factory):
     registry.load_all()
     old_dir = tables.LAST_SF_DIR
     s = spark.newSession()
+    # the skewed slice is the one place a data-scaled relation (stmt_texts
+    # at 750k orders, the canonical shingle side) can sneak over the
+    # default 10 MB broadcast threshold while the long-running test JVM is
+    # already memory-pressured — and at 100 TB none of those sides would
+    # ever be broadcast. Cap the threshold (newSession's SQLConf is
+    # isolated, so the shared fixture session is untouched); true
+    # dimension tables stay well under it.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", str(4 * 1024 * 1024))
     registry.prepare(s, dst)
     tables.LAST_SF_DIR = old_dir  # streaming sources keep the session dir
 
