@@ -1970,7 +1970,8 @@ DRIVER_WINDOW = [
     "s5_backend_identity",
     "s6_backend_counts",
     "s7_databases_scan",
-    "s9_buffercache_scan",
+    # (s9_buffercache_scan ceded its slot to ml_export_manifest — it
+    #  rotates with the remaining r3 names in round 11)
     "s10_relation_scan",
     "s25_replication_primary",
     "s26_standby_lag",
