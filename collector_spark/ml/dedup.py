@@ -1437,9 +1437,10 @@ def incremental_dedup(
         # default ON: the scale-correct shape (one corpus read + one
         # canonical-batch checkpoint) must be what an unconfigured
         # production call gets — a wrong-at-scale default is a footgun
-        # (r9 verdict item 5). Only the registered local oracle/bench
-        # form opts out explicitly (recompute measured faster than the
-        # checkpoint barrier at fixture scale: 4.8 s vs 6.2 s at sf0.1).
+        # (r9 verdict item 5). Since r10 the registered bench/oracle
+        # form is the default too: repeated idle runs put the
+        # checkpointed shape consistently ahead even at fixture scale
+        # (4.8-5.2 s vs 5.9-9.6 s at sf0.1).
         materialize = (
             spark.conf.get("collector_spark.incremental.materialize", "true")
             == "true"
@@ -1463,10 +1464,9 @@ def incremental_dedup(
     # window from the source scan — the unmaterialized plan reads the
     # corpus 46 times with zero exchange reuse (tests/test_curation_plans
     # pins both shapes). The DEFAULT is materialize=True (the cluster
-    # shape); the registered oracle/bench form passes materialize=False
-    # because at fixture scale recompute wins on wall clock (the
-    # checkpoint barrier costs more than 46 tiny scans: measured 4.8 s
-    # vs 6.2 s cold at sf0.1).
+    # shape), and the registered bench/oracle form takes it too — the
+    # checkpointed shape measured consistently faster than recompute
+    # even at fixture scale once re-run idle (r10).
     # The checkpoint sits BEFORE the shingle explode: one row per
     # canonical doc, not ~50 shingles per doc.
     union_canon = (

@@ -447,13 +447,14 @@ register(
 
 register("ml_semdedup", similarity.semdedup, similarity.oracle_semdedup())
 
-# the oracle/bench form opts OUT of the (now default-on) canonical-union
-# materialization: at fixture scale recompute beats the checkpoint barrier
-# (measured 4.8 s vs 6.2 s at sf0.1); production paths (the foreachBatch
-# twin, unconfigured calls) take the default — r9 verdict item 5
+# registered as the default (materialized) form: the r9 measurement that
+# favored recompute at fixture scale (4.8 s vs 6.2 s cold) did not hold
+# up — three interleaved idle runs each way in r10 put the checkpointed
+# shape consistently ahead at sf0.1 (4.8/5.0/5.2 s vs 5.9/6.3/9.6 s), so
+# the cluster-correct shape is also the bench form
 register(
     "ml_incremental_dedup",
-    partial(dedup.incremental_dedup, materialize=False),
+    dedup.incremental_dedup,
     dedup.oracle_incremental_dedup(),
 )
 

@@ -212,10 +212,12 @@ def test_incremental_dedup_materialize_collapses_scans(prepared_spark):
 
 
 def test_incremental_dedup_default_is_sink_shape(prepared_spark):
-    """r9 verdict item 5: the DEFAULT (what an unconfigured production
-    call — including the foreachBatch streaming twin — gets) must be the
-    materialized 6-scan cluster shape; only the registered oracle/bench
-    form opts into recompute."""
+    """r9 verdict item 5 (+ r10 re-measurement): the DEFAULT (what an
+    unconfigured production call — including the foreachBatch streaming
+    twin — gets) is the materialized 6-scan cluster shape, and the
+    registered form IS the default — the r9 recompute-wins measurement
+    did not hold up under repeated idle runs (checkpoint 4.8-5.2 s vs
+    recompute 5.9-9.6 s at sf0.1)."""
     from collector_spark import registry
     from collector_spark.ml.dedup import incremental_dedup
 
@@ -229,9 +231,7 @@ def test_incremental_dedup_default_is_sink_shape(prepared_spark):
 
     registry.load_all()
     registered = registry.REGISTRY["ml_incremental_dedup"].spark_fn
-    reg_scans = scans(registered(prepared_spark))
-    lazy_scans = scans(incremental_dedup(prepared_spark, materialize=False))
-    assert reg_scans == lazy_scans, (reg_scans, lazy_scans)
+    assert scans(registered(prepared_spark)) == mat_scans
 
 
 def test_bpe_encode_default_is_linear_shape(prepared_spark):
