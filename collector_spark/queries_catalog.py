@@ -177,6 +177,16 @@ register(
     fixtures=["doc_lines"],
 )
 
+# ST20: the doc pipeline's applyInPandasWithState operator — the running
+# pack offset is a true carry-over state (not a monotone fold); arrival
+# order is doc_id-ascending per group by construction, so it shares E54's
+# batch oracle
+register(
+    "st_ml_sequence_packing",
+    doc_stream.stream_sequence_packing,
+    curation.oracle_sequence_packing(),
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,
@@ -1941,6 +1951,7 @@ DRIVER_WINDOW = [
     "st_ml_line_dedup",
     "ml_decontaminate_sweep",
     "ml_export_manifest",
+    "st_ml_sequence_packing",
     # -- changed (r10)
     "mm_audio_chunk_plan",
     "ml_filter_ablation",
@@ -1962,7 +1973,8 @@ DRIVER_WINDOW = [
     "j5_parent_size_rollup",
     "log_parse",
     "mm_media_metadata",
-    "mm_resize_frame_plan",
+    # (mm_resize_frame_plan ceded its slot to st_ml_sequence_packing —
+    #  rotates in round 11)
     "p1_ignore_filter",
     "p7_log_early_ignore",
     "p11_explain_skip",

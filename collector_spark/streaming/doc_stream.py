@@ -1047,14 +1047,16 @@ def _staged_doc_stream(
     return raw, cleanup, run_id, ckpt_dir
 
 
-def _run_state_to_memory(spark, state_df, qname: str, ckpt_dir: str, cleanup):
+def _run_state_to_memory(
+    spark, state_df, qname: str, ckpt_dir: str, cleanup, output_mode: str = "complete"
+):
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         query = (
             state_df.writeStream.format("memory")
             .queryName(qname)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt_dir)
             .trigger(availableNow=True)
             .start()
@@ -1209,3 +1211,120 @@ def stream_line_dedup(spark: SparkSession, n_arrival_batches: int = 6) -> DataFr
     qname = f"linefirst_{run_id}"
     _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
     return line_dedup_from_first_keys(spark, spark.table(qname))
+
+
+# ---------------------------------------------------------------------------
+# ST20 / E54b — streaming sequence packing via applyInPandasWithState:
+# the per-(source, shard) running token offset is a genuine CARRY-OVER
+# state (not a monotone fold like ST11-ST19's states — the offset a doc
+# receives depends on everything packed before it), so this is the doc
+# pipeline's custom stateful operator, the same Spark surface as the log
+# sessionizer (log_stream.py). Arrival order is doc_id-ascending per
+# group by construction (the staged source range-partitions on doc_id
+# and replays files oldest-first), and rows are sorted by doc_id inside
+# each batch, so the streamed offsets equal the batch window's cumulative
+# sum exactly — shares E54's oracle.
+#
+# Production shape: state is one BIGINT per open (source, shard) group in
+# the state store; each trigger packs the arriving docs of a group in one
+# Arrow batch and emits their pack assignments append-mode — the live
+# form of the pre-training pack step, sized O(open shards), not O(docs).
+# ---------------------------------------------------------------------------
+
+_PACK_OUT_FIELDS = [
+    "doc_id",
+    "source",
+    "shard",
+    "n_tokens",
+    "stream_offset",
+    "pack_id",
+    "offset_in_pack",
+    "crosses_boundary",
+]
+
+
+def _pack_out_schema():
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("source", StringType()),
+            StructField("shard", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("stream_offset", LongType()),
+            StructField("pack_id", LongType()),
+            StructField("offset_in_pack", LongType()),
+            StructField("crosses_boundary", BooleanType()),
+        ]
+    )
+
+
+def _pack_state_schema():
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    return StructType([StructField("cum", LongType())])
+
+
+def _pack_state_fn(key, pdf_iter, state):
+    import pandas as pd
+
+    from collector_spark.ml.curation import PACK_BUDGET
+
+    source, shard = key
+    cum = int(state.get[0]) if state.exists else 0
+    frames = [p for p in pdf_iter if len(p)]
+    rows = []
+    if frames:
+        pdf = pd.concat(frames).sort_values("doc_id")
+        for doc_id, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+            n = int(n)
+            rows.append(
+                (
+                    int(doc_id),
+                    source,
+                    int(shard),
+                    n,
+                    cum,
+                    cum // PACK_BUDGET,
+                    cum % PACK_BUDGET,
+                    (cum % PACK_BUDGET) + n > PACK_BUDGET,
+                )
+            )
+            cum += n
+    state.update((cum,))
+    yield pd.DataFrame(rows, columns=_PACK_OUT_FIELDS)
+
+
+def stream_sequence_packing(
+    spark: SparkSession, n_arrival_batches: int = 6
+) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from collector_spark.ml.curation import PACK_SHARD_DOCS
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    base = raw.select(
+        "doc_id",
+        "source",
+        F.floor(F.col("doc_id") / PACK_SHARD_DOCS).cast("long").alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    packed = base.groupBy("source", "shard").applyInPandasWithState(
+        _pack_state_fn,
+        _pack_out_schema(),
+        _pack_state_schema(),
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    qname = f"seqpack_{run_id}"
+    _run_state_to_memory(
+        spark, packed, qname, ckpt_dir, cleanup, output_mode="append"
+    )
+    return spark.table(qname).orderBy("doc_id")

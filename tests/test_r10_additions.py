@@ -398,3 +398,21 @@ def test_export_corpus_matches_manifest(prepared_spark, tmp_path):
         .first()[0]
     )
     assert per_file <= EXPORT_MAX_RECORDS
+
+
+# ---------------------------------------------------------------------------
+# ST20 — streaming sequence packing (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_sequence_packing_batch_equal(prepared_spark):
+    """The running pack offset is a true carry-over state (the offset a
+    doc receives depends on everything packed before it) — the streamed
+    applyInPandasWithState form must equal the batch cumulative-window
+    form row-for-row, at an arrival batching the batch form never saw."""
+    from collector_spark.ml.curation import sequence_packing
+    from collector_spark.streaming.doc_stream import stream_sequence_packing
+
+    batch = sequence_packing(prepared_spark).collect()
+    streamed = stream_sequence_packing(prepared_spark, n_arrival_batches=3).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
