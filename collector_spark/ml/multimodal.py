@@ -129,6 +129,120 @@ FROM media_rows ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# E95 — video frame-level dedup (the multimodal twin of E88's line dedup,
+# and what video pipelines run before paying decode/embedding cost on
+# near-identical footage): explode every video payload into FRAME_BYTES
+# frames, key each frame on its content, and keep only the corpus-wide
+# first (doc_id, frame_no) occurrence; later copies are attributed as
+# intra-media (a repeated frame inside the same clip) or cross-media (the
+# same frame in another clip — re-uploads, clipped copies). Emits the
+# per-media retained-frame audit.
+#
+# The frame key here is the frame's hex content itself (frames are tiny
+# in the synthetic payloads, and hex() is byte-identical across engines);
+# a production run keys on a 128-bit frame hash — or a perceptual hash
+# computed in the decode UDF (mm_decode_features' seam) for near-dup
+# rather than exact-dup frames. Same first-owner / one-shuffle shape
+# either way: ONE shuffle on the frame key, then one media-keyed rollup.
+# A flooded identical frame is one window key with a linear fold — the
+# same canonical-first discipline as E1/E88, never pairs.
+# ---------------------------------------------------------------------------
+
+FRAME_POS_STRIDE = 1024  # frame_no < 1024 by construction (payload caps)
+
+
+def frame_dedup(spark: SparkSession, media: DataFrame | None = None) -> DataFrame:
+    from pyspark.sql import Window
+
+    m = spark.table("media_rows") if media is None else media
+    m = m.filter(F.col("media_type").startswith("video/"))
+    n_frames = (F.octet_length("payload") / FRAME_BYTES).cast("long")
+    hexchars = 2 * FRAME_BYTES
+    frames = m.select(
+        "doc_id",
+        F.hex("payload").alias("hx"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias("frame_no"),
+    ).select(
+        "doc_id",
+        "frame_no",
+        F.expr(
+            f"substring(hx, CAST(frame_no * {hexchars} + 1 AS INT), {hexchars})"
+        ).alias("frame_key"),
+    )
+    pos_key = (F.col("doc_id") * FRAME_POS_STRIDE + F.col("frame_no")).cast("long")
+    keyed = frames.select(
+        "doc_id",
+        "frame_no",
+        pos_key.alias("pos_key"),
+        F.min(pos_key).over(Window.partitionBy("frame_key")).alias("first_key"),
+    )
+    kept = F.col("pos_key") == F.col("first_key")
+    first_doc = F.floor(F.col("first_key") / FRAME_POS_STRIDE)
+    return (
+        keyed.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(~kept & (first_doc == F.col("doc_id")), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_intra"),
+            F.sum(F.when(~kept & (first_doc != F.col("doc_id")), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_cross"),
+        )
+        .select(
+            "doc_id",
+            "n_frames",
+            "n_kept",
+            "n_dup_intra",
+            "n_dup_cross",
+            (
+                (F.col("n_frames") - F.col("n_kept")).cast("double")
+                / F.col("n_frames").cast("double")
+            ).alias("dup_frame_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_frame_dedup() -> str:
+    hexchars = 2 * FRAME_BYTES
+    return f"""
+WITH vids AS (
+  SELECT doc_id, hex(payload) AS hx,
+         CAST(octet_length(payload) / {FRAME_BYTES} AS BIGINT) AS nf
+  FROM media_rows WHERE starts_with(media_type, 'video/')
+),
+frames AS (
+  SELECT doc_id, CAST(u.frame_no AS BIGINT) AS frame_no,
+    substr(hx, CAST(frame_no * {hexchars} + 1 AS INT), {hexchars}) AS frame_key
+  FROM vids, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS frame_no) u
+),
+keyed AS (
+  SELECT doc_id, frame_no,
+    CAST(doc_id * {FRAME_POS_STRIDE} + frame_no AS BIGINT) AS pos_key,
+    MIN(CAST(doc_id * {FRAME_POS_STRIDE} + frame_no AS BIGINT))
+      OVER (PARTITION BY frame_key) AS first_key
+  FROM frames
+)
+SELECT doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_frames,
+  CAST(SUM(CASE WHEN pos_key = first_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN pos_key <> first_key
+                 AND CAST(first_key // {FRAME_POS_STRIDE} AS BIGINT) = doc_id
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_intra,
+  CAST(SUM(CASE WHEN pos_key <> first_key
+                 AND CAST(first_key // {FRAME_POS_STRIDE} AS BIGINT) <> doc_id
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_cross,
+  CAST(COUNT(*) - SUM(CASE WHEN pos_key = first_key THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS dup_frame_frac
+FROM keyed
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -187,6 +187,13 @@ register(
     curation.oracle_sequence_packing(),
 )
 
+register(
+    "mm_frame_dedup",
+    multimodal.frame_dedup,
+    multimodal.oracle_frame_dedup(),
+    fixtures=["media_rows"],
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,
@@ -1793,7 +1800,8 @@ register(
 )
 
 register(
-    "mm_media_metadata",
+    # (mm_media_metadata ceded its slot to mm_frame_dedup — rotates in
+    #  round 11)
     multimodal.media_metadata,
     multimodal.oracle_media_metadata(),
     fixtures=["media_rows"],
@@ -1952,6 +1960,7 @@ DRIVER_WINDOW = [
     "ml_decontaminate_sweep",
     "ml_export_manifest",
     "st_ml_sequence_packing",
+    "mm_frame_dedup",
     # -- changed (r10)
     "mm_audio_chunk_plan",
     "ml_filter_ablation",
@@ -1972,7 +1981,8 @@ DRIVER_WINDOW = [
     "a14_xmin_horizon",
     "j5_parent_size_rollup",
     "log_parse",
-    "mm_media_metadata",
+    # (mm_media_metadata ceded its slot to mm_frame_dedup — rotates in
+    #  round 11)
     # (mm_resize_frame_plan ceded its slot to st_ml_sequence_packing —
     #  rotates in round 11)
     "p1_ignore_filter",

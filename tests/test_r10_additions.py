@@ -416,3 +416,34 @@ def test_stream_sequence_packing_batch_equal(prepared_spark):
     batch = sequence_packing(prepared_spark).collect()
     streamed = stream_sequence_packing(prepared_spark, n_arrival_batches=3).collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+# ---------------------------------------------------------------------------
+# E95 — video frame-level dedup (session 2)
+# ---------------------------------------------------------------------------
+
+
+def test_frame_dedup_attribution(prepared_spark):
+    """Crafted clips pin both drop legs (the driver fixture has duplicate
+    payloads only at sf0.1+): clip 10 repeats its own frame (intra), clip
+    11 re-uses clip 10's frames (cross, a re-upload), clip 12 is unique.
+    Frames are FRAME_BYTES-sized payload blocks."""
+    from collector_spark.ml.multimodal import FRAME_BYTES, frame_dedup
+
+    a, b = b"\x01" * FRAME_BYTES, b"\x02" * FRAME_BYTES
+    c, d = b"\x03" * FRAME_BYTES, b"\x04" * FRAME_BYTES
+    media = prepared_spark.createDataFrame(
+        [
+            (10, "video/mp4", a + b + a),  # frame 2 repeats frame 0: intra
+            (11, "video/mp4", b + a),      # both frames first seen in 10: cross
+            (12, "video/mp4", c + d),
+            (13, "image/png", a + b),      # non-video: excluded
+        ],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in frame_dedup(prepared_spark, media).collect()}
+    assert set(rows) == {10, 11, 12}
+    assert (rows[10]["n_frames"], rows[10]["n_kept"], rows[10]["n_dup_intra"], rows[10]["n_dup_cross"]) == (3, 2, 1, 0)
+    assert (rows[11]["n_frames"], rows[11]["n_kept"], rows[11]["n_dup_intra"], rows[11]["n_dup_cross"]) == (2, 0, 0, 2)
+    assert (rows[12]["n_frames"], rows[12]["n_kept"]) == (2, 2)
+    assert rows[11]["dup_frame_frac"] == 1.0
