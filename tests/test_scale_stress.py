@@ -330,3 +330,38 @@ def test_line_dedup_hot_line_single_owner(stress):
     # the distinct-line universe)
     distinct_lines = lines.select("line_text").distinct().count()
     assert totals["kept"] == distinct_lines
+
+
+def test_frame_dedup_flood_keeps_one_payload(stress):
+    """~333 flood docs are videos (doc_id % 3 == 2 within the 1000-id
+    flood) with byte-identical payloads — every frame position is a hot
+    window key shared by all of them. First-owner must keep exactly ONE
+    payload's worth of frames across the whole flood, attributed cross-
+    media to the earliest flood video."""
+    from collector_spark import registry
+    from collector_spark.ml.multimodal import FRAME_BYTES
+
+    t0 = time.monotonic()
+    out = registry.REGISTRY["mm_frame_dedup"].spark_fn(stress.spark)
+    flood = out.filter(
+        (F.col("doc_id") >= FLOOD_DOC_BASE)
+        & (F.col("doc_id") < FLOOD_DOC_BASE + N_FLOOD_DOCS)
+    )
+    row = flood.agg(
+        F.count("*").alias("n_vids"),
+        F.sum("n_frames").alias("frames"),
+        F.sum("n_kept").alias("kept"),
+        F.sum("n_dup_intra").alias("intra"),
+        F.sum("n_dup_cross").alias("cross"),
+        F.max("n_frames").alias("per_vid"),
+    ).first()
+    stress.times["mm_frame_dedup"] = time.monotonic() - t0
+    n_flood_vids = sum(
+        1 for i in range(N_FLOOD_DOCS) if (FLOOD_DOC_BASE + i) % 3 == 2
+    )
+    assert row["n_vids"] == n_flood_vids
+    # identical payloads, no intra repeats in an md5-derived payload:
+    # exactly one video's frames survive, everything else is cross-media
+    assert row["kept"] == row["per_vid"], (row["kept"], row["per_vid"])
+    assert row["intra"] == 0
+    assert row["cross"] == row["frames"] - row["per_vid"]
