@@ -1800,8 +1800,7 @@ register(
 )
 
 register(
-    # (mm_media_metadata ceded its slot to mm_frame_dedup — rotates in
-    #  round 11)
+    "mm_media_metadata",
     multimodal.media_metadata,
     multimodal.oracle_media_metadata(),
     fixtures=["media_rows"],

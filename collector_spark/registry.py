@@ -36,6 +36,13 @@ def register(
     oracle: str | None = None,
     fixtures: list[str] | None = None,
 ) -> None:
+    # a mis-ordered call (function where the name should be) corrupts the
+    # registry silently until a driver sweep iterates it — fail at the call
+    # site (r10: a catalog edit dropped a name and the function slid left)
+    if not isinstance(name, str) or not callable(spark_fn):
+        raise TypeError(
+            f"register(name, spark_fn, ...) got name={name!r}, spark_fn={spark_fn!r}"
+        )
     # a silent dict overwrite is exactly how a stale variant ships unnoticed
     # (r7 verdict: ml_source_overlap was registered twice) — fail loudly.
     # Exception: an IDENTICAL re-registration (same oracle SQL, fixtures,
