@@ -152,14 +152,14 @@ FROM media_rows ORDER BY doc_id
 FRAME_POS_STRIDE = 1024  # frame_no < 1024 by construction (payload caps)
 
 
-def frame_dedup(spark: SparkSession, media: DataFrame | None = None) -> DataFrame:
-    from pyspark.sql import Window
-
-    m = spark.table("media_rows") if media is None else media
+def video_frames(m: DataFrame) -> DataFrame:
+    """(doc_id, frame_no, frame_key) for every FRAME_BYTES frame of every
+    video payload — the shared derivation of the batch window, the
+    state-driven report, and the streaming twin's fold."""
     m = m.filter(F.col("media_type").startswith("video/"))
     n_frames = (F.octet_length("payload") / FRAME_BYTES).cast("long")
     hexchars = 2 * FRAME_BYTES
-    frames = m.select(
+    return m.select(
         "doc_id",
         F.hex("payload").alias("hx"),
         F.explode(F.sequence(F.lit(0).cast("long"), n_frames - 1)).alias("frame_no"),
@@ -170,13 +170,42 @@ def frame_dedup(spark: SparkSession, media: DataFrame | None = None) -> DataFram
             f"substring(hx, CAST(frame_no * {hexchars} + 1 AS INT), {hexchars})"
         ).alias("frame_key"),
     )
-    pos_key = (F.col("doc_id") * FRAME_POS_STRIDE + F.col("frame_no")).cast("long")
+
+
+def _frame_pos_key():
+    return (F.col("doc_id") * FRAME_POS_STRIDE + F.col("frame_no")).cast("long")
+
+
+def frame_dedup(spark: SparkSession, media: DataFrame | None = None) -> DataFrame:
+    from pyspark.sql import Window
+
+    frames = video_frames(spark.table("media_rows") if media is None else media)
+    pos_key = _frame_pos_key()
     keyed = frames.select(
         "doc_id",
         "frame_no",
         pos_key.alias("pos_key"),
         F.min(pos_key).over(Window.partitionBy("frame_key")).alias("first_key"),
     )
+    return _frame_dedup_report(keyed).orderBy("doc_id")
+
+
+def frame_dedup_from_first_keys(
+    spark: SparkSession, first_keys: DataFrame
+) -> DataFrame:
+    """E95's report stage driven by an externally-folded first-owner state
+    (frame_key -> MIN pos_key) — the streaming twin feeds its final state
+    through here and shares the batch oracle (MIN is monotone, so the
+    streamed fold equals the batch window under any arrival batching).
+    Plain key join on the frame key (O(distinct frames) state)."""
+    frames = video_frames(spark.table("media_rows"))
+    keyed = frames.join(first_keys, "frame_key").select(
+        "doc_id", "frame_no", _frame_pos_key().alias("pos_key"), "first_key"
+    )
+    return _frame_dedup_report(keyed).orderBy("doc_id")
+
+
+def _frame_dedup_report(keyed: DataFrame) -> DataFrame:
     kept = F.col("pos_key") == F.col("first_key")
     first_doc = F.floor(F.col("first_key") / FRAME_POS_STRIDE)
     return (
@@ -202,7 +231,6 @@ def frame_dedup(spark: SparkSession, media: DataFrame | None = None) -> DataFram
                 / F.col("n_frames").cast("double")
             ).alias("dup_frame_frac"),
         )
-        .orderBy("doc_id")
     )
 
 

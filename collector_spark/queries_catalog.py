@@ -194,6 +194,16 @@ register(
     fixtures=["media_rows"],
 )
 
+# ST21: registered OUTSIDE the driver window (covered by the in-repo
+# 245-query sweep and the sf0.001 full sweep; rotates into the window in
+# round 11 with the r3-stale names) so no further r2-stale evictions
+register(
+    "st_mm_frame_dedup",
+    doc_stream.stream_frame_dedup,
+    multimodal.oracle_frame_dedup(),
+    fixtures=["media_rows"],
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,

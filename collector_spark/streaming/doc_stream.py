@@ -1328,3 +1328,42 @@ def stream_sequence_packing(
         spark, packed, qname, ckpt_dir, cleanup, output_mode="append"
     )
     return spark.table(qname).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ST21 / E95b — streaming frame dedup: the per-frame first-owner key is a
+# MIN fold (monotone), so the streamed (frame_key -> first pos_key) state
+# equals the batch window under ANY arrival batching; media rows are
+# rendered on the stream with the exact F22 fixture SQL (the same
+# source-swap discipline as ST19), the fold state drives the batch report
+# stage, and the query shares E95's oracle. Production shape: the
+# first-owner state keys on the frame hash in the state store; arriving
+# media explode to frames, probe/fold the state, and the retained-frame
+# audit streams out per trigger — frame-level dedup during a video crawl.
+# ---------------------------------------------------------------------------
+
+
+def stream_frame_dedup(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    from collector_spark.fixtures.defs import ALL_FIXTURES
+    from collector_spark.ml.multimodal import (
+        frame_dedup_from_first_keys,
+        video_frames,
+    )
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    view = f"docstream_media_{run_id}"
+    raw.createOrReplaceTempView(view)
+    sql = ALL_FIXTURES["media_rows"]
+    assert isinstance(sql, str) and sql.count("FROM documents") == 1
+    media = spark.sql(sql.replace("FROM documents", f"FROM {view}"))
+    from collector_spark.ml.multimodal import _frame_pos_key
+
+    state = (
+        video_frames(media)
+        .select("frame_key", _frame_pos_key().alias("pos_key"))
+        .groupBy("frame_key")
+        .agg(F.min("pos_key").alias("first_key"))
+    )
+    qname = f"framefirst_{run_id}"
+    _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
+    return frame_dedup_from_first_keys(spark, spark.table(qname))

@@ -447,3 +447,15 @@ def test_frame_dedup_attribution(prepared_spark):
     assert (rows[11]["n_frames"], rows[11]["n_kept"], rows[11]["n_dup_intra"], rows[11]["n_dup_cross"]) == (2, 0, 0, 2)
     assert (rows[12]["n_frames"], rows[12]["n_kept"]) == (2, 2)
     assert rows[11]["dup_frame_frac"] == 1.0
+
+
+def test_stream_frame_dedup_batch_equal(prepared_spark):
+    """ST21: the streamed MIN first-owner frame state must reproduce the
+    batch window row-for-row, at an arrival batching the batch form never
+    saw."""
+    from collector_spark.ml.multimodal import frame_dedup
+    from collector_spark.streaming.doc_stream import stream_frame_dedup
+
+    batch = frame_dedup(prepared_spark).collect()
+    streamed = stream_frame_dedup(prepared_spark, n_arrival_batches=3).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
