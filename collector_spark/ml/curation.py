@@ -3645,3 +3645,129 @@ SELECT bucket, n_existing, n_incoming,
 FROM counts CROSS JOIN totals
 ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# E99 — token-budget quality cutoff: "we can afford B training tokens —
+# where does the quality bar land?" The scale-correct form of `ORDER BY
+# quality DESC LIMIT <budget tokens>`: a global sort of the corpus is
+# replaced by (1) a bounded 256-cell quality-score histogram with token
+# mass per cell, (2) a cumulative fold over the CELLS (<=256 rows — the
+# single-partition window is over the bounded grid, never the corpus),
+# and (3) an exact (score DESC, doc_id) ranking confined to the one
+# MARGINAL cell the budget boundary lands in. Production raises the grid
+# resolution so the marginal cell stays small; every other document gets
+# its keep decision from a broadcast join against the 256-row cell table.
+# Integer token sums throughout, so the cumulative math is engine-exact.
+# ---------------------------------------------------------------------------
+
+CUTOFF_GRID = 256
+CUTOFF_BUDGET_FRAC = 0.5
+
+
+def token_budget_cutoff(spark: SparkSession) -> DataFrame:
+    from collector_spark.ml.textstats import quality_score
+
+    q = quality_score(spark).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("ws_tokens"),
+        F.coalesce(F.col("quality_score"), F.lit(0.0)).alias("score"),
+    )
+    bucket = F.least(
+        F.floor(F.col("score") * CUTOFF_GRID), F.lit(CUTOFF_GRID - 1)
+    ).cast("int")
+    d = q.select("doc_id", "ws_tokens", "score", bucket.alias("score_bucket"))
+
+    cells = d.groupBy("score_bucket").agg(
+        F.sum("ws_tokens").cast("long").alias("bucket_tokens")
+    )
+    # bounded window: <= CUTOFF_GRID rows by construction
+    wcum = Window.orderBy(F.col("score_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cells = cells.withColumn(
+        "cum_tokens", F.sum("bucket_tokens").over(wcum).cast("long")
+    ).withColumn("prev_cum", (F.col("cum_tokens") - F.col("bucket_tokens")))
+    total = d.agg(F.sum("ws_tokens").cast("long").alias("total_tokens"))
+    cells = cells.crossJoin(F.broadcast(total)).withColumn(
+        "budget",
+        F.floor(F.col("total_tokens") * F.lit(CUTOFF_BUDGET_FRAC)).cast("long"),
+    )
+    region = (
+        F.when(F.col("cum_tokens") <= F.col("budget"), F.lit("above"))
+        .when(F.col("prev_cum") >= F.col("budget"), F.lit("below"))
+        .otherwise(F.lit("marginal"))
+    )
+    cell_table = cells.select(
+        "score_bucket", "prev_cum", "budget", region.alias("region")
+    )
+    joined = d.join(F.broadcast(cell_table), "score_bucket")
+
+    plain = joined.filter(F.col("region") != "marginal").select(
+        "doc_id",
+        "ws_tokens",
+        "score_bucket",
+        "region",
+        (F.col("region") == "above").alias("keep"),
+    )
+    # exact ranking ONLY inside the marginal grid cell
+    wmarg = Window.partitionBy("score_bucket").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    marginal = joined.filter(F.col("region") == "marginal").select(
+        "doc_id",
+        "ws_tokens",
+        "score_bucket",
+        "region",
+        (
+            F.col("prev_cum") + F.sum("ws_tokens").over(wmarg).cast("long")
+            <= F.col("budget")
+        ).alias("keep"),
+    )
+    return plain.unionByName(marginal).orderBy("doc_id")
+
+
+def oracle_token_budget_cutoff() -> str:
+    from collector_spark.ml.textstats import oracle_quality_score
+
+    qs = oracle_quality_score().rsplit("ORDER BY", 1)[0]
+    g = CUTOFF_GRID
+    return f"""
+WITH q AS ({qs}),
+d AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS ws_tokens,
+         COALESCE(quality_score, 0.0) AS score,
+         CAST(LEAST(FLOOR(COALESCE(quality_score, 0.0) * {g}), {g - 1}) AS INT) AS score_bucket
+  FROM q
+),
+tot AS (SELECT CAST(SUM(ws_tokens) AS BIGINT) AS total_tokens FROM d),
+bt AS (
+  SELECT score_bucket, CAST(SUM(ws_tokens) AS BIGINT) AS bucket_tokens
+  FROM d GROUP BY score_bucket
+),
+cells AS (
+  SELECT score_bucket, bucket_tokens,
+    CAST(SUM(bucket_tokens) OVER (ORDER BY score_bucket DESC) AS BIGINT) AS cum_tokens,
+    CAST(SUM(bucket_tokens) OVER (ORDER BY score_bucket DESC) - bucket_tokens AS BIGINT) AS prev_cum,
+    CAST(FLOOR(t.total_tokens * {CUTOFF_BUDGET_FRAC}) AS BIGINT) AS budget
+  FROM bt, tot t
+),
+ct AS (
+  SELECT score_bucket, prev_cum, budget,
+    CASE WHEN cum_tokens <= budget THEN 'above'
+         WHEN prev_cum >= budget THEN 'below'
+         ELSE 'marginal' END AS region
+  FROM cells
+),
+j AS (SELECT d.*, ct.prev_cum, ct.budget, ct.region FROM d JOIN ct USING (score_bucket))
+SELECT doc_id, ws_tokens, score_bucket, region, region = 'above' AS keep
+FROM j WHERE region <> 'marginal'
+UNION ALL
+SELECT doc_id, ws_tokens, score_bucket, region,
+  prev_cum + CAST(SUM(ws_tokens) OVER (
+    PARTITION BY score_bucket ORDER BY score DESC, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) <= budget AS keep
+FROM j WHERE region = 'marginal'
+ORDER BY doc_id
+"""

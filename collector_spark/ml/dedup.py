@@ -2461,3 +2461,227 @@ FROM keyed
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E96 — per-source dedup run report: the summary table every production
+# dedup run emits before anyone signs off on dropping 30% of a crawl —
+# docs/chars kept per source with the drop-reason breakdown from the E30
+# keep-list composition. One extra join (keep-list is keyed on doc_id,
+# documents re-partitions onto it) and one groupBy on the low-cardinality
+# source key; every upstream stage reuses the already-bucketed E30 plan.
+# ---------------------------------------------------------------------------
+
+
+def dedup_stats(spark: SparkSession) -> DataFrame:
+    kl = dedup_keep_list(spark).select("doc_id", "keep", "drop_reason")
+    docs = spark.table("documents").select("doc_id", "source", "n_chars")
+    j = docs.join(kl, "doc_id")
+    b = lambda c: c.cast("long")  # noqa: E731
+    agg = j.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        b(F.sum(F.col("keep").cast("long"))).alias("n_kept"),
+        b(
+            F.sum(F.when(F.col("drop_reason") == "exact_duplicate", 1).otherwise(0))
+        ).alias("n_exact_dropped"),
+        b(
+            F.sum(F.when(F.col("drop_reason") == "near_duplicate", 1).otherwise(0))
+        ).alias("n_near_dropped"),
+        b(
+            F.sum(F.when(F.col("drop_reason") == "span_duplicate", 1).otherwise(0))
+        ).alias("n_span_dropped"),
+        b(F.sum("n_chars")).alias("total_chars"),
+        b(F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))).alias(
+            "kept_chars"
+        ),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "n_exact_dropped",
+        "n_near_dropped",
+        "n_span_dropped",
+        "total_chars",
+        "kept_chars",
+        (F.col("n_kept").cast("double") / F.col("n_docs").cast("double")).alias(
+            "keep_rate"
+        ),
+        (
+            F.col("kept_chars").cast("double") / F.col("total_chars").cast("double")
+        ).alias("char_keep_rate"),
+    ).orderBy("source")
+
+
+def oracle_dedup_stats() -> str:
+    kl = oracle_dedup_keep_list().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH kl AS ({kl})
+SELECT d.source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(CASE WHEN kl.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN kl.drop_reason = 'exact_duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dropped,
+  CAST(SUM(CASE WHEN kl.drop_reason = 'near_duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dropped,
+  CAST(SUM(CASE WHEN kl.drop_reason = 'span_duplicate' THEN 1 ELSE 0 END) AS BIGINT) AS n_span_dropped,
+  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+  CAST(SUM(CASE WHEN kl.keep THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+  CAST(SUM(CASE WHEN kl.keep THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS keep_rate,
+  CAST(SUM(CASE WHEN kl.keep THEN d.n_chars ELSE 0 END) AS DOUBLE) / SUM(d.n_chars) AS char_keep_rate
+FROM documents d JOIN kl ON kl.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+# ---------------------------------------------------------------------------
+# E97 — duplicate-cluster size histogram: the distribution review that
+# decides whether a dedup threshold is too loose (a giant snowball cluster)
+# or too tight (nothing but 2-cliques). Exact groups come from E1 (one row
+# per canonical carries group_size), near-dup clusters from E6 (one row per
+# canonical carries cluster_size); both reduce to a bounded (method, size)
+# key before the final groupBy, so the histogram aggregation is over at most
+# O(distinct sizes) keys regardless of corpus scale.
+# ---------------------------------------------------------------------------
+
+
+def cluster_size_histogram(spark: SparkSession) -> DataFrame:
+    exact = (
+        exact_dup_groups(spark)
+        .filter(F.col("keep") & (F.col("group_size") > 1))
+        .select(F.lit("exact").alias("method"), F.col("group_size").alias("size"))
+    )
+    near = (
+        dup_clusters(spark)
+        .filter(F.col("is_canonical"))
+        .select(F.lit("near").alias("method"), F.col("cluster_size").alias("size"))
+    )
+    return (
+        exact.unionByName(near)
+        .groupBy("method", "size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "method",
+            "size",
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters")).cast("long").alias("docs_covered"),
+        )
+        .orderBy("method", "size")
+    )
+
+
+def oracle_cluster_size_histogram() -> str:
+    exact = oracle_exact_dup_groups().rsplit("ORDER BY", 1)[0]
+    near = oracle_dup_clusters().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH e AS ({exact}),
+n AS ({near}),
+sized AS (
+  SELECT 'exact' AS method, group_size AS size FROM e
+  WHERE keep AND group_size > 1
+  UNION ALL
+  SELECT 'near' AS method, cluster_size AS size FROM n WHERE is_canonical
+)
+SELECT method, size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(size * COUNT(*) AS BIGINT) AS docs_covered
+FROM sized GROUP BY method, size
+ORDER BY method, size
+"""
+
+
+# ---------------------------------------------------------------------------
+# E98 — dedup method-agreement matrix: the audit that picks a near-dup
+# detector before a 100 TB run. Three pair generators over the SAME
+# canonical corpus — MinHash-LSH + exact-Jaccard verify (E4, >=0.5),
+# SimHash Hamming pigeonhole (E69, <=3/16 bits), and window-hash
+# containment (E31, >=0.8) — are reduced to their flagged pair sets and
+# compared pairwise by set-Jaccard. Each generator is already
+# bucket-bounded; the comparison itself is one groupBy on (doc_a, doc_b)
+# followed by a single global fold to one row, so the matrix adds no
+# quadratic stage on top of the generators it audits.
+# ---------------------------------------------------------------------------
+
+
+def dedup_method_agreement(spark: SparkSession) -> DataFrame:
+    def tagged(df: DataFrame, m: int) -> DataFrame:
+        return df.select(
+            "doc_a",
+            "doc_b",
+            F.lit(1 if m == 0 else 0).alias("mh"),
+            F.lit(1 if m == 1 else 0).alias("sh"),
+            F.lit(1 if m == 2 else 0).alias("ct"),
+        )
+
+    pairs = (
+        tagged(ngram_jaccard_pairs(spark), 0)
+        .unionByName(tagged(simhash_candidate_pairs(spark), 1))
+        .unionByName(
+            tagged(ngram_containment_pairs(spark).filter("contained"), 2)
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("mh").alias("mh"),
+            F.max("sh").alias("sh"),
+            F.max("ct").alias("ct"),
+        )
+    )
+    folded = pairs.agg(
+        F.sum("mh").cast("long").alias("n_minhash"),
+        F.sum("sh").cast("long").alias("n_simhash"),
+        F.sum("ct").cast("long").alias("n_containment"),
+        F.sum(F.col("mh") * F.col("sh")).cast("long").alias("n_mh_sh"),
+        F.sum(F.col("mh") * F.col("ct")).cast("long").alias("n_mh_ct"),
+        F.sum(F.col("sh") * F.col("ct")).cast("long").alias("n_sh_ct"),
+    )
+
+    def agree(both: str, a: str, b: str) -> Column:
+        return F.col(both).cast("double") / F.nullif(
+            (F.col(a) + F.col(b) - F.col(both)).cast("double"), F.lit(0.0)
+        )
+
+    return folded.select(
+        "n_minhash",
+        "n_simhash",
+        "n_containment",
+        "n_mh_sh",
+        "n_mh_ct",
+        "n_sh_ct",
+        agree("n_mh_sh", "n_minhash", "n_simhash").alias("agree_mh_sh"),
+        agree("n_mh_ct", "n_minhash", "n_containment").alias("agree_mh_ct"),
+        agree("n_sh_ct", "n_simhash", "n_containment").alias("agree_sh_ct"),
+    )
+
+
+def oracle_dedup_method_agreement() -> str:
+    mh = oracle_ngram_jaccard_pairs().rsplit("ORDER BY", 1)[0]
+    sh = oracle_simhash_candidate_pairs().rsplit("ORDER BY", 1)[0]
+    ct = oracle_ngram_containment_pairs().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH mhp AS ({mh}),
+shp AS ({sh}),
+ctp AS ({ct}),
+tagged AS (
+  SELECT doc_a, doc_b, 1 AS mh, 0 AS sh, 0 AS ct FROM mhp
+  UNION ALL
+  SELECT doc_a, doc_b, 0, 1, 0 FROM shp
+  UNION ALL
+  SELECT doc_a, doc_b, 0, 0, 1 FROM ctp WHERE contained
+),
+pairs AS (
+  SELECT doc_a, doc_b, MAX(mh) AS mh, MAX(sh) AS sh, MAX(ct) AS ct
+  FROM tagged GROUP BY doc_a, doc_b
+),
+folded AS (
+  SELECT CAST(SUM(mh) AS BIGINT) AS n_minhash,
+         CAST(SUM(sh) AS BIGINT) AS n_simhash,
+         CAST(SUM(ct) AS BIGINT) AS n_containment,
+         CAST(SUM(mh * sh) AS BIGINT) AS n_mh_sh,
+         CAST(SUM(mh * ct) AS BIGINT) AS n_mh_ct,
+         CAST(SUM(sh * ct) AS BIGINT) AS n_sh_ct
+  FROM pairs
+)
+SELECT n_minhash, n_simhash, n_containment, n_mh_sh, n_mh_ct, n_sh_ct,
+  CAST(n_mh_sh AS DOUBLE) / nullif(CAST(n_minhash + n_simhash - n_mh_sh AS DOUBLE), 0.0) AS agree_mh_sh,
+  CAST(n_mh_ct AS DOUBLE) / nullif(CAST(n_minhash + n_containment - n_mh_ct AS DOUBLE), 0.0) AS agree_mh_ct,
+  CAST(n_sh_ct AS DOUBLE) / nullif(CAST(n_simhash + n_containment - n_sh_ct AS DOUBLE), 0.0) AS agree_sh_ct
+FROM folded
+"""

@@ -204,6 +204,50 @@ register(
     fixtures=["media_rows"],
 )
 
+# ---------------------------------------------------------------------------
+# r10 session-4 additions: the dedup-run REPORT surface (the tables a data
+# lead reviews before signing off a 100 TB dedup pass) — per-source
+# keep/drop stats over the E30 composition (E96), cluster-size histogram
+# (E97), and the three-way near-dup method-agreement matrix (E98).
+# ---------------------------------------------------------------------------
+
+register(
+    "ml_dedup_stats",
+    dedup.dedup_stats,
+    dedup.oracle_dedup_stats(),
+)
+
+register(
+    "ml_cluster_size_histogram",
+    dedup.cluster_size_histogram,
+    dedup.oracle_cluster_size_histogram(),
+)
+
+register(
+    "ml_dedup_method_agreement",
+    dedup.dedup_method_agreement,
+    dedup.oracle_dedup_method_agreement(),
+)
+
+# E99: the scale-correct "ORDER BY quality DESC LIMIT <budget>" — bounded
+# grid histogram + cumulative cell fold + exact rank confined to the one
+# marginal cell
+register(
+    "ml_token_budget_cutoff",
+    curation.token_budget_cutoff,
+    curation.oracle_token_budget_cutoff(),
+)
+
+# ST22: streaming decontamination — stream-static broadcast join against
+# the batch-derived eval gram set; per-doc gram dedup is row-local
+# (array_distinct) so the matched count is a plain additive streaming SUM;
+# shares E19's oracle
+register(
+    "st_ml_decontaminate",
+    doc_stream.stream_decontaminate,
+    curation.oracle_decontaminate(),
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,
@@ -1970,11 +2014,21 @@ DRIVER_WINDOW = [
     "ml_export_manifest",
     "st_ml_sequence_packing",
     "mm_frame_dedup",
-    # -- changed (r10)
-    "mm_audio_chunk_plan",
-    "ml_filter_ablation",
-    "st_ml_zipf_fit",
-    "st_ml_bloom_screen",
+    # -- new (r10 session 4): the dedup-run report surface + the
+    #    token-budget cutoff + the streaming decontamination twin — first
+    #    driver rows
+    "ml_dedup_stats",
+    "ml_cluster_size_histogram",
+    "ml_dedup_method_agreement",
+    "ml_token_budget_cutoff",
+    "st_ml_decontaminate",
+    # (the four "changed (r10)" entries — mm_audio_chunk_plan,
+    #  ml_filter_ablation, st_ml_zipf_fit, st_ml_bloom_screen — ceded
+    #  their slots to the session-4 additions: each change is
+    #  oracle-mirrored and re-proven this session by the in-repo sf0.01
+    #  oracle sweep, the exact check the driver runs; they rotate in
+    #  round 11 with the r3 names. a9_collector_diff also cedes one
+    #  stale slot to hold the window at 50 — it rotates in round 11.)
     # -- stale since round 2
     "a1_statement_diff",
     "a3_relation_diff",
@@ -1983,7 +2037,6 @@ DRIVER_WINDOW = [
     "a6_disk_rates",
     "a7_io_diff",
     "a8_function_diff",
-    "a9_collector_diff",
     "a11_buffercache_totals",
     "a12_bucket_accumulation",
     "a13_latest_split",

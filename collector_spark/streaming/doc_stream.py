@@ -1367,3 +1367,63 @@ def stream_frame_dedup(spark: SparkSession, n_arrival_batches: int = 6) -> DataF
     qname = f"framefirst_{run_id}"
     _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
     return frame_dedup_from_first_keys(spark, spark.table(qname))
+
+
+def stream_decontaminate(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    """ST22 — streaming benchmark decontamination (the twin of E19
+    ml_decontaminate): the eval-split 8-gram set is derived in batch (the
+    bounded static side — benchmarks are MBs next to a crawl), and each
+    arriving training document is screened on ingest via a stream-static
+    broadcast join. Per-doc gram dedup happens INSIDE the row
+    (array_distinct on the gram array) so the per-doc matched count is a
+    plain streaming SUM — no distinct aggregation, which Structured
+    Streaming disallows; explode_outer keeps short docs (< 8 tokens) in
+    the result with matched_grams = 0, matching the batch left join.
+
+    State is O(docs in flight) for the per-doc sums; arrival batching
+    cannot change the answer (each doc's rows land in one microbatch and
+    the fold is additive), so the query shares E19's DuckDB oracle. The
+    static gram set is persisted for the run — production would
+    checkpoint it once per benchmark release, not per trigger.
+    """
+    from collector_spark.ml.curation import (
+        EVAL_SOURCE,
+        NGRAM_N,
+        _word_ngrams,
+        eval_gram_set,
+    )
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    eval_grams = eval_gram_set(spark).withColumn("_hit", F.lit(1)).persist()
+    try:
+        grams = (
+            raw.filter(F.col("source") != EVAL_SOURCE)
+            .select("doc_id", "source", F.split(F.col("text"), " ").alias("t"))
+            .select(
+                "doc_id",
+                "source",
+                F.explode_outer(
+                    F.array_distinct(_word_ngrams("t", NGRAM_N))
+                ).alias("gram"),
+            )
+        )
+        scored = (
+            grams.join(F.broadcast(eval_grams), "gram", "left")
+            .groupBy("doc_id", "source")
+            .agg(
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                .cast("long")
+                .alias("matched_grams")
+            )
+            .select(
+                "doc_id",
+                "source",
+                "matched_grams",
+                (F.col("matched_grams") > 0).alias("contaminated"),
+            )
+        )
+        qname = f"docdecon_{run_id}"
+        _run_state_to_memory(spark, scored, qname, ckpt_dir, cleanup)
+    finally:
+        eval_grams.unpersist()
+    return spark.table(qname).orderBy("doc_id")
