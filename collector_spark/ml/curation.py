@@ -3771,3 +3771,103 @@ SELECT doc_id, ws_tokens, score_bucket, region,
 FROM j WHERE region = 'marginal'
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E104 — tokenizer fertility report: the per-source acceptance table read
+# before adopting a trained tokenizer (fertility = tokens per word;
+# chars per token = the compression the vocab actually buys on each
+# source). Shares E91's exact pipeline — the E89-trained merges applied
+# to the bounded distinct-word vocabulary, joined back to the corpus word
+# explosion — then folds per SOURCE instead of per doc, so the two
+# reports reconcile by construction (sum over sources == sum over docs,
+# test-pinned). A source whose fertility stays near its character
+# baseline is a source the vocab was not trained for — the signal this
+# table exists to surface.
+#
+# Scale: identical to bpe_encode (the vocab relation is bounded and
+# checkpointed per round; the corpus is scanned once for the word counts
+# and once for the final join), with the final groupBy on the bounded
+# source key.
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility(
+    spark: SparkSession,
+    rounds: int = BPE_ENCODE_ROUNDS,
+    materialize: bool | None = None,
+) -> DataFrame:
+    if materialize is None:
+        materialize = (
+            spark.conf.get("collector_spark.bpe.materialize", "true") == "true"
+        )
+    seg = _bpe_vocab_seg(spark, keep_word=True)
+    if materialize:
+        seg = seg.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        best = _bpe_best(_bpe_pair_counts(seg))
+        seg = _bpe_apply(seg, best)
+        if materialize:
+            seg = seg.localCheckpoint(eager=False)
+    tok_per_word = seg.select(
+        "w", F.size(F.split(F.trim("seg"), " ")).cast("long").alias("w_tokens")
+    )
+    words = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    )
+    return (
+        words.join(tok_per_word, "w", "left")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.coalesce(F.col("w_tokens"), F.lit(1)))
+            .cast("long")
+            .alias("n_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_word_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            "n_word_chars",
+            (F.col("n_tokens").cast("double") / F.col("n_words").cast("double")).alias(
+                "tokens_per_word"
+            ),
+            (
+                F.col("n_word_chars").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_tokenizer_fertility(rounds: int = BPE_ENCODE_ROUNDS) -> str:
+    # E91's CTE chain with the source carried through the word explosion
+    # and the final fold grouped by source
+    base = oracle_bpe_encode(rounds)
+    head, _, _ = base.rpartition("SELECT doc_id,")
+    head = head.replace(
+        "SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w",
+        "SELECT doc_id, source, "
+        "unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w",
+    )
+    return (
+        head
+        + """SELECT source,
+  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(COALESCE(w_tokens, 1)) AS BIGINT) AS n_tokens,
+  CAST(SUM(length(w)) AS BIGINT) AS n_word_chars,
+  CAST(SUM(COALESCE(w_tokens, 1)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+    AS tokens_per_word,
+  CAST(SUM(length(w)) AS DOUBLE) / CAST(SUM(COALESCE(w_tokens, 1)) AS DOUBLE)
+    AS chars_per_token
+FROM words LEFT JOIN tokw USING (w)
+GROUP BY source
+ORDER BY source
+"""
+    )

@@ -1920,3 +1920,95 @@ FROM exact
 QUALIFY rank <= {TOP_K}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# E102 — k-NN label vote: the classification-eval view of the ANN surface.
+# A bounded probe set (vec_id < KNN_PROBES) is scored against the rest of
+# the corpus exactly like brute_force_topk (broadcast probes, corpus stays
+# distributed), the top KNN_K neighbors by (cosine DESC, corpus_id) vote
+# with their labels, and the majority label (ties -> smaller label) is
+# compared to the probe's true label. This is the standard embedding-
+# quality probe run before trusting a space for SemDeDup / clustering:
+# if k-NN can't recover labels, cosine near-dup thresholds mean little.
+#
+# Scale: identical join shape to brute_force_topk — the ONLY data-scaled
+# relation is the corpus side of the broadcast join; votes and argmax act
+# on |probes| x K rows. Float determinism: the cosine is the same
+# sequential fold both engines share (module header contract).
+# ---------------------------------------------------------------------------
+
+KNN_PROBES = 24
+KNN_K = 10
+
+
+def knn_label_vote(spark: SparkSession) -> DataFrame:
+    emb = spark.table("embeddings")
+    probes = emb.filter(F.col("vec_id") < KNN_PROBES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qv"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= KNN_PROBES).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("cv"),
+    )
+    cosine = (
+        _fold_dot(F.col("qv"), F.col("cv"))
+        / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    ).alias("cosine")
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("corpus_id"))
+    top = (
+        corpus.crossJoin(F.broadcast(probes))
+        .select("query_id", "true_label", "corpus_id", "n_label", cosine)
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= KNN_K)
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("pred_label"))
+    return (
+        top.groupBy("query_id", "true_label", F.col("n_label").alias("pred_label"))
+        .agg(F.count("*").cast("long").alias("votes"))
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            "pred_label",
+            "votes",
+            (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def oracle_knn_label_vote() -> str:
+    dot = _sql_dot("q.embedding", "c.embedding")
+    qq = _sql_dot("q.embedding", "q.embedding")
+    cc = _sql_dot("c.embedding", "c.embedding")
+    return f"""
+WITH top AS (
+  SELECT q.vec_id AS query_id, q.label AS true_label,
+         c.vec_id AS corpus_id, c.label AS n_label,
+         ({dot}) / (sqrt({qq}) * sqrt({cc})) AS cosine
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < {KNN_PROBES} AND c.vec_id >= {KNN_PROBES}
+  QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id ORDER BY cosine DESC, c.vec_id
+  ) <= {KNN_K}
+),
+votes AS (
+  SELECT query_id, true_label, n_label AS pred_label,
+         CAST(COUNT(*) AS BIGINT) AS votes
+  FROM top GROUP BY query_id, true_label, n_label
+)
+SELECT query_id, true_label, pred_label, votes,
+       CAST(pred_label = true_label AS INT) AS correct
+FROM votes
+QUALIFY row_number() OVER (
+  PARTITION BY query_id ORDER BY votes DESC, pred_label ASC
+) = 1
+ORDER BY query_id
+"""

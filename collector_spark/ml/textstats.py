@@ -532,3 +532,124 @@ WHERE b.rn = 1 AND s.n_shared_fp >= {WINNOW_MIN_SHARED}
   AND b.n_aligned >= {WINNOW_MIN_ALIGNED}
 ORDER BY s.doc_a, s.doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# E103 — pairwise source divergence as TOTAL VARIATION DISTANCE over the
+# per-source unigram distributions:
+#
+#   TVD(a, b) = 1/2 * sum_t | p_a(t) - p_b(t) |,   p_s(t) = c_s(t) / T_s
+#
+# the corpus-mixing health check ("how different are my sources really?")
+# that sits next to ml_dsir_weights and ml_sampling_weights. TVD is chosen
+# over KL/JS deliberately: |c_a*T_b - c_b*T_a| keeps every aggregated term
+# an INTEGER (one scalar division per pair at the very end), so the
+# distributed SUM is aggregation-order-exact on both engines — the same
+# reason ml_zipf_fit rides integer grids instead of float logs.
+#
+# Terms present in only one source are handled WITHOUT a dense
+# vocab x pair grid: their contribution is recovered from the matched
+# join alone, since  sum_{t in A\B} c_a(t) = T_a - sum_matched c_a  —
+# one equi-join on the term plus per-pair totals.
+#
+# Scale: one token explode + groupBy(source, term); the matched self-join
+# shuffles on the term exactly once (expansion bounded by S per side,
+# sources are a bounded dimension); totals broadcast. Integer envelope:
+# partial sums are bounded by 2*T_a*T_b — exact while source token totals
+# stay under ~2e9 (int64); a 100 TB deployment lifts the numerator to
+# DECIMAL(38,0) with no other change.
+# ---------------------------------------------------------------------------
+
+
+def source_tvd(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    )
+    counts = toks.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
+    ca = counts.select(F.col("source").alias("source_a"), "tok", F.col("c").alias("ca"))
+    cb = counts.select(F.col("source").alias("source_b"), "tok", F.col("c").alias("cb"))
+    ta = totals.select(F.col("source").alias("source_a"), F.col("t").alias("t_a"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("t").alias("t_b"))
+    magg = (
+        ca.join(cb, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.abs(F.col("ca") * F.col("t_b") - F.col("cb") * F.col("t_a")))
+            .cast("long")
+            .alias("m_abs"),
+            F.sum("ca").cast("long").alias("m_ca"),
+            F.sum("cb").cast("long").alias("m_cb"),
+            F.count("*").cast("long").alias("matched_terms"),
+        )
+    )
+    pairs = ta.crossJoin(tb).filter(F.col("source_a") < F.col("source_b"))
+    num = (
+        F.col("m_abs")
+        + (F.col("t_a") - F.col("m_ca")) * F.col("t_b")
+        + (F.col("t_b") - F.col("m_cb")) * F.col("t_a")
+    )
+    return (
+        pairs.join(magg, ["source_a", "source_b"], "left")
+        .fillna(0, subset=["m_abs", "m_ca", "m_cb", "matched_terms"])
+        .select(
+            "source_a",
+            "source_b",
+            "matched_terms",
+            num.cast("long").alias("tvd_num"),
+            (
+                num.cast("double")
+                / (F.lit(2.0) * F.col("t_a").cast("double") * F.col("t_b").cast("double"))
+            ).alias("tvd"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def oracle_source_tvd() -> str:
+    return """
+WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY source, tok
+),
+totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM counts GROUP BY source),
+magg AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(SUM(abs(a.c * tb.t - b.c * ta.t)) AS BIGINT) AS m_abs,
+         CAST(SUM(a.c) AS BIGINT) AS m_ca,
+         CAST(SUM(b.c) AS BIGINT) AS m_cb,
+         CAST(COUNT(*) AS BIGINT) AS matched_terms
+  FROM counts a
+  JOIN counts b ON a.tok = b.tok AND a.source < b.source
+  JOIN totals ta ON ta.source = a.source
+  JOIN totals tb ON tb.source = b.source
+  GROUP BY a.source, b.source
+),
+pairs AS (
+  SELECT ta.source AS source_a, ta.t AS t_a, tb.source AS source_b, tb.t AS t_b
+  FROM totals ta, totals tb WHERE ta.source < tb.source
+)
+SELECT p.source_a, p.source_b,
+       COALESCE(m.matched_terms, 0) AS matched_terms,
+       CAST(COALESCE(m.m_abs, 0)
+            + (p.t_a - COALESCE(m.m_ca, 0)) * p.t_b
+            + (p.t_b - COALESCE(m.m_cb, 0)) * p.t_a AS BIGINT) AS tvd_num,
+       CAST(COALESCE(m.m_abs, 0)
+            + (p.t_a - COALESCE(m.m_ca, 0)) * p.t_b
+            + (p.t_b - COALESCE(m.m_cb, 0)) * p.t_a AS DOUBLE)
+         / (2.0 * CAST(p.t_a AS DOUBLE) * CAST(p.t_b AS DOUBLE)) AS tvd
+FROM pairs p
+LEFT JOIN magg m ON m.source_a = p.source_a AND m.source_b = p.source_b
+ORDER BY p.source_a, p.source_b
+"""

@@ -248,6 +248,48 @@ register(
     curation.oracle_decontaminate(),
 )
 
+# ---------------------------------------------------------------------------
+# r10 session-5 additions: the text -> vector bridge (E100 hashed-TF
+# vectors in long form, E101 prefix-filtered cosine near-dup over them —
+# Bayardo et al. 2007 blocking with the LSH bucket-cap discipline), the
+# k-NN label-vote embedding-quality probe (E102), pairwise source
+# total-variation distance with exact integer numerators (E103), and the
+# per-source tokenizer-fertility acceptance report over the E89-trained
+# BPE merges (E104).
+# ---------------------------------------------------------------------------
+
+from collector_spark.ml import vectors
+
+register(
+    "ml_hashed_tf_vectors",
+    vectors.hashed_tf_vectors,
+    vectors.oracle_hashed_tf_vectors(),
+)
+
+register(
+    "ml_hashed_tf_neardup",
+    vectors.hashed_tf_neardup,
+    vectors.oracle_hashed_tf_neardup(),
+)
+
+register(
+    "ml_knn_label_vote",
+    similarity.knn_label_vote,
+    similarity.oracle_knn_label_vote(),
+)
+
+register(
+    "ml_source_tvd",
+    textstats.source_tvd,
+    textstats.oracle_source_tvd(),
+)
+
+register(
+    "ml_tokenizer_fertility",
+    curation.tokenizer_fertility,
+    curation.oracle_tokenizer_fertility(),
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,
@@ -2022,6 +2064,15 @@ DRIVER_WINDOW = [
     "ml_dedup_method_agreement",
     "ml_token_budget_cutoff",
     "st_ml_decontaminate",
+    # -- new (r10 session 5): the text->vector bridge (hashed-TF vectors +
+    #    prefix-filtered cosine near-dup), the k-NN label-vote probe, the
+    #    source TVD matrix, and the tokenizer-fertility report — first
+    #    driver rows
+    "ml_hashed_tf_vectors",
+    "ml_hashed_tf_neardup",
+    "ml_knn_label_vote",
+    "ml_source_tvd",
+    "ml_tokenizer_fertility",
     # (the four "changed (r10)" entries — mm_audio_chunk_plan,
     #  ml_filter_ablation, st_ml_zipf_fit, st_ml_bloom_screen — ceded
     #  their slots to the session-4 additions: each change is
@@ -2049,11 +2100,11 @@ DRIVER_WINDOW = [
     #  rotates in round 11)
     "p1_ignore_filter",
     "p7_log_early_ignore",
-    "p11_explain_skip",
-    "p12_time_window",
+    # (p11_explain_skip, p12_time_window, s5_backend_identity,
+    #  s6_backend_counts, s29_txid_scan ceded their slots to the
+    #  session-5 additions to hold the window at 50 — they rotate in
+    #  round 11 with the other deferred r2/r3 names)
     "s3_statements_info",
-    "s5_backend_identity",
-    "s6_backend_counts",
     "s7_databases_scan",
     # (s9_buffercache_scan ceded its slot to ml_export_manifest — it
     #  rotates with the remaining r3 names in round 11)
@@ -2061,7 +2112,6 @@ DRIVER_WINDOW = [
     "s25_replication_primary",
     "s26_standby_lag",
     "s28_xmin_horizon_full",
-    "s29_txid_scan",
     "st7_reset_decision",
     "st10_stream_buckets",
     "st_u7_stream_classify",
