@@ -86,6 +86,11 @@ HEADLINE = [
     # encoder (trainer + application in one linear checkpointed plan)
     "ml_line_dedup",
     "ml_bpe_encode",
+    # round-10 session-5 additions: the prefix-filtered hashed-TF near-dup
+    # join (blocking + capped pair expansion + integer verify in one plan)
+    # and the source TVD matrix (token self-join shuffling on the term)
+    "ml_hashed_tf_neardup",
+    "ml_source_tvd",
 ]
 
 N_RUNS = 3  # median-of-3 per query

@@ -561,22 +561,34 @@ ORDER BY s.doc_a, s.doc_b
 # ---------------------------------------------------------------------------
 
 
-def source_tvd(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
-    docs = spark.table("documents") if docs is None else docs
+def _source_tok_counts(docs: DataFrame) -> DataFrame:
+    """(source, tok, c): the per-source unigram counts. Stateless
+    projection + additive groupBy, so the SAME code folds a streaming
+    DataFrame's state (st_ml_source_tvd) — counts are additive, hence
+    batch-equal under any arrival batching."""
     toks = docs.select(
         "source",
         F.explode(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
         ).alias("tok"),
     )
-    counts = toks.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
+    return toks.groupBy("source", "tok").agg(F.count("*").cast("long").alias("c"))
+
+
+def tvd_from_counts(counts: DataFrame) -> DataFrame:
+    """The TVD report stage over a (source, tok, c) relation — shared by
+    the batch form and the streaming twin (which feeds it the folded
+    state)."""
     totals = counts.groupBy("source").agg(F.sum("c").cast("long").alias("t"))
-    ca = counts.select(F.col("source").alias("source_a"), "tok", F.col("c").alias("ca"))
-    cb = counts.select(F.col("source").alias("source_b"), "tok", F.col("c").alias("cb"))
+    # distinct column names per side: a plain self-join on "tok" fails
+    # attribute resolution when `counts` is a memory-sink view (the
+    # streaming twin feeds one in)
+    ca = counts.select(F.col("source").alias("source_a"), F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
+    cb = counts.select(F.col("source").alias("source_b"), F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
     ta = totals.select(F.col("source").alias("source_a"), F.col("t").alias("t_a"))
     tb = totals.select(F.col("source").alias("source_b"), F.col("t").alias("t_b"))
     magg = (
-        ca.join(cb, "tok")
+        ca.join(cb, F.col("tok_a") == F.col("tok_b"))
         .filter(F.col("source_a") < F.col("source_b"))
         .join(F.broadcast(ta), "source_a")
         .join(F.broadcast(tb), "source_b")
@@ -611,6 +623,11 @@ def source_tvd(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def source_tvd(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    return tvd_from_counts(_source_tok_counts(docs))
 
 
 def oracle_source_tvd() -> str:

@@ -290,6 +290,17 @@ register(
     curation.oracle_tokenizer_fertility(),
 )
 
+# ST23: streaming source-divergence monitor — additive (source, token)
+# count state + the shared tvd_from_counts report stage => batch-equal;
+# shares E103's oracle. Registered outside the driver window (the in-repo
+# sweep covers it; rotates in with round 11) so no further stale-row
+# evictions this round.
+register(
+    "st_ml_source_tvd",
+    doc_stream.stream_source_tvd,
+    textstats.oracle_source_tvd(),
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,

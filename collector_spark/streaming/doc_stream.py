@@ -1427,3 +1427,37 @@ def stream_decontaminate(spark: SparkSession, n_arrival_batches: int = 6) -> Dat
     finally:
         eval_grams.unpersist()
     return spark.table(qname).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ST23 / E103b — streaming source-divergence monitor: the per-(source,
+# token) count state folds incrementally over arriving document batches
+# (counts are ADDITIVE — the canonical streaming aggregation, same class
+# as ST15's Zipf counts), and the pairwise total-variation-distance
+# report reads the final state through the IDENTICAL report stage as the
+# batch operator (textstats.tvd_from_counts). Batch-equal by
+# construction, so it shares ml_source_tvd's oracle. Production shape:
+# the count state lives in the state store keyed on (source, token), the
+# TVD matrix re-evaluates per trigger — a live "did this crawl batch
+# shift a source's distribution?" dashboard that complements the
+# score-drift PSI monitor with a distribution-level signal.
+# ---------------------------------------------------------------------------
+
+
+def stream_source_tvd(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    from collector_spark.ml.textstats import tvd_from_counts
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    counts_state = (
+        raw.select(
+            "source",
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            ).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    qname = f"tvdcounts_{run_id}"
+    _run_state_to_memory(spark, counts_state, qname, ckpt_dir, cleanup)
+    return tvd_from_counts(spark.table(qname))

@@ -161,3 +161,18 @@ def test_tokenizer_fertility_reconciles_with_bpe_encode(prepared_spark):
         F.count("*").alias("d"),
     ).collect()[0]
     assert (s["w"], s["t"], s["c"], s["d"]) == (d["w"], d["t"], d["c"], d["d"])
+
+
+# -- ST23 --------------------------------------------------------------------
+
+
+def test_stream_source_tvd_batch_equal(prepared_spark):
+    """Additive (source, token) count state + the shared report stage:
+    any arrival batching reproduces the batch TVD matrix row-for-row
+    (n_arrival_batches=3 is a batching the batch form never saw)."""
+    from collector_spark.ml.textstats import source_tvd
+    from collector_spark.streaming.doc_stream import stream_source_tvd
+
+    batch = source_tvd(prepared_spark).collect()
+    streamed = stream_source_tvd(prepared_spark, n_arrival_batches=3).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]

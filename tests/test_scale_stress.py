@@ -365,3 +365,61 @@ def test_frame_dedup_flood_keeps_one_payload(stress):
     assert row["kept"] == row["per_vid"], (row["kept"], row["per_vid"])
     assert row["intra"] == 0
     assert row["cross"] == row["frames"] - row["per_vid"]
+
+
+def test_hashed_neardup_flood_silent_and_bounded(stress):
+    """E101 under the x1000 exact flood: (a) canonical-first means the
+    flood contributes ZERO near-dup pairs; (b) the emitted pair count
+    respects the exact per-bucket C(n,2) bound over <=CAP prefix buckets
+    (the same row-counted invariant as the LSH leg — the blocking layer
+    cannot go quadratic no matter how the corpus is skewed)."""
+    from collector_spark.ml import vectors as V
+    from collector_spark.ml.dedup import LSH_BUCKET_CAP, _exact_canonicals
+    from pyspark.sql import Window
+
+    docs = stress.spark.table("documents")
+    canon = _exact_canonicals(docs)
+    tf = V._tf_long(canon)
+    dfreq = tf.groupBy("dim").agg(F.count("*").alias("df"))
+    ndocs = canon.agg(F.count("*").alias("n_docs"))
+    live = (
+        dfreq.crossJoin(F.broadcast(ndocs))
+        .filter(F.col("df") * 2 <= F.col("n_docs"))
+        .select("dim", (F.col("df") * V.TF_DIM + F.col("dim")).alias("rar"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.asc("rar"))
+    prefix = (
+        tf.join(F.broadcast(live), "dim")
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= V.PREFIX_P)
+        .select("doc_id", "dim")
+    )
+    pairs_upper = (
+        prefix.groupBy("dim")
+        .agg(F.count("*").alias("n"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("n") >= 2) & (F.col("n") <= LSH_BUCKET_CAP),
+                    (F.col("n") * (F.col("n") - 1) / 2).cast("long"),
+                ).otherwise(F.lit(0))
+            ).alias("pairs_upper")
+        )
+        .first()["pairs_upper"]
+    )
+
+    t0 = time.monotonic()
+    out = V.hashed_tf_neardup(stress.spark)
+    in_flood = lambda c: (c >= FLOOD_DOC_BASE) & (  # noqa: E731
+        c < FLOOD_DOC_BASE + N_FLOOD_DOCS
+    )
+    counted = out.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            (in_flood(F.col("doc_a")) & in_flood(F.col("doc_b"))).cast("int")
+        ).alias("flood_pairs"),
+    ).first()
+    stress.times["ml_hashed_tf_neardup"] = time.monotonic() - t0
+
+    assert counted["flood_pairs"] == 0
+    assert counted["total"] <= pairs_upper
