@@ -177,6 +177,22 @@ BUDGETS = {
     # broadcast (each side is O(corpus))
     "ml_quality_keep_list": (17, []),
     "ml_corpus_report": (27, []),
+    # r10 session 5 — the text->vector bridge: one explode + one
+    # groupBy(doc_id, dim) + the per-doc norm window (measured 4)
+    "ml_hashed_tf_vectors": (6, []),
+    # near-dup: checkpointed TF relation feeds norms/dfreq/prefix/verify;
+    # blocking + capped expansion + pair verify joins (measured 16; the 1
+    # single-partition is the bounded 1-row n_docs grand total)
+    "ml_hashed_tf_neardup": (20, []),
+    # probe broadcast + corpus scan + vote/argmax on |probes| x K rows
+    # (measured 5; BNLJ is the intended 24-row probe broadcast)
+    "ml_knn_label_vote": (7, ["BroadcastNestedLoopJoin"]),
+    # checkpointed counts feed totals/matched sides (measured 11; a blow
+    # means the corpus explode is re-derived per consumer again — 23
+    # before the checkpoint)
+    "ml_source_tvd": (14, []),
+    # E91's linear checkpointed vocab plan + the bounded source fold
+    "ml_tokenizer_fertility": (8, []),
 }
 
 # Queries allowed N Exchange SinglePartition occurrences: 1-row gauge
@@ -196,6 +212,8 @@ SINGLE_PARTITION_OK = {
     "j14_schema_collection_workflow": 2,
     # the manifest inherits sampling_weights' 1-row share total
     "ml_curation_manifest": 1,
+    # the 1-row n_docs grand total gating the stop-dim filter
+    "ml_hashed_tf_neardup": 1,
 }
 
 
