@@ -10,26 +10,32 @@ so every downstream consumer is a plain relational join — no array column,
 no UDF, and the dot product of two documents is an integer SUM over an
 equi-join on ``dim``.
 
-The near-dup join uses PREFIX FILTERING (Bayardo et al. 2007, "Scaling Up
-All Pairs Similarity Search" / Chaudhuri et al. 2006): a candidate pair
-must share one of each document's PREFIX_P *rarest* live dimensions —
-rare dims produce small blocking buckets, and dims that appear in more
-than half the corpus ("stop dims") are excluded from blocking entirely
-(they carry no discriminative signal and would form corpus-sized
-buckets). Verification is exact and engine-portable: the integer
-cross-multiplied form   dot^2 * 25 >= 16 * |a|^2 * |b|^2   decides
-cosine >= 0.8 without a float threshold edge; the reported cosine double
-is derived from the same three integers on both engines.
+The near-dup join uses MAXWEIGHT PREFIX INDEXING (Bayardo et al. 2007,
+"Scaling Up All Pairs Similarity Search", the All-Pairs cosine bound):
+with unit-normalized weights w and the per-dim corpus maximum maxw,
+sim(x, y) <= sum_i w_x[i] * maxw[i] over any dim set covering the
+overlap, so each doc indexes a prefix of its dims (walked in the fixed
+global maxw-DESC order) until the un-indexed suffix bound drops below
+the threshold t. A pair sharing no dim indexed by either side provably
+has sim < t — candidate generation (indexed dims joined against the
+full TF relation) is COMPLETE for the threshold when uncapped; the
+per-dim indexer cap is the measured cost/recall knob (the recall gate
+E105 grades it). An earlier rarest-dim (Jaccard-style) blocking variant
+was REJECTED by that same gate: on this corpus's 31-token unigram vocab
+no rare dims exist and recall at t=0.8 measured 0.2%. Verification is
+exact and engine-portable: the integer cross-multiplied form
+dot^2 * 25 >= 16 * |a|^2 * |b|^2 decides cosine >= 0.8 without a float
+threshold edge; the reported cosine double is derived from the same
+three integers on both engines.
 
 Scale design (100 TB): the TF relation is one explode + one
-groupBy(doc_id, dim); the dim-frequency and rarity relations are bounded
-by TF_DIM (256 rows — broadcast); blocking reuses dedup's
-_pairs_from_buckets with its LSH_BUCKET_CAP expansion bound, and the
+groupBy(doc_id, dim); the per-dim max-weight relation is bounded by
+TF_DIM rows — broadcast; per-doc index selection is a per-doc-partition
+ordered window (bounded by the doc's distinct dims); candidate expansion
+per dim is bounded by INDEX_DIM_CAP indexers x dim occupants, and the
 canonical-first discipline (vectors only for exact-dup canonicals) keeps
-duplicate floods out of the buckets exactly as in MinHash LSH
-(ml/dedup.py:52). Verification joins touch candidate pairs only. The one
-driver-visible scalar (the stop-dim threshold's corpus count) is computed
-relationally via a broadcast 1-row crossJoin, not a .count().
+duplicate floods out of the index exactly as in MinHash LSH
+(ml/dedup.py:52). Verification joins touch candidate pairs only.
 
 Integer-overflow envelope: dot <= sqrt(na * nb) and the verify compare is
 dot^2 * 25, exact while na * nb * 25 < 2^63 — i.e. per-doc squared norms
@@ -49,18 +55,17 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from collector_spark.ml.dedup import (
-    LSH_BUCKET_CAP,
     _exact_canonicals,
     _hash60,
-    _pairs_from_buckets,
     _SQL_CANON,
     _sql_hash60,
 )
 
-TF_DIM = 256          # hashed vector width
-PREFIX_P = 2          # rarest live dims used as blocking keys per doc
+TF_DIM = 4096         # hashed vector width
+NEARDUP_COS_T = 0.8   # the join threshold (drives the indexing bound)
 NEARDUP_COS_NUM = 16  # cosine >= 0.8  <=>  dot^2 * 25 >= 16 * na * nb
 NEARDUP_COS_DEN = 25
+INDEX_DIM_CAP = 64    # max indexers kept per dim (the cost/recall knob)
 _TOK_RE = "[a-z0-9]+"
 
 
@@ -121,42 +126,104 @@ ORDER BY doc_id, dim
 """
 
 
-def hashed_tf_neardup(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
-    """E101 — cosine near-dup pairs (>= 0.8) over the hashed TF vectors,
-    prefix-filter blocked. Canonical-first: vectors are built only for
-    exact-dup canonicals, so identical-content floods contribute zero
-    pairs here (they are already decided by ml_exact_dup), mirroring the
-    MinHash LSH discipline. A pair is REACHABLE iff some dim is among BOTH
-    docs' PREFIX_P rarest live dims and that dim's bucket is within
-    LSH_BUCKET_CAP; reachable pairs are verified with exact integer
-    math. The TF relation feeds five consumers, so it is materialized once
-    (lazy localCheckpoint — the codebase's shared-stage idiom).
-    """
+def _neardup_stages(
+    spark: SparkSession, docs: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(canon, tf, norms, candidate_pairs): the shared front of the
+    near-dup join — canonical docs, the checkpointed TF relation (it
+    feeds norms, blocking, and verification), per-doc squared norms, and
+    the MAXWEIGHT-PREFIX-INDEXED candidate pairs (Bayardo et al. 2007,
+    All-Pairs for cosine). Shared by the verify form (hashed_tf_neardup)
+    and the recall gate (hashed_neardup_recall).
+
+    The indexing bound: with unit-normalized weights w and the per-dim
+    corpus maximum maxw, sim(x, y) <= sum_i w_x[i] * maxw[i] over any dim
+    set covering the overlap. Each doc walks its dims in the FIXED global
+    order (maxw DESC, dim ASC) and indexes a prefix; the un-indexed
+    suffix satisfies  sum_suffix w*maxw < t,  so a pair sharing no dim
+    indexed by EITHER side has sim < t — candidate generation (indexed
+    dims joined against the full TF relation) is COMPLETE for the
+    threshold when uncapped. The per-dim indexer cap (INDEX_DIM_CAP,
+    smallest doc_ids kept — deterministic) is the cost knob; the recall
+    gate measures exactly what it costs.
+
+    Float determinism of the indexing decision: w = tf / sqrt(norm_sq)
+    is a row-local scalar, maxw is a MAX (order-insensitive), and the
+    suffix bound is an ORDERED window cumulative sum — sequential
+    evaluation on both engines, so the indexed prefix is identical."""
     docs = spark.table("documents") if docs is None else docs
     canon = _exact_canonicals(docs)
     tf = _tf_long(canon).localCheckpoint(eager=False)
     norms = tf.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq")
     )
-    # document frequency per dim ((doc_id, dim) is unique in tf) and
-    # the corpus size, both relational; a dim is "live" (usable for
-    # blocking) while it appears in at most half the canonical corpus
-    dfreq = tf.groupBy("dim").agg(F.count("*").cast("long").alias("df"))
-    ndocs = canon.agg(F.count("*").cast("long").alias("n_docs"))
-    live = (
-        dfreq.crossJoin(F.broadcast(ndocs))
-        .filter(F.col("df") * 2 <= F.col("n_docs"))
-        # injective rarity key: (df asc, dim asc) without a window
-        .select("dim", (F.col("df") * TF_DIM + F.col("dim")).alias("rar"))
+    capped = _maxweight_index(tf, norms)
+    pairs = (
+        capped.join(tf.select("doc_id", "dim"), "dim")
+        .filter(F.col("idx_doc") != F.col("doc_id"))
+        .select(
+            F.least("idx_doc", "doc_id").alias("doc_a"),
+            F.greatest("idx_doc", "doc_id").alias("doc_b"),
+        )
+        .distinct()
     )
-    wd = Window.partitionBy("doc_id").orderBy(F.asc("rar"))
-    prefix = (
-        tf.join(F.broadcast(live), "dim")
-        .withColumn("rn", F.row_number().over(wd))
-        .filter(F.col("rn") <= PREFIX_P)
-        .select("doc_id", F.col("dim").cast("string").alias("bucket"))
+    return canon, tf, norms, pairs
+
+
+def _maxweight_index(tf: DataFrame, norms: DataFrame) -> DataFrame:
+    """(idx_doc, dim): the capped All-Pairs index relation — each doc's
+    maxweight-bounded prefix, at most INDEX_DIM_CAP indexers per dim.
+    Factored out so the scale-stress suite can count the bound it
+    asserts."""
+    w = tf.join(norms, "doc_id").select(
+        "doc_id",
+        "dim",
+        (F.col("tf").cast("double") / F.sqrt(F.col("norm_sq").cast("double"))).alias("w"),
     )
-    pairs = _pairs_from_buckets(prefix)
+    # per-dim corpus max weight: bounded by TF_DIM rows — broadcast
+    maxw = w.groupBy("dim").agg(F.max("w").alias("maxw"))
+    wb = w.join(F.broadcast(maxw), "dim").select(
+        "doc_id", "dim", "maxw", (F.col("w") * F.col("maxw")).alias("contrib")
+    )
+    # global walk order (maxw DESC, dim ASC); cum = running contrib total,
+    # a dim is INDEXED while the suffix before it could still reach t:
+    # total - cum(previous) >= t  <=>  cum - contrib <= total - t
+    wo = Window.partitionBy("doc_id").orderBy(F.desc("maxw"), F.asc("dim"))
+    wt = Window.partitionBy("doc_id")
+    ranked = wb.withColumn(
+        "cum", F.sum("contrib").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        # total as MAX of the ordered cumulative sum (contribs > 0, so cum
+        # is monotone): an UNORDERED window SUM would re-add the doubles
+        # in partition order — nondeterministic across engines AND runs
+        "total",
+        F.max("cum").over(wt),
+    )
+    indexed = ranked.filter(
+        F.col("cum") - F.col("contrib") <= F.col("total") - F.lit(NEARDUP_COS_T)
+    ).select("doc_id", "dim")
+    # per-dim indexer cap: the deterministic cost knob (smallest doc_ids)
+    wc = Window.partitionBy("dim").orderBy(F.asc("doc_id"))
+    return (
+        indexed.withColumn("irn", F.row_number().over(wc))
+        .filter(F.col("irn") <= INDEX_DIM_CAP)
+        .select(F.col("doc_id").alias("idx_doc"), "dim")
+    )
+
+
+def hashed_tf_neardup(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    """E101 — cosine near-dup pairs (>= 0.8) over the hashed TF vectors,
+    prefix-filter blocked. Canonical-first: vectors are built only for
+    exact-dup canonicals, so identical-content floods contribute zero
+    pairs here (they are already decided by ml_exact_dup), mirroring the
+    MinHash LSH discipline. A pair is REACHABLE iff it shares a dim that
+    at least one side INDEXED under the All-Pairs maxweight bound (see
+    _neardup_stages — complete for the threshold when the per-dim cap is
+    not hit); reachable pairs are verified with exact integer math. The
+    TF relation feeds several consumers, so it is materialized once
+    (lazy localCheckpoint — the codebase's shared-stage idiom).
+    """
+    canon, tf, norms, pairs = _neardup_stages(spark, docs)
     ta = tf.select(F.col("doc_id").alias("doc_a"), "dim", F.col("tf").alias("tf_a"))
     tb = tf.select(F.col("doc_id").alias("doc_b"), "dim", F.col("tf").alias("tf_b"))
     dots = (
@@ -190,39 +257,57 @@ def hashed_tf_neardup(spark: SparkSession, docs: DataFrame | None = None) -> Dat
     return out
 
 
-def oracle_hashed_tf_neardup() -> str:
-    return f"""
-WITH canon AS ({_SQL_CANON}),
+# shared SQL front of the near-dup oracles: canonical docs, the TF
+# relation, norms, and the maxweight-prefix-indexed candidate pairs (the
+# CTE twin of _neardup_stages)
+_SQL_NEARDUP_STAGES = f"""canon AS ({_SQL_CANON}),
 tf AS ({_SQL_TF.format(src='canon')}),
 norms AS (
   SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS norm_sq FROM tf GROUP BY doc_id
 ),
-dfreq AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY dim),
-ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM canon),
-live AS (
-  SELECT dim, df * {TF_DIM} + dim AS rar
-  FROM dfreq CROSS JOIN ndocs WHERE df * 2 <= n_docs
+wts AS (
+  SELECT tf.doc_id, tf.dim,
+         CAST(tf.tf AS DOUBLE) / sqrt(CAST(n.norm_sq AS DOUBLE)) AS w
+  FROM tf JOIN norms n USING (doc_id)
 ),
-prefix AS (
-  SELECT doc_id, CAST(dim AS VARCHAR) AS bucket
-  FROM (
-    SELECT tf.doc_id, tf.dim,
-           row_number() OVER (PARTITION BY tf.doc_id ORDER BY live.rar ASC) AS rn
-    FROM tf JOIN live USING (dim)
-  ) p WHERE rn <= {PREFIX_P}
+maxw AS (SELECT dim, MAX(w) AS maxw FROM wts GROUP BY dim),
+wb AS (
+  SELECT wts.doc_id, wts.dim, m.maxw, wts.w * m.maxw AS contrib
+  FROM wts JOIN maxw m USING (dim)
 ),
-buckets AS (
-  SELECT bucket, list_sort(list(doc_id)) AS ids
-  FROM prefix GROUP BY bucket
-  HAVING COUNT(*) > 1 AND COUNT(*) <= {LSH_BUCKET_CAP}
+ranked AS (
+  SELECT doc_id, dim, contrib,
+    SUM(contrib) OVER (PARTITION BY doc_id ORDER BY maxw DESC, dim ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM wb
+),
+bounded AS (
+  SELECT doc_id, dim, contrib, cum,
+    MAX(cum) OVER (PARTITION BY doc_id) AS total
+  FROM ranked
+),
+indexed AS (
+  SELECT doc_id, dim FROM bounded
+  WHERE cum - contrib <= total - {NEARDUP_COS_T}
+),
+capped AS (
+  SELECT doc_id AS idx_doc, dim FROM (
+    SELECT doc_id, dim,
+      row_number() OVER (PARTITION BY dim ORDER BY doc_id ASC) AS irn
+    FROM indexed
+  ) c WHERE irn <= {INDEX_DIM_CAP}
 ),
 pairs AS (
-  SELECT DISTINCT ids[CAST(i AS INT)] AS doc_a, ids[CAST(j AS INT)] AS doc_b
-  FROM buckets,
-       LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i) gi,
-       LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS j) gj
-  WHERE i < j
-),
+  SELECT DISTINCT least(c.idx_doc, t.doc_id) AS doc_a,
+                  greatest(c.idx_doc, t.doc_id) AS doc_b
+  FROM capped c JOIN tf t USING (dim)
+  WHERE c.idx_doc <> t.doc_id
+)"""
+
+
+def oracle_hashed_tf_neardup() -> str:
+    return f"""
+WITH {_SQL_NEARDUP_STAGES},
 dots AS (
   SELECT p.doc_a, p.doc_b, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
   FROM pairs p
@@ -239,4 +324,144 @@ JOIN norms na ON na.doc_id = d.doc_a
 JOIN norms nb ON nb.doc_id = d.doc_b
 WHERE d.dot * d.dot * {NEARDUP_COS_DEN} >= {NEARDUP_COS_NUM} * na.norm_sq * nb.norm_sq
 ORDER BY d.doc_a, d.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# E105 — recall gate for the prefix blocker: the table read before
+# trusting E101's blocking at a new scale, the same discipline as
+# ml_lsh_dedup_recall (grade the candidate generator against exact truth)
+# and ml_ann_recall (grade every index against brute force). Truth is
+# exact cosine for a BOUNDED probe set (doc_id < RECALL_PROBE_N among
+# canonicals) against the whole canonical corpus — the brute-force-top-k
+# join shape, so the truth side is probe-bounded, never pair-quadratic.
+# For each threshold t the row reports how many probe-involving pairs
+# have cosine >= t (integer cross-multiplied compare, no float edge) and
+# how many of those the production prefix blocking REACHES.
+#
+# Scale: the probe TF relation is <= RECALL_PROBE_N x TF_DIM rows —
+# broadcast; truth is one equi-join on dim + one groupBy(pair); the
+# candidate side reuses the production blocking unchanged. Evaluation
+# query (like every recall gate); the production path never runs it.
+# ---------------------------------------------------------------------------
+
+RECALL_PROBE_N = 64
+# thresholds as exact (num, den) with t^2 = num/den
+RECALL_COS_THRESHOLDS = (
+    (0.5, 1, 4),
+    (0.7, 49, 100),
+    (0.8, 16, 25),
+    (0.9, 81, 100),
+)
+
+
+def hashed_neardup_recall(
+    spark: SparkSession, docs: DataFrame | None = None
+) -> DataFrame:
+    canon, tf, norms, pairs = _neardup_stages(spark, docs)
+    ptf = tf.filter(F.col("doc_id") < RECALL_PROBE_N).select(
+        F.col("doc_id").alias("probe_id"), "dim", F.col("tf").alias("tf_p")
+    )
+    dots = (
+        tf.join(F.broadcast(ptf), "dim")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy(
+            F.least("probe_id", "doc_id").alias("doc_a"),
+            F.greatest("probe_id", "doc_id").alias("doc_b"),
+        )
+        .agg(F.sum(F.col("tf_p") * F.col("tf")).cast("long").alias("dot"))
+        # a probe pairing with another probe appears once per orientation;
+        # the groupBy on the (min, max) key already merged them, but each
+        # contributes the full dot — halve double-counted probe pairs
+        .withColumn(
+            "dot",
+            F.when(
+                (F.col("doc_a") < RECALL_PROBE_N) & (F.col("doc_b") < RECALL_PROBE_N),
+                (F.col("dot") / 2).cast("long"),
+            ).otherwise(F.col("dot")),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("norm_sq").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("norm_sq").alias("norm_b"))
+    scored = dots.join(na, "doc_a").join(nb, "doc_b")
+    reached = pairs.withColumn("reached", F.lit(1))
+    # materialized ONCE: all four threshold branches read this relation —
+    # without the checkpoint each branch re-derives the truth+blocking
+    # subtree inline (the r8 lsh_tuning lesson; measured 68 exchanges)
+    flagged = (
+        scored.join(reached, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            "norm_a",
+            "norm_b",
+            F.coalesce(F.col("reached"), F.lit(0)).alias("reached"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rows = []
+    for t, num, den in RECALL_COS_THRESHOLDS:
+        at_t = flagged.filter(
+            F.col("dot") * F.col("dot") * den >= F.lit(num) * F.col("norm_a") * F.col("norm_b")
+        ).agg(
+            F.count("*").cast("long").alias("n_truth"),
+            F.sum("reached").cast("long").alias("n_reached"),
+        ).select(
+            F.lit(t).alias("threshold"),
+            "n_truth",
+            "n_reached",
+            (F.col("n_reached").cast("double") / F.col("n_truth").cast("double")).alias(
+                "recall"
+            ),
+        )
+        rows.append(at_t)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("threshold")
+
+
+def oracle_hashed_neardup_recall() -> str:
+    branches = []
+    for t, num, den in RECALL_COS_THRESHOLDS:
+        branches.append(
+            f"""SELECT {t} AS threshold,
+  CAST(COUNT(*) AS BIGINT) AS n_truth,
+  CAST(SUM(reached) AS BIGINT) AS n_reached,
+  CAST(SUM(reached) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+FROM flagged
+WHERE dot * dot * {den} >= {num} * norm_a * norm_b"""
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH {_SQL_NEARDUP_STAGES},
+ptf AS (
+  SELECT doc_id AS probe_id, dim, tf AS tf_p FROM tf
+  WHERE doc_id < {RECALL_PROBE_N}
+),
+dots0 AS (
+  SELECT least(p.probe_id, t.doc_id) AS doc_a,
+         greatest(p.probe_id, t.doc_id) AS doc_b,
+         CAST(SUM(p.tf_p * t.tf) AS BIGINT) AS dot
+  FROM tf t JOIN ptf p USING (dim)
+  WHERE t.doc_id <> p.probe_id
+  GROUP BY doc_a, doc_b
+),
+dots AS (
+  SELECT doc_a, doc_b,
+         CASE WHEN doc_a < {RECALL_PROBE_N} AND doc_b < {RECALL_PROBE_N}
+              THEN CAST(dot / 2 AS BIGINT) ELSE dot END AS dot
+  FROM dots0
+),
+flagged AS (
+  SELECT d.doc_a, d.doc_b, d.dot, na.norm_sq AS norm_a, nb.norm_sq AS norm_b,
+         CASE WHEN pr.doc_a IS NULL THEN 0 ELSE 1 END AS reached
+  FROM dots d
+  JOIN norms na ON na.doc_id = d.doc_a
+  JOIN norms nb ON nb.doc_id = d.doc_b
+  LEFT JOIN pairs pr ON pr.doc_a = d.doc_a AND pr.doc_b = d.doc_b
+)
+{union}
+ORDER BY threshold
 """

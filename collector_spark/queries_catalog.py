@@ -301,6 +301,19 @@ register(
     textstats.oracle_source_tvd(),
 )
 
+# E105: the recall gate for E101's candidate generator (the discipline of
+# ml_lsh_dedup_recall / ml_ann_recall applied to the All-Pairs maxweight
+# index): exact cosine truth for a bounded probe set vs blocking
+# reachability at four thresholds, integer cross-multiplied compares.
+# This gate REJECTED the first E101 blocking design (rarest-dim prefix
+# filtering: 0.2% recall at t=0.8 on the 31-token fixture vocab) and
+# pinned its replacement at recall 1.0 across all thresholds.
+register(
+    "ml_hashed_neardup_recall",
+    vectors.hashed_neardup_recall,
+    vectors.oracle_hashed_neardup_recall(),
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,
@@ -2084,6 +2097,7 @@ DRIVER_WINDOW = [
     "ml_knn_label_vote",
     "ml_source_tvd",
     "ml_tokenizer_fertility",
+    "ml_hashed_neardup_recall",
     # (the four "changed (r10)" entries — mm_audio_chunk_plan,
     #  ml_filter_ablation, st_ml_zipf_fit, st_ml_bloom_screen — ceded
     #  their slots to the session-4 additions: each change is
@@ -2112,11 +2126,10 @@ DRIVER_WINDOW = [
     "p1_ignore_filter",
     "p7_log_early_ignore",
     # (p11_explain_skip, p12_time_window, s5_backend_identity,
-    #  s6_backend_counts, s29_txid_scan ceded their slots to the
-    #  session-5 additions to hold the window at 50 — they rotate in
-    #  round 11 with the other deferred r2/r3 names)
+    #  s6_backend_counts, s29_txid_scan, s7_databases_scan ceded their
+    #  slots to the session-5 additions to hold the window at 50 — they
+    #  rotate in round 11 with the other deferred r2/r3 names)
     "s3_statements_info",
-    "s7_databases_scan",
     # (s9_buffercache_scan ceded its slot to ml_export_manifest — it
     #  rotates with the remaining r3 names in round 11)
     "s10_relation_scan",

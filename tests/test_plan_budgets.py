@@ -180,10 +180,15 @@ BUDGETS = {
     # r10 session 5 — the text->vector bridge: one explode + one
     # groupBy(doc_id, dim) + the per-doc norm window (measured 4)
     "ml_hashed_tf_vectors": (6, []),
-    # near-dup: checkpointed TF relation feeds norms/dfreq/prefix/verify;
-    # blocking + capped expansion + pair verify joins (measured 16; the 1
-    # single-partition is the bounded 1-row n_docs grand total)
-    "ml_hashed_tf_neardup": (20, []),
+    # near-dup: checkpointed TF relation feeds norms/weights/index/verify;
+    # the All-Pairs maxweight index + capped candidate join + pair verify
+    # (measured 17)
+    "ml_hashed_tf_neardup": (21, []),
+    # recall gate: the flagged truth+blocking relation is MATERIALIZED
+    # once (localCheckpoint) and the four threshold branches read the
+    # checkpoint scan — a blow here means a branch re-derives the subtree
+    # inline again (68 exchanges before the checkpoint; measured 4)
+    "ml_hashed_neardup_recall": (6, []),
     # probe broadcast + corpus scan + vote/argmax on |probes| x K rows
     # (measured 5; BNLJ is the intended 24-row probe broadcast)
     "ml_knn_label_vote": (7, ["BroadcastNestedLoopJoin"]),
@@ -212,8 +217,8 @@ SINGLE_PARTITION_OK = {
     "j14_schema_collection_workflow": 2,
     # the manifest inherits sampling_weights' 1-row share total
     "ml_curation_manifest": 1,
-    # the 1-row n_docs grand total gating the stop-dim filter
-    "ml_hashed_tf_neardup": 1,
+    # the four 1-row per-threshold grand totals of the recall gate
+    "ml_hashed_neardup_recall": 4,
 }
 
 

@@ -3,7 +3,9 @@ the k-NN label-vote probe (E102), source TVD (E103), and tokenizer
 fertility (E104). Cross-engine equality for all five is covered by the
 registry oracle sweep; these tests pin the SEMANTIC claims the oracles
 cannot express (blocking reachability, exact-dup silence, distance
-axioms, cross-report reconciliation)."""
+axioms, cross-report reconciliation). The near-dup blocking is the
+All-Pairs maxweight index; the rejected rarest-dim variant's history is
+in ml/vectors.py's module docstring."""
 
 from __future__ import annotations
 
@@ -54,8 +56,9 @@ def test_hashed_neardup_finds_near_and_silences_exact(prepared_spark):
         (base + " kilo", "s"),            # 2: near dup of 0
         ("zz yy xx ww vv uu tt ss rr qq " * 5, "s"),  # 3: unrelated
     ]
-    # padding with per-doc-unique vocab so the dims shared by 0/2 stay
-    # under the 50%-of-corpus stop-dim threshold (df=2 of 14 canonicals)
+    # padding with per-doc-unique vocab: realistic corpus shape (the
+    # maxweight index needs a corpus, not two docs, for maxw to be
+    # meaningful) and keeps the gate honest about unrelated docs
     rows += [(f"pad{i}a pad{i}b pad{i}c pad{i}d pad{i}e", "p") for i in range(10)]
     out = hashed_tf_neardup(prepared_spark, docs=_docs(prepared_spark, rows))
     pairs = {(r["doc_a"], r["doc_b"]): r for r in out.collect()}
@@ -70,8 +73,8 @@ def test_hashed_neardup_finds_near_and_silences_exact(prepared_spark):
 
 def test_hashed_neardup_identical_content_has_cosine_one(prepared_spark):
     # two docs with the same bag of words in different order: cosine must
-    # be exactly 1.0 (integer dot == integer norms), and the pair must
-    # survive blocking because their prefixes coincide
+    # be exactly 1.0 (integer dot == integer norms), and the pair must be
+    # reachable (identical vectors index identical maxweight prefixes)
     from collector_spark.ml.vectors import hashed_tf_neardup
 
     rows = [

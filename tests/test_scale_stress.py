@@ -370,43 +370,33 @@ def test_frame_dedup_flood_keeps_one_payload(stress):
 def test_hashed_neardup_flood_silent_and_bounded(stress):
     """E101 under the x1000 exact flood: (a) canonical-first means the
     flood contributes ZERO near-dup pairs; (b) the emitted pair count
-    respects the exact per-bucket C(n,2) bound over <=CAP prefix buckets
-    (the same row-counted invariant as the LSH leg — the blocking layer
-    cannot go quadratic no matter how the corpus is skewed)."""
+    respects the counted candidate bound of the capped All-Pairs index —
+    sum over dims of indexers x (occupants - 1) — so the blocking layer
+    cannot go quadratic no matter how the corpus is skewed."""
     from collector_spark.ml import vectors as V
-    from collector_spark.ml.dedup import LSH_BUCKET_CAP, _exact_canonicals
-    from pyspark.sql import Window
+    from collector_spark.ml.dedup import _exact_canonicals
 
     docs = stress.spark.table("documents")
     canon = _exact_canonicals(docs)
-    tf = V._tf_long(canon)
-    dfreq = tf.groupBy("dim").agg(F.count("*").alias("df"))
-    ndocs = canon.agg(F.count("*").alias("n_docs"))
-    live = (
-        dfreq.crossJoin(F.broadcast(ndocs))
-        .filter(F.col("df") * 2 <= F.col("n_docs"))
-        .select("dim", (F.col("df") * V.TF_DIM + F.col("dim")).alias("rar"))
+    tf = V._tf_long(canon).localCheckpoint(eager=False)
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq")
     )
-    wd = Window.partitionBy("doc_id").orderBy(F.asc("rar"))
-    prefix = (
-        tf.join(F.broadcast(live), "dim")
-        .withColumn("rn", F.row_number().over(wd))
-        .filter(F.col("rn") <= V.PREFIX_P)
-        .select("doc_id", "dim")
+    capped = V._maxweight_index(tf, norms)
+    occupants = tf.groupBy("dim").agg(F.count("*").alias("occ"))
+    cand_bound = (
+        capped.groupBy("dim")
+        .agg(F.count("*").alias("idxers"))
+        .join(occupants, "dim")
+        .agg(F.sum(F.col("idxers") * (F.col("occ") - 1)).alias("bound"))
+        .first()["bound"]
     )
-    pairs_upper = (
-        prefix.groupBy("dim")
-        .agg(F.count("*").alias("n"))
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("n") >= 2) & (F.col("n") <= LSH_BUCKET_CAP),
-                    (F.col("n") * (F.col("n") - 1) / 2).cast("long"),
-                ).otherwise(F.lit(0))
-            ).alias("pairs_upper")
-        )
-        .first()["pairs_upper"]
+    # the cap must actually bind somewhere on the skewed corpus, or the
+    # bound proves nothing
+    max_idxers = (
+        capped.groupBy("dim").agg(F.count("*").alias("n")).agg(F.max("n")).first()[0]
     )
+    assert max_idxers == V.INDEX_DIM_CAP
 
     t0 = time.monotonic()
     out = V.hashed_tf_neardup(stress.spark)
@@ -422,4 +412,4 @@ def test_hashed_neardup_flood_silent_and_bounded(stress):
     stress.times["ml_hashed_tf_neardup"] = time.monotonic() - t0
 
     assert counted["flood_pairs"] == 0
-    assert counted["total"] <= pairs_upper
+    assert counted["total"] <= cand_bound
