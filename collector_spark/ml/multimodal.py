@@ -482,3 +482,201 @@ SELECT doc_id, chunk_idx, sample_rate,
 FROM planned
 ORDER BY doc_id, chunk_idx
 """
+
+
+# ---------------------------------------------------------------------------
+# E106/E107 — content-defined chunking (CDC) over opaque binary payloads:
+# the storage-side dedup primitive (rsync/LBFS/ssdeep lineage — Muthitacharoen
+# et al. 2001, "A Low-Bandwidth Network File System") that the blob store
+# under a 100 TB multimodal corpus runs. Chunk boundaries are set where a
+# rolling hash of the trailing CDC_W-byte window hits 0 mod CDC_D, so an
+# insertion near the front of a payload re-aligns within one window
+# instead of shifting every fixed-size block — the property that makes
+# chunk-level dedup robust where frame/offset dedup (E95) is not.
+#
+# Boundary detection and chunk hashing are row-local array expressions
+# over hex(payload) (the winnowing idiom — no UDF, identical bytes on
+# both engines); the corpus-wide dedup report is ONE groupBy on the
+# chunk hash. E106 emits the bounded per-payload summary (chunk count,
+# max chunk, order-insensitive checksum — the E59 convention); E107 is
+# the per-media-type chunk-store report: total vs distinct chunks and
+# the byte dedup ratio a content-addressed store would realize.
+# ---------------------------------------------------------------------------
+
+CDC_W = 8      # rolling window, bytes
+CDC_D = 8      # boundary divisor: expected chunk = CDC_D bytes
+_CDC_P = 1_000_000_007
+
+
+def _cdc_chunk_arrays():
+    """(hx, bounds, chunks) column SQL: boundaries where the trailing
+    CDC_W-byte window's md5-60bit hash is 0 mod CDC_D, plus the forced
+    final boundary; chunks as (start, bytes, hash-mod-P) structs."""
+    from collector_spark.ml.dedup import P31  # noqa: F401  (doc parity)
+
+    win_hash = (
+        f"CAST(conv(substring(md5(substring(hx, 2 * (p - {CDC_W}) + 1, "
+        f"{2 * CDC_W})), 1, 15), 16, 10) AS BIGINT) % {CDC_D}"
+    )
+    # interior boundaries only (< L), then the forced final boundary —
+    # no array_distinct: DuckDB's list_distinct does not guarantee order
+    bounds = (
+        f"concat(filter(transform(sequence({CDC_W}, L), "
+        f"p -> CASE WHEN ({win_hash}) = 0 THEN p ELSE -1 END), "
+        f"x -> x > 0 AND x < L), array(L))"
+    )
+    chunks = (
+        "transform(sequence(1, size(bounds) - 1), i -> struct("
+        "element_at(bounds, i) AS cstart, "
+        "element_at(bounds, i + 1) - element_at(bounds, i) AS cbytes, "
+        "CAST(conv(substring(md5(substring(hx, 2 * element_at(bounds, i) + 1, "
+        "2 * (element_at(bounds, i + 1) - element_at(bounds, i)))), 1, 15), "
+        f"16, 10) AS BIGINT) % {_CDC_P} AS chash))"
+    )
+    return bounds, chunks
+
+
+def _cdc_exploded(spark: SparkSession, media: DataFrame | None = None) -> DataFrame:
+    """(doc_id, media_type, cstart, cbytes, chash): one row per chunk.
+    The boundary array is prefixed with the implicit 0 start via
+    sequence index 1 handling below (bounds holds END positions; chunk i
+    spans [bounds[i-1], bounds[i]) with bounds[0] treated as the first
+    end — so prepend 0)."""
+    m = spark.table("media_rows") if media is None else media
+    bounds, chunks = _cdc_chunk_arrays()
+    return (
+        m.select(
+            "doc_id",
+            "media_type",
+            F.hex(F.col("payload")).alias("hx"),
+            F.octet_length("payload").alias("L"),
+        )
+        .filter(F.col("L") > 0)
+        .withColumn("bounds", F.expr(f"concat(array(0), {bounds})"))
+        .withColumn("chunk", F.explode(F.expr(chunks)))
+        .select(
+            "doc_id",
+            "media_type",
+            F.col("chunk.cstart").alias("cstart"),
+            F.col("chunk.cbytes").cast("long").alias("cbytes"),
+            F.col("chunk.chash").alias("chash"),
+        )
+    )
+
+
+def cdc_chunks(spark: SparkSession, media: DataFrame | None = None) -> DataFrame:
+    """E106 — bounded per-payload chunk summary."""
+    return (
+        _cdc_exploded(spark, media)
+        .groupBy("doc_id", "media_type")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("cbytes").cast("long").alias("total_bytes"),
+            F.max("cbytes").cast("long").alias("max_chunk_bytes"),
+            (F.sum("chash") % _CDC_P).cast("long").alias("chunk_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_CDC_EXPLODED = f"""
+SELECT doc_id, media_type, cstart,
+       CAST(cbytes AS BIGINT) AS cbytes, chash
+FROM (
+  SELECT doc_id, media_type, hx,
+    list_prepend(0, list_concat(
+      list_filter(list_transform(range({CDC_W}, L + 1),
+        p -> CASE WHEN (CAST(('0x' || substr(md5(substr(hx,
+               2 * (CAST(p AS INT) - {CDC_W}) + 1, {2 * CDC_W})), 1, 15)) AS BIGINT)
+               % {CDC_D}) = 0 THEN CAST(p AS INT) ELSE -1 END),
+        x -> x > 0 AND x < L),
+      [CAST(L AS INT)])) AS bounds
+  FROM (
+    SELECT doc_id, media_type, hex(payload) AS hx,
+           CAST(octet_length(payload) AS INT) AS L
+    FROM media_rows WHERE octet_length(payload) > 0
+  ) raw
+) b,
+LATERAL (
+  SELECT unnest(range(2, len(bounds) + 1)) AS i
+) g,
+LATERAL (
+  SELECT bounds[CAST(i AS INT) - 1] AS cstart,
+         bounds[CAST(i AS INT)] - bounds[CAST(i AS INT) - 1] AS cbytes,
+         CAST(('0x' || substr(md5(substr(hx, 2 * bounds[CAST(i AS INT) - 1] + 1,
+           2 * (bounds[CAST(i AS INT)] - bounds[CAST(i AS INT) - 1]))), 1, 15))
+           AS BIGINT) % {_CDC_P} AS chash
+) c
+"""
+
+
+def oracle_cdc_chunks() -> str:
+    return f"""
+WITH ch AS ({_SQL_CDC_EXPLODED})
+SELECT doc_id, media_type,
+  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+  CAST(SUM(cbytes) AS BIGINT) AS total_bytes,
+  CAST(MAX(cbytes) AS BIGINT) AS max_chunk_bytes,
+  CAST(SUM(chash) % {_CDC_P} AS BIGINT) AS chunk_checksum
+FROM ch
+GROUP BY doc_id, media_type
+ORDER BY doc_id
+"""
+
+
+def cdc_dedup(spark: SparkSession, media: DataFrame | None = None) -> DataFrame:
+    """E107 — the chunk-store dedup report: what a content-addressed
+    store saves per media type. distinct/unique are computed over the
+    (chash, cbytes) pair so hash identity carries its byte size."""
+    ch = _cdc_exploded(spark, media)
+    per_chunk = ch.groupBy("media_type", "chash", "cbytes").agg(
+        F.count("*").cast("long").alias("copies")
+    )
+    return cdc_dedup_from_counts(per_chunk)
+
+
+def cdc_dedup_from_counts(per_chunk: DataFrame) -> DataFrame:
+    """The report stage over a (media_type, chash, cbytes, copies)
+    relation — shared by the batch form and the streaming twin (which
+    feeds it the folded chunk-count state)."""
+    return (
+        per_chunk.groupBy("media_type")
+        .agg(
+            F.sum("copies").cast("long").alias("total_chunks"),
+            F.count("*").cast("long").alias("distinct_chunks"),
+            F.sum(F.col("copies") * F.col("cbytes")).cast("long").alias("total_bytes"),
+            F.sum("cbytes").cast("long").alias("unique_bytes"),
+        )
+        .select(
+            "media_type",
+            "total_chunks",
+            "distinct_chunks",
+            "total_bytes",
+            "unique_bytes",
+            (
+                F.lit(1.0)
+                - F.col("unique_bytes").cast("double") / F.col("total_bytes").cast("double")
+            ).alias("dedup_ratio"),
+        )
+        .orderBy("media_type")
+    )
+
+
+def oracle_cdc_dedup() -> str:
+    return f"""
+WITH ch AS ({_SQL_CDC_EXPLODED}),
+per_chunk AS (
+  SELECT media_type, chash, cbytes, CAST(COUNT(*) AS BIGINT) AS copies
+  FROM ch GROUP BY media_type, chash, cbytes
+)
+SELECT media_type,
+  CAST(SUM(copies) AS BIGINT) AS total_chunks,
+  CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+  CAST(SUM(copies * cbytes) AS BIGINT) AS total_bytes,
+  CAST(SUM(cbytes) AS BIGINT) AS unique_bytes,
+  1.0 - CAST(SUM(cbytes) AS DOUBLE) / CAST(SUM(copies * cbytes) AS DOUBLE)
+    AS dedup_ratio
+FROM per_chunk
+GROUP BY media_type
+ORDER BY media_type
+"""

@@ -314,6 +314,36 @@ register(
     vectors.oracle_hashed_neardup_recall(),
 )
 
+# E106/E107: content-defined chunking over binary payloads (the blob-store
+# dedup primitive; boundaries from a rolling window hash so insertions
+# re-align within one window) — per-payload chunk summary and the
+# per-media-type chunk-store dedup report. Registered outside the driver
+# window (the in-repo sweep covers them; they rotate in with round 11).
+register(
+    "mm_cdc_chunks",
+    multimodal.cdc_chunks,
+    multimodal.oracle_cdc_chunks(),
+    fixtures=["media_rows"],
+)
+
+register(
+    "mm_cdc_dedup",
+    multimodal.cdc_dedup,
+    multimodal.oracle_cdc_dedup(),
+    fixtures=["media_rows"],
+)
+
+# ST24: streaming chunk-store monitor — additive (media_type, chash,
+# cbytes) copy-count state + the shared cdc_dedup_from_counts report
+# stage => batch-equal; shares E107's oracle. Outside the driver window
+# (rotates in with round 11).
+register(
+    "st_mm_cdc_dedup",
+    doc_stream.stream_cdc_dedup,
+    multimodal.oracle_cdc_dedup(),
+    fixtures=["media_rows"],
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,

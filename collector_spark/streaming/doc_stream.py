@@ -1461,3 +1461,37 @@ def stream_source_tvd(spark: SparkSession, n_arrival_batches: int = 6) -> DataFr
     qname = f"tvdcounts_{run_id}"
     _run_state_to_memory(spark, counts_state, qname, ckpt_dir, cleanup)
     return tvd_from_counts(spark.table(qname))
+
+
+# ---------------------------------------------------------------------------
+# ST24 / E107b — streaming chunk-store monitor: the (media_type, chunk
+# hash, chunk bytes) copy counts fold incrementally over arriving media
+# (counts are ADDITIVE; chunking itself is row-local, so each payload's
+# chunks land in its own microbatch), and the dedup report reads the
+# final state through the IDENTICAL report stage as the batch operator
+# (multimodal.cdc_dedup_from_counts). Batch-equal by construction, so it
+# shares mm_cdc_dedup's oracle. Production shape: the chunk-count state
+# IS the content-addressed store's index — arriving blobs chunk on
+# ingest, probe/fold the state, and the live dedup ratio streams out per
+# trigger.
+# ---------------------------------------------------------------------------
+
+
+def stream_cdc_dedup(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    from collector_spark.fixtures.defs import ALL_FIXTURES
+    from collector_spark.ml.multimodal import _cdc_exploded, cdc_dedup_from_counts
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    view = f"docstream_cdc_{run_id}"
+    raw.createOrReplaceTempView(view)
+    sql = ALL_FIXTURES["media_rows"]
+    assert isinstance(sql, str) and sql.count("FROM documents") == 1
+    media = spark.sql(sql.replace("FROM documents", f"FROM {view}"))
+    state = (
+        _cdc_exploded(spark, media)
+        .groupBy("media_type", "chash", "cbytes")
+        .agg(F.count("*").cast("long").alias("copies"))
+    )
+    qname = f"cdccounts_{run_id}"
+    _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
+    return cdc_dedup_from_counts(spark.table(qname))

@@ -189,6 +189,10 @@ BUDGETS = {
     # checkpoint scan — a blow here means a branch re-derives the subtree
     # inline again (68 exchanges before the checkpoint; measured 4)
     "ml_hashed_neardup_recall": (6, []),
+    # CDC: boundary detection + chunk hashing are row-local arrays (the
+    # winnowing idiom); one groupBy each (measured 3 / 4)
+    "mm_cdc_chunks": (5, []),
+    "mm_cdc_dedup": (6, []),
     # probe broadcast + corpus scan + vote/argmax on |probes| x K rows
     # (measured 5; BNLJ is the intended 24-row probe broadcast)
     "ml_knn_label_vote": (7, ["BroadcastNestedLoopJoin"]),

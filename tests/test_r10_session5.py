@@ -179,3 +179,56 @@ def test_stream_source_tvd_batch_equal(prepared_spark):
     batch = source_tvd(prepared_spark).collect()
     streamed = stream_source_tvd(prepared_spark, n_arrival_batches=3).collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+# -- E106/E107 ----------------------------------------------------------------
+
+
+def test_cdc_chunks_realign_after_insertion(prepared_spark):
+    """The CDC property fixed-size blocking lacks: prepending one byte
+    shifts every fixed block but chunk boundaries re-align at the next
+    window hit, so all chunks after the first boundary keep their hashes."""
+    import hashlib
+
+    from collector_spark.ml.multimodal import _cdc_exploded
+
+    base = hashlib.md5(b"cdc-test").digest() * 8  # 128 deterministic bytes
+    shifted = b"\x01" + base
+    media = prepared_spark.createDataFrame(
+        [(0, "image/png", bytearray(base)), (1, "image/png", bytearray(shifted))],
+        "doc_id long, media_type string, payload binary",
+    )
+    ch = _cdc_exploded(prepared_spark, media)
+    a = {r["chash"] for r in ch.filter("doc_id = 0").collect()}
+    b = {r["chash"] for r in ch.filter("doc_id = 1").collect()}
+    # every chunk of the original except (at most) its first survives in
+    # the shifted payload
+    assert len(a & b) >= len(a) - 1
+    assert len(a) >= 2  # the pin is vacuous if the payload made one chunk
+
+
+def test_cdc_dedup_reconciles_bytes(prepared_spark):
+    from collector_spark.ml.multimodal import cdc_dedup
+
+    out = cdc_dedup(prepared_spark)
+    total = out.agg(F.sum("total_bytes")).first()[0]
+    payload_total = (
+        prepared_spark.table("media_rows")
+        .agg(F.sum(F.octet_length("payload")))
+        .first()[0]
+    )
+    assert total == payload_total
+    for r in out.collect():
+        assert 0.0 <= r["dedup_ratio"] < 1.0
+        assert r["distinct_chunks"] <= r["total_chunks"]
+
+
+def test_stream_cdc_dedup_batch_equal(prepared_spark):
+    """Additive chunk-copy-count state + the shared report stage: any
+    arrival batching reproduces the batch chunk-store report row-for-row."""
+    from collector_spark.ml.multimodal import cdc_dedup
+    from collector_spark.streaming.doc_stream import stream_cdc_dedup
+
+    batch = cdc_dedup(prepared_spark).collect()
+    streamed = stream_cdc_dedup(prepared_spark, n_arrival_batches=3).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
