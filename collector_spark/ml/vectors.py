@@ -1,5 +1,5 @@
-"""Text -> vector bridge: feature-hashed TF document vectors and a
-prefix-filtered cosine near-dup join over them.
+"""Text -> vector bridge: feature-hashed TF document vectors and an
+All-Pairs maxweight-indexed cosine near-dup join over them.
 
 Every embedding operator in ml/similarity.py consumes the synthetic
 ``embeddings`` table; this module closes the gap between raw text and
