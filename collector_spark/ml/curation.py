@@ -3871,3 +3871,246 @@ GROUP BY source
 ORDER BY source
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# E108 — per-source boilerplate-line detection (the CCNet/OSCAR template
+# strip — Wenzek et al. 2020 drop lines repeated across many pages of a
+# domain: nav bars, cookie banners, footers): a line is boilerplate within
+# its source when it occurs in >= BOILER_MIN_DOCS distinct documents AND
+# in more than BOILER_DOC_PCT percent of that source's documents. Differs
+# from E88 line dedup (which keeps the FIRST copy) — boilerplate is
+# template text where NO copy belongs in the training corpus. Emits the
+# per-document strip audit a curation owner reads next to ml_line_dedup.
+#
+# Scale: the fold to per-(source, doc, line) counts is ONE shuffle keyed
+# on (source, doc_id, line_text); the corpus-frequency flag rides a
+# groupBy on its prefix (source, line_text) and the per-source doc totals
+# are a bounded dimension (broadcast). The flag join back is co-keyed
+# with the flag groupBy. The threshold compare is integer
+# (100 * n_docs_with > PCT * src_docs) so the boundary has no float edge.
+# At 100 TB the line keys on a 128-bit hash (narrow shuffle rows) and the
+# fold is exactly the additive state the streaming twin keeps
+# (streaming/doc_stream.py stream_boilerplate) — counts are additive, a
+# document arrives whole, hence batch-equal under any arrival batching.
+# ---------------------------------------------------------------------------
+
+BOILER_MIN_DOCS = 3
+BOILER_DOC_PCT = 5
+
+
+def _doc_line_counts(lines: DataFrame) -> DataFrame:
+    """The shared fold: per-(source, doc, line) row counts. Additive, so
+    the SAME expression is the streaming twin's state."""
+    return lines.groupBy("source", "doc_id", "line_text").agg(
+        F.count("*").cast("long").alias("n_rows")
+    )
+
+
+def boilerplate_from_doc_line_counts(
+    spark: SparkSession, dlc: DataFrame, docs: DataFrame | None = None
+) -> DataFrame:
+    """E108's report stage over the folded (source, doc_id, line_text,
+    n_rows) relation — shared by the batch form and the streaming twin
+    (crafted tests pass their own docs relation for the source totals)."""
+    docs = spark.table("documents") if docs is None else docs
+    src_tot = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("src_docs")
+    )
+    # distinct column names on the flag side: the flag branch derives from
+    # dlc and joins back to it — identical attribute ids fail resolution
+    # when dlc is a memory-sink view (the ST23 lesson)
+    flags = (
+        dlc.select(
+            F.col("source").alias("f_source"), F.col("line_text").alias("f_line")
+        )
+        .groupBy("f_source", "f_line")
+        .agg(F.count("*").cast("long").alias("n_docs_with"))
+        .join(F.broadcast(src_tot.select(F.col("source").alias("f_source"), "src_docs")), "f_source")
+        .select(
+            "f_source",
+            "f_line",
+            (
+                (F.col("n_docs_with") >= BOILER_MIN_DOCS)
+                & (100 * F.col("n_docs_with") > BOILER_DOC_PCT * F.col("src_docs"))
+            ).alias("is_boiler"),
+        )
+    )
+    ll = F.length("line_text").cast("long")
+    joined = dlc.join(
+        flags,
+        (F.col("source") == F.col("f_source")) & (F.col("line_text") == F.col("f_line")),
+    )
+    return (
+        joined.groupBy("doc_id", "source")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("is_boiler"), F.col("n_rows")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_boiler_lines"),
+            F.sum(F.when(F.col("is_boiler"), F.col("n_rows") * ll).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("boiler_chars"),
+            F.sum(F.col("n_rows") * ll).cast("long").alias("total_chars"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_lines",
+            "n_boiler_lines",
+            "boiler_chars",
+            "total_chars",
+            (
+                (F.col("total_chars") - F.col("boiler_chars")).cast("double")
+                / F.col("total_chars")
+            ).alias("kept_char_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def boilerplate_lines(spark: SparkSession) -> DataFrame:
+    # the folded counts feed two consumers (the corpus-frequency flag and
+    # the per-doc audit join) — materialize once, the E103 discipline
+    dlc = _doc_line_counts(spark.table("doc_lines")).localCheckpoint(eager=False)
+    return boilerplate_from_doc_line_counts(spark, dlc)
+
+
+def oracle_boilerplate_lines() -> str:
+    return f"""
+WITH dlc AS (
+  SELECT source, doc_id, line_text, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM doc_lines GROUP BY source, doc_id, line_text
+),
+src_tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS src_docs FROM documents GROUP BY source
+),
+flags AS (
+  SELECT d.source, d.line_text,
+    (COUNT(*) >= {BOILER_MIN_DOCS}
+     AND 100 * COUNT(*) > {BOILER_DOC_PCT} * MAX(s.src_docs)) AS is_boiler
+  FROM dlc d JOIN src_tot s ON s.source = d.source
+  GROUP BY d.source, d.line_text
+)
+SELECT d.doc_id, d.source,
+  CAST(SUM(d.n_rows) AS BIGINT) AS n_lines,
+  CAST(SUM(CASE WHEN f.is_boiler THEN d.n_rows ELSE 0 END) AS BIGINT)
+    AS n_boiler_lines,
+  CAST(SUM(CASE WHEN f.is_boiler THEN d.n_rows * length(d.line_text) ELSE 0 END)
+    AS BIGINT) AS boiler_chars,
+  CAST(SUM(d.n_rows * length(d.line_text)) AS BIGINT) AS total_chars,
+  CAST(SUM(d.n_rows * length(d.line_text))
+       - SUM(CASE WHEN f.is_boiler THEN d.n_rows * length(d.line_text) ELSE 0 END)
+    AS DOUBLE) / SUM(d.n_rows * length(d.line_text)) AS kept_char_frac
+FROM dlc d
+JOIN flags f ON f.source = d.source AND f.line_text = d.line_text
+GROUP BY d.doc_id, d.source
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# E109 — PMI collocation table (Church & Hanks 1990 — the association
+# ranking behind multi-word vocab entries and tokenizer merge audits):
+# over adjacent word pairs, lift(w1, w2) = P(w1 w2) / (P(w1 ·) P(· w2))
+# = c12 * N / (c1 * c2) in the bigram event space (lift = e^PMI; reported
+# instead of the log so every emitted number is either an exact BIGINT or
+# ONE IEEE division of exact integers — no libm transcendental in the
+# compared output, the E103 integer-envelope discipline). A pair
+# qualifies at c12 >= PMI_MIN_COUNT and integer-exact lift >= PMI_MIN_LIFT
+# (c12 * N >= LIFT * c1 * c2 — no float boundary).
+#
+# Scale: one bigram explode + groupBy(w1, w2) shuffle; the margin totals
+# are groupBys OVER the bigram counts (vocab-bounded, not corpus-bounded)
+# joined back on w1/w2 (AQE broadcasts them at small vocab, shuffles at
+# web vocab); the event total is a 1-row broadcast. Integer envelope:
+# c12 * N < 2^63 holds to ~3e9 bigrams per margin key; a 100 TB corpus
+# lifts the products to DECIMAL(38,0), nothing else changes.
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+PMI_MIN_LIFT = 2
+
+
+def pmi_collocations(
+    spark: SparkSession, docs: DataFrame | None = None
+) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    wl = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    bigrams = (
+        docs.select("doc_id", wl.alias("wl"))
+        .filter(F.size("wl") >= 2)
+        .select(
+            F.explode(F.expr("sequence(1, size(wl) - 1)")).alias("i"), "wl"
+        )
+        .select(
+            F.element_at("wl", F.col("i").cast("int")).alias("w1"),
+            F.element_at("wl", F.col("i").cast("int") + 1).alias("w2"),
+        )
+    )
+    # the pair counts feed four consumers (left margin, right margin,
+    # event total, and the qualifying rows) — materialize once
+    c12 = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_pair"))
+        .localCheckpoint(eager=False)
+    )
+    left = c12.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_left"))
+    right = c12.groupBy("w2").agg(F.sum("n_pair").cast("long").alias("n_right"))
+    total = c12.agg(F.sum("n_pair").cast("long").alias("n_bigrams"))
+    return (
+        c12.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("n_pair") >= PMI_MIN_COUNT)
+            & (
+                F.col("n_pair") * F.col("n_bigrams")
+                >= PMI_MIN_LIFT * F.col("n_left") * F.col("n_right")
+            )
+        )
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_left",
+            "n_right",
+            "n_bigrams",
+            (
+                (F.col("n_pair") * F.col("n_bigrams")).cast("double")
+                / (F.col("n_left") * F.col("n_right")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy("w1", "w2")
+    )
+
+
+def oracle_pmi_collocations() -> str:
+    return rf"""
+WITH wl AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+  FROM documents
+),
+bg AS (
+  SELECT wl[CAST(i AS INT)] AS w1, wl[CAST(i AS INT) + 1] AS w2
+  FROM wl, LATERAL (
+    SELECT unnest(generate_series(1, len(wl) - 1)) AS i) u
+  WHERE len(wl) >= 2
+),
+c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bg GROUP BY w1, w2
+),
+lft AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_left FROM c12 GROUP BY w1),
+rgt AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS n_right FROM c12 GROUP BY w2),
+tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bigrams FROM c12)
+SELECT c.w1, c.w2, c.n_pair, l.n_left, r.n_right, t.n_bigrams,
+  CAST(c.n_pair * t.n_bigrams AS DOUBLE)
+    / CAST(l.n_left * r.n_right AS DOUBLE) AS lift
+FROM c12 c
+JOIN lft l ON l.w1 = c.w1
+JOIN rgt r ON r.w2 = c.w2
+CROSS JOIN tot t
+WHERE c.n_pair >= {PMI_MIN_COUNT}
+  AND c.n_pair * t.n_bigrams >= {PMI_MIN_LIFT} * l.n_left * r.n_right
+ORDER BY c.w1, c.w2
+"""

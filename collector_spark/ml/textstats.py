@@ -674,3 +674,162 @@ FROM pairs p
 LEFT JOIN magg m ON m.source_a = p.source_a AND m.source_b = p.source_b
 ORDER BY p.source_a, p.source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# E110 — self-trained multinomial Naive Bayes language classifier (the
+# TRAINED counterpart of the E13 stopword heuristic; the same linear
+# bag-of-words shape as the fastText/logistic quality classifiers run over
+# web crawls — McCallum & Nigam 1998): train per-language unigram models
+# with add-one smoothing on the corpus's own lang labels, score every
+# document under every language, and emit the confusion matrix of true
+# lang vs argmax prediction.
+#
+#   score(d, l) = log P(l) + sum_t tf(d,t) * log P(t|l)
+#   P(t|l) = (c(l,t) + 1) / (T_l + V)        (Laplace)
+#
+# Engine exactness: every log argument is an exact INTEGER (c+1, T_l + V,
+# doc counts), each log is quantized ONCE onto the 2^20 grid
+# (floor(ln(k) * 2^20) — the ml_perplexity_buckets / Kneser-Ney _NLL_SCALE
+# discipline), and all per-document accumulation is int64 arithmetic, so
+# the distributed sums are aggregation-order-exact and the argmax has no
+# float boundary. Unseen (t, l) pairs contribute log(0 + 1) = 0 to the
+# matched sum, so the model join can stay INNER — the - N_d * log(T_l + V)
+# normalizer and the prior are applied on the dense (doc x lang) grid.
+#
+# Scale: model = one groupBy(lang, tok) (vocab x L bounded); the tf-model
+# join shuffles on tok once (AQE broadcasts the model at small vocab);
+# the (doc x lang) grid is a crossJoin against the L-row lang dimension
+# (broadcast, L bounded); argmax is MIN(struct(-score, lang)) inside one
+# doc-keyed aggregate — no window, ties break to the smaller lang name.
+# ---------------------------------------------------------------------------
+
+NB_SCALE = 1 << 20
+
+
+def _qlog(col: Column) -> Column:
+    """floor(ln(k) * 2^20) over an exact-integer column — the shared
+    quantized-log grid."""
+    return F.floor(F.log(col.cast("double")) * F.lit(NB_SCALE)).cast("long")
+
+
+def nb_langid(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    ).localCheckpoint(eager=False)  # feeds tf, model, and vocab total
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
+    model = toks.groupBy("lang", "tok").agg(F.count("*").cast("long").alias("c"))
+    vocab = toks.select("tok").distinct().agg(
+        F.count("*").cast("long").alias("v")
+    )
+    lang_tot = model.groupBy("lang").agg(F.sum("c").cast("long").alias("t"))
+    priors = docs.groupBy("lang").agg(F.count("*").cast("long").alias("d"))
+    n_docs = docs.agg(F.count("*").cast("long").alias("nd"))
+    # matched term: sum_t tf * qlog(c + 1) per (doc, candidate lang)
+    smatch = (
+        tf.join(
+            model.select(
+                F.col("lang").alias("cand"), "tok", _qlog(F.col("c") + 1).alias("lq")
+            ),
+            "tok",
+        )
+        .groupBy("doc_id", "cand")
+        .agg(F.sum(F.col("tf") * F.col("lq")).cast("long").alias("s_match"))
+    )
+    doc_n = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("n_tok"))
+    truth = docs.select("doc_id", F.col("lang").alias("true_lang"))
+    langs = (
+        lang_tot.join(priors, "lang")
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("lang").alias("cand"),
+            _qlog(F.col("t") + F.col("v")).alias("q_denom"),
+            (_qlog(F.col("d")) - _qlog(F.col("nd"))).alias("q_prior"),
+        )
+    )
+    score = (
+        truth.join(doc_n, "doc_id")
+        .crossJoin(F.broadcast(langs))
+        .join(smatch, ["doc_id", "cand"], "left")
+        .fillna(0, subset=["s_match"])
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (
+                F.col("s_match")
+                - F.col("n_tok") * F.col("q_denom")
+                + F.col("q_prior")
+            ).alias("score_q"),
+        )
+    )
+    pred = (
+        score.groupBy("doc_id", "true_lang")
+        .agg(
+            F.min(F.struct((-F.col("score_q")).alias("neg"), F.col("cand"))).alias(
+                "best"
+            )
+        )
+        .select("doc_id", "true_lang", F.col("best.cand").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def oracle_nb_langid() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok
+),
+model AS (
+  SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY lang, tok
+),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+lang_tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM model GROUP BY lang),
+priors AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS d FROM documents GROUP BY lang),
+ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+smatch AS (
+  SELECT f.doc_id, m.lang AS cand,
+    CAST(SUM(f.tf * CAST(floor(ln(CAST(m.c + 1 AS DOUBLE)) * {NB_SCALE}) AS BIGINT))
+      AS BIGINT) AS s_match
+  FROM tf f JOIN model m ON m.tok = f.tok
+  GROUP BY f.doc_id, m.lang
+),
+doc_n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok FROM tf GROUP BY doc_id),
+langs AS (
+  SELECT lt.lang AS cand,
+    CAST(floor(ln(CAST(lt.t + vo.v AS DOUBLE)) * {NB_SCALE}) AS BIGINT) AS q_denom,
+    CAST(floor(ln(CAST(p.d AS DOUBLE)) * {NB_SCALE}) AS BIGINT)
+      - CAST(floor(ln(CAST(nd.nd AS DOUBLE)) * {NB_SCALE}) AS BIGINT) AS q_prior
+  FROM lang_tot lt JOIN priors p ON p.lang = lt.lang
+  CROSS JOIN vocab vo CROSS JOIN ndocs nd
+),
+score AS (
+  SELECT d.doc_id, d.lang AS true_lang, l.cand,
+    COALESCE(s.s_match, 0) - n.n_tok * l.q_denom + l.q_prior AS score_q
+  FROM documents d
+  JOIN doc_n n ON n.doc_id = d.doc_id
+  CROSS JOIN langs l
+  LEFT JOIN smatch s ON s.doc_id = d.doc_id AND s.cand = l.cand
+),
+pred AS (
+  SELECT doc_id, true_lang, cand AS pred_lang,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, cand ASC) AS rn
+  FROM score
+)
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred WHERE rn = 1
+GROUP BY true_lang, pred_lang
+ORDER BY true_lang, pred_lang
+"""

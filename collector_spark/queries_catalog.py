@@ -344,6 +344,51 @@ register(
     fixtures=["media_rows"],
 )
 
+# E108: per-source boilerplate-line detection (the CCNet/OSCAR template
+# strip — a line in >= BOILER_MIN_DOCS docs AND > BOILER_DOC_PCT% of its
+# source's docs is template text no copy of which belongs in the corpus;
+# complements E88's first-owner line dedup) with the per-doc strip audit.
+# Registered outside the driver window (in-repo sweep covers it; rotates
+# in with round 11).
+register(
+    "ml_boilerplate_lines",
+    curation.boilerplate_lines,
+    curation.oracle_boilerplate_lines(),
+    fixtures=["doc_lines"],
+)
+
+# ST25: streaming boilerplate monitor — additive (source, doc, line)
+# row-count state + the shared boilerplate_from_doc_line_counts report
+# stage => batch-equal; shares E108's oracle. Outside the driver window
+# (rotates in with round 11).
+register(
+    "st_ml_boilerplate",
+    doc_stream.stream_boilerplate,
+    curation.oracle_boilerplate_lines(),
+    fixtures=["doc_lines"],
+)
+
+# E109: PMI collocation table (Church & Hanks 1990) — bigram lift in the
+# bigram event space, every emitted number an exact BIGINT or one IEEE
+# division of exact integers; integer-exact qualification thresholds.
+# Outside the driver window (rotates in with round 11).
+register(
+    "ml_pmi_collocations",
+    curation.pmi_collocations,
+    curation.oracle_pmi_collocations(),
+)
+
+# E110: self-trained multinomial Naive Bayes language classifier — the
+# TRAINED counterpart of the E13 stopword heuristic (confusion matrix of
+# true lang vs argmax NB prediction; quantized-log integer grid so the
+# argmax has no float boundary). Outside the driver window (rotates in
+# with round 11).
+register(
+    "ml_nb_langid",
+    textstats.nb_langid,
+    textstats.oracle_nb_langid(),
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,

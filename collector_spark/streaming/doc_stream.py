@@ -1495,3 +1495,40 @@ def stream_cdc_dedup(spark: SparkSession, n_arrival_batches: int = 6) -> DataFra
     qname = f"cdccounts_{run_id}"
     _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
     return cdc_dedup_from_counts(spark.table(qname))
+
+
+# ---------------------------------------------------------------------------
+# ST25 / E108b — streaming boilerplate monitor: the per-(source, doc,
+# line) row-count state folds incrementally over arriving documents
+# (counts are ADDITIVE and a document arrives whole in one microbatch, so
+# the folded relation equals the batch fold under ANY arrival batching —
+# the ST22 row-local-dedup argument applied to the line fold), and the
+# per-source template flag + per-doc strip audit read the final state
+# through the IDENTICAL report stage as the batch operator
+# (curation.boilerplate_from_doc_line_counts). Batch-equal by
+# construction, so it shares ml_boilerplate_lines's oracle. Lines are
+# rendered on the STREAM with the exact F27 fixture SQL (the ST19
+# discipline — the line derivation is the input contract). Production
+# shape: the state is the live per-domain template index — arriving pages
+# render lines, fold the counts, and the strip audit streams out per
+# trigger as new nav-bar/footer templates cross the frequency threshold.
+# ---------------------------------------------------------------------------
+
+
+def stream_boilerplate(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    from collector_spark.fixtures.defs import _doc_lines_sql
+    from collector_spark.ml.curation import (
+        _doc_line_counts,
+        boilerplate_from_doc_line_counts,
+    )
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    view = f"docstream_boiler_{run_id}"
+    raw.createOrReplaceTempView(view)
+    sql = _doc_lines_sql("spark")
+    assert sql.count("FROM documents") == 1, "fixture SQL shape changed"
+    lines = spark.sql(sql.replace("FROM documents", f"FROM {view}"))
+    state = _doc_line_counts(lines)
+    qname = f"boilercounts_{run_id}"
+    _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
+    return boilerplate_from_doc_line_counts(spark, spark.table(qname))

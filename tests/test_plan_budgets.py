@@ -202,6 +202,16 @@ BUDGETS = {
     "ml_source_tvd": (14, []),
     # E91's linear checkpointed vocab plan + the bounded source fold
     "ml_tokenizer_fertility": (8, []),
+    # checkpointed (source, doc, line) fold feeds the flag groupBy and
+    # the audit join-back; source totals broadcast (measured 7)
+    "ml_boilerplate_lines": (9, ["BroadcastHashJoin"]),
+    # checkpointed pair counts feed both margins + the 1-row event total
+    # (measured 7; a blow means the bigram explode re-derives per margin)
+    "ml_pmi_collocations": (9, []),
+    # checkpointed token explode feeds tf/model/vocab; the L-row lang
+    # dimension and 1-row totals broadcast (measured 24 incl. the
+    # checkpoint subtree reprints)
+    "ml_nb_langid": (30, []),
 }
 
 # Queries allowed N Exchange SinglePartition occurrences: 1-row gauge
@@ -223,6 +233,10 @@ SINGLE_PARTITION_OK = {
     "ml_curation_manifest": 1,
     # the four 1-row per-threshold grand totals of the recall gate
     "ml_hashed_neardup_recall": 4,
+    # the 1-row bigram-event grand total
+    "ml_pmi_collocations": 1,
+    # the 1-row vocab-size and corpus-doc-count totals
+    "ml_nb_langid": 2,
 }
 
 

@@ -1,0 +1,155 @@
+"""Round-10 session-6 property pins: per-source boilerplate strip (E108 +
+its ST25 streaming twin), PMI collocations (E109), and the Naive-Bayes
+language classifier (E110). Cross-engine equality for all four is covered
+by the registry oracle sweep; these tests pin the SEMANTIC claims the
+oracles cannot express (threshold conjunct behavior, streaming batch
+equality at an unseen arrival batching, association ordering, separable
+classification)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+DLC_SCHEMA = "source string, doc_id long, line_text string, n_rows long"
+
+
+# -- E108 ------------------------------------------------------------------
+
+
+def test_boilerplate_threshold_conjuncts(prepared_spark):
+    """A line must clear BOTH thresholds (>= MIN_DOCS distinct docs AND
+    > PCT% of the source's docs) to be boilerplate; each conjunct is
+    exercised alone."""
+    from collector_spark.ml.curation import boilerplate_from_doc_line_counts
+
+    spark = prepared_spark
+    # source "big": 200 docs. "TEMPLATE" in docs 0..29 (30 >= 3 and 15% > 5%
+    # -> boiler). "rare" in docs 0..1 (2 < 3 -> not). "semi" in docs 0..8
+    # (9 >= 3 but 4.5% < 5% -> not).
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "big", 1) for i in range(200)], DOC_SCHEMA
+    )
+    dlc_rows = (
+        [("big", i, "TEMPLATE", 1) for i in range(30)]
+        + [("big", i, "rare", 1) for i in range(2)]
+        + [("big", i, "semi", 1) for i in range(9)]
+        + [("big", i, f"unique {i}", 2) for i in range(200)]
+    )
+    dlc = spark.createDataFrame(dlc_rows, DLC_SCHEMA)
+    out = boilerplate_from_doc_line_counts(spark, dlc, docs=docs).collect()
+    by_doc = {r.doc_id: r for r in out}
+    # doc 0 carries all three candidate lines + its unique line (x2 rows)
+    r0 = by_doc[0]
+    assert r0.n_lines == 1 + 1 + 1 + 2
+    assert r0.n_boiler_lines == 1  # only TEMPLATE
+    assert r0.boiler_chars == len("TEMPLATE")
+    # doc 50 has only its unique line
+    assert by_doc[50].n_boiler_lines == 0
+    assert by_doc[50].kept_char_frac == 1.0
+    # char audit reconciles everywhere
+    for r in out:
+        assert 0 < r.total_chars
+        assert 0 <= r.boiler_chars <= r.total_chars
+
+
+def test_boilerplate_footer_flagged_on_fixture(prepared_spark):
+    """The F27 corpus-wide footer crosses both thresholds in every source
+    where it appears, so every doc containing it reports >= its footer
+    rows as boilerplate; totals reconcile with the raw line relation."""
+    from collector_spark.fixtures.defs import _DOC_LINES_FOOTER
+    from collector_spark.ml.curation import boilerplate_lines
+
+    out = boilerplate_lines(prepared_spark)
+    lines = prepared_spark.table("doc_lines")
+    footer_per_doc = {
+        r.doc_id: r.n
+        for r in lines.filter(F.col("line_text") == _DOC_LINES_FOOTER)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert footer_per_doc, "fixture footer leg vanished"
+    rows = {r.doc_id: r for r in out.collect()}
+    for doc_id, n_footer in footer_per_doc.items():
+        assert rows[doc_id].n_boiler_lines >= n_footer, doc_id
+    # row-count reconciliation: sum of n_lines == raw line rows
+    assert sum(r.n_lines for r in rows.values()) == lines.count()
+
+
+def test_stream_boilerplate_batch_equal(prepared_spark):
+    """ST25 == E108 at an arrival batching the batch form never saw."""
+    from collector_spark.ml.curation import boilerplate_lines
+    from collector_spark.streaming.doc_stream import stream_boilerplate
+
+    batch = sorted(map(tuple, boilerplate_lines(prepared_spark).collect()))
+    streamed = sorted(
+        map(tuple, stream_boilerplate(prepared_spark, n_arrival_batches=4).collect())
+    )
+    assert streamed == batch
+
+
+# -- E109 ------------------------------------------------------------------
+
+
+def test_pmi_collocation_found_and_thresholds_respected(prepared_spark):
+    from collector_spark.ml.curation import (
+        PMI_MIN_COUNT,
+        PMI_MIN_LIFT,
+        pmi_collocations,
+    )
+
+    spark = prepared_spark
+    # "zzcolloc yycolloc" always adjacent (8 docs); filler vocab breaks
+    # independence symmetry; "aafiller bbfiller" occurs 3 times (< MIN_COUNT)
+    rows = []
+    for i in range(8):
+        rows.append((i, "zzcolloc yycolloc qq rr ss tt uu vv", "en", "s", 1))
+    for i in range(3):
+        rows.append((100 + i, "aafiller bbfiller qq ss uu rr tt vv", "en", "s", 1))
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = pmi_collocations(spark, docs=docs)
+    got = {(r.w1, r.w2): r for r in out.collect()}
+    assert ("zzcolloc", "yycolloc") in got
+    r = got[("zzcolloc", "yycolloc")]
+    # exact-formula reconciliation
+    assert r.lift == (r.n_pair * r.n_bigrams) / (r.n_left * r.n_right)
+    assert ("aafiller", "bbfiller") not in got  # under MIN_COUNT
+    for r in got.values():
+        assert r.n_pair >= PMI_MIN_COUNT
+        assert r.n_pair * r.n_bigrams >= PMI_MIN_LIFT * r.n_left * r.n_right
+
+
+# -- E110 ------------------------------------------------------------------
+
+
+def test_nb_langid_separable_corpus_is_diagonal(prepared_spark):
+    """Disjoint per-language vocab -> the NB argmax recovers every label
+    exactly (confusion matrix is diagonal)."""
+    from collector_spark.ml.textstats import nb_langid
+
+    spark = prepared_spark
+    rows = []
+    for i in range(12):
+        rows.append((i, "aa bb cc aa bb", "en", "s", 1))
+        rows.append((100 + i, "dd ee ff dd ee", "de", "s", 1))
+        rows.append((200 + i, "gg hh ii gg hh", "fr", "s", 1))
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = {(r.true_lang, r.pred_lang): r.n_docs for r in nb_langid(spark, docs=docs).collect()}
+    assert out == {("en", "en"): 12, ("de", "de"): 12, ("fr", "fr"): 12}
+
+
+def test_nb_langid_confusion_reconciles_on_fixture(prepared_spark):
+    from collector_spark.ml.textstats import nb_langid
+
+    out = nb_langid(prepared_spark).collect()
+    docs = prepared_spark.table("documents")
+    per_lang = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(r.n_docs for r in out) == docs.count()
+    row_sums: dict[str, int] = {}
+    for r in out:
+        row_sums[r.true_lang] = row_sums.get(r.true_lang, 0) + r.n_docs
+        assert r.pred_lang in per_lang  # predictions come from trained labels
+    assert row_sums == per_lang
