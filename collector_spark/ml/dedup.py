@@ -2685,3 +2685,156 @@ SELECT n_minhash, n_simhash, n_containment, n_mh_sh, n_mh_ct, n_sh_ct,
   CAST(n_sh_ct AS DOUBLE) / nullif(CAST(n_simhash + n_containment - n_sh_ct AS DOUBLE), 0.0) AS agree_sh_ct
 FROM folded
 """
+
+
+# ---------------------------------------------------------------------------
+# E111 — near-dup THRESHOLD sensitivity sweep: the table a curation owner
+# reads before fixing the Jaccard cut for a corpus-scale dedup run ("0.8
+# drops 4% of docs, 0.7 drops 11% — which do we ship?"). One unfiltered
+# verify pass computes integer (intersection, union) per LSH candidate
+# pair; a 5-row threshold dimension then grades every threshold from the
+# SAME relation — pair count, docs touched, docs dropped under the greedy
+# first-owner rule (a doc drops when it pairs with ANY smaller doc_id —
+# the scalable per-threshold proxy; the exact connected-component drop is
+# E5's job and would cost one CC run PER threshold), and chars dropped.
+#
+# Engine exactness: the threshold compare is integer cross-multiplied
+# (10 * inter >= t10 * union) — no float boundary; equivalent to
+# jaccard >= t10/10 exactly (proof: 0.5-grid doubles are exact).
+#
+# Scale: the candidate verify is the bucketed E3 plan unchanged; the
+# sweep adds one 5x fan-out of the BOUNDED pair relation (|candidates|,
+# not |corpus|) and three groupBys on the 5-value threshold key. The
+# flagged relation is checkpointed once for its three aggregate
+# consumers. All monotone in t by construction (property-pinned).
+# ---------------------------------------------------------------------------
+
+SWEEP_T10 = [5, 6, 7, 8, 9]
+
+
+def dedup_threshold_sweep(spark: SparkSession) -> DataFrame:
+    sh = _persisted_shingles(spark)
+    cand = _candidate_pairs_from(_signatures_from(sh))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pc = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sh.alias("sb"),
+            (F.col("doc_b") == F.col("sb.doc_id")) & (F.col("sa.h") == F.col("sb.h")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("inter"))
+        .join(sizes.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("na.n") + F.col("nb.n") - F.col("inter")).cast("long").alias("uni"),
+        )
+    )
+    flagged = (
+        pc.select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "uni",
+            F.explode(F.array(*[F.lit(t) for t in SWEEP_T10])).alias("t10"),
+        )
+        .filter(10 * F.col("inter") >= F.col("t10") * F.col("uni"))
+        .localCheckpoint(eager=False)  # feeds the three threshold aggregates
+    )
+    base = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in SWEEP_T10])).alias("t10")
+    )
+    n_pairs = flagged.groupBy("t10").agg(F.count("*").cast("long").alias("n_pairs"))
+    docs_flagged = (
+        flagged.select("t10", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .distinct()
+        .groupBy("t10")
+        .agg(F.count("*").cast("long").alias("n_docs_flagged"))
+    )
+    dropped = (
+        flagged.select("t10", F.col("doc_b").alias("d"))
+        .distinct()
+        .join(
+            spark.table("documents").select(F.col("doc_id").alias("d"), "n_chars"),
+            "d",
+        )
+        .groupBy("t10")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_dropped"),
+            F.sum("n_chars").cast("long").alias("chars_dropped"),
+        )
+    )
+    return (
+        base.join(n_pairs, "t10", "left")
+        .join(docs_flagged, "t10", "left")
+        .join(dropped, "t10", "left")
+        .fillna(0, subset=["n_pairs", "n_docs_flagged", "n_docs_dropped", "chars_dropped"])
+        .select(
+            (F.col("t10").cast("double") / 10.0).alias("threshold"),
+            "n_pairs",
+            "n_docs_flagged",
+            "n_docs_dropped",
+            "chars_dropped",
+        )
+        .orderBy("threshold")
+    )
+
+
+def oracle_dedup_threshold_sweep() -> str:
+    pairs_inner = oracle_minhash_candidate_pairs().rsplit("ORDER BY", 1)[0]
+    t10_list = ", ".join(str(t) for t in SWEEP_T10)
+    return f"""
+WITH cand AS ({pairs_inner}),
+sh AS ({_SQL_SHINGLES_CANON}),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.h = sb.h
+  GROUP BY c.doc_a, c.doc_b
+),
+pc AS (
+  SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+    CAST(na.n + nb.n - i.inter AS BIGINT) AS uni
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+),
+th AS (SELECT unnest([{t10_list}]) AS t10),
+flagged AS (
+  SELECT t.t10, p.doc_a, p.doc_b, p.inter, p.uni
+  FROM pc p CROSS JOIN th t
+  WHERE 10 * p.inter >= t.t10 * p.uni
+),
+np AS (SELECT t10, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM flagged GROUP BY t10),
+dfl AS (
+  SELECT t10, CAST(COUNT(*) AS BIGINT) AS n_docs_flagged
+  FROM (
+    SELECT DISTINCT t10, d FROM (
+      SELECT t10, doc_a AS d FROM flagged
+      UNION ALL SELECT t10, doc_b AS d FROM flagged
+    )
+  ) GROUP BY t10
+),
+dr AS (
+  SELECT f.t10, CAST(COUNT(*) AS BIGINT) AS n_docs_dropped,
+    CAST(SUM(d.n_chars) AS BIGINT) AS chars_dropped
+  FROM (SELECT DISTINCT t10, doc_b FROM flagged) f
+  JOIN documents d ON d.doc_id = f.doc_b
+  GROUP BY f.t10
+)
+SELECT CAST(t.t10 AS DOUBLE) / 10.0 AS threshold,
+  COALESCE(np.n_pairs, 0) AS n_pairs,
+  COALESCE(dfl.n_docs_flagged, 0) AS n_docs_flagged,
+  COALESCE(dr.n_docs_dropped, 0) AS n_docs_dropped,
+  COALESCE(dr.chars_dropped, 0) AS chars_dropped
+FROM th t
+LEFT JOIN np ON np.t10 = t.t10
+LEFT JOIN dfl ON dfl.t10 = t.t10
+LEFT JOIN dr ON dr.t10 = t.t10
+ORDER BY threshold
+"""

@@ -389,6 +389,16 @@ register(
     textstats.oracle_nb_langid(),
 )
 
+# E111: near-dup threshold sensitivity sweep — one unfiltered integer
+# verify pass graded at 5 Jaccard thresholds (pairs / docs touched /
+# greedy first-owner drops / chars); integer cross-multiplied compares.
+# Outside the driver window (rotates in with round 11).
+register(
+    "ml_dedup_threshold_sweep",
+    dedup.dedup_threshold_sweep,
+    dedup.oracle_dedup_threshold_sweep(),
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,

@@ -212,6 +212,9 @@ BUDGETS = {
     # dimension and 1-row totals broadcast (measured 24 incl. the
     # checkpoint subtree reprints)
     "ml_nb_langid": (30, []),
+    # the bucketed E3 candidate verify + checkpointed 5x threshold
+    # fan-out feeding three bounded-key aggregates (measured 9)
+    "ml_dedup_threshold_sweep": (12, []),
 }
 
 # Queries allowed N Exchange SinglePartition occurrences: 1-row gauge

@@ -153,3 +153,25 @@ def test_nb_langid_confusion_reconciles_on_fixture(prepared_spark):
         row_sums[r.true_lang] = row_sums.get(r.true_lang, 0) + r.n_docs
         assert r.pred_lang in per_lang  # predictions come from trained labels
     assert row_sums == per_lang
+
+
+# -- E111 ------------------------------------------------------------------
+
+
+def test_threshold_sweep_monotone_and_consistent(prepared_spark):
+    """Counts are monotone non-increasing in the threshold, and the
+    integer-compare form at t=0.5 flags exactly the pairs the float-form
+    verify stage (ml_ngram_jaccard, threshold=0.5) emits."""
+    from collector_spark.ml.dedup import dedup_threshold_sweep, ngram_jaccard_pairs
+
+    rows = sorted(dedup_threshold_sweep(prepared_spark).collect(), key=lambda r: r.threshold)
+    assert [r.threshold for r in rows] == [0.5, 0.6, 0.7, 0.8, 0.9]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_docs_flagged >= b.n_docs_flagged
+        assert a.n_docs_dropped >= b.n_docs_dropped
+        assert a.chars_dropped >= b.chars_dropped
+    assert rows[0].n_pairs == ngram_jaccard_pairs(prepared_spark, threshold=0.5).count()
+    for r in rows:
+        # greedy drops never exceed docs touched minus one per pair-graph
+        assert r.n_docs_dropped <= r.n_docs_flagged
