@@ -91,6 +91,11 @@ HEADLINE = [
     # and the source TVD matrix (token self-join shuffling on the term)
     "ml_hashed_tf_neardup",
     "ml_source_tvd",
+    # round-10 session-6 additions: the per-source boilerplate strip (the
+    # line-fold + flag + audit join-back chain) and the perceptual-hash
+    # media near-dup (row-local fingerprint + pigeonhole banding)
+    "ml_boilerplate_lines",
+    "mm_phash_neardup",
 ]
 
 N_RUNS = 3  # median-of-3 per query

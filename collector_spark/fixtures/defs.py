@@ -953,6 +953,32 @@ SELECT
 FROM documents
 """
 
+# F29 — media_phash_rows: near-identical payload clusters for perceptual
+# near-dup (mm_phash_neardup). The base media fixture's payloads are md5
+# chains, so one text-bit change rewrites every byte — no NEAR-identical
+# payloads exist to exercise a perceptual hash. This fixture groups docs
+# by octet (leader = doc_id - doc_id % 8): members 1..6 copy the leader's
+# 64-byte payload with exactly TWO bytes at offset 4*(doc_id % 8)
+# overwritten (00 ff) — a small perturbation a perceptual hash should
+# absorb — and member 7 copies the leader EXACTLY (the canonical-first
+# silence leg). Common dialect: substr/|| only.
+
+MEDIA_PHASH_ROWS = """
+SELECT d.doc_id,
+  'image/png' AS media_type,
+  CASE WHEN d.doc_id % 8 = 0 OR d.doc_id % 8 = 7 THEN unhex(x.lhx)
+  ELSE unhex(
+    substr(x.lhx, 1, CAST(8 * (d.doc_id % 8) AS INT)) || '00ff'
+    || substr(x.lhx, CAST(8 * (d.doc_id % 8) + 5 AS INT)))
+  END AS payload
+FROM documents d
+JOIN (
+  SELECT doc_id,
+    md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c') AS lhx
+  FROM documents
+) x ON x.doc_id = d.doc_id - d.doc_id % 8
+"""
+
 
 # ---------------------------------------------------------------------------
 # F18 — remaining scan inputs: pg_stat_plans (S30/J6), utility statements
@@ -2086,6 +2112,7 @@ ALL_FIXTURES: dict[str, str | dict[str, str]] = {
     "extension_rows": EXTENSION_ROWS,
     "query_samples": QUERY_SAMPLES,
     "media_rows": MEDIA_ROWS,
+    "media_phash_rows": MEDIA_PHASH_ROWS,
     "plan_rows": PLAN_ROWS,
     "utility_stmts": UTILITY_STMTS,
     "citus_aux": CITUS_AUX,

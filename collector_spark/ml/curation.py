@@ -4032,10 +4032,10 @@ PMI_MIN_COUNT = 5
 PMI_MIN_LIFT = 2
 
 
-def pmi_collocations(
-    spark: SparkSession, docs: DataFrame | None = None
-) -> DataFrame:
-    docs = spark.table("documents") if docs is None else docs
+def _bigram_pair_counts(docs: DataFrame) -> DataFrame:
+    """(w1, w2, n_pair): adjacent-pair counts. Additive groupBy, so the
+    SAME expression folds the streaming twin's state (st_ml_pmi) —
+    batch-equal under any arrival batching."""
     wl = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     bigrams = (
         docs.select("doc_id", wl.alias("wl"))
@@ -4048,19 +4048,30 @@ def pmi_collocations(
             F.element_at("wl", F.col("i").cast("int") + 1).alias("w2"),
         )
     )
-    # the pair counts feed four consumers (left margin, right margin,
-    # event total, and the qualifying rows) — materialize once
-    c12 = (
-        bigrams.groupBy("w1", "w2")
-        .agg(F.count("*").cast("long").alias("n_pair"))
-        .localCheckpoint(eager=False)
+    return bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("n_pair")
     )
-    left = c12.groupBy("w1").agg(F.sum("n_pair").cast("long").alias("n_left"))
-    right = c12.groupBy("w2").agg(F.sum("n_pair").cast("long").alias("n_right"))
+
+
+def pmi_from_pair_counts(c12: DataFrame) -> DataFrame:
+    """E109's report stage over a (w1, w2, n_pair) relation — shared by
+    the batch form and the streaming twin. Margin sides carry renamed
+    columns (the memory-sink self-join resolution hazard — the ST23
+    lesson)."""
+    left = (
+        c12.select(F.col("w1").alias("lw1"), "n_pair")
+        .groupBy("lw1")
+        .agg(F.sum("n_pair").cast("long").alias("n_left"))
+    )
+    right = (
+        c12.select(F.col("w2").alias("rw2"), "n_pair")
+        .groupBy("rw2")
+        .agg(F.sum("n_pair").cast("long").alias("n_right"))
+    )
     total = c12.agg(F.sum("n_pair").cast("long").alias("n_bigrams"))
     return (
-        c12.join(left, "w1")
-        .join(right, "w2")
+        c12.join(left, F.col("w1") == F.col("lw1"))
+        .join(right, F.col("w2") == F.col("rw2"))
         .crossJoin(F.broadcast(total))
         .filter(
             (F.col("n_pair") >= PMI_MIN_COUNT)
@@ -4082,6 +4093,17 @@ def pmi_collocations(
             ).alias("lift"),
         )
         .orderBy("w1", "w2")
+    )
+
+
+def pmi_collocations(
+    spark: SparkSession, docs: DataFrame | None = None
+) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    # the pair counts feed four consumers (left margin, right margin,
+    # event total, and the qualifying rows) — materialize once
+    return pmi_from_pair_counts(
+        _bigram_pair_counts(docs).localCheckpoint(eager=False)
     )
 
 
@@ -4113,4 +4135,174 @@ CROSS JOIN tot t
 WHERE c.n_pair >= {PMI_MIN_COUNT}
   AND c.n_pair * t.n_bigrams >= {PMI_MIN_LIFT} * l.n_left * r.n_right
 ORDER BY c.w1, c.w2
+"""
+
+
+# ---------------------------------------------------------------------------
+# E113 — trained QUALITY classifier (the GPT-3/LLaMA pipeline shape: a
+# linear bag-of-words classifier trained to separate "good" from "bad"
+# text, then run over the whole crawl — Brown et al. 2020 §A; here
+# multinomial Naive Bayes self-trained on the E71 Gopher document-rule
+# labels, the same quantized-log machinery as E110's language
+# classifier). Per document: the rule label, the classifier's verdict,
+# and the INTEGER log-odds margin — the score a production pipeline
+# thresholds or importance-samples on (Pareto-sampling per Brown et al.
+# needs exactly this margin column).
+#
+# Engine exactness: E110's discipline — every log argument an exact
+# integer, quantized once onto the 2^20 grid, int64 accumulation; the
+# verdict is an integer sign test (ties predict keep).
+#
+# Scale: labels ride E71's map-only rule pass; the model is one
+# combinable groupBy(label, tok) (vocab x 2); scoring joins per-doc tf
+# against the model on the token ONCE — both class sums fold in the same
+# doc-keyed aggregate (conditional sums, no per-class grid, no window).
+# ---------------------------------------------------------------------------
+
+
+def nb_quality(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    from collector_spark.ml.textstats import _qlog
+
+    docs = spark.table("documents") if docs is None else docs
+    labels = gopher_filters(spark, docs).select(
+        "doc_id", F.col("keep").alias("label_keep")
+    )
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .join(labels, "doc_id")
+        .localCheckpoint(eager=False)  # feeds tf, model, vocab
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.first("label_keep").alias("label_keep"),
+    )
+    model = toks.groupBy("label_keep", "tok").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    vocab = toks.select("tok").distinct().agg(F.count("*").cast("long").alias("v"))
+    cls = (
+        model.groupBy("label_keep")
+        .agg(F.sum("c").cast("long").alias("t"))
+        .join(
+            labels.groupBy("label_keep").agg(F.count("*").cast("long").alias("d")),
+            "label_keep",
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col("label_keep").alias("cls"),
+            _qlog(F.col("t") + F.col("v")).alias("q_denom"),
+            _qlog(F.col("d")).alias("q_prior"),
+        )
+    )
+    # both class sums in ONE doc-keyed aggregate: tf joins the model on
+    # the token, the class splits into conditional sums
+    m = model.select(
+        F.col("label_keep").alias("m_cls"), "tok", _qlog(F.col("c") + 1).alias("lq")
+    )
+    sums = (
+        tf.join(m, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.first("label_keep").alias("label_keep"),
+            F.sum("tf").cast("long").alias("n_tok_x2"),
+            F.sum(F.when(F.col("m_cls"), F.col("tf") * F.col("lq")).otherwise(0))
+            .cast("long")
+            .alias("s_keep"),
+            F.sum(F.when(~F.col("m_cls"), F.col("tf") * F.col("lq")).otherwise(0))
+            .cast("long")
+            .alias("s_drop"),
+        )
+    )
+    ck = cls.filter(F.col("cls")).select(
+        F.col("q_denom").alias("qd_keep"), F.col("q_prior").alias("qp_keep")
+    )
+    cd = cls.filter(~F.col("cls")).select(
+        F.col("q_denom").alias("qd_drop"), F.col("q_prior").alias("qp_drop")
+    )
+    # n_tok_x2 double-counts tf once per matched class row; every token
+    # matches BOTH class rows only if it occurs under both labels — so
+    # recover n_tok exactly from its own fold instead
+    doc_n = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("n_tok"))
+    logodds = (
+        F.col("s_keep")
+        - F.col("s_drop")
+        - F.col("n_tok") * (F.col("qd_keep") - F.col("qd_drop"))
+        + (F.col("qp_keep") - F.col("qp_drop"))
+    )
+    return (
+        sums.drop("n_tok_x2")
+        .join(doc_n, "doc_id")
+        .crossJoin(F.broadcast(ck))
+        .crossJoin(F.broadcast(cd))
+        .select(
+            "doc_id",
+            "label_keep",
+            logodds.alias("logodds_q"),
+            (logodds >= 0).alias("pred_keep"),
+            ((logodds >= 0) == F.col("label_keep")).alias("agree"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_nb_quality() -> str:
+    from collector_spark.ml.textstats import NB_SCALE
+
+    labels_inner = oracle_gopher_filters().rsplit("ORDER BY", 1)[0]
+    ql = lambda arg: f"CAST(floor(ln(CAST({arg} AS DOUBLE)) * {NB_SCALE}) AS BIGINT)"  # noqa: E731
+    return rf"""
+WITH lab AS (SELECT doc_id, keep AS label_keep FROM ({labels_inner}) g),
+toks AS (
+  SELECT d.doc_id, l.label_keep,
+    unnest(regexp_split_to_array(trim(lower(d.text)), '\s+')) AS tok
+  FROM documents d JOIN lab l ON l.doc_id = d.doc_id
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf,
+    MAX(label_keep) AS label_keep
+  FROM toks GROUP BY doc_id, tok
+),
+model AS (
+  SELECT label_keep AS m_cls, tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY label_keep, tok
+),
+vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+cls AS (
+  SELECT m.m_cls AS cls,
+    {ql('t.t + vo.v')} AS q_denom,
+    {ql('p.d')} AS q_prior
+  FROM (SELECT m_cls, CAST(SUM(c) AS BIGINT) AS t FROM model GROUP BY m_cls) t
+  JOIN (SELECT m_cls FROM model GROUP BY m_cls) m ON m.m_cls = t.m_cls
+  JOIN (SELECT label_keep, CAST(COUNT(*) AS BIGINT) AS d
+        FROM lab GROUP BY label_keep) p ON p.label_keep = t.m_cls
+  CROSS JOIN vocab vo
+),
+sums AS (
+  SELECT f.doc_id, MAX(f.label_keep) AS label_keep,
+    CAST(SUM(CASE WHEN m.m_cls THEN f.tf * {ql('m.c + 1')} ELSE 0 END) AS BIGINT)
+      AS s_keep,
+    CAST(SUM(CASE WHEN NOT m.m_cls THEN f.tf * {ql('m.c + 1')} ELSE 0 END) AS BIGINT)
+      AS s_drop
+  FROM tf f JOIN model m ON m.tok = f.tok
+  GROUP BY f.doc_id
+),
+doc_n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok FROM tf GROUP BY doc_id),
+lo AS (
+  SELECT s.doc_id, s.label_keep,
+    s.s_keep - s.s_drop
+      - n.n_tok * (ck.q_denom - cd.q_denom)
+      + (ck.q_prior - cd.q_prior) AS logodds_q
+  FROM sums s
+  JOIN doc_n n ON n.doc_id = s.doc_id
+  CROSS JOIN (SELECT q_denom, q_prior FROM cls WHERE cls) ck
+  CROSS JOIN (SELECT q_denom, q_prior FROM cls WHERE NOT cls) cd
+)
+SELECT doc_id, label_keep, logodds_q,
+  logodds_q >= 0 AS pred_keep,
+  (logodds_q >= 0) = label_keep AS agree
+FROM lo
+ORDER BY doc_id
 """

@@ -680,3 +680,151 @@ FROM per_chunk
 GROUP BY media_type
 ORDER BY media_type
 """
+
+
+# ---------------------------------------------------------------------------
+# E112 — perceptual-hash near-dup over media payloads (the image-dedup
+# primitive every multimodal corpus runs; block-mean-value hashing after
+# Yang et al. 2006, searched with Manku et al. 2007's Hamming pigeonhole
+# — the SAME block-banding machinery as the E68 SimHash text path, so the
+# text and media near-dup stacks share one candidate-generation
+# discipline). The decoded-pixel stream is stood in by the raw payload
+# bytes (real decoders are not installable here — the mm_decode_features
+# contract): PHASH_BITS blocks partition the byte stream, bit j is an
+# integer cross-multiplied block-mean-vs-global-mean compare
+# (bsum_j * L > total * blen_j — no float boundary), fingerprints band
+# into PHASH_BANDS blocks whose equality buckets are LOSSLESS for
+# Hamming <= PHASH_BANDS - 1, and candidates verify with one
+# bit_count(xor).
+#
+# Canonical-first on the payload hash (byte-identical copies are the
+# store's dedup, not the perceptual stage's) + LSH_BUCKET_CAP — the E3
+# discipline, same reasons.
+#
+# Scale: the fingerprint is ROW-LOCAL (nested higher-order array
+# expressions over hex(payload) — the CDC/winnowing idiom; O(bits * L)
+# per row, no UDF, no shuffle), so the only shuffles are the canonical
+# window, the bucket groupBy, and the two verify joins — identical shape
+# to E68, which the stress suite pins under floods.
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 48
+PHASH_BANDS = 4
+PHASH_HAMMING_MAX = PHASH_BANDS - 1
+_PHASH_BLOCK = PHASH_BITS // PHASH_BANDS
+
+
+def _phash_col() -> F.Column:
+    """Row-local block-mean perceptual hash over hex(payload) columns
+    ``hx``/``L`` (L = byte length)."""
+    b = PHASH_BITS
+    byte = "CAST(conv(substr(hx, 2 * i + 1, 2), 16, 10) AS BIGINT)"
+    total = f"aggregate(sequence(0, L - 1), CAST(0 AS BIGINT), (acc, i) -> acc + {byte})"
+    bsum = (
+        f"aggregate(sequence(0, L - 1), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + IF((i * {b}) div L = j, {byte}, CAST(0 AS BIGINT)))"
+    )
+    blen = (
+        f"aggregate(sequence(0, L - 1), CAST(0 AS BIGINT), (acc, i) -> "
+        f"acc + IF((i * {b}) div L = j, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"
+    )
+    return F.expr(
+        f"aggregate(sequence(0, {b - 1}), CAST(0 AS BIGINT), (acc, j) -> "
+        f"acc + IF(({bsum}) * L > ({total}) * ({blen}), shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+    )
+
+
+def phash_neardup(spark: SparkSession, media: DataFrame | None = None) -> DataFrame:
+    from pyspark.sql import Window
+
+    from collector_spark.ml.dedup import _pairs_from_buckets
+
+    m = spark.table("media_phash_rows") if media is None else media
+    hashed = m.select(
+        "doc_id",
+        F.hex(F.col("payload")).alias("hx"),
+        F.octet_length("payload").cast("long").alias("L"),
+    ).filter(F.col("L") > 0)
+    w = Window.partitionBy(F.md5(F.col("hx")))
+    canon = (
+        hashed.withColumn("min_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .select("doc_id", _phash_col().alias("phash"))
+        .localCheckpoint(eager=False)  # feeds banding + both verify sides
+    )
+    mask = (1 << _PHASH_BLOCK) - 1
+    keys = [
+        (
+            F.lit(b * (1 << _PHASH_BLOCK))
+            + F.shiftright(F.col("phash"), b * _PHASH_BLOCK).bitwiseAND(F.lit(mask))
+        ).cast("string")
+        for b in range(PHASH_BANDS)
+    ]
+    buckets = canon.select("doc_id", F.explode(F.array(*keys)).alias("bucket"))
+    pairs = _pairs_from_buckets(buckets)
+    hamming = F.bit_count(F.col("pa.phash").bitwiseXOR(F.col("pb.phash"))).cast("int")
+    return (
+        pairs.join(canon.alias("pa"), F.col("doc_a") == F.col("pa.doc_id"))
+        .join(canon.alias("pb"), F.col("doc_b") == F.col("pb.doc_id"))
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def oracle_phash_neardup() -> str:
+    from collector_spark.ml.dedup import LSH_BUCKET_CAP
+
+    b = PHASH_BITS
+    byte = "CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS BIGINT)"
+    total = f"list_sum(list_transform(range(0, L), i -> {byte}))"
+    bsum = (
+        f"list_sum(list_transform(range(0, L), i -> "
+        f"CASE WHEN (i * {b}) // L = j THEN {byte} ELSE 0 END))"
+    )
+    blen = (
+        f"list_sum(list_transform(range(0, L), i -> "
+        f"CASE WHEN (i * {b}) // L = j THEN 1 ELSE 0 END))"
+    )
+    phash = (
+        f"list_sum(list_transform(range(0, {b}), j -> "
+        f"CASE WHEN ({bsum}) * L > ({total}) * ({blen}) "
+        f"THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))"
+    )
+    mask = (1 << _PHASH_BLOCK) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({band * (1 << _PHASH_BLOCK)} + ((phash >> "
+        f"{band * _PHASH_BLOCK}) & {mask}) AS VARCHAR) AS bucket FROM ph"
+        for band in range(PHASH_BANDS)
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id, hex(payload) AS hx, CAST(octet_length(payload) AS BIGINT) AS L
+  FROM media_phash_rows WHERE octet_length(payload) > 0
+),
+canon AS (
+  SELECT doc_id, hx, L FROM (
+    SELECT doc_id, hx, L, MIN(doc_id) OVER (PARTITION BY md5(hx)) AS min_id
+    FROM raw
+  ) WHERE doc_id = min_id
+),
+ph AS (SELECT doc_id, CAST({phash} AS BIGINT) AS phash FROM canon),
+buckets AS ({band_selects}),
+ok AS (
+  SELECT bucket FROM buckets
+  GROUP BY bucket HAVING COUNT(*) > 1 AND COUNT(*) <= {LSH_BUCKET_CAP}
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM buckets l
+  JOIN ok o ON o.bucket = l.bucket
+  JOIN buckets r ON l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+  CAST(bit_count(xor(pa.phash, pb.phash)) AS INT) AS hamming
+FROM pairs p
+JOIN ph pa ON pa.doc_id = p.doc_a
+JOIN ph pb ON pb.doc_id = p.doc_b
+WHERE bit_count(xor(pa.phash, pb.phash)) <= {PHASH_HAMMING_MAX}
+ORDER BY p.doc_a, p.doc_b
+"""

@@ -399,6 +399,38 @@ register(
     dedup.oracle_dedup_threshold_sweep(),
 )
 
+# E112: perceptual-hash near-dup over media payloads — block-mean-value
+# hashing (Yang 2006) + the Hamming pigeonhole banding the text SimHash
+# path uses (Manku 2007); row-local fingerprint, canonical-first, capped
+# buckets. F29 supplies byte-perturbed near-identical payload clusters.
+# Outside the driver window (rotates in with round 11).
+register(
+    "mm_phash_neardup",
+    multimodal.phash_neardup,
+    multimodal.oracle_phash_neardup(),
+    fixtures=["media_phash_rows"],
+)
+
+# ST26: streaming collocation monitor — additive (w1, w2) pair-count
+# state + the shared pmi_from_pair_counts report stage => batch-equal;
+# shares E109's oracle. Outside the driver window (rotates in with
+# round 11).
+register(
+    "st_ml_pmi",
+    doc_stream.stream_pmi_collocations,
+    curation.oracle_pmi_collocations(),
+)
+
+# E113: trained quality classifier (the GPT-3/LLaMA crawl-filter shape) —
+# multinomial NB self-trained on the E71 Gopher rule labels; per-doc
+# INTEGER log-odds margin + verdict on the quantized-log grid. Outside
+# the driver window (rotates in with round 11).
+register(
+    "ml_nb_quality",
+    curation.nb_quality,
+    curation.oracle_nb_quality(),
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,

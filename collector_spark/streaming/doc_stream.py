@@ -1532,3 +1532,31 @@ def stream_boilerplate(spark: SparkSession, n_arrival_batches: int = 6) -> DataF
     qname = f"boilercounts_{run_id}"
     _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
     return boilerplate_from_doc_line_counts(spark, spark.table(qname))
+
+
+# ---------------------------------------------------------------------------
+# ST26 / E109b — streaming collocation monitor: the (w1, w2) adjacent-pair
+# count state folds incrementally over arriving documents (bigrams are
+# row-local per document — a document arrives whole, so counts are a
+# plain ADDITIVE aggregation), and the PMI/lift report reads the final
+# state through the IDENTICAL report stage as the batch operator
+# (curation.pmi_from_pair_counts). Batch-equal by construction, so it
+# shares ml_pmi_collocations's oracle. Production shape: the pair-count
+# state is the live collocation table — vocab-bounded, not corpus-
+# bounded — re-graded per trigger as a crawl's phrase distribution grows.
+# ---------------------------------------------------------------------------
+
+
+def stream_pmi_collocations(
+    spark: SparkSession, n_arrival_batches: int = 6
+) -> DataFrame:
+    from collector_spark.ml.curation import (
+        _bigram_pair_counts,
+        pmi_from_pair_counts,
+    )
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    state = _bigram_pair_counts(raw)
+    qname = f"pmicounts_{run_id}"
+    _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
+    return pmi_from_pair_counts(spark.table(qname))

@@ -215,6 +215,13 @@ BUDGETS = {
     # the bucketed E3 candidate verify + checkpointed 5x threshold
     # fan-out feeding three bounded-key aggregates (measured 9)
     "ml_dedup_threshold_sweep": (12, []),
+    # row-local fingerprint; shuffles are the canonical window, the
+    # bucket groupBy, and the two verify joins (measured 14)
+    "mm_phash_neardup": (17, []),
+    # E110's shape with a 2-class label join: checkpointed labeled token
+    # explode feeds tf/model/vocab; both class sums in one doc-keyed
+    # aggregate (measured 26 incl. checkpoint subtree reprints)
+    "ml_nb_quality": (32, []),
 }
 
 # Queries allowed N Exchange SinglePartition occurrences: 1-row gauge
@@ -240,6 +247,8 @@ SINGLE_PARTITION_OK = {
     "ml_pmi_collocations": 1,
     # the 1-row vocab-size and corpus-doc-count totals
     "ml_nb_langid": 2,
+    # the 1-row vocab total + the 2-row class dimension fold
+    "ml_nb_quality": 2,
 }
 
 

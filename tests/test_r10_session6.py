@@ -175,3 +175,113 @@ def test_threshold_sweep_monotone_and_consistent(prepared_spark):
     for r in rows:
         # greedy drops never exceed docs touched minus one per pair-graph
         assert r.n_docs_dropped <= r.n_docs_flagged
+
+
+# -- E112 ------------------------------------------------------------------
+
+
+def test_phash_pigeonhole_exact_and_twin_silent(prepared_spark):
+    """At fixture scale no block bucket reaches LSH_BUCKET_CAP, so the
+    pigeonhole candidate generator is LOSSLESS for Hamming <= 3: the
+    emitted pair set must EQUAL the brute-force <=3 ball over canonical
+    fingerprints. Byte-identical twins (doc_id % 8 == 7 copies its
+    leader exactly) never appear — canonical-first."""
+    from collector_spark.ml.dedup import LSH_BUCKET_CAP
+    from collector_spark.ml.multimodal import (
+        PHASH_BANDS,
+        PHASH_HAMMING_MAX,
+        _PHASH_BLOCK,
+        _phash_col,
+        phash_neardup,
+    )
+
+    spark = prepared_spark
+    out = {(r.doc_a, r.doc_b): r.hamming for r in phash_neardup(spark).collect()}
+    assert out, "no near-dup pairs found on the F29 fixture"
+    for a, b in out:
+        assert a % 8 != 7 and b % 8 != 7, "byte-identical twin leaked"
+    # brute-force ball over canonical fingerprints
+    rows = (
+        spark.table("media_phash_rows")
+        .select(
+            "doc_id",
+            F.hex(F.col("payload")).alias("hx"),
+            F.octet_length("payload").cast("long").alias("L"),
+        )
+        .select("doc_id", "hx", _phash_col().alias("phash"))
+        .collect()
+    )
+    canon = {}
+    seen_hx = {}
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        if r.hx not in seen_hx:
+            seen_hx[r.hx] = r.doc_id
+            canon[r.doc_id] = r.phash
+    ids = sorted(canon)
+    ball = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(canon[a] ^ canon[b]).count("1")
+            if h <= PHASH_HAMMING_MAX:
+                ball[(a, b)] = h
+    # no bucket over cap (the losslessness precondition)
+    mask = (1 << _PHASH_BLOCK) - 1
+    buckets = {}
+    for d, ph in canon.items():
+        for band in range(PHASH_BANDS):
+            key = (band, (ph >> (band * _PHASH_BLOCK)) & mask)
+            buckets[key] = buckets.get(key, 0) + 1
+    assert max(buckets.values()) <= LSH_BUCKET_CAP
+    assert out == ball
+
+
+# -- ST26 ------------------------------------------------------------------
+
+
+def test_stream_pmi_batch_equal(prepared_spark):
+    """ST26 == E109 at an arrival batching the batch form never saw."""
+    from collector_spark.ml.curation import pmi_collocations
+    from collector_spark.streaming.doc_stream import stream_pmi_collocations
+
+    batch = sorted(map(tuple, pmi_collocations(prepared_spark).collect()))
+    streamed = sorted(
+        map(
+            tuple,
+            stream_pmi_collocations(prepared_spark, n_arrival_batches=4).collect(),
+        )
+    )
+    assert streamed == batch
+
+
+# -- E113 ------------------------------------------------------------------
+
+
+def test_nb_quality_separable_and_total(prepared_spark):
+    """Margins separate a vocab-disjoint corpus perfectly, and the audit
+    is total over the fixture (one row per doc, agree == (pred==label))."""
+    from collector_spark.ml.curation import (
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+        nb_quality,
+    )
+
+    spark = prepared_spark
+    # crafted corpus: "good" docs pass every Gopher rule (long, alpha,
+    # stopword-rich); "bad" docs fail the word-count floor — vocab disjoint
+    good = ("the be to of and that have with " + "alpha bravo " * 30).strip()
+    assert len(good.split()) >= GOPHER_MIN_WORDS
+    assert sum(w in GOPHER_STOPWORDS for w in good.split()) >= 2
+    rows = [(i, good, "en", "s", len(good)) for i in range(10)]
+    rows += [(100 + i, "zz yy xx", "en", "s", 8) for i in range(10)]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = nb_quality(spark, docs=docs).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.agree, (r.doc_id, r.logodds_q)
+        assert (r.logodds_q >= 0) == r.label_keep
+    # fixture totality
+    fx = nb_quality(prepared_spark)
+    n_docs = prepared_spark.table("documents").count()
+    assert fx.count() == n_docs
+    bad = fx.filter((F.col("logodds_q") >= 0) != F.col("pred_keep")).count()
+    assert bad == 0

@@ -332,6 +332,36 @@ def test_line_dedup_hot_line_single_owner(stress):
     assert totals["kept"] == distinct_lines
 
 
+def test_boilerplate_flags_hot_footer_everywhere(stress):
+    """E108 under the same hot-footer skew: the corpus-wide footer
+    crosses both template thresholds in every source it touches, so
+    every doc's audit counts at least its footer rows as boilerplate —
+    and the audit stays total (boiler_chars <= total_chars, one row per
+    doc with lines)."""
+    from collector_spark import registry
+
+    t0 = time.monotonic()
+    lines = stress.spark.table("doc_lines")
+    footer = "shared boilerplate footer line"
+    out = registry.REGISTRY["ml_boilerplate_lines"].spark_fn(stress.spark)
+    per_doc_footer = (
+        lines.filter(F.col("line_text") == footer)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_footer"))
+    )
+    short = (
+        out.join(per_doc_footer, "doc_id")
+        .filter(F.col("n_boiler_lines") < F.col("n_footer"))
+        .count()
+    )
+    bad_audit = out.filter(F.col("boiler_chars") > F.col("total_chars")).count()
+    n_docs = out.count()
+    stress.times["ml_boilerplate_lines"] = time.monotonic() - t0
+    assert short == 0
+    assert bad_audit == 0
+    assert n_docs == lines.select("doc_id").distinct().count()
+
+
 def test_frame_dedup_flood_keeps_one_payload(stress):
     """~333 flood docs are videos (doc_id % 3 == 2 within the 1000-id
     flood) with byte-identical payloads — every frame position is a hot
