@@ -734,10 +734,11 @@ def _phash_col() -> F.Column:
     )
 
 
-def phash_neardup(spark: SparkSession, media: DataFrame | None = None) -> DataFrame:
+def _canonical_phashes(spark: SparkSession, media: DataFrame | None = None) -> DataFrame:
+    """(doc_id, phash) over payload-canonical media rows (byte-identical
+    copies keep only the min doc_id), checkpointed — shared by the E112
+    near-dup and the E114 banding-tuning sweep."""
     from pyspark.sql import Window
-
-    from collector_spark.ml.dedup import _pairs_from_buckets
 
     m = spark.table("media_phash_rows") if media is None else media
     hashed = m.select(
@@ -746,12 +747,18 @@ def phash_neardup(spark: SparkSession, media: DataFrame | None = None) -> DataFr
         F.octet_length("payload").cast("long").alias("L"),
     ).filter(F.col("L") > 0)
     w = Window.partitionBy(F.md5(F.col("hx")))
-    canon = (
+    return (
         hashed.withColumn("min_id", F.min("doc_id").over(w))
         .filter(F.col("doc_id") == F.col("min_id"))
         .select("doc_id", _phash_col().alias("phash"))
-        .localCheckpoint(eager=False)  # feeds banding + both verify sides
+        .localCheckpoint(eager=False)
     )
+
+
+def phash_neardup(spark: SparkSession, media: DataFrame | None = None) -> DataFrame:
+    from collector_spark.ml.dedup import _pairs_from_buckets
+
+    canon = _canonical_phashes(spark, media)  # feeds banding + both verify sides
     mask = (1 << _PHASH_BLOCK) - 1
     keys = [
         (
@@ -772,9 +779,9 @@ def phash_neardup(spark: SparkSession, media: DataFrame | None = None) -> DataFr
     )
 
 
-def oracle_phash_neardup() -> str:
-    from collector_spark.ml.dedup import LSH_BUCKET_CAP
-
+def _sql_phash_ctes() -> str:
+    """The raw/canon/ph CTE chain (canonical fingerprints) — shared by
+    the E112 and E114 oracles."""
     b = PHASH_BITS
     byte = "CAST(('0x' || substr(hx, 2 * i + 1, 2)) AS BIGINT)"
     total = f"list_sum(list_transform(range(0, L), i -> {byte}))"
@@ -791,14 +798,7 @@ def oracle_phash_neardup() -> str:
         f"CASE WHEN ({bsum}) * L > ({total}) * ({blen}) "
         f"THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END))"
     )
-    mask = (1 << _PHASH_BLOCK) - 1
-    band_selects = " UNION ALL ".join(
-        f"SELECT doc_id, CAST({band * (1 << _PHASH_BLOCK)} + ((phash >> "
-        f"{band * _PHASH_BLOCK}) & {mask}) AS VARCHAR) AS bucket FROM ph"
-        for band in range(PHASH_BANDS)
-    )
-    return f"""
-WITH raw AS (
+    return f"""raw AS (
   SELECT doc_id, hex(payload) AS hx, CAST(octet_length(payload) AS BIGINT) AS L
   FROM media_phash_rows WHERE octet_length(payload) > 0
 ),
@@ -808,7 +808,20 @@ canon AS (
     FROM raw
   ) WHERE doc_id = min_id
 ),
-ph AS (SELECT doc_id, CAST({phash} AS BIGINT) AS phash FROM canon),
+ph AS (SELECT doc_id, CAST({phash} AS BIGINT) AS phash FROM canon)"""
+
+
+def oracle_phash_neardup() -> str:
+    from collector_spark.ml.dedup import LSH_BUCKET_CAP
+
+    mask = (1 << _PHASH_BLOCK) - 1
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({band * (1 << _PHASH_BLOCK)} + ((phash >> "
+        f"{band * _PHASH_BLOCK}) & {mask}) AS VARCHAR) AS bucket FROM ph"
+        for band in range(PHASH_BANDS)
+    )
+    return f"""
+WITH {_sql_phash_ctes()},
 buckets AS ({band_selects}),
 ok AS (
   SELECT bucket FROM buckets
@@ -827,4 +840,146 @@ JOIN ph pa ON pa.doc_id = p.doc_a
 JOIN ph pb ON pb.doc_id = p.doc_b
 WHERE bit_count(xor(pa.phash, pb.phash)) <= {PHASH_HAMMING_MAX}
 ORDER BY p.doc_a, p.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# E114 — pigeonhole BANDING tuning for the perceptual-hash path (the
+# ml_lsh_tuning discipline applied to E112): for each band count B the
+# block-equality candidate generator is provably complete for Hamming
+# <= B - 1 and BLIND past it — this sweep measures exactly where that
+# cliff lands on real fingerprints, the table that picks B before a
+# corpus-scale media dedup (more bands = wider guaranteed radius but
+# B buckets per item and coarser blocks = more accidental candidates).
+#
+# Probe-bounded truth (the recall-gate discipline): probes x canonical
+# corpus pairs with Hamming <= the max graded radius, ONE broadcast
+# probe join — never an all-pairs self-join. Per-config "caught" is a
+# ROW-LOCAL block-equality test on the pair row (both fingerprints are
+# already there), so the whole sweep adds zero joins beyond the truth
+# relation: 3 configs x 5 radii grade from one checkpointed pass.
+# Evaluates the UNCAPPED generator (caps are the cost knob, graded by
+# the stress suite's bucket counting).
+# ---------------------------------------------------------------------------
+
+PHASH_TUNING_BANDS = [3, 4, 6]
+PHASH_TUNING_RADII = [1, 2, 3, 4, 5]
+PHASH_PROBE_MOD = 29
+
+
+def _phash_shares_block(bands: int) -> F.Column:
+    w = PHASH_BITS // bands
+    mask = (1 << w) - 1
+    cond = None
+    for b in range(bands):
+        eq = (
+            F.shiftright(F.col("pa"), b * w).bitwiseAND(F.lit(mask))
+            == F.shiftright(F.col("pb"), b * w).bitwiseAND(F.lit(mask))
+        )
+        cond = eq if cond is None else (cond | eq)
+    return cond
+
+
+def phash_tuning(spark: SparkSession, media: DataFrame | None = None) -> DataFrame:
+    canon = _canonical_phashes(spark, media)
+    probes = canon.filter(F.col("doc_id") % PHASH_PROBE_MOD == 0).select(
+        F.col("doc_id").alias("pa_id"), F.col("phash").alias("pa")
+    )
+    others = canon.select(F.col("doc_id").alias("pb_id"), F.col("phash").alias("pb"))
+    max_r = max(PHASH_TUNING_RADII)
+    truth = (
+        F.broadcast(probes)
+        .join(others, F.col("pa_id") < F.col("pb_id"))
+        .select(
+            "pa",
+            "pb",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int").alias("ham"),
+        )
+        .filter(F.col("ham") <= max_r)
+        .localCheckpoint(eager=False)  # one pass feeds every config x radius
+    )
+    caught = None
+    for b in PHASH_TUNING_BANDS:
+        c = F.when(F.col("n_bands") == b, _phash_shares_block(b))
+        caught = c if caught is None else caught.when(
+            F.col("n_bands") == b, _phash_shares_block(b)
+        )
+    graded = truth.select(
+        "pa",
+        "pb",
+        "ham",
+        F.explode(F.array(*[F.lit(b) for b in PHASH_TUNING_BANDS])).alias("n_bands"),
+    ).select(
+        "ham",
+        "n_bands",
+        F.explode(F.array(*[F.lit(r) for r in PHASH_TUNING_RADII])).alias("radius"),
+        caught.alias("caught"),
+    )
+    return (
+        graded.filter(F.col("ham") <= F.col("radius"))
+        .groupBy("n_bands", "radius")
+        .agg(
+            F.count("*").cast("long").alias("truth_pairs"),
+            F.sum(F.when(F.col("caught"), 1).otherwise(0))
+            .cast("long")
+            .alias("caught_pairs"),
+        )
+        .select(
+            "n_bands",
+            (F.lit(PHASH_BITS) / F.col("n_bands")).cast("int").alias("block_bits"),
+            "radius",
+            "truth_pairs",
+            "caught_pairs",
+            (
+                F.col("caught_pairs").cast("double")
+                / F.col("truth_pairs").cast("double")
+            ).alias("recall"),
+            (F.col("radius") <= F.col("n_bands") - 1).alias("guaranteed"),
+        )
+        .orderBy("n_bands", "radius")
+    )
+
+
+def oracle_phash_tuning() -> str:
+    shares = []
+    for b in PHASH_TUNING_BANDS:
+        w = PHASH_BITS // b
+        mask = (1 << w) - 1
+        eqs = " OR ".join(
+            f"((pa >> {i * w}) & {mask}) = ((pb >> {i * w}) & {mask})"
+            for i in range(b)
+        )
+        shares.append(f"WHEN n_bands = {b} THEN ({eqs})")
+    caught = "CASE " + " ".join(shares) + " END"
+    bands_list = ", ".join(str(b) for b in PHASH_TUNING_BANDS)
+    radii_list = ", ".join(str(r) for r in PHASH_TUNING_RADII)
+    max_r = max(PHASH_TUNING_RADII)
+    return f"""
+WITH {_sql_phash_ctes()},
+probes AS (
+  SELECT doc_id AS pa_id, phash AS pa FROM ph WHERE doc_id % {PHASH_PROBE_MOD} = 0
+),
+truth AS (
+  SELECT p.pa, o.phash AS pb,
+    CAST(bit_count(xor(p.pa, o.phash)) AS INT) AS ham
+  FROM probes p JOIN ph o ON p.pa_id < o.doc_id
+  WHERE bit_count(xor(p.pa, o.phash)) <= {max_r}
+),
+graded AS (
+  SELECT t.ham, b.n_bands, r.radius, {caught} AS caught
+  FROM truth t
+  CROSS JOIN (SELECT unnest([{bands_list}]) AS n_bands) b
+  CROSS JOIN (SELECT unnest([{radii_list}]) AS radius) r
+  WHERE t.ham <= r.radius
+)
+SELECT n_bands,
+  CAST({PHASH_BITS} / n_bands AS INT) AS block_bits,
+  radius,
+  CAST(COUNT(*) AS BIGINT) AS truth_pairs,
+  CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT) AS caught_pairs,
+  CAST(SUM(CASE WHEN caught THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS recall,
+  radius <= n_bands - 1 AS guaranteed
+FROM graded
+GROUP BY n_bands, radius
+ORDER BY n_bands, radius
 """

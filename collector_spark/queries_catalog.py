@@ -431,6 +431,17 @@ register(
     curation.oracle_nb_quality(),
 )
 
+# E114: pigeonhole banding tuning for the perceptual-hash path — the
+# ml_lsh_tuning discipline: probe-bounded truth, per-config caught as a
+# row-local block-equality test, recall vs guaranteed radius per band
+# count. Outside the driver window (rotates in with round 11).
+register(
+    "mm_phash_tuning",
+    multimodal.phash_tuning,
+    multimodal.oracle_phash_tuning(),
+    fixtures=["media_phash_rows"],
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,

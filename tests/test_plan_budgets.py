@@ -222,6 +222,9 @@ BUDGETS = {
     # explode feeds tf/model/vocab; both class sums in one doc-keyed
     # aggregate (measured 26 incl. checkpoint subtree reprints)
     "ml_nb_quality": (32, []),
+    # one broadcast probe join + one checkpointed pass; the config x
+    # radius grade is row-local (measured 4)
+    "mm_phash_tuning": (6, []),
 }
 
 # Queries allowed N Exchange SinglePartition occurrences: 1-row gauge

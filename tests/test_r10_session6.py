@@ -285,3 +285,46 @@ def test_nb_quality_separable_and_total(prepared_spark):
     assert fx.count() == n_docs
     bad = fx.filter((F.col("logodds_q") >= 0) != F.col("pred_keep")).count()
     assert bad == 0
+
+
+# -- E114 ------------------------------------------------------------------
+
+
+def test_phash_tuning_guarantee_and_cliff(prepared_spark):
+    """On the fixture: recall == 1.0 wherever radius <= n_bands - 1 (the
+    pigeonhole guarantee), truth counts monotone in radius and shared
+    across configs. The blindness CLIFF past the guarantee is pinned on
+    crafted fingerprints: B bits spread across all B blocks evade the
+    B-band generator, while any Hamming <= B-1 pair cannot."""
+    from collector_spark.ml.multimodal import (
+        PHASH_BITS,
+        _phash_shares_block,
+        phash_tuning,
+    )
+
+    rows = phash_tuning(prepared_spark).collect()
+    by_cfg = {(r.n_bands, r.radius): r for r in rows}
+    assert len(rows) == 15
+    for r in rows:
+        assert r.guaranteed == (r.radius <= r.n_bands - 1)
+        if r.guaranteed:
+            assert r.recall == 1.0, (r.n_bands, r.radius)
+    truths = {b: [by_cfg[(b, rad)].truth_pairs for rad in [1, 2, 3, 4, 5]] for b in [3, 4, 6]}
+    assert truths[3] == truths[4] == truths[6]  # truth is config-independent
+    for seq in truths.values():
+        assert seq == sorted(seq)  # monotone in radius
+    # crafted cliff: for B = 3 (16-bit blocks), flip one bit in EACH block
+    spark = prepared_spark
+    base = 0x0000_0000_0000
+    spread = (1 << 0) | (1 << 16) | (1 << 32)  # 3 bits, 3 distinct blocks
+    packed = (1 << 0) | (1 << 1) | (1 << 2)    # 3 bits, 1 block
+    df = spark.createDataFrame(
+        [(base, base ^ spread), (base, base ^ packed)], "pa long, pb long"
+    )
+    got = df.select(
+        _phash_shares_block(3).alias("b3"), _phash_shares_block(4).alias("b4")
+    ).collect()
+    assert got[0].b3 is False  # 3 bands blind to 3-spread
+    assert got[0].b4 is True   # 4 bands guaranteed at Hamming 3
+    assert got[1].b3 is True   # packed flips stay within one block
+    assert PHASH_BITS % 3 == 0 and PHASH_BITS % 4 == 0 and PHASH_BITS % 6 == 0
