@@ -4306,3 +4306,82 @@ SELECT doc_id, label_keep, logodds_q,
 FROM lo
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E115 — windowed SKIP-GRAM co-occurrence PMI (the word2vec/GloVe
+# co-occurrence builder — Mikolov et al. 2013 window sampling, Pennington
+# et al. 2014 co-occurrence matrix; E109 grades ADJACENT pairs, this
+# grades every ordered pair within SKIPGRAM_WINDOW): pair generation is
+# ROW-LOCAL (a nested array transform over the token array — the E112
+# fingerprint idiom; no self-join on position), then the identical
+# margins/lift report as E109 (pmi_from_pair_counts), with the same
+# integer envelope.
+#
+# Scale: explode cost is W rows per token (bounded fan-out, not
+# quadratic); one groupBy(w1, w2); margins over the vocab^2-bounded pair
+# counts. The co-occurrence relation this emits IS GloVe's input matrix
+# in long form.
+# ---------------------------------------------------------------------------
+
+SKIPGRAM_WINDOW = 3
+
+
+def _skipgram_pair_counts(docs: DataFrame) -> DataFrame:
+    w = SKIPGRAM_WINDOW
+    wl = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    pairs = (
+        docs.select(wl.alias("wl"))
+        .filter(F.size("wl") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, size(wl) - 1), i -> "
+                    f"transform(sequence(i + 1, least(i + {w}, size(wl))), j -> "
+                    f"struct(element_at(wl, i) AS w1, element_at(wl, j) AS w2))))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    return pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n_pair"))
+
+
+def skipgram_pmi(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    return pmi_from_pair_counts(
+        _skipgram_pair_counts(docs).localCheckpoint(eager=False)
+    )
+
+
+def oracle_skipgram_pmi() -> str:
+    w = SKIPGRAM_WINDOW
+    return rf"""
+WITH wl AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS wl
+  FROM documents
+),
+bg AS (
+  SELECT wl[CAST(i AS INT)] AS w1, wl[CAST(j AS INT)] AS w2
+  FROM wl,
+  LATERAL (SELECT unnest(generate_series(1, len(wl) - 1)) AS i) u,
+  LATERAL (SELECT unnest(generate_series(i + 1, least(i + {w}, len(wl)))) AS j) v
+  WHERE len(wl) >= 2
+),
+c12 AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM bg GROUP BY w1, w2
+),
+lft AS (SELECT w1, CAST(SUM(n_pair) AS BIGINT) AS n_left FROM c12 GROUP BY w1),
+rgt AS (SELECT w2, CAST(SUM(n_pair) AS BIGINT) AS n_right FROM c12 GROUP BY w2),
+tot AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_bigrams FROM c12)
+SELECT c.w1, c.w2, c.n_pair, l.n_left, r.n_right, t.n_bigrams,
+  CAST(c.n_pair * t.n_bigrams AS DOUBLE)
+    / CAST(l.n_left * r.n_right AS DOUBLE) AS lift
+FROM c12 c
+JOIN lft l ON l.w1 = c.w1
+JOIN rgt r ON r.w2 = c.w2
+CROSS JOIN tot t
+WHERE c.n_pair >= {PMI_MIN_COUNT}
+  AND c.n_pair * t.n_bigrams >= {PMI_MIN_LIFT} * l.n_left * r.n_right
+ORDER BY c.w1, c.w2
+"""

@@ -713,26 +713,64 @@ def _qlog(col: Column) -> Column:
     return F.floor(F.log(col.cast("double")) * F.lit(NB_SCALE)).cast("long")
 
 
-def nb_langid(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
-    docs = spark.table("documents") if docs is None else docs
+# the per-document marker row folded alongside token rows: '\x01doc'
+# cannot collide with a real token (tokens come from \s+ splitting of
+# lower-cased text; the fixture corpus is printable), so ONE additive
+# (lang, tok) count state carries both the unigram model and the class
+# priors — which is what makes the streaming twin a single stateful fold
+NB_DOC_MARKER = "\x01doc"
+
+
+def _nb_token_rows(docs: DataFrame) -> DataFrame:
+    """(lang, tok) training rows: every token of every doc + one marker
+    row per doc. Row-local projection + union — streamable."""
     toks = docs.select(
-        "doc_id",
         "lang",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
-    ).localCheckpoint(eager=False)  # feeds tf, model, and vocab total
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").cast("long").alias("tf"))
-    model = toks.groupBy("lang", "tok").agg(F.count("*").cast("long").alias("c"))
-    vocab = toks.select("tok").distinct().agg(
+    )
+    markers = docs.select("lang", F.lit(NB_DOC_MARKER).alias("tok"))
+    return toks.unionByName(markers)
+
+
+def _nb_counts(rows: DataFrame) -> DataFrame:
+    """The additive fold: (lang, tok, c). The SAME expression is the
+    streaming twin's state (st_ml_nb_langid)."""
+    return rows.groupBy("lang", "tok").agg(F.count("*").cast("long").alias("c"))
+
+
+def nb_langid_from_counts(
+    spark: SparkSession, counts: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """E110's scoring + confusion stage over the folded (lang, tok, c)
+    state — shared by the batch form and the streaming twin. Every
+    derivation of `counts` carries renamed columns (memory-sink self-join
+    resolution — the ST23 discipline)."""
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    model = counts.filter(F.col("tok") != NB_DOC_MARKER).select(
+        F.col("lang").alias("m_lang"), F.col("tok").alias("m_tok"), F.col("c").alias("mc")
+    )
+    vocab = model.select("m_tok").distinct().agg(
         F.count("*").cast("long").alias("v")
     )
-    lang_tot = model.groupBy("lang").agg(F.sum("c").cast("long").alias("t"))
-    priors = docs.groupBy("lang").agg(F.count("*").cast("long").alias("d"))
-    n_docs = docs.agg(F.count("*").cast("long").alias("nd"))
+    lang_tot = model.groupBy("m_lang").agg(F.sum("mc").cast("long").alias("t"))
+    priors = counts.filter(F.col("tok") == NB_DOC_MARKER).select(
+        F.col("lang").alias("p_lang"), F.col("c").alias("d")
+    )
+    n_docs = priors.agg(F.sum("d").cast("long").alias("nd"))
     # matched term: sum_t tf * qlog(c + 1) per (doc, candidate lang)
     smatch = (
         tf.join(
             model.select(
-                F.col("lang").alias("cand"), "tok", _qlog(F.col("c") + 1).alias("lq")
+                F.col("m_lang").alias("cand"),
+                F.col("m_tok").alias("tok"),
+                _qlog(F.col("mc") + 1).alias("lq"),
             ),
             "tok",
         )
@@ -742,11 +780,11 @@ def nb_langid(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
     doc_n = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("n_tok"))
     truth = docs.select("doc_id", F.col("lang").alias("true_lang"))
     langs = (
-        lang_tot.join(priors, "lang")
+        lang_tot.join(priors, F.col("m_lang") == F.col("p_lang"))
         .crossJoin(F.broadcast(vocab))
         .crossJoin(F.broadcast(n_docs))
         .select(
-            F.col("lang").alias("cand"),
+            F.col("m_lang").alias("cand"),
             _qlog(F.col("t") + F.col("v")).alias("q_denom"),
             (_qlog(F.col("d")) - _qlog(F.col("nd"))).alias("q_prior"),
         )
@@ -781,6 +819,13 @@ def nb_langid(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+def nb_langid(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    # the folded counts feed model / vocab / totals / priors — materialize
+    counts = _nb_counts(_nb_token_rows(docs)).localCheckpoint(eager=False)
+    return nb_langid_from_counts(spark, counts, docs)
 
 
 def oracle_nb_langid() -> str:

@@ -442,6 +442,27 @@ register(
     fixtures=["media_phash_rows"],
 )
 
+# ST27: streaming Naive-Bayes trainer — ONE additive (lang, tok) state
+# carries the unigram model AND the class priors (per-doc marker rows);
+# the shared scoring/confusion stage reads the final state => batch-
+# equal, shares E110's oracle. Outside the driver window (rotates in
+# with round 11).
+register(
+    "st_ml_nb_langid",
+    doc_stream.stream_nb_langid,
+    textstats.oracle_nb_langid(),
+)
+
+# E115: windowed skip-gram co-occurrence PMI (the word2vec/GloVe
+# co-occurrence builder) — row-local pair generation within
+# SKIPGRAM_WINDOW, then E109's shared margins/lift report. Outside the
+# driver window (rotates in with round 11).
+register(
+    "ml_skipgram_pmi",
+    curation.skipgram_pmi,
+    curation.oracle_skipgram_pmi(),
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,

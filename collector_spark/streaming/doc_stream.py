@@ -1560,3 +1560,34 @@ def stream_pmi_collocations(
     qname = f"pmicounts_{run_id}"
     _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
     return pmi_from_pair_counts(spark.table(qname))
+
+
+# ---------------------------------------------------------------------------
+# ST27 / E110b — streaming Naive-Bayes trainer: the (lang, tok) count
+# state — token rows PLUS one marker row per document, so the unigram
+# model AND the class priors live in ONE additive fold — accumulates
+# over arriving documents, and the scoring/confusion stage reads the
+# final state through the IDENTICAL report stage as the batch operator
+# (textstats.nb_langid_from_counts, scoring the static corpus).
+# Batch-equal by construction, so it shares ml_nb_langid's oracle.
+# Production shape: the state is the live classifier — model counts
+# refresh per trigger as labeled documents stream in, and the
+# re-evaluated confusion matrix is the drift monitor that says when the
+# classifier needs retraining attention.
+# ---------------------------------------------------------------------------
+
+
+def stream_nb_langid(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    from collector_spark.ml.textstats import (
+        _nb_counts,
+        _nb_token_rows,
+        nb_langid_from_counts,
+    )
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    state = _nb_counts(_nb_token_rows(raw))
+    qname = f"nbcounts_{run_id}"
+    _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
+    return nb_langid_from_counts(
+        spark, spark.table(qname), spark.table("documents")
+    )

@@ -225,6 +225,9 @@ BUDGETS = {
     # one broadcast probe join + one checkpointed pass; the config x
     # radius grade is row-local (measured 4)
     "mm_phash_tuning": (6, []),
+    # row-local window pair generation + E109's shared margins report
+    # (measured 7)
+    "ml_skipgram_pmi": (9, []),
 }
 
 # Queries allowed N Exchange SinglePartition occurrences: 1-row gauge
@@ -252,6 +255,8 @@ SINGLE_PARTITION_OK = {
     "ml_nb_langid": 2,
     # the 1-row vocab total + the 2-row class dimension fold
     "ml_nb_quality": 2,
+    # the 1-row bigram-event grand total (shared E109 report)
+    "ml_skipgram_pmi": 1,
 }
 
 

@@ -328,3 +328,55 @@ def test_phash_tuning_guarantee_and_cliff(prepared_spark):
     assert got[0].b4 is True   # 4 bands guaranteed at Hamming 3
     assert got[1].b3 is True   # packed flips stay within one block
     assert PHASH_BITS % 3 == 0 and PHASH_BITS % 4 == 0 and PHASH_BITS % 6 == 0
+
+
+# -- ST27 / E115 -----------------------------------------------------------
+
+
+def test_stream_nb_langid_batch_equal(prepared_spark):
+    """ST27 == E110 at an arrival batching the batch form never saw."""
+    from collector_spark.ml.textstats import nb_langid
+    from collector_spark.streaming.doc_stream import stream_nb_langid
+
+    batch = sorted(map(tuple, nb_langid(prepared_spark).collect()))
+    streamed = sorted(
+        map(tuple, stream_nb_langid(prepared_spark, n_arrival_batches=4).collect())
+    )
+    assert streamed == batch
+
+
+def test_skipgram_window_semantics(prepared_spark):
+    """Every pair within the window counts once per occurrence, nothing
+    beyond the window; adjacent-pair counts reconcile with E109's
+    generator on the same corpus."""
+    from collector_spark.ml.curation import (
+        SKIPGRAM_WINDOW,
+        _bigram_pair_counts,
+        _skipgram_pair_counts,
+    )
+
+    spark = prepared_spark
+    docs = spark.createDataFrame(
+        [(0, "a b c d e", "en", "s", 9)], DOC_SCHEMA
+    )
+    got = {
+        (r.w1, r.w2): r.n_pair for r in _skipgram_pair_counts(docs).collect()
+    }
+    assert SKIPGRAM_WINDOW == 3
+    expected = {
+        ("a", "b"): 1, ("a", "c"): 1, ("a", "d"): 1,
+        ("b", "c"): 1, ("b", "d"): 1, ("b", "e"): 1,
+        ("c", "d"): 1, ("c", "e"): 1,
+        ("d", "e"): 1,
+    }
+    assert got == expected  # ("a","e") is distance 4 — outside the window
+    # distance-1 subset == the adjacent-bigram generator, on the fixture
+    fx = prepared_spark.table("documents")
+    adj = {
+        (r.w1, r.w2): r.n_pair for r in _bigram_pair_counts(fx).collect()
+    }
+    skip = {
+        (r.w1, r.w2): r.n_pair for r in _skipgram_pair_counts(fx).collect()
+    }
+    for k, v in adj.items():
+        assert skip.get(k, 0) >= v  # skip-gram counts dominate adjacent
