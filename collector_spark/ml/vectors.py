@@ -426,7 +426,7 @@ def oracle_hashed_neardup_recall() -> str:
     branches = []
     for t, num, den in RECALL_COS_THRESHOLDS:
         branches.append(
-            f"""SELECT {t} AS threshold,
+            f"""SELECT CAST({t} AS DOUBLE) AS threshold,
   CAST(COUNT(*) AS BIGINT) AS n_truth,
   CAST(SUM(reached) AS BIGINT) AS n_reached,
   CAST(SUM(reached) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
