@@ -142,10 +142,15 @@ def stress(spark, tmp_path_factory):
     # at 750k orders, the canonical shingle side) can sneak over the
     # default 10 MB broadcast threshold while the long-running test JVM is
     # already memory-pressured — and at 100 TB none of those sides would
-    # ever be broadcast. Cap the threshold (newSession's SQLConf is
-    # isolated, so the shared fixture session is untouched); true
-    # dimension tables stay well under it.
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", str(4 * 1024 * 1024))
+    # ever be broadcast. The r10 session-5 4 MB cap still flaked once per
+    # long suite ("Not enough memory to build and broadcast" — the build
+    # fails against the pressured DRIVER heap regardless of table size),
+    # so AUTO broadcasts are disabled outright for the stress session
+    # (newSession's SQLConf is isolated; the shared fixture session is
+    # untouched). Explicit F.broadcast hints on reference-bounded
+    # dimensions still apply — those are the broadcasts the 100 TB plan
+    # would keep.
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     registry.prepare(s, dst)
     tables.LAST_SF_DIR = old_dir  # streaming sources keep the session dir
 
