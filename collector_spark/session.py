@@ -30,6 +30,16 @@ def get_spark(app_name: str = "collector_spark", shuffle_partitions: int | None 
     cpus = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     builder = (
         SparkSession.builder.appName(app_name)
+        # local mode runs driver AND executors in one JVM whose heap
+        # defaults to 1g — the root cause of the recurring late-suite
+        # "memory pressure" flakes (broadcast-build failures, executor
+        # heap OOM in the stress legs after ~550 tests of accumulated
+        # caches). Only effective for the process's FIRST JVM launch,
+        # which is true for every in-repo entry point; the driver's own
+        # harness builds its session itself and is unaffected.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
