@@ -716,21 +716,38 @@ _PHASH_BLOCK = PHASH_BITS // PHASH_BANDS
 
 def _phash_col() -> F.Column:
     """Row-local block-mean perceptual hash over hex(payload) columns
-    ``hx``/``L`` (L = byte length)."""
+    ``hx``/``L`` (L = byte length).
+
+    Single-pass fold: the byte array converts ONCE (expression-tree nodes
+    evaluate once per reference, so the hex-parse sits behind exactly one
+    reference inside zip_with), the 48 block sums + the grand total
+    accumulate in one struct accumulator, and the finish lambda composes
+    the bits. The first version re-parsed hex inside every block
+    aggregate — ~6k conv(substr()) string ops PER ROW, measured 14 s at
+    sf0.1 vs ~1 s for this form. Block lengths are closed-form (blocks
+    are contiguous: block j = [ceil(jL/48), ceil((j+1)L/48)) — the same
+    membership as floor(i*48/L) = j, which the DuckDB oracle keeps as the
+    filter form)."""
     b = PHASH_BITS
-    byte = "CAST(conv(substr(hx, 2 * i + 1, 2), 16, 10) AS BIGINT)"
-    total = f"aggregate(sequence(0, L - 1), CAST(0 AS BIGINT), (acc, i) -> acc + {byte})"
-    bsum = (
-        f"aggregate(sequence(0, L - 1), CAST(0 AS BIGINT), (acc, i) -> "
-        f"acc + IF((i * {b}) div L = j, {byte}, CAST(0 AS BIGINT)))"
+    bytes_arr = (
+        "transform(sequence(0, L - 1), i -> "
+        "CAST(conv(substr(hx, 2 * i + 1, 2), 16, 10) AS BIGINT))"
     )
-    blen = (
-        f"aggregate(sequence(0, L - 1), CAST(0 AS BIGINT), (acc, i) -> "
-        f"acc + IF((i * {b}) div L = j, CAST(1 AS BIGINT), CAST(0 AS BIGINT)))"
+    pairs = (
+        f"zip_with({bytes_arr}, sequence(0, L - 1), "
+        f"(x, i) -> named_struct('x', x, 'i', i))"
     )
+    blen_j = f"(((j + 1) * L + {b - 1}) div {b} - (j * L + {b - 1}) div {b})"
     return F.expr(
-        f"aggregate(sequence(0, {b - 1}), CAST(0 AS BIGINT), (acc, j) -> "
-        f"acc + IF(({bsum}) * L > ({total}) * ({blen}), shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))"
+        f"""aggregate(
+  {pairs},
+  named_struct('bs', array_repeat(CAST(0 AS BIGINT), {b}), 'tot', CAST(0 AS BIGINT)),
+  (acc, p) -> named_struct(
+    'bs', transform(acc.bs, (v, j) -> IF((p.i * {b}) div L = j, v + p.x, v)),
+    'tot', acc.tot + p.x),
+  acc -> aggregate(sequence(0, {b - 1}), CAST(0 AS BIGINT),
+    (a, j) -> a + IF(element_at(acc.bs, j + 1) * L > acc.tot * {blen_j},
+                     shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))))"""
     )
 
 
