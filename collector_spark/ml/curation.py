@@ -4161,6 +4161,12 @@ ORDER BY c.w1, c.w2
 
 
 def nb_quality(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    return _nb_quality_core(spark, docs).orderBy("doc_id")
+
+
+def _nb_quality_core(
+    spark: SparkSession, docs: DataFrame | None = None
+) -> DataFrame:
     from collector_spark.ml.textstats import _qlog
 
     docs = spark.table("documents") if docs is None else docs
@@ -4244,7 +4250,6 @@ def nb_quality(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
             (logodds >= 0).alias("pred_keep"),
             ((logodds >= 0) == F.col("label_keep")).alias("agree"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -4384,4 +4389,71 @@ CROSS JOIN tot t
 WHERE c.n_pair >= {PMI_MIN_COUNT}
   AND c.n_pair * t.n_bigrams >= {PMI_MIN_LIFT} * l.n_left * r.n_right
 ORDER BY c.w1, c.w2
+"""
+
+
+# ---------------------------------------------------------------------------
+# E116 — quality-margin importance SAMPLING (how GPT-3's pipeline
+# actually consumed its quality classifier — Brown et al. 2020 §A keep a
+# crawl doc when its score beats a heavy-tailed random draw, so
+# borderline text is kept stochastically instead of cliff-thresholded):
+# keep doc d iff logit(u_d) < logodds(d), with u_d a deterministic
+# per-doc hash uniform — equivalent to keeping with probability
+# sigmoid(logodds/2^20), since logit is monotone. There is NO exp and NO
+# float compare anywhere: u_d is the exact integer h in [1, M-1],
+# logit_q(u) = qlog(h) - qlog(M - h) on the shared 2^20 grid (both log
+# arguments exact integers — the E110 discipline), and the keep decision
+# is an int64 compare. The decision column is reproducible forever (hash
+# of the text, not RNG) — re-running the pipeline keeps the same docs.
+#
+# Scale: E113's plan + one map-only projection; the decision adds zero
+# shuffles.
+# ---------------------------------------------------------------------------
+
+QSAMPLE_M = 1 << 20
+
+
+def quality_sample(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    from collector_spark.ml.dedup import _hash60
+    from collector_spark.ml.textstats import _qlog
+
+    docs_t = spark.table("documents") if docs is None else docs
+    margins = _nb_quality_core(spark, docs).select(
+        "doc_id", "label_keep", "logodds_q"
+    )
+    h = (
+        _hash60(F.concat(F.lit("qsample:"), F.col("text"))) % (QSAMPLE_M - 1) + 1
+    ).cast("long")
+    hashed = docs_t.select("doc_id", "source", h.alias("h"))
+    logit_q = _qlog(F.col("h")) - _qlog(F.lit(QSAMPLE_M) - F.col("h"))
+    return (
+        margins.join(hashed, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "label_keep",
+            "logodds_q",
+            logit_q.alias("logit_q"),
+            (F.col("logodds_q") > logit_q).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_quality_sample() -> str:
+    from collector_spark.ml.dedup import _sql_hash60
+    from collector_spark.ml.textstats import NB_SCALE
+
+    margins = oracle_nb_quality().rsplit("ORDER BY", 1)[0]
+    salted = "'qsample:' || text"
+    h = f"({_sql_hash60(salted)}) % {QSAMPLE_M - 1} + 1"
+    ql = lambda a: f"CAST(floor(ln(CAST({a} AS DOUBLE)) * {NB_SCALE}) AS BIGINT)"  # noqa: E731
+    return f"""
+WITH m AS ({margins}),
+hsh AS (SELECT doc_id, source, CAST({h} AS BIGINT) AS h FROM documents)
+SELECT m.doc_id, hsh.source, m.label_keep, m.logodds_q,
+  {ql('hsh.h')} - {ql(f'{QSAMPLE_M} - hsh.h')} AS logit_q,
+  m.logodds_q > {ql('hsh.h')} - {ql(f'{QSAMPLE_M} - hsh.h')} AS keep
+FROM m JOIN hsh ON hsh.doc_id = m.doc_id
+ORDER BY m.doc_id
 """

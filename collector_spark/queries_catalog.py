@@ -463,6 +463,17 @@ register(
     curation.oracle_skipgram_pmi(),
 )
 
+# E116: quality-margin importance sampling (the Brown et al. 2020 §A
+# consumption of the quality classifier) — keep iff logit(hash-uniform)
+# < logodds; all integer compares on the quantized-log grid, no exp, no
+# RNG, reproducible forever. Outside the driver window (rotates in with
+# round 11).
+register(
+    "ml_quality_sample",
+    curation.quality_sample,
+    curation.oracle_quality_sample(),
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,

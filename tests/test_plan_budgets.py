@@ -228,6 +228,8 @@ BUDGETS = {
     # row-local window pair generation + E109's shared margins report
     # (measured 7)
     "ml_skipgram_pmi": (9, []),
+    # E113's plan + one map-only hash/logit projection (measured 28)
+    "ml_quality_sample": (34, []),
 }
 
 # Queries allowed N Exchange SinglePartition occurrences: 1-row gauge
@@ -257,6 +259,8 @@ SINGLE_PARTITION_OK = {
     "ml_nb_quality": 2,
     # the 1-row bigram-event grand total (shared E109 report)
     "ml_skipgram_pmi": 1,
+    # inherits E113's vocab total + class dimension fold
+    "ml_quality_sample": 2,
 }
 
 

@@ -380,3 +380,37 @@ def test_skipgram_window_semantics(prepared_spark):
     }
     for k, v in adj.items():
         assert skip.get(k, 0) >= v  # skip-gram counts dominate adjacent
+
+
+# -- E116 ------------------------------------------------------------------
+
+
+def test_quality_sample_monotone_in_margin(prepared_spark):
+    """The keep decision is exactly `logodds_q > logit_q` (pinned
+    row-wise), acceptance is monotone in the margin (any kept doc's
+    margin beats any dropped doc AT THE SAME hash draw — checked via the
+    logit threshold), and the decision is reproducible (two runs agree
+    bit-for-bit)."""
+    from collector_spark.ml.curation import quality_sample
+
+    out1 = quality_sample(prepared_spark).collect()
+    out2 = quality_sample(prepared_spark).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    n_keep = 0
+    for r in out1:
+        assert r.keep == (r.logodds_q > r.logit_q), r.doc_id
+        n_keep += r.keep
+    # the fixture corpus produces both outcomes (not a degenerate filter)
+    assert 0 < n_keep < len(out1)
+    # extreme margins decide deterministically regardless of the draw:
+    # logit_q spans +-qlog(M-1), so any |margin| beyond it is certain
+    from collector_spark.ml.curation import QSAMPLE_M
+    from collector_spark.ml.textstats import NB_SCALE
+    import math
+
+    bound = math.floor(math.log(QSAMPLE_M - 1) * NB_SCALE)
+    for r in out1:
+        if r.logodds_q > bound:
+            assert r.keep
+        if r.logodds_q < -bound:
+            assert not r.keep
