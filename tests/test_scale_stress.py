@@ -367,6 +367,48 @@ def test_boilerplate_flags_hot_footer_everywhere(stress):
     assert n_docs == lines.select("doc_id").distinct().count()
 
 
+def test_phash_flood_collapses_canonically(stress):
+    """E112 under the 1000-doc identical-text flood: the F29 derivation
+    gives every flood octet-group the SAME 8 payloads (leader chain + 6
+    fixed perturbations + 1 exact copy), so payload-canonical-first must
+    collapse ~125 groups to exactly 7 canonical flood docs — and the
+    flood's pair contribution is bounded by C(7,2), never quadratic in
+    the 1000 copies. Also: no emitted pair joins byte-identical
+    payloads (canonical-first silence, counted not planned)."""
+    from pyspark.sql import Window
+
+    from collector_spark import registry
+
+    t0 = time.monotonic()
+    spark = stress.spark
+    flood_lo = FLOOD_DOC_BASE
+    flood_hi = FLOOD_DOC_BASE + N_FLOOD_DOCS
+    media = spark.table("media_phash_rows")
+    n_flood_media = media.filter(
+        (F.col("doc_id") >= flood_lo) & (F.col("doc_id") < flood_hi)
+    ).count()
+    assert n_flood_media >= 900  # the flood is real
+    canon_flood = (
+        media.withColumn(
+            "min_id",
+            F.min("doc_id").over(Window.partitionBy(F.md5(F.hex("payload")))),
+        )
+        .filter(F.col("doc_id") == F.col("min_id"))
+        .filter((F.col("doc_id") >= flood_lo) & (F.col("doc_id") < flood_hi))
+        .count()
+    )
+    # 7 distinct payloads per aligned flood group (leader + 6 fixed
+    # perturbations; the exact-copy slot collapses), + a few boundary
+    # docs whose octet leader precedes the flood range
+    assert 1 <= canon_flood <= 15, canon_flood
+    out = registry.REGISTRY["mm_phash_neardup"].spark_fn(spark)
+    flood_pairs = out.filter(
+        (F.col("doc_a") >= flood_lo) & (F.col("doc_a") < flood_hi)
+    ).count()
+    stress.times["mm_phash_neardup"] = time.monotonic() - t0
+    assert flood_pairs <= canon_flood * (canon_flood - 1) // 2  # never 1000^2
+
+
 def test_frame_dedup_flood_keeps_one_payload(stress):
     """~333 flood docs are videos (doc_id % 3 == 2 within the 1000-id
     flood) with byte-identical payloads — every frame position is a hot
