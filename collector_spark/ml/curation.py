@@ -2904,8 +2904,11 @@ GOPHER_MIN_STOP_HITS = 2
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_filters(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
-    docs = spark.table("documents") if docs is None else docs
+def _gopher_exprs() -> dict[str, "F.Column"]:
+    """The E71 rule columns as ROW-LOCAL expressions over (text, n_chars)
+    — shared by the audit table (gopher_filters) and every consumer that
+    needs the keep label inline (the E113 classifier's streamable fold,
+    where a label JOIN would be a stream-stream join)."""
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     n_words = F.size(toks).cast("long")
     mean_wl = (F.col("n_chars") - (n_words - 1)).cast("double") / n_words
@@ -2921,6 +2924,30 @@ def gopher_filters(spark: SparkSession, docs: DataFrame | None = None) -> DataFr
     symbol_ok = n_sym.cast("double") / n_words <= GOPHER_SYMBOL_RATIO_MAX
     alpha_ok = n_alpha.cast("double") / n_words >= GOPHER_ALPHA_FRAC_MIN
     stop_ok = stop_hits >= GOPHER_MIN_STOP_HITS
+    return {
+        "n_words": n_words,
+        "n_alpha": n_alpha,
+        "stop_hits": stop_hits,
+        "word_count_ok": word_count_ok,
+        "mwl_ok": mwl_ok,
+        "symbol_ok": symbol_ok,
+        "alpha_ok": alpha_ok,
+        "stop_ok": stop_ok,
+        "keep": word_count_ok & mwl_ok & symbol_ok & alpha_ok & stop_ok,
+    }
+
+
+def gopher_filters(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    e = _gopher_exprs()
+    n_words = e["n_words"]
+    n_alpha = e["n_alpha"]
+    stop_hits = e["stop_hits"]
+    word_count_ok = e["word_count_ok"]
+    mwl_ok = e["mwl_ok"]
+    symbol_ok = e["symbol_ok"]
+    alpha_ok = e["alpha_ok"]
+    stop_ok = e["stop_ok"]
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -4164,41 +4191,72 @@ def nb_quality(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
     return _nb_quality_core(spark, docs).orderBy("doc_id")
 
 
-def _nb_quality_core(
-    spark: SparkSession, docs: DataFrame | None = None
-) -> DataFrame:
-    from collector_spark.ml.textstats import _qlog
+def _nbq_token_rows(docs: DataFrame) -> DataFrame:
+    """(label_keep, tok) training rows for the E113 classifier: every
+    token labeled INLINE by the row-local E71 rule expression (no label
+    join — streamable), plus one NB_DOC_MARKER row per doc carrying the
+    class priors (the E110/ST27 marker trick). Row-local projection +
+    union."""
+    from collector_spark.ml.textstats import NB_DOC_MARKER
 
-    docs = spark.table("documents") if docs is None else docs
-    labels = gopher_filters(spark, docs).select(
-        "doc_id", F.col("keep").alias("label_keep")
+    keep = _gopher_exprs()["keep"]
+    toks = docs.select(
+        keep.alias("label_keep"),
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
     )
-    toks = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
-        )
-        .join(labels, "doc_id")
-        .localCheckpoint(eager=False)  # feeds tf, model, vocab
+    markers = docs.select(
+        keep.alias("label_keep"), F.lit(NB_DOC_MARKER).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(
-        F.count("*").cast("long").alias("tf"),
-        F.first("label_keep").alias("label_keep"),
-    )
-    model = toks.groupBy("label_keep", "tok").agg(
+    return toks.unionByName(markers)
+
+
+def _nbq_counts(rows: DataFrame) -> DataFrame:
+    """The additive fold: (label_keep, tok, c) — the streaming twin's
+    state (st_ml_nb_quality)."""
+    return rows.groupBy("label_keep", "tok").agg(
         F.count("*").cast("long").alias("c")
     )
-    vocab = toks.select("tok").distinct().agg(F.count("*").cast("long").alias("v"))
-    cls = (
-        model.groupBy("label_keep")
-        .agg(F.sum("c").cast("long").alias("t"))
-        .join(
-            labels.groupBy("label_keep").agg(F.count("*").cast("long").alias("d")),
-            "label_keep",
+
+
+def nb_quality_from_counts(
+    spark: SparkSession, counts: DataFrame, docs: DataFrame
+) -> DataFrame:
+    """E113's scoring stage over the folded (label_keep, tok, c) state —
+    shared by the batch form and the streaming twin. Derivations of
+    `counts` carry renamed columns (the memory-sink self-join
+    discipline)."""
+    from collector_spark.ml.textstats import NB_DOC_MARKER, _qlog
+
+    model = counts.filter(F.col("tok") != NB_DOC_MARKER).select(
+        F.col("label_keep").alias("m_cls"),
+        F.col("tok").alias("m_tok"),
+        F.col("c").alias("mc"),
+    )
+    priors = counts.filter(F.col("tok") == NB_DOC_MARKER).select(
+        F.col("label_keep").alias("p_cls"), F.col("c").alias("d")
+    )
+    vocab = model.select("m_tok").distinct().agg(
+        F.count("*").cast("long").alias("v")
+    )
+    tf = (
+        docs.select(
+            "doc_id",
+            _gopher_exprs()["keep"].alias("label_keep"),
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
         )
+        .groupBy("doc_id", "tok")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.first("label_keep").alias("label_keep"),
+        )
+    )
+    cls = (
+        model.groupBy("m_cls")
+        .agg(F.sum("mc").cast("long").alias("t"))
+        .join(priors, F.col("m_cls") == F.col("p_cls"))
         .crossJoin(F.broadcast(vocab))
         .select(
-            F.col("label_keep").alias("cls"),
+            F.col("m_cls").alias("cls"),
             _qlog(F.col("t") + F.col("v")).alias("q_denom"),
             _qlog(F.col("d")).alias("q_prior"),
         )
@@ -4206,7 +4264,7 @@ def _nb_quality_core(
     # both class sums in ONE doc-keyed aggregate: tf joins the model on
     # the token, the class splits into conditional sums
     m = model.select(
-        F.col("label_keep").alias("m_cls"), "tok", _qlog(F.col("c") + 1).alias("lq")
+        F.col("m_cls"), F.col("m_tok").alias("tok"), _qlog(F.col("mc") + 1).alias("lq")
     )
     sums = (
         tf.join(m, "tok")
@@ -4251,6 +4309,14 @@ def _nb_quality_core(
             ((logodds >= 0) == F.col("label_keep")).alias("agree"),
         )
     )
+
+
+def _nb_quality_core(
+    spark: SparkSession, docs: DataFrame | None = None
+) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    counts = _nbq_counts(_nbq_token_rows(docs)).localCheckpoint(eager=False)
+    return nb_quality_from_counts(spark, counts, docs)
 
 
 def oracle_nb_quality() -> str:

@@ -474,6 +474,25 @@ register(
     curation.oracle_quality_sample(),
 )
 
+# ST28: streaming quality-classifier trainer — row-local E71 labels (no
+# stream-stream join), one additive (label, tok) state incl. marker-row
+# priors, shared scoring stage => batch-equal; shares E113's oracle.
+# Outside the driver window (rotates in with round 11).
+register(
+    "st_ml_nb_quality",
+    doc_stream.stream_nb_quality,
+    curation.oracle_nb_quality(),
+)
+
+# ST29: streaming skip-gram co-occurrence monitor — additive window-pair
+# state + the shared PMI report stage => batch-equal; shares E115's
+# oracle. Outside the driver window (rotates in with round 11).
+register(
+    "st_ml_skipgram",
+    doc_stream.stream_skipgram_pmi,
+    curation.oracle_skipgram_pmi(),
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,

@@ -1591,3 +1591,59 @@ def stream_nb_langid(spark: SparkSession, n_arrival_batches: int = 6) -> DataFra
     return nb_langid_from_counts(
         spark, spark.table(qname), spark.table("documents")
     )
+
+
+# ---------------------------------------------------------------------------
+# ST28 / E113b — streaming QUALITY-classifier trainer: the E71 rule label
+# is a ROW-LOCAL expression (curation._gopher_exprs), so arriving
+# documents label themselves inline — no stream-stream label join — and
+# the (label, tok) count state (token rows + per-doc marker rows for the
+# class priors, the ST27 trick) is ONE additive fold. The scoring stage
+# reads the final state through the IDENTICAL report as the batch
+# operator (curation.nb_quality_from_counts, scoring the static corpus);
+# batch-equal by construction, shares ml_nb_quality's oracle.
+# Production shape: the crawl-filter classifier retrains continuously as
+# labeled pages stream in — the per-trigger agree-rate is the live
+# rule-vs-model drift signal.
+# ---------------------------------------------------------------------------
+
+
+def stream_nb_quality(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    from collector_spark.ml.curation import (
+        _nbq_counts,
+        _nbq_token_rows,
+        nb_quality_from_counts,
+    )
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    state = _nbq_counts(_nbq_token_rows(raw))
+    qname = f"nbqcounts_{run_id}"
+    _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
+    return nb_quality_from_counts(
+        spark, spark.table(qname), spark.table("documents")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ST29 / E115b — streaming skip-gram co-occurrence monitor: window pairs
+# are row-local per document (the E115 generator), so the (w1, w2) count
+# state is a plain additive fold; the PMI/lift report reads the final
+# state through the shared pmi_from_pair_counts stage. Batch-equal,
+# shares ml_skipgram_pmi's oracle — the live co-occurrence matrix a
+# GloVe-style embedding refresh would consume.
+# ---------------------------------------------------------------------------
+
+
+def stream_skipgram_pmi(
+    spark: SparkSession, n_arrival_batches: int = 6
+) -> DataFrame:
+    from collector_spark.ml.curation import (
+        _skipgram_pair_counts,
+        pmi_from_pair_counts,
+    )
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    state = _skipgram_pair_counts(raw)
+    qname = f"sgcounts_{run_id}"
+    _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
+    return pmi_from_pair_counts(spark.table(qname))

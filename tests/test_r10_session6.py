@@ -414,3 +414,33 @@ def test_quality_sample_monotone_in_margin(prepared_spark):
             assert r.keep
         if r.logodds_q < -bound:
             assert not r.keep
+
+
+# -- ST28 / ST29 -----------------------------------------------------------
+
+
+def test_stream_nb_quality_batch_equal(prepared_spark):
+    """ST28 == E113 at an arrival batching the batch form never saw."""
+    from collector_spark.ml.curation import nb_quality
+    from collector_spark.streaming.doc_stream import stream_nb_quality
+
+    batch = sorted(map(tuple, nb_quality(prepared_spark).collect()))
+    streamed = sorted(
+        map(tuple, stream_nb_quality(prepared_spark, n_arrival_batches=4).collect())
+    )
+    assert streamed == batch
+
+
+def test_stream_skipgram_batch_equal(prepared_spark):
+    """ST29 == E115 at an arrival batching the batch form never saw."""
+    from collector_spark.ml.curation import skipgram_pmi
+    from collector_spark.streaming.doc_stream import stream_skipgram_pmi
+
+    batch = sorted(map(tuple, skipgram_pmi(prepared_spark).collect()))
+    streamed = sorted(
+        map(
+            tuple,
+            stream_skipgram_pmi(prepared_spark, n_arrival_batches=4).collect(),
+        )
+    )
+    assert streamed == batch
