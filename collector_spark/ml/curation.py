@@ -4523,3 +4523,123 @@ SELECT m.doc_id, hsh.source, m.label_keep, m.logodds_q,
 FROM m JOIN hsh ON hsh.doc_id = m.doc_id
 ORDER BY m.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E117 — corpus BALANCE report (the source-mix dashboard read next to
+# ml_sampling_weights / ml_source_tvd before fixing mixture weights):
+# per-source doc/char/token volumes and shares, plus two corpus-level
+# concentration numbers — Shannon entropy of the token mix and the Gini
+# coefficient of per-source token mass.
+#
+# Integer envelope (the E103/E110 discipline): entropy's numerator is
+#   ent_num = sum_s c_s * (qlog(T) - qlog(c_s))        [int64 exact]
+# with qlog the shared 2^20 grid — H ~= ent_num / (T * 2^20) in ONE
+# final division; Gini's numerator is the classic sorted form
+#   gini_num = sum_i (2i - n - 1) * c_(i)              [int64 exact]
+# with the rank window over the BOUNDED source dimension (never
+# data-scaled). Every emitted float is one IEEE division of exact
+# integers.
+# ---------------------------------------------------------------------------
+
+
+def corpus_balance(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    from collector_spark.ml.textstats import _qlog
+
+    docs = spark.table("documents") if docs is None else docs
+    per_src = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.sum(F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("long").alias("t"),
+        F.count("*").cast("long").alias("n_src"),
+    )
+    w = Window.orderBy("n_tokens", "source")  # bounded: one row per source
+    ranked = (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "ent_term", F.col("n_tokens") * (_qlog(F.col("t")) - _qlog(F.col("n_tokens")))
+        )
+        .withColumn(
+            "gini_term",
+            (2 * F.col("rk") - F.col("n_src") - 1) * F.col("n_tokens"),
+        )
+    )
+    corpus = ranked.agg(
+        F.sum("ent_term").cast("long").alias("entropy_num"),
+        F.sum("gini_term").cast("long").alias("gini_num"),
+        F.first("t").alias("t"),
+        F.first("n_src").alias("n_src"),
+    )
+    from collector_spark.ml.textstats import NB_SCALE
+
+    return (
+        per_src.crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("t").cast("double")).alias(
+                "token_share"
+            ),
+            "entropy_num",
+            (
+                F.col("entropy_num").cast("double")
+                / (F.col("t").cast("double") * float(NB_SCALE))
+            ).alias("entropy_nats"),
+            "gini_num",
+            (
+                F.col("gini_num").cast("double")
+                / (F.col("n_src").cast("double") * F.col("t").cast("double"))
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_corpus_balance() -> str:
+    from collector_spark.ml.textstats import NB_SCALE
+
+    ql = lambda a: f"CAST(floor(ln(CAST({a} AS DOUBLE)) * {NB_SCALE}) AS BIGINT)"  # noqa: E731
+    return rf"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+    CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT)
+      AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+    CAST(COUNT(*) AS BIGINT) AS n_src
+  FROM per_src
+),
+ranked AS (
+  SELECT p.*, t.t, t.n_src,
+    CAST(row_number() OVER (ORDER BY p.n_tokens, p.source) AS BIGINT) AS rk
+  FROM per_src p CROSS JOIN tot t
+),
+corpus AS (
+  SELECT
+    CAST(SUM(n_tokens * ({ql('t')} - {ql('n_tokens')})) AS BIGINT) AS entropy_num,
+    CAST(SUM((2 * rk - n_src - 1) * n_tokens) AS BIGINT) AS gini_num,
+    MAX(t) AS t, MAX(n_src) AS n_src
+  FROM ranked
+)
+SELECT p.source, p.n_docs, p.n_chars, p.n_tokens,
+  CAST(p.n_tokens AS DOUBLE) / CAST(c.t AS DOUBLE) AS token_share,
+  c.entropy_num,
+  CAST(c.entropy_num AS DOUBLE) / (CAST(c.t AS DOUBLE) * {float(NB_SCALE)})
+    AS entropy_nats,
+  c.gini_num,
+  CAST(c.gini_num AS DOUBLE) / (CAST(c.n_src AS DOUBLE) * CAST(c.t AS DOUBLE))
+    AS gini
+FROM per_src p CROSS JOIN corpus c
+ORDER BY p.source
+"""

@@ -493,6 +493,16 @@ register(
     curation.oracle_skipgram_pmi(),
 )
 
+# E117: corpus balance report — per-source volumes/shares + Shannon
+# entropy and Gini of the token mix, integer numerators on the shared
+# quantized-log grid, rank window over the bounded source dimension.
+# Outside the driver window (rotates in with round 11).
+register(
+    "ml_corpus_balance",
+    curation.corpus_balance,
+    curation.oracle_corpus_balance(),
+)
+
 # ===========================================================================
 # A-r9. round-9 front window — these MUST hold the first driver-window
 #   positions this round: (1) the two NEW CompactLogSnapshot facts,

@@ -230,6 +230,9 @@ BUDGETS = {
     "ml_skipgram_pmi": (9, []),
     # E113's plan + one map-only hash/logit projection (measured 28)
     "ml_quality_sample": (34, []),
+    # one groupBy(source); everything after is bounded by the source
+    # dimension (measured 11)
+    "ml_corpus_balance": (13, []),
 }
 
 # Queries allowed N Exchange SinglePartition occurrences: 1-row gauge
@@ -261,6 +264,9 @@ SINGLE_PARTITION_OK = {
     "ml_skipgram_pmi": 1,
     # inherits E113's vocab total + class dimension fold
     "ml_quality_sample": 2,
+    # the source-dim rank window + the 1-row corpus fold — both bounded
+    # by the source count (a dimension), never data-scaled
+    "ml_corpus_balance": 2,
 }
 
 

@@ -444,3 +444,37 @@ def test_stream_skipgram_batch_equal(prepared_spark):
         )
     )
     assert streamed == batch
+
+
+# -- E117 ------------------------------------------------------------------
+
+
+def test_corpus_balance_axioms(prepared_spark):
+    """Shares sum to 1; entropy in [0, ln(n_src)]; Gini in [0, 1);
+    uniform corpus -> entropy == ln(n) within grid error and Gini == 0;
+    degenerate corpus -> entropy 0, Gini -> (n-1)/n."""
+    import math
+
+    from collector_spark.ml.curation import corpus_balance
+
+    rows = corpus_balance(prepared_spark).collect()
+    n_src = len(rows)
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-12
+    ent = rows[0].entropy_nats
+    gini = rows[0].gini
+    assert 0.0 <= ent <= math.log(n_src) + 1e-9
+    assert 0.0 <= gini < 1.0
+    # uniform: 4 sources x identical text
+    docs = prepared_spark.createDataFrame(
+        [(i, "a b c d", "en", f"s{i % 4}", 7) for i in range(8)], DOC_SCHEMA
+    )
+    u = corpus_balance(prepared_spark, docs=docs).collect()
+    assert abs(u[0].entropy_nats - math.log(4)) < 1e-5  # 2^-20 grid error
+    assert u[0].gini == 0.0
+    # degenerate: everything in one source
+    docs1 = prepared_spark.createDataFrame(
+        [(i, "a b c d", "en", "only", 7) for i in range(8)], DOC_SCHEMA
+    )
+    d = corpus_balance(prepared_spark, docs=docs1).collect()
+    assert d[0].entropy_nats == 0.0
+    assert d[0].gini == 0.0  # single source: (2*1 - 1 - 1) = 0
