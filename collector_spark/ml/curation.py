@@ -4218,6 +4218,12 @@ def _nbq_counts(rows: DataFrame) -> DataFrame:
     )
 
 
+# quantized-log(0) stand-in for a class with zero training documents:
+# far below any reachable quantized-log difference (see the guard note in
+# nb_quality_from_counts) yet safely inside int64 after summation
+NB_ABSENT_PRIOR = -(1 << 60)
+
+
 def nb_quality_from_counts(
     spark: SparkSession, counts: DataFrame, docs: DataFrame
 ) -> DataFrame:
@@ -4280,12 +4286,29 @@ def nb_quality_from_counts(
             .alias("s_drop"),
         )
     )
-    ck = cls.filter(F.col("cls")).select(
-        F.col("q_denom").alias("qd_keep"), F.col("q_prior").alias("qp_keep")
-    )
-    cd = cls.filter(~F.col("cls")).select(
-        F.col("q_denom").alias("qd_drop"), F.col("q_prior").alias("qp_drop")
-    )
+    # Degenerate-corpus guard: if every document carries the SAME rule
+    # label, one class side of `cls` is empty and a bare crossJoin would
+    # annihilate every row. Fold each side through an aggregate instead
+    # (always exactly one row, nulls when the class is absent) and
+    # substitute the true Laplace denominator for T=0 (ln(0+V)) plus a
+    # quantized-log(0) prior sentinel, so a one-class corpus deterministically
+    # predicts its only trained class instead of returning nothing. The
+    # sentinel dominates every other term: |s_keep - s_drop| and
+    # n_tok * |qd_keep - qd_drop| are each < n_tok * 64 * 2^20 < 2^57 for
+    # any n_tok < 2^31, and 2^60 + 2 * 2^57 still fits int64.
+    def _cls_side(side: "F.Column", qd: str, qp: str) -> DataFrame:
+        return (
+            cls.filter(side)
+            .agg(F.max("q_denom").alias("qd0"), F.max("q_prior").alias("qp0"))
+            .crossJoin(F.broadcast(vocab))
+            .select(
+                F.coalesce(F.col("qd0"), _qlog(F.col("v"))).alias(qd),
+                F.coalesce(F.col("qp0"), F.lit(NB_ABSENT_PRIOR)).alias(qp),
+            )
+        )
+
+    ck = _cls_side(F.col("cls"), "qd_keep", "qp_keep")
+    cd = _cls_side(~F.col("cls"), "qd_drop", "qp_drop")
     # n_tok_x2 double-counts tf once per matched class row; every token
     # matches BOTH class rows only if it occurs under both labels — so
     # recover n_tok exactly from its own fold instead

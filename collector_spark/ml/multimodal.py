@@ -917,9 +917,11 @@ def phash_tuning(spark: SparkSession, media: DataFrame | None = None) -> DataFra
     )
     caught = None
     for b in PHASH_TUNING_BANDS:
-        c = F.when(F.col("n_bands") == b, _phash_shares_block(b))
-        caught = c if caught is None else caught.when(
-            F.col("n_bands") == b, _phash_shares_block(b)
+        blk = _phash_shares_block(b)
+        caught = (
+            F.when(F.col("n_bands") == b, blk)
+            if caught is None
+            else caught.when(F.col("n_bands") == b, blk)
         )
     graded = truth.select(
         "pa",

@@ -709,7 +709,25 @@ NB_SCALE = 1 << 20
 
 def _qlog(col: Column) -> Column:
     """floor(ln(k) * 2^20) over an exact-integer column — the shared
-    quantized-log grid."""
+    quantized-log grid.
+
+    Accepted residual risk (cross-engine): everything DOWNSTREAM of this
+    quantization is exact int64 arithmetic, but the quantization itself
+    evaluates ``ln`` in two different libms — JVM ``Math.log`` on the Spark
+    side, DuckDB ``ln()`` in the E110/E113/E116/E117 oracles. Both are
+    documented to stay within 1 ulp of the true value (~|x| * 2^-52, i.e.
+    ~2^-29 for the |x| < 2^23 products reached here), so the floors can
+    disagree only when the TRUE product ln(k) * 2^20 lies within ~2^-29 of
+    an integer — a measure-zero boundary that no integer k in any fixture
+    or testdata table hits. ln(1) = 0.0 is exact in both engines (floor 0,
+    no boundary). Shifting the boundary with an epsilon guard would not
+    shrink the disagreement set (it moves the boundary, and breaks the
+    exact k=1 case), and re-deriving the logs engine-side is the design —
+    so the risk is documented here and pinned empirically instead:
+    tests/test_r11_additions.py sweeps k = 1..200000 plus the large-k
+    band and asserts the two engines' grids are identical in this
+    container.
+    """
     return F.floor(F.log(col.cast("double")) * F.lit(NB_SCALE)).cast("long")
 
 

@@ -36,9 +36,12 @@ def get_spark(app_name: str = "collector_spark", shuffle_partitions: int | None 
         # heap OOM in the stress legs after ~550 tests of accumulated
         # caches). Only effective for the process's FIRST JVM launch,
         # which is true for every in-repo entry point; the driver's own
-        # harness builds its session itself and is unaffected.
+        # harness builds its session itself and is unaffected. The
+        # default stays modest (4g) so constrained hosts can still
+        # launch; the full test suite — the one place the flakes were
+        # observed — pins 8g via the env override in tests/conftest.py.
         .config(
-            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g")
         )
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,6 +1,10 @@
 import os
 
 os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+# The full suite accumulates caches across ~600 tests; 4g (the library
+# default) OOM-flaked the late stress legs — pin the proven 8g heap here,
+# where the flakes were observed, instead of forcing it on every consumer.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
 
 import duckdb
 import pytest

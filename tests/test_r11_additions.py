@@ -1,0 +1,93 @@
+"""Round-11 pins, part 1 (the ADVICE items): the quantized-log grid's
+cross-libm agreement made empirical, and the E113 quality classifier's
+degenerate one-class corpus guard."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+# 60 words, mean word length 4.1, 12 stopword hits, zero symbols — passes
+# every Gopher document rule
+_KEEP_TEXT = ("the quick brown foxes jump over lazy dogs and then " * 6).strip()
+_DROP_TEXT = "x y z"  # 3 words < GOPHER_MIN_WORDS -> drop
+
+
+def _doc_rows(text: str, n: int):
+    return [(i, text, "en", "s", len(text)) for i in range(n)]
+
+
+# -- _qlog cross-engine agreement -------------------------------------------
+
+
+def test_qlog_grid_cross_engine(spark, duck):
+    """The quantized-log grid floor(ln(k) * 2^20) rests on JVM Math.log and
+    DuckDB ln() agreeing at every floor boundary actually reached (see the
+    residual-risk note at textstats._qlog). Pin it empirically: the grids
+    are IDENTICAL for every k in 1..200000 and in a large-k band, in this
+    container."""
+    from collector_spark.ml.textstats import NB_SCALE, _qlog
+
+    bands = [(1, 200_001), (10**12, 10**12 + 20_000)]
+    for lo, hi in bands:
+        got = [
+            r.q
+            for r in spark.range(lo, hi)
+            .select(_qlog(F.col("id")).alias("q"))
+            .collect()
+        ]
+        want = [
+            r[0]
+            for r in duck.execute(
+                f"SELECT CAST(floor(ln(CAST(k AS DOUBLE)) * {NB_SCALE}) AS BIGINT)"
+                f" FROM generate_series({lo}, {hi - 1}) t(k) ORDER BY k"
+            ).fetchall()
+        ]
+        assert got == want, f"qlog grid diverged in band [{lo}, {hi})"
+
+
+# -- E113 one-class corpus guard --------------------------------------------
+
+
+def _nbq_run(spark, docs):
+    from collector_spark.ml.curation import (
+        _nbq_counts,
+        _nbq_token_rows,
+        nb_quality_from_counts,
+    )
+
+    return nb_quality_from_counts(
+        spark, _nbq_counts(_nbq_token_rows(docs)), docs
+    ).collect()
+
+
+def test_nb_quality_all_keep_corpus(spark):
+    """A corpus where EVERY doc passes the Gopher rules trains only the
+    keep class; the guard must predict keep for every row instead of
+    annihilating the result through an empty crossJoin side."""
+    docs = spark.createDataFrame(_doc_rows(_KEEP_TEXT, 8), DOC_SCHEMA)
+    rows = _nbq_run(spark, docs)
+    assert len(rows) == 8
+    assert all(r.label_keep and r.pred_keep and r.agree for r in rows)
+
+
+def test_nb_quality_all_drop_corpus(spark):
+    """Symmetric: an all-drop corpus predicts drop for every row."""
+    docs = spark.createDataFrame(_doc_rows(_DROP_TEXT, 8), DOC_SCHEMA)
+    rows = _nbq_run(spark, docs)
+    assert len(rows) == 8
+    assert all((not r.label_keep) and (not r.pred_keep) and r.agree for r in rows)
+
+
+def test_nb_quality_mixed_corpus_still_classifies(spark):
+    """The guard must be a no-op when both classes are present: a cleanly
+    separable mixed corpus classifies every doc to its rule label."""
+    docs = spark.createDataFrame(
+        _doc_rows(_KEEP_TEXT, 5)
+        + [(10 + i, _DROP_TEXT, "en", "s", len(_DROP_TEXT)) for i in range(5)],
+        DOC_SCHEMA,
+    )
+    rows = _nbq_run(spark, docs)
+    assert len(rows) == 10
+    assert all(r.agree for r in rows)
