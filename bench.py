@@ -146,6 +146,30 @@ def main() -> int:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
 
+    # r11 headliner: the END-TO-END curation pipeline ACTION — dedup +
+    # quality keep-lists -> manifest -> the real source-partitioned,
+    # size-capped parquet write -> read-back audit (ml/export.py). This is
+    # the wall-clock a production user pays per export run; the write is
+    # real parquet (the sink IS the operator), only the audit result sinks
+    # to noop.
+    import shutil
+    import tempfile
+
+    runs = []
+    for _ in range(N_RUNS):
+        out_dir = tempfile.mkdtemp(prefix="bench_export_")
+        try:
+            from collector_spark.ml.export import export_corpus
+
+            t0 = time.perf_counter()
+            export_corpus(spark, out_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    timings["pipeline_export_corpus"] = round(sorted(runs)[len(runs) // 2], 3)
+
     out = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),

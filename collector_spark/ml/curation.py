@@ -4287,28 +4287,34 @@ def nb_quality_from_counts(
         )
     )
     # Degenerate-corpus guard: if every document carries the SAME rule
-    # label, one class side of `cls` is empty and a bare crossJoin would
-    # annihilate every row. Fold each side through an aggregate instead
-    # (always exactly one row, nulls when the class is absent) and
-    # substitute the true Laplace denominator for T=0 (ln(0+V)) plus a
-    # quantized-log(0) prior sentinel, so a one-class corpus deterministically
-    # predicts its only trained class instead of returning nothing. The
-    # sentinel dominates every other term: |s_keep - s_drop| and
-    # n_tok * |qd_keep - qd_drop| are each < n_tok * 64 * 2^20 < 2^57 for
-    # any n_tok < 2^31, and 2^60 + 2 * 2^57 still fits int64.
-    def _cls_side(side: "F.Column", qd: str, qp: str) -> DataFrame:
-        return (
-            cls.filter(side)
-            .agg(F.max("q_denom").alias("qd0"), F.max("q_prior").alias("qp0"))
-            .crossJoin(F.broadcast(vocab))
-            .select(
-                F.coalesce(F.col("qd0"), _qlog(F.col("v"))).alias(qd),
-                F.coalesce(F.col("qp0"), F.lit(NB_ABSENT_PRIOR)).alias(qp),
-            )
-        )
+    # label, one class side of `cls` is empty and a bare per-side crossJoin
+    # would annihilate every row. Fold BOTH sides in ONE 1-row aggregate
+    # instead (conditional MAX per side — null when the class is absent)
+    # and substitute the true Laplace denominator for T=0 (ln(0+V)) plus a
+    # quantized-log(0) prior sentinel, so a one-class corpus
+    # deterministically predicts its only trained class instead of
+    # returning nothing. The sentinel dominates every other term:
+    # |s_keep - s_drop| and n_tok * |qd_keep - qd_drop| are each
+    # < n_tok * 64 * 2^20 < 2^57 for any n_tok < 2^31, and
+    # 2^60 + 2 * 2^57 still fits int64.
+    def _side(cond: "F.Column", col: str) -> "F.Column":
+        return F.max(F.when(cond, F.col(col)))
 
-    ck = _cls_side(F.col("cls"), "qd_keep", "qp_keep")
-    cd = _cls_side(~F.col("cls"), "qd_drop", "qp_drop")
+    cboth = (
+        cls.agg(
+            _side(F.col("cls"), "q_denom").alias("qdk0"),
+            _side(F.col("cls"), "q_prior").alias("qpk0"),
+            _side(~F.col("cls"), "q_denom").alias("qdd0"),
+            _side(~F.col("cls"), "q_prior").alias("qpd0"),
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.coalesce(F.col("qdk0"), _qlog(F.col("v"))).alias("qd_keep"),
+            F.coalesce(F.col("qpk0"), F.lit(NB_ABSENT_PRIOR)).alias("qp_keep"),
+            F.coalesce(F.col("qdd0"), _qlog(F.col("v"))).alias("qd_drop"),
+            F.coalesce(F.col("qpd0"), F.lit(NB_ABSENT_PRIOR)).alias("qp_drop"),
+        )
+    )
     # n_tok_x2 double-counts tf once per matched class row; every token
     # matches BOTH class rows only if it occurs under both labels — so
     # recover n_tok exactly from its own fold instead
@@ -4322,8 +4328,7 @@ def nb_quality_from_counts(
     return (
         sums.drop("n_tok_x2")
         .join(doc_n, "doc_id")
-        .crossJoin(F.broadcast(ck))
-        .crossJoin(F.broadcast(cd))
+        .crossJoin(F.broadcast(cboth))
         .select(
             "doc_id",
             "label_keep",
@@ -4549,6 +4554,182 @@ ORDER BY m.doc_id
 
 
 # ---------------------------------------------------------------------------
+# E118/E119 — ROC curve + AUC of the trained quality classifier (the
+# evaluation read before trusting E113's verdicts or picking E99's
+# threshold; Spark MLlib's BinaryClassificationMetrics computes exactly
+# this curve, downsampled to numBins — the binned form IS the production
+# shape). Scores are the E113 integer log-odds margins; the curve is per
+# occupied score bin (one nat per bin, clamped at +/-NB_ROC_LIM_NATS —
+# |logodds| beyond 32 nats is probability saturation): positives,
+# negatives, cumulative tp/fp from the top, tpr/fpr. AUC is the binned
+# Mann-Whitney U with half-credit ties inside a bin:
+#   U2 = sum_b n_pos_b * (2 * negs_strictly_below_b + n_neg_b)
+#   AUC = U2 / (2 * P * N)
+# Engine exactness: the bin id is floor((clamp(logodds) + LIM) / 2^20) —
+# division by a power of two is EXACT in IEEE doubles for these
+# magnitudes (< 2^27), so the floor has no cross-engine boundary; every
+# count and U2 is int64 arithmetic; tpr/fpr/auc are ONE IEEE division of
+# exact integers. Int64 envelope: U2 <= 2 * P * N < 2^63 holds through
+# ~2.1e9 documents per class; a corpus beyond that moves U2 to
+# DECIMAL(38,0).
+#
+# Scale: E113's plan + one groupBy(bin) (bounded: <= 2*LIM_NATS + 1
+# occupied bins by construction); the cumulative window and the 1-row
+# totals run on that bounded relation — never data-scaled. Degenerate
+# one-class corpus: tpr or fpr (and auc) are NULL, the counts still
+# report.
+# ---------------------------------------------------------------------------
+
+NB_ROC_LIM_NATS = 32
+NB_ROC_BIN = 1 << 20  # one nat per bin on the shared quantized-log grid
+
+
+def _quality_bin_counts(margins: DataFrame) -> DataFrame:
+    """(bin, n_pos, n_neg) over the occupied score bins — the shared fold
+    of the ROC curve, the AUC, and the ST30 streaming twin."""
+    lim = NB_ROC_LIM_NATS * NB_ROC_BIN
+    shifted = (
+        F.greatest(F.lit(-lim), F.least(F.lit(lim), F.col("logodds_q"))) + F.lit(lim)
+    )
+    b = F.floor(shifted / F.lit(float(NB_ROC_BIN))).cast("long")
+    return margins.select(b.alias("bin"), "label_keep").groupBy("bin").agg(
+        F.sum(F.col("label_keep").cast("long")).cast("long").alias("n_pos"),
+        F.sum((~F.col("label_keep")).cast("long")).cast("long").alias("n_neg"),
+    )
+
+
+def _quality_curve(spark: SparkSession, docs: DataFrame | None, margins=None):
+    from pyspark.sql import Window as W
+
+    if margins is None:
+        margins = _nb_quality_core(spark, docs)
+    bins = _quality_bin_counts(margins)
+    tot = bins.agg(
+        F.sum("n_pos").cast("long").alias("p_tot"),
+        F.sum("n_neg").cast("long").alias("n_tot"),
+    )
+    # bounded window: <= 2 * NB_ROC_LIM_NATS + 1 occupied bins
+    wd = W.orderBy(F.desc("bin")).rowsBetween(W.unboundedPreceding, 0)
+    return (
+        bins.withColumn("tp", F.sum("n_pos").over(wd).cast("long"))
+        .withColumn("fp", F.sum("n_neg").over(wd).cast("long"))
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+def quality_roc(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    return _roc_select(_quality_curve(spark, docs))
+
+
+def quality_roc_from_margins(margins: DataFrame) -> DataFrame:
+    """The ST30 streaming twin's report stage: the identical curve over
+    margins scored from a streamed (label, tok) count state."""
+    return _roc_select(_quality_curve(None, None, margins=margins))
+
+
+def _roc_select(curve: DataFrame) -> DataFrame:
+    lim = NB_ROC_LIM_NATS * NB_ROC_BIN
+    return curve.select(
+        "bin",
+        (F.col("bin") * NB_ROC_BIN - lim).cast("long").alias("q_lo"),
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        F.when(
+            F.col("p_tot") > 0, F.col("tp").cast("double") / F.col("p_tot")
+        ).alias("tpr"),
+        F.when(
+            F.col("n_tot") > 0, F.col("fp").cast("double") / F.col("n_tot")
+        ).alias("fpr"),
+    ).orderBy("bin")
+
+
+def quality_auc(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    curve = _quality_curve(spark, docs)
+    u2_term = F.col("n_pos") * (
+        2 * (F.col("n_tot") - F.col("fp")) + F.col("n_neg")
+    )
+    return (
+        curve.agg(
+            F.max("p_tot").alias("n_pos"),
+            F.max("n_tot").alias("n_neg"),
+            F.sum(u2_term).cast("long").alias("u2_num"),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            "u2_num",
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("u2_num").cast("double")
+                / (2 * F.col("n_pos") * F.col("n_neg")).cast("double"),
+            ).alias("auc"),
+        )
+    )
+
+
+_SQL_QUALITY_BINS = """
+b AS (
+  SELECT CAST(floor((GREATEST(-{lim}, LEAST({lim}, logodds_q)) + {lim})
+              / {bin}.0) AS BIGINT) AS bin,
+         label_keep
+  FROM m
+),
+bins AS (
+  SELECT bin,
+    CAST(SUM(CASE WHEN label_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+    CAST(SUM(CASE WHEN label_keep THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+  FROM b GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS p_tot,
+         CAST(SUM(n_neg) AS BIGINT) AS n_tot
+  FROM bins
+),
+curve AS (
+  SELECT bin, n_pos, n_neg,
+    CAST(SUM(n_pos) OVER (ORDER BY bin DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+    CAST(SUM(n_neg) OVER (ORDER BY bin DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS fp
+  FROM bins
+)"""
+
+
+def _sql_quality_bins() -> str:
+    lim = NB_ROC_LIM_NATS * NB_ROC_BIN
+    margins = oracle_nb_quality().rsplit("ORDER BY", 1)[0]
+    return f"WITH m AS ({margins}),{_SQL_QUALITY_BINS.format(lim=lim, bin=NB_ROC_BIN)}"
+
+
+def oracle_quality_roc() -> str:
+    lim = NB_ROC_LIM_NATS * NB_ROC_BIN
+    return f"""
+{_sql_quality_bins()}
+SELECT c.bin, CAST(c.bin * {NB_ROC_BIN} - {lim} AS BIGINT) AS q_lo,
+  c.n_pos, c.n_neg, c.tp, c.fp,
+  CASE WHEN t.p_tot > 0 THEN CAST(c.tp AS DOUBLE) / t.p_tot END AS tpr,
+  CASE WHEN t.n_tot > 0 THEN CAST(c.fp AS DOUBLE) / t.n_tot END AS fpr
+FROM curve c CROSS JOIN tot t
+ORDER BY c.bin
+"""
+
+
+def oracle_quality_auc() -> str:
+    return f"""
+{_sql_quality_bins()}
+SELECT p_tot AS n_pos, n_tot AS n_neg,
+  CAST(SUM(n_pos * (2 * (n_tot - fp) + n_neg)) AS BIGINT) AS u2_num,
+  CASE WHEN p_tot > 0 AND n_tot > 0
+       THEN CAST(SUM(n_pos * (2 * (n_tot - fp) + n_neg)) AS DOUBLE)
+            / CAST(2 * p_tot * n_tot AS DOUBLE) END AS auc
+FROM curve c CROSS JOIN tot t
+GROUP BY p_tot, n_tot
+"""
+
+
+# ---------------------------------------------------------------------------
 # E117 — corpus BALANCE report (the source-mix dashboard read next to
 # ml_sampling_weights / ml_source_tvd before fixing mixture weights):
 # per-source doc/char/token volumes and shares, plus two corpus-level
@@ -4596,8 +4777,11 @@ def corpus_balance(spark: SparkSession, docs: DataFrame | None = None) -> DataFr
     corpus = ranked.agg(
         F.sum("ent_term").cast("long").alias("entropy_num"),
         F.sum("gini_term").cast("long").alias("gini_num"),
-        F.first("t").alias("t"),
-        F.first("n_src").alias("n_src"),
+        # every row carries the identical broadcast scalar; MAX states the
+        # order-independence outright (F.first was value-identical but
+        # read as order-dependent — r10 verdict caution 4)
+        F.max("t").alias("t"),
+        F.max("n_src").alias("n_src"),
     )
     from collector_spark.ml.textstats import NB_SCALE
 

@@ -2241,101 +2241,83 @@ register(
 # window is now declared explicitly: the names below are moved to the front
 # of the registry, in this order, after the whole catalog registers.
 #
-# Round-10 window (r9 verdict item 1 — rotate the stale driver rows):
-#   1-4    NEW this round (E87-E90);
-#   5-8    queries whose plan or semantics changed this round (audio chunk
-#          zero-payload guard, filter-ablation relational denominator, the
-#          zipf/bloom streaming-twin refactor onto the shared staging
-#          helpers) — fresh driver rows wanted;
-#   9-46   every query whose latest driver row is round 2 (38 names);
-#   47-50  the oldest round-3 names the verdict called out (j6/j10,
-#          ml_exact_dup, and the ANN truth baseline).
-# Remaining r3 rows rotate in round 11, r5/r6 rows in rounds 11-12 — every
-# query has a driver row <= 5 rounds old by r12. The full catalog is still
-# verified in-repo every round by tests/test_registry_oracle.py regardless
-# of window position.
+# Round-11 window (r10 verdict item 1 — finish the rotation):
+#   1-20   every query that has NEVER had an external driver row (the
+#          late r10 session-5/6 additions and their streaming twins);
+#   21     ml_hashed_tf_neardup — its verify stage was REWRITTEN this
+#          round (row-local map-fold dot; value-identical, 0/0 symmetric
+#          diff at sf0.1) — fresh driver row wanted on the new plan;
+#   22-31  every query whose latest driver row is round 2 (10 names);
+#   32-35  the four "changed in r10" entries deferred from the r10
+#          window (mm_audio_chunk_plan, ml_filter_ablation,
+#          st_ml_zipf_fit, st_ml_bloom_screen);
+#   36-50  the 15 oldest round-3 names (catalog registration order).
+# The remaining 26 r3 names rotate in round 12, then the r5/r6 rows —
+# every query has a driver row <= 6 rounds old by r13. The full catalog
+# is still verified in-repo every round by tests/test_registry_oracle.py
+# regardless of window position.
 # ===========================================================================
 
 DRIVER_WINDOW = [
-    # -- new (r10)
-    "ml_gopher_line_filters",
-    "ml_line_dedup",
-    "ml_bpe_train",
-    "ml_ivf_tuning",
-    "ml_bpe_encode",
-    "ml_cluster_keep_best",
-    "st_ml_line_dedup",
-    "ml_decontaminate_sweep",
-    "ml_export_manifest",
-    "st_ml_sequence_packing",
-    "mm_frame_dedup",
-    # -- new (r10 session 4): the dedup-run report surface + the
-    #    token-budget cutoff + the streaming decontamination twin — first
-    #    driver rows
-    "ml_dedup_stats",
-    "ml_cluster_size_histogram",
-    "ml_dedup_method_agreement",
-    "ml_token_budget_cutoff",
-    "st_ml_decontaminate",
-    # -- new (r10 session 5): the text->vector bridge (hashed-TF vectors +
-    #    prefix-filtered cosine near-dup), the k-NN label-vote probe, the
-    #    source TVD matrix, and the tokenizer-fertility report — first
-    #    driver rows
-    "ml_hashed_tf_vectors",
-    "ml_hashed_tf_neardup",
-    "ml_knn_label_vote",
+    # -- never driver-checked (r10 session 5/6 additions)
+    "ml_boilerplate_lines",
+    "st_ml_boilerplate",
+    "ml_pmi_collocations",
+    "st_ml_pmi",
+    "ml_skipgram_pmi",
+    "st_ml_skipgram",
+    "ml_nb_langid",
+    "st_ml_nb_langid",
+    "ml_nb_quality",
+    "st_ml_nb_quality",
+    "ml_quality_sample",
+    "ml_corpus_balance",
+    "ml_dedup_threshold_sweep",
     "ml_source_tvd",
-    "ml_tokenizer_fertility",
-    "ml_hashed_neardup_recall",
-    # (the four "changed (r10)" entries — mm_audio_chunk_plan,
-    #  ml_filter_ablation, st_ml_zipf_fit, st_ml_bloom_screen — ceded
-    #  their slots to the session-4 additions: each change is
-    #  oracle-mirrored and re-proven this session by the in-repo sf0.01
-    #  oracle sweep, the exact check the driver runs; they rotate in
-    #  round 11 with the r3 names. a9_collector_diff also cedes one
-    #  stale slot to hold the window at 50 — it rotates in round 11.)
+    "st_ml_source_tvd",
+    "mm_cdc_chunks",
+    "mm_cdc_dedup",
+    "st_mm_cdc_dedup",
+    "mm_phash_neardup",
+    "mm_phash_tuning",
+    # (st_mm_frame_dedup is the 20th never-checked name; it holds a slot
+    #  below, after the changed-this-round entry)
+    # -- changed (r11): verify stage rewritten (see the block comment)
+    "ml_hashed_tf_neardup",
+    "st_mm_frame_dedup",
     # -- stale since round 2
-    "a1_statement_diff",
-    "a3_relation_diff",
-    "a4_database_diff",
-    "a5_cpu_percentages",
-    "a6_disk_rates",
-    "a7_io_diff",
-    "a8_function_diff",
-    "a11_buffercache_totals",
-    "a12_bucket_accumulation",
-    "a13_latest_split",
-    "a14_xmin_horizon",
-    "j5_parent_size_rollup",
-    "log_parse",
-    # (mm_media_metadata ceded its slot to mm_frame_dedup — rotates in
-    #  round 11)
-    # (mm_resize_frame_plan ceded its slot to st_ml_sequence_packing —
-    #  rotates in round 11)
-    "p1_ignore_filter",
-    "p7_log_early_ignore",
-    # (p11_explain_skip, p12_time_window, s5_backend_identity,
-    #  s6_backend_counts, s29_txid_scan, s7_databases_scan ceded their
-    #  slots to the session-5 additions to hold the window at 50 — they
-    #  rotate in round 11 with the other deferred r2/r3 names)
-    "s3_statements_info",
-    # (s9_buffercache_scan ceded its slot to ml_export_manifest — it
-    #  rotates with the remaining r3 names in round 11)
-    "s10_relation_scan",
-    "s25_replication_primary",
-    "s26_standby_lag",
-    "s28_xmin_horizon_full",
-    "st7_reset_decision",
-    "st10_stream_buckets",
-    "st_u7_stream_classify",
-    "u7c_parameter_details",
-    "u8_log_redact",
-    "w1_settings_dedup",
-    "w3_log_stitch",
-    "w4_log_associate",
-    # (four of the oldest round-3 names ceded their slots to the
-    #  session-2 additions above to hold the window at 50; they rotate
-    #  back in round 11)
+    "s5_backend_identity",
+    "s6_backend_counts",
+    "s7_databases_scan",
+    "s9_buffercache_scan",
+    "s29_txid_scan",
+    "p11_explain_skip",
+    "p12_time_window",
+    "mm_media_metadata",
+    "mm_resize_frame_plan",
+    "a9_collector_diff",
+    # -- changed in r10, deferred from the r10 window
+    "mm_audio_chunk_plan",
+    "ml_filter_ablation",
+    "st_ml_zipf_fit",
+    "st_ml_bloom_screen",
+    # -- stale since round 3 (oldest 15 in registration order; the other
+    #    26 rotate in round 12)
+    "s1_statements_scan",
+    "s4_extension_versions",
+    "s12_citus_size_override",
+    "s30_plan_scan",
+    "j6_plan_statement_join",
+    "s32_memory_scan",
+    "st6_schedule_suppression",
+    "u3_utility_secrets",
+    "s13_relations_schema",
+    "s14_columns_scan",
+    "s15_indices_scan",
+    "s16_constraints_scan",
+    "s17_view_definitions",
+    "s18_column_stats",
+    "s19_extended_stats",
 ]
 
 

@@ -181,9 +181,10 @@ BUDGETS = {
     # groupBy(doc_id, dim) + the per-doc norm window (measured 4)
     "ml_hashed_tf_vectors": (6, []),
     # near-dup: checkpointed TF relation feeds norms/weights/index/verify;
-    # the All-Pairs maxweight index + capped candidate join + pair verify
-    # (measured 17)
-    "ml_hashed_tf_neardup": (21, []),
+    # the All-Pairs maxweight index + capped candidate join; the verify
+    # dot is a ROW-LOCAL map fold on the pair row (r11) — a blow here
+    # means the pairs x tf x tf expansion shuffle came back (r10: 17)
+    "ml_hashed_tf_neardup": (17, []),
     # recall gate: the flagged truth+blocking relation is MATERIALIZED
     # once (localCheckpoint) and the four threshold branches read the
     # checkpoint scan — a blow here means a branch re-derives the subtree
@@ -258,12 +259,13 @@ SINGLE_PARTITION_OK = {
     "ml_pmi_collocations": 1,
     # the 1-row vocab-size and corpus-doc-count totals
     "ml_nb_langid": 2,
-    # the 1-row vocab total + the 2-row class dimension fold
-    "ml_nb_quality": 2,
+    # the 1-row vocab total + the 2-row class dimension fold + the 1-row
+    # one-class degenerate guard fold (r11)
+    "ml_nb_quality": 3,
     # the 1-row bigram-event grand total (shared E109 report)
     "ml_skipgram_pmi": 1,
-    # inherits E113's vocab total + class dimension fold
-    "ml_quality_sample": 2,
+    # inherits E113's vocab total + class dimension fold + guard fold
+    "ml_quality_sample": 3,
     # the source-dim rank window + the 1-row corpus fold — both bounded
     # by the source count (a dimension), never data-scaled
     "ml_corpus_balance": 2,

@@ -80,6 +80,67 @@ def test_nb_quality_all_drop_corpus(spark):
     assert all((not r.label_keep) and (not r.pred_keep) and r.agree for r in rows)
 
 
+# -- E94 end-to-end pipeline at sf0.1 ---------------------------------------
+
+
+def test_export_pipeline_reconciles_at_sf01(tmp_path):
+    """The r10 write-path reconciliation ran only at fixture scale; this
+    runs the WHOLE pipeline (dedup + quality keep-lists -> manifest ->
+    real partitioned parquet write -> read-back) at sf0.1 in an isolated
+    interpreter (its own SparkSession — re-pointing the shared session's
+    views at a different SF would poison the pinned-relation caches) and
+    reconciles files against the manifest exactly as the fixture-scale
+    test does."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import os
+        os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+        from collector_spark.session import get_spark
+        from collector_spark import registry
+        from collector_spark.ml.export import (
+            EXPORT_MAX_RECORDS, export_corpus, export_manifest,
+        )
+        from pyspark.sql import functions as F
+
+        spark = get_spark("export_sf01_test")
+        registry.load_all()
+        registry.prepare(spark, "/root/testdata/sf0.1")
+        plan = {{r["source"]: r for r in export_manifest(spark).collect()}}
+        out = {str(tmp_path / "corpus")!r}
+        audit = {{r["source"]: r for r in export_corpus(spark, out).collect()}}
+        assert set(audit) == set(plan), (sorted(audit), sorted(plan))
+        n_parts = sum(r["n_shards"] for r in plan.values())
+        for src, p in plan.items():
+            assert audit[src]["n_docs"] == p["n_docs"], src
+        total_files = sum(a["n_files"] for a in audit.values())
+        assert total_files <= n_parts + len(plan), (total_files, n_parts)
+        per_file = (
+            spark.read.parquet(out)
+            .withColumn("_f", F.input_file_name())
+            .groupBy("_f").count().agg(F.max("count")).first()[0]
+        )
+        assert per_file <= EXPORT_MAX_RECORDS, per_file
+        total_kept = sum(p["n_docs"] for p in plan.values())
+        assert total_kept > 0
+        print("SF01_EXPORT_OK", total_kept, total_files)
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    assert "SF01_EXPORT_OK" in proc.stdout
+
+
 def test_nb_quality_mixed_corpus_still_classifies(spark):
     """The guard must be a no-op when both classes are present: a cleanly
     separable mixed corpus classifies every doc to its rule label."""

@@ -35,6 +35,7 @@ invalidates the shared session fixture's prepared views.
 
 from __future__ import annotations
 
+import os
 import time
 
 import duckdb
@@ -42,7 +43,10 @@ import pytest
 from pyspark.sql import functions as F
 
 SF_SRC = "/root/testdata/sf0.1"
-REPLICAS = 5
+# x5 (~sf0.5) by default; the r11 linearity second point re-runs the same
+# suite at x10 (~sf1) via SPARK_GRAFT_STRESS_REPLICAS=10 — README's stress
+# table records both measured runs
+REPLICAS = int(os.environ.get("SPARK_GRAFT_STRESS_REPLICAS", "5"))
 DOC_STRIDE = 10_000  # % 5 == 0: replica doc_ids keep their batch residue
 ORDER_STRIDE = 10_000_000  # % 500 == 0: replicas keep query_id/db/toplevel
 
@@ -54,10 +58,14 @@ HOT_DOC_BASE = 200_000
 N_HOT_DOCS = 200
 HOT_PREFIX = " ".join(f"tok{j}" for j in range(95))
 
-# 50_000_003 + 500*i: % 500 == 3 (query_id 3 -- neither the %7 new-key
-# nor the %11 reset leg), % 5 == 3, odd (toplevel false); above every
-# replicated orderkey (max ~40.15M) so no collisions
-FLOOD_ORDER_BASE = 50_000_003
+# ORDER_STRIDE * (REPLICAS + 1) + 3, + 500*i: % 500 == 3 (query_id 3 --
+# neither the %7 new-key nor the %11 reset leg), % 5 == 3, odd (toplevel
+# false); computed from REPLICAS so it sits above every replicated
+# orderkey (max ~ORDER_STRIDE*(REPLICAS-1) + 600k) at any replica count
+FLOOD_ORDER_BASE = ORDER_STRIDE * (REPLICAS + 1) + 3
+# replica doc_ids (max DOC_STRIDE*(REPLICAS-1) + 5000) must stay below the
+# flood/hot id bands
+assert DOC_STRIDE * (REPLICAS - 1) + 10_000 <= 100_000, REPLICAS
 N_FLOOD_ORDERS = 2_000
 FLOOD_CUSTKEY = 7  # user_oid 7
 
@@ -163,7 +171,7 @@ def stress(spark, tmp_path_factory):
     yield st
     duck.close()
     print(
-        "\nstress wall times (sf~0.5 skewed): "
+        f"\nstress wall times (sf~{REPLICAS / 10:.1f} skewed, x{REPLICAS}): "
         + ", ".join(f"{k}={v:.1f}s" for k, v in st.times.items())
     )
 
