@@ -4716,6 +4716,53 @@ ORDER BY c.bin
 """
 
 
+def quality_pr(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    """E121 — precision/recall/F1 per candidate cutoff (predict keep iff
+    logodds >= the bin's lower edge): the table that actually picks the
+    E99/E116 production threshold. Same bounded curve as E118; every
+    ratio is ONE IEEE division of exact int64 counts, NULL-guarded on
+    empty denominators (one-class corpora still report their counts)."""
+    curve = _quality_curve(spark, docs)
+    lim = NB_ROC_LIM_NATS * NB_ROC_BIN
+    fn = F.col("p_tot") - F.col("tp")
+    return curve.select(
+        "bin",
+        (F.col("bin") * NB_ROC_BIN - lim).cast("long").alias("q_lo"),
+        "tp",
+        "fp",
+        fn.cast("long").alias("fn"),
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision"),
+        F.when(
+            F.col("p_tot") > 0, F.col("tp").cast("double") / F.col("p_tot")
+        ).alias("recall"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + fn > 0,
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + fn).cast("double"),
+        ).alias("f1"),
+    ).orderBy("bin")
+
+
+def oracle_quality_pr() -> str:
+    lim = NB_ROC_LIM_NATS * NB_ROC_BIN
+    return f"""
+{_sql_quality_bins()}
+SELECT c.bin, CAST(c.bin * {NB_ROC_BIN} - {lim} AS BIGINT) AS q_lo,
+  c.tp, c.fp, CAST(t.p_tot - c.tp AS BIGINT) AS fn,
+  CASE WHEN c.tp + c.fp > 0
+       THEN CAST(c.tp AS DOUBLE) / (c.tp + c.fp) END AS precision,
+  CASE WHEN t.p_tot > 0 THEN CAST(c.tp AS DOUBLE) / t.p_tot END AS recall,
+  CASE WHEN 2 * c.tp + c.fp + (t.p_tot - c.tp) > 0
+       THEN CAST(2 * c.tp AS DOUBLE) / (2 * c.tp + c.fp + (t.p_tot - c.tp))
+       END AS f1
+FROM curve c CROSS JOIN tot t
+ORDER BY c.bin
+"""
+
+
 def oracle_quality_auc() -> str:
     return f"""
 {_sql_quality_bins()}

@@ -154,8 +154,11 @@ ORDER BY doc_id
 """
 
 
-def _shingle_hashes(docs: DataFrame) -> DataFrame:
-    """doc_id -> exploded distinct shingle hash h' (already reduced mod P31)."""
+def _shingle_hashes(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """doc_id -> exploded distinct shingle hash h' (already reduced mod
+    P31). `carry` names extra row-local columns to keep alongside (e.g.
+    ``source`` for the E120 duplication report / its streaming twin,
+    where a join-back would be a stream-stream self-join)."""
     words = _words(F.col("text"))
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE, F.lit(0)))
@@ -167,8 +170,8 @@ def _shingle_hashes(docs: DataFrame) -> DataFrame:
     # post-hash global distinct would re-shuffle the largest relation in
     # the pipeline for nothing
     return docs.select(
-        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
-    ).select("doc_id", (_hash60(F.col("shingle")) % P31).alias("h"))
+        "doc_id", *carry, F.explode(F.array_distinct(shingles)).alias("shingle")
+    ).select("doc_id", *carry, (_hash60(F.col("shingle")) % P31).alias("h"))
 
 
 _SQL_SHINGLES = f"""
@@ -2837,4 +2840,95 @@ LEFT JOIN np ON np.t10 = t.t10
 LEFT JOIN dfl ON dfl.t10 = t.t10
 LEFT JOIN dr ON dr.t10 = t.t10
 ORDER BY threshold
+"""
+
+
+# ---------------------------------------------------------------------------
+# E120 — duplicate n-gram fraction (the Dolma/RefinedWeb corpus-health
+# metric read BEFORE deciding how aggressive span/line dedup must be: what
+# fraction of each source's n-gram mass is text shared with at least one
+# other document). Rides the exact shared shingle machinery (per-doc
+# DISTINCT 5-gram hashes — _shingle_hashes / _SQL_SHINGLES, the same
+# relation MinHash and the span stages consume), so "incidence" means a
+# (doc, distinct-ngram) pair and nd = number of documents carrying the
+# ngram corpus-wide. Computed on the RAW corpus (exact-dup floods included
+# on purpose — this is the pre-dedup audit number; the post-dedup rerun is
+# one `docs=` argument away).
+#
+# Scale: one explode + one groupBy(source, h) on the shingle relation, a
+# second (much smaller) groupBy(h) over that fold, one co-partitioned join
+# on h, and a bounded groupBy(source). Everything is linear in the corpus
+# shingle count — no pair expansion at any duplication level (the x1000
+# stress flood just makes nd large for its shingles).
+# ---------------------------------------------------------------------------
+
+
+def dup_ngram_fraction(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    per_src_h = (
+        _shingle_hashes(docs, carry=("source",))
+        .groupBy("source", "h")
+        .agg(F.count("*").cast("long").alias("n_inc"))
+    )
+    return dup_ngram_from_counts(per_src_h)
+
+
+def dup_ngram_from_counts(per_src_h: DataFrame) -> DataFrame:
+    """Report stage over the additive (source, h, n_inc) fold — shared by
+    the batch form and the ST31 streaming twin. The corpus-wide margin is
+    a derivation of the SAME relation joined back onto it, so it carries
+    renamed columns (the memory-sink self-join discipline — a bare
+    self-join of a streaming memory sink fails analysis)."""
+    per_h = (
+        per_src_h.select(F.col("h").alias("ph_h"), F.col("n_inc").alias("ph_inc"))
+        .groupBy("ph_h")
+        .agg(F.sum("ph_inc").cast("long").alias("nd"))
+    )
+    dup_inc = F.sum(F.when(F.col("nd") >= 2, F.col("n_inc")).otherwise(0)).cast(
+        "long"
+    )
+    return (
+        per_src_h.join(per_h, F.col("h") == F.col("ph_h"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_inc").cast("long").alias("n_incidences"),
+            dup_inc.alias("n_dup_incidences"),
+            F.count("*").cast("long").alias("n_distinct_ngrams"),
+        )
+        .select(
+            "source",
+            "n_incidences",
+            "n_dup_incidences",
+            "n_distinct_ngrams",
+            (
+                F.col("n_dup_incidences").cast("double")
+                / F.col("n_incidences").cast("double")
+            ).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_dup_ngram_fraction() -> str:
+    return f"""
+WITH sh AS ({_SQL_SHINGLES}),
+incid AS (
+  SELECT s.doc_id, d.source, s.h
+  FROM sh s JOIN documents d USING (doc_id)
+),
+psh AS (
+  SELECT source, h, CAST(COUNT(*) AS BIGINT) AS n_inc
+  FROM incid GROUP BY source, h
+),
+ph AS (SELECT h, CAST(SUM(n_inc) AS BIGINT) AS nd FROM psh GROUP BY h)
+SELECT p.source,
+  CAST(SUM(p.n_inc) AS BIGINT) AS n_incidences,
+  CAST(SUM(CASE WHEN ph.nd >= 2 THEN p.n_inc ELSE 0 END) AS BIGINT)
+    AS n_dup_incidences,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_ngrams,
+  CAST(SUM(CASE WHEN ph.nd >= 2 THEN p.n_inc ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(p.n_inc) AS DOUBLE) AS dup_frac
+FROM psh p JOIN ph USING (h)
+GROUP BY p.source
+ORDER BY p.source
 """

@@ -2232,6 +2232,50 @@ register(
     fixtures=["buffercache_rows", "class_rows"],
 )
 
+# ===========================================================================
+# Round-11 additions: the quality-classifier evaluation surface (E118 ROC
+# curve / calibration table + E119 binned Mann-Whitney AUC over the E113
+# margins), the Dolma-style duplicate-n-gram corpus-health metric (E120),
+# and their streaming twins (ST30 live ROC monitor, ST31 live duplication
+# gauge).
+# ===========================================================================
+
+register(
+    "ml_quality_roc",
+    curation.quality_roc,
+    curation.oracle_quality_roc(),
+)
+
+register(
+    "ml_quality_auc",
+    curation.quality_auc,
+    curation.oracle_quality_auc(),
+)
+
+register(
+    "ml_quality_pr",
+    curation.quality_pr,
+    curation.oracle_quality_pr(),
+)
+
+register(
+    "ml_dup_ngram_fraction",
+    dedup.dup_ngram_fraction,
+    dedup.oracle_dup_ngram_fraction(),
+)
+
+register(
+    "st_ml_quality_roc",
+    doc_stream.stream_quality_roc,
+    curation.oracle_quality_roc(),
+)
+
+register(
+    "st_ml_dup_ngrams",
+    doc_stream.stream_dup_ngrams,
+    dedup.oracle_dup_ngram_fraction(),
+)
+
 
 
 # ===========================================================================
@@ -2301,8 +2345,18 @@ DRIVER_WINDOW = [
     "ml_filter_ablation",
     "st_ml_zipf_fit",
     "st_ml_bloom_screen",
-    # -- stale since round 3 (oldest 15 in registration order; the other
-    #    26 rotate in round 12)
+    # -- new (r11): E118-E120 + ST30/ST31 — first driver rows
+    #    (s15_indices_scan, s16_constraints_scan, s17_view_definitions,
+    #    s18_column_stats, s19_extended_stats ceded their slots to hold
+    #    the window at 50; they rotate with the other r3 names in r12)
+    "ml_quality_roc",
+    "ml_quality_auc",
+    "ml_quality_pr",
+    "ml_dup_ngram_fraction",
+    "st_ml_quality_roc",
+    "st_ml_dup_ngrams",
+    # -- stale since round 3 (oldest 9 in registration order; the other
+    #    32 rotate in round 12)
     "s1_statements_scan",
     "s4_extension_versions",
     "s12_citus_size_override",
@@ -2312,12 +2366,6 @@ DRIVER_WINDOW = [
     "st6_schedule_suppression",
     "u3_utility_secrets",
     "s13_relations_schema",
-    "s14_columns_scan",
-    "s15_indices_scan",
-    "s16_constraints_scan",
-    "s17_view_definitions",
-    "s18_column_stats",
-    "s19_extended_stats",
 ]
 
 

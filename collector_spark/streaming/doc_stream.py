@@ -1647,3 +1647,58 @@ def stream_skipgram_pmi(
     qname = f"sgcounts_{run_id}"
     _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
     return pmi_from_pair_counts(spark.table(qname))
+
+
+# ---------------------------------------------------------------------------
+# ST30 / E118b — streaming ROC monitor for the quality classifier: the
+# (label, tok) count state is ST28's additive fold unchanged; on the
+# final state the margins are scored by the IDENTICAL stage as the batch
+# operator (curation.nb_quality_from_counts) and the curve is read
+# through curation.quality_roc_from_margins — batch-equal by
+# construction, shares ml_quality_roc's oracle. Production shape: the
+# live discrimination (tpr/fpr per margin bin) of the continuously
+# retrained crawl filter.
+# ---------------------------------------------------------------------------
+
+
+def stream_quality_roc(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    from collector_spark.ml.curation import (
+        _nbq_counts,
+        _nbq_token_rows,
+        nb_quality_from_counts,
+        quality_roc_from_margins,
+    )
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    state = _nbq_counts(_nbq_token_rows(raw))
+    qname = f"nbqroc_{run_id}"
+    _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
+    margins = nb_quality_from_counts(
+        spark, spark.table(qname), spark.table("documents")
+    )
+    return quality_roc_from_margins(margins)
+
+
+# ---------------------------------------------------------------------------
+# ST31 / E120b — streaming duplicate-n-gram monitor: per-document
+# distinct shingle hashes are row-local arrays (the shared machinery), so
+# the (source, h) incidence count state is ONE additive fold; the
+# per-source duplication report reads the final state through the shared
+# dedup.dup_ngram_from_counts stage. Batch-equal, shares
+# ml_dup_ngram_fraction's oracle — the live "how duplicated is what we
+# are ingesting" gauge a crawl pipeline alarms on.
+# ---------------------------------------------------------------------------
+
+
+def stream_dup_ngrams(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    from collector_spark.ml.dedup import _shingle_hashes, dup_ngram_from_counts
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    state = (
+        _shingle_hashes(raw, carry=("source",))
+        .groupBy("source", "h")
+        .agg(F.count("*").cast("long").alias("n_inc"))
+    )
+    qname = f"dupng_{run_id}"
+    _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
+    return dup_ngram_from_counts(spark.table(qname))

@@ -234,6 +234,15 @@ BUDGETS = {
     # one groupBy(source); everything after is bounded by the source
     # dimension (measured 11)
     "ml_corpus_balance": (13, []),
+    # E113's checkpointed margin plan + one bounded groupBy(bin) + the
+    # <=65-row cumulative window and 1-row totals (measured 41 incl.
+    # checkpoint subtree reprints)
+    "ml_quality_roc": (44, []),
+    "ml_quality_auc": (44, []),
+    "ml_quality_pr": (44, []),
+    # one explode + groupBy(source, h), the smaller groupBy(h) refold,
+    # one co-partitioned join on h, bounded groupBy(source) (measured 8)
+    "ml_dup_ngram_fraction": (10, []),
 }
 
 # Queries allowed N Exchange SinglePartition occurrences: 1-row gauge
@@ -266,6 +275,13 @@ SINGLE_PARTITION_OK = {
     "ml_skipgram_pmi": 1,
     # inherits E113's vocab total + class dimension fold + guard fold
     "ml_quality_sample": 3,
+    # inherit E113's three 1-row folds; the rest are the <=65-row bin
+    # relation's cumulative window + its 1-row totals + final sort —
+    # every one bounded by the 2*NB_ROC_LIM_NATS+1 bin cap, never
+    # data-scaled
+    "ml_quality_roc": 8,
+    "ml_quality_auc": 8,
+    "ml_quality_pr": 8,
     # the source-dim rank window + the 1-row corpus fold — both bounded
     # by the source count (a dimension), never data-scaled
     "ml_corpus_balance": 2,

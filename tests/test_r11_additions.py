@@ -80,6 +80,129 @@ def test_nb_quality_all_drop_corpus(spark):
     assert all((not r.label_keep) and (not r.pred_keep) and r.agree for r in rows)
 
 
+# -- E118/E119 ROC + AUC ------------------------------------------------------
+
+
+def test_quality_auc_separable_corpus_is_one(spark):
+    """On a corpus the classifier separates perfectly (every keep doc
+    scores above every drop doc — the mixed corpus from the guard tests),
+    the binned Mann-Whitney AUC is exactly 1.0 and the ROC endpoints
+    close (lowest bin carries tp = P, fp = N)."""
+    from collector_spark.ml.curation import quality_auc, quality_roc
+
+    docs = spark.createDataFrame(
+        _doc_rows(_KEEP_TEXT, 5)
+        + [(10 + i, _DROP_TEXT, "en", "s", len(_DROP_TEXT)) for i in range(5)],
+        DOC_SCHEMA,
+    )
+    auc = quality_auc(spark, docs).collect()
+    assert len(auc) == 1
+    assert (auc[0].n_pos, auc[0].n_neg) == (5, 5)
+    assert auc[0].auc == 1.0
+
+    curve = quality_roc(spark, docs).collect()
+    # tpr/fpr monotone along the curve (bins ascend, cums descend)
+    tps = [r.tp for r in curve]
+    fps = [r.fp for r in curve]
+    assert tps == sorted(tps, reverse=True)
+    assert fps == sorted(fps, reverse=True)
+    assert (curve[0].tp, curve[0].fp) == (5, 5)  # lowest bin sees all
+
+
+def test_quality_auc_one_class_corpus_is_null(spark):
+    """Degenerate one-class corpus: counts report, AUC is NULL (no pair
+    to rank), and the curve's fpr column is NULL throughout."""
+    from collector_spark.ml.curation import quality_auc, quality_roc
+
+    docs = spark.createDataFrame(_doc_rows(_KEEP_TEXT, 6), DOC_SCHEMA)
+    row = quality_auc(spark, docs).collect()[0]
+    assert (row.n_pos, row.n_neg) == (6, 0)
+    assert row.auc is None
+    assert all(r.fpr is None for r in quality_roc(spark, docs).collect())
+
+
+def test_quality_pr_separable_corpus(spark):
+    """E121 on the separable corpus: at the top occupied bin precision is
+    1.0 (no false positive scores that high) and at the bottom bin recall
+    is 1.0 with precision = P/(P+N)."""
+    from collector_spark.ml.curation import quality_pr
+
+    docs = spark.createDataFrame(
+        _doc_rows(_KEEP_TEXT, 5)
+        + [(10 + i, _DROP_TEXT, "en", "s", len(_DROP_TEXT)) for i in range(5)],
+        DOC_SCHEMA,
+    )
+    rows = quality_pr(spark, docs).collect()
+    top, bottom = rows[-1], rows[0]
+    assert top.precision == 1.0 and top.fp == 0
+    assert bottom.recall == 1.0 and bottom.precision == 0.5
+    # F1 at the perfect cutoff is 1.0 somewhere on the curve
+    assert any(r.f1 == 1.0 for r in rows)
+
+
+# -- E120 duplicate n-gram fraction ------------------------------------------
+
+
+def test_dup_ngram_fraction_bounds(spark):
+    """Two identical docs -> every n-gram incidence duplicated (frac 1.0);
+    a unique doc sharing nothing -> frac 0.0; duplication counts CROSS
+    source boundaries (a copy in another source still marks both)."""
+    from collector_spark.ml.dedup import dup_ngram_fraction
+
+    twin = "alpha beta gamma delta epsilon zeta eta theta"
+    lone = "one unrepeated sentence nothing shares with anything else here"
+    docs = spark.createDataFrame(
+        [
+            (1, twin, "en", "a", len(twin)),
+            (2, twin, "en", "a", len(twin)),
+            (3, lone, "en", "b", len(lone)),
+            (4, twin, "en", "c", len(twin)),  # cross-source copy
+        ],
+        DOC_SCHEMA,
+    )
+    out = {r.source: r for r in dup_ngram_fraction(spark, docs).collect()}
+    assert out["a"].dup_frac == 1.0
+    assert out["b"].dup_frac == 0.0
+    assert out["c"].dup_frac == 1.0
+    # per-doc distinct trigrams of an 8-word doc: 6
+    assert out["a"].n_incidences == 12 and out["a"].n_distinct_ngrams == 6
+    assert out["c"].n_incidences == 6
+
+
+# -- ST30/ST31 batch equality at an unseen batching ---------------------------
+
+
+def test_stream_quality_roc_batch_equal(prepared_spark):
+    """The streamed (label, tok) count state scored + curved must equal
+    the batch curve row-for-row at an arrival batching the batch form
+    never saw."""
+    from collector_spark.ml.curation import quality_roc
+    from collector_spark.streaming.doc_stream import stream_quality_roc
+
+    batch = quality_roc(prepared_spark).collect()
+    streamed = (
+        stream_quality_roc(prepared_spark, n_arrival_batches=3)
+        .orderBy("bin")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
+def test_stream_dup_ngrams_batch_equal(prepared_spark):
+    """The additive (source, h) incidence state folded across 3 arrival
+    batches reports identically to the batch form."""
+    from collector_spark.ml.dedup import dup_ngram_fraction
+    from collector_spark.streaming.doc_stream import stream_dup_ngrams
+
+    batch = dup_ngram_fraction(prepared_spark).collect()
+    streamed = (
+        stream_dup_ngrams(prepared_spark, n_arrival_batches=3)
+        .orderBy("source")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
 # -- E94 end-to-end pipeline at sf0.1 ---------------------------------------
 
 
