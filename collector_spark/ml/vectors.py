@@ -231,9 +231,12 @@ def hashed_tf_neardup(spark: SparkSession, docs: DataFrame | None = None) -> Dat
     a shuffle groupBy, and the norms ride the same join (two post-verify
     norm joins deleted). Per-pair CPU is O(nnz_a x lookup(nnz_b)); for
     corpora whose per-doc DISTINCT-dim count approaches TF_DIM the former
-    relational dot is the better shape — at the hashed 4096-dim width and
-    web-document token counts the row-local fold wins (sf0.1: 7.5 s ->
-    4.6-6.2 s end to end).
+    relational dot is the better shape. Honest measurement (bench
+    protocol, noop sink, median-of-3, same fresh session): the rewrite is
+    WALL-TIME NEUTRAL at sf0.1 — 10.5 s new vs 10.75 s old — because the
+    fixture's cost lives in the shared front (canonicals + the 1.1M-pair
+    candidate distinct), not the verify stage; the win is the shuffle
+    VOLUME shape, which is what matters when pairs x nnz is terabytes.
 
     Two further prunes were PROTOTYPED AND REJECTED this round, both
     measured at sf0.1 (the rarest-dim-rejection discipline):
@@ -277,6 +280,13 @@ def hashed_tf_neardup(spark: SparkSession, docs: DataFrame | None = None) -> Dat
         + e["value"]
         * F.coalesce(F.element_at(F.col("vb"), e["key"]), F.lit(0).cast("long")),
     )
+    # the pair relation is byte-LIGHT but the fold is CPU-DENSE
+    # (~nnz^2 integer ops per row): AQE's byte-based coalescing squeezes
+    # the 1.1M sf0.1 pairs into ~6 post-shuffle partitions and serializes
+    # the fold — pin the fold's parallelism to the session's core count
+    # explicitly (measured: verify tail 4.8-6.4 s -> 2.2-2.5 s at sf0.1;
+    # at cluster scale defaultParallelism is total cores, the same knob)
+    pairs = pairs.repartition(spark.sparkContext.defaultParallelism, "doc_a")
     return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
