@@ -4763,6 +4763,174 @@ ORDER BY c.bin
 """
 
 
+# ---------------------------------------------------------------------------
+# E124 — padding-waste report (the NO-packing baseline the E43 packing
+# audit is judged against): per power-of-two length bucket, what one
+# doc = one padded-to-PACK_BUDGET training sequence costs — padded-slot
+# waste and truncation loss. The table a trainer reads to decide whether
+# packing is worth turning on for a given corpus shape.
+#
+# Engine exactness: the bucket is floor(log2(n_tokens)) computed as
+# length(bin(n)) - 1 — a STRING-length of the binary representation in
+# both engines, integer-exact at every power-of-two boundary (a float
+# ln(n)/ln(2) would flip at exact powers, the _qlog boundary class);
+# kept/truncated/waste are int64 min/max folds; waste_frac is one IEEE
+# division of exact integers.
+#
+# Scale: row-local projection + one groupBy over <= 63 buckets — the
+# bounded-key shape, never data-scaled.
+# ---------------------------------------------------------------------------
+
+
+def padding_waste(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    b = (F.length(F.bin(toks)) - 1).cast("long")
+    kept = F.least(toks, F.lit(PACK_BUDGET).cast("long"))
+    trunc = F.greatest(toks - PACK_BUDGET, F.lit(0).cast("long"))
+    budget_tokens = F.col("n_docs") * PACK_BUDGET
+    return (
+        docs.select(
+            b.alias("len_log2"),
+            toks.alias("n_tok"),
+            kept.alias("kept"),
+            trunc.alias("trunc"),
+        )
+        .groupBy("len_log2")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum("kept").cast("long").alias("kept_tokens"),
+            F.sum("trunc").cast("long").alias("truncated_tokens"),
+        )
+        .select(
+            "len_log2",
+            F.expr("CAST(shiftleft(1L, CAST(len_log2 AS INT)) AS BIGINT)").alias(
+                "len_lo"
+            ),
+            "n_docs",
+            "total_tokens",
+            "kept_tokens",
+            "truncated_tokens",
+            (budget_tokens - F.col("kept_tokens")).cast("long").alias("pad_waste"),
+            (
+                (budget_tokens - F.col("kept_tokens")).cast("double")
+                / budget_tokens.cast("double")
+            ).alias("waste_frac"),
+        )
+        .orderBy("len_log2")
+    )
+
+
+def oracle_padding_waste() -> str:
+    return rf"""
+WITH t AS (
+  SELECT CAST(LENGTH(bin(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                   AS BIGINT))) - 1 AS BIGINT) AS len_log2,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+g AS (
+  SELECT len_log2,
+    CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+    CAST(SUM(LEAST(n_tok, {PACK_BUDGET})) AS BIGINT) AS kept_tokens,
+    CAST(SUM(GREATEST(n_tok - {PACK_BUDGET}, 0)) AS BIGINT) AS truncated_tokens
+  FROM t GROUP BY len_log2
+)
+SELECT len_log2, CAST(1 << len_log2 AS BIGINT) AS len_lo,
+  n_docs, total_tokens, kept_tokens, truncated_tokens,
+  CAST(n_docs * {PACK_BUDGET} - kept_tokens AS BIGINT) AS pad_waste,
+  CAST(n_docs * {PACK_BUDGET} - kept_tokens AS DOUBLE)
+    / CAST(n_docs * {PACK_BUDGET} AS DOUBLE) AS waste_frac
+FROM g
+ORDER BY len_log2
+"""
+
+
+# quantile points for E122, in percent (integer math: the p-quantile bin
+# is the smallest bin with cum * 100 >= p * n — cum is an integer, so the
+# ceil is implicit and no float appears anywhere)
+QUANTILE_PCTS = (25, 50, 75, 90)
+
+
+def quality_margin_quantiles(
+    spark: SparkSession, docs: DataFrame | None = None
+) -> DataFrame:
+    """E122 — per-source quality-margin distribution on the E118 bin
+    grid: doc counts plus the p25/p50/p75/p90 margin-bin lower edges —
+    the per-source calibration view read next to ml_corpus_balance when
+    deciding which sources a threshold cut would gut. Discrete quantiles
+    at one-nat granularity: the smallest bin whose ascending cumulative
+    count covers p% (exact integer compare, no interpolation, no float).
+
+    Scale: E113's margin plan + one groupBy(source, bin) (bounded:
+    sources x <=65 bins); the cumulative window partitions BY SOURCE over
+    that bounded relation — never data-scaled."""
+    margins = _nb_quality_core(spark, docs)
+    docs_t = spark.table("documents") if docs is None else docs
+    lim = NB_ROC_LIM_NATS * NB_ROC_BIN
+    shifted = (
+        F.greatest(F.lit(-lim), F.least(F.lit(lim), F.col("logodds_q"))) + F.lit(lim)
+    )
+    b = F.floor(shifted / F.lit(float(NB_ROC_BIN))).cast("long")
+    per = (
+        margins.join(docs_t.select("doc_id", "source"), "doc_id")
+        .select("source", b.alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("source")
+    cum = per.withColumn("cum", F.sum("n").over(wc).cast("long")).withColumn(
+        "n_docs", F.sum("n").over(wt).cast("long")
+    )
+    q_lo = (F.col("bin") * NB_ROC_BIN - lim).cast("long")
+    aggs = [F.max("n_docs").alias("n_docs")] + [
+        F.min(
+            F.when(F.col("cum") * 100 >= F.lit(p) * F.col("n_docs"), q_lo)
+        ).alias(f"q{p}_lo")
+        for p in QUANTILE_PCTS
+    ]
+    return cum.groupBy("source").agg(*aggs).orderBy("source")
+
+
+def oracle_quality_margin_quantiles() -> str:
+    lim = NB_ROC_LIM_NATS * NB_ROC_BIN
+    margins = oracle_nb_quality().rsplit("ORDER BY", 1)[0]
+    qs = ",\n  ".join(
+        f"CAST(MIN(CASE WHEN cum * 100 >= {p} * n_docs"
+        f" THEN bin * {NB_ROC_BIN} - {lim} END) AS BIGINT) AS q{p}_lo"
+        for p in QUANTILE_PCTS
+    )
+    return f"""
+WITH m AS ({margins}),
+b AS (
+  SELECT d.source,
+    CAST(floor((GREATEST(-{lim}, LEAST({lim}, m.logodds_q)) + {lim})
+         / {NB_ROC_BIN}.0) AS BIGINT) AS bin
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+),
+per AS (SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY source, bin),
+cum AS (
+  SELECT source, bin, n,
+    CAST(SUM(n) OVER (PARTITION BY source ORDER BY bin
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+    CAST(SUM(n) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+  FROM per
+)
+SELECT source, CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+  {qs}
+FROM cum
+GROUP BY source
+ORDER BY source
+"""
+
+
 def oracle_quality_auc() -> str:
     return f"""
 {_sql_quality_bins()}

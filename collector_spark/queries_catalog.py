@@ -2259,6 +2259,18 @@ register(
 )
 
 register(
+    "ml_quality_margin_quantiles",
+    curation.quality_margin_quantiles,
+    curation.oracle_quality_margin_quantiles(),
+)
+
+register(
+    "ml_padding_waste",
+    curation.padding_waste,
+    curation.oracle_padding_waste(),
+)
+
+register(
     "ml_dup_ngram_fraction",
     dedup.dup_ngram_fraction,
     dedup.oracle_dup_ngram_fraction(),
@@ -2352,20 +2364,19 @@ DRIVER_WINDOW = [
     "ml_quality_roc",
     "ml_quality_auc",
     "ml_quality_pr",
+    "ml_quality_margin_quantiles",
+    "ml_padding_waste",
     "ml_dup_ngram_fraction",
     "st_ml_quality_roc",
     "st_ml_dup_ngrams",
-    # -- stale since round 3 (oldest 9 in registration order; the other
-    #    32 rotate in round 12)
+    # -- stale since round 3 (oldest 6 in registration order; the other
+    #    35 rotate in round 12)
     "s1_statements_scan",
     "s4_extension_versions",
     "s12_citus_size_override",
     "s30_plan_scan",
     "j6_plan_statement_join",
     "s32_memory_scan",
-    "st6_schedule_suppression",
-    "u3_utility_secrets",
-    "s13_relations_schema",
 ]
 
 

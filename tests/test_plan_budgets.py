@@ -240,6 +240,11 @@ BUDGETS = {
     "ml_quality_roc": (44, []),
     "ml_quality_auc": (44, []),
     "ml_quality_pr": (44, []),
+    # E113's plan + the doc_id source join + one bounded groupBy(source,
+    # bin) + source-partitioned windows over that bounded relation
+    "ml_quality_margin_quantiles": (48, []),
+    # row-local projection + one <=63-bucket groupBy + final sort
+    "ml_padding_waste": (4, []),
     # one explode + groupBy(source, h), the smaller groupBy(h) refold,
     # one co-partitioned join on h, bounded groupBy(source) (measured 8)
     "ml_dup_ngram_fraction": (10, []),
@@ -282,6 +287,9 @@ SINGLE_PARTITION_OK = {
     "ml_quality_roc": 8,
     "ml_quality_auc": 8,
     "ml_quality_pr": 8,
+    # inherits E113's three 1-row folds (the quantile windows partition
+    # by source — no global window)
+    "ml_quality_margin_quantiles": 4,
     # the source-dim rank window + the 1-row corpus fold — both bounded
     # by the source count (a dimension), never data-scaled
     "ml_corpus_balance": 2,

@@ -140,6 +140,49 @@ def test_quality_pr_separable_corpus(spark):
     assert any(r.f1 == 1.0 for r in rows)
 
 
+def test_quality_margin_quantiles_ordered_and_covering(spark):
+    """E122 axioms: quantile edges are monotone (q25 <= q50 <= q75 <=
+    q90), every quantile is an occupied bin's lower edge, and on a
+    one-source separable corpus with 5 keep + 5 drop docs the median
+    straddles the class boundary (p25 in the drop bin, p75 in the keep
+    bin)."""
+    from collector_spark.ml.curation import quality_margin_quantiles
+
+    docs = spark.createDataFrame(
+        _doc_rows(_KEEP_TEXT, 5)
+        + [(10 + i, _DROP_TEXT, "en", "s", len(_DROP_TEXT)) for i in range(5)],
+        DOC_SCHEMA,
+    )
+    rows = quality_margin_quantiles(spark, docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_docs == 10
+    assert r.q25_lo <= r.q50_lo <= r.q75_lo <= r.q90_lo
+    assert r.q25_lo < 0 < r.q75_lo  # drop margins negative, keep positive
+
+
+def test_padding_waste_exact_small_corpus(spark):
+    """E124 on a corpus built to land on exact power-of-two boundaries
+    (the float-log flip class): a 64-token doc buckets to log2=6, a
+    600-token doc to log2=9 with 88 truncated tokens, and the waste
+    arithmetic reconciles exactly."""
+    from collector_spark.ml.curation import PACK_BUDGET, padding_waste
+
+    w64 = " ".join(f"w{i}" for i in range(64))
+    w600 = " ".join(f"w{i}" for i in range(600))
+    docs = spark.createDataFrame(
+        [(1, w64, "en", "s", len(w64)), (2, w600, "en", "s", len(w600))],
+        DOC_SCHEMA,
+    )
+    out = {r.len_log2: r for r in padding_waste(spark, docs).collect()}
+    assert set(out) == {6, 9}
+    assert out[6].len_lo == 64 and out[9].len_lo == 512
+    assert out[6].kept_tokens == 64
+    assert out[6].pad_waste == PACK_BUDGET - 64
+    assert out[9].truncated_tokens == 600 - PACK_BUDGET
+    assert out[9].pad_waste == 0 and out[9].waste_frac == 0.0
+
+
 # -- E120 duplicate n-gram fraction ------------------------------------------
 
 
