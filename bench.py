@@ -101,6 +101,12 @@ HEADLINE = [
     # media near-dup (row-local fingerprint + pigeonhole banding)
     "ml_boilerplate_lines",
     "mm_phash_neardup",
+    # round-11 additions: the classifier ROC curve (the heaviest new
+    # evaluation plan — E113's margin scoring + the bounded bin fold) and
+    # the duplicate-n-gram corpus-health metric (the heaviest new shuffle:
+    # shingle explode + two h-keyed folds + co-partitioned join)
+    "ml_quality_roc",
+    "ml_dup_ngram_fraction",
 ]
 
 N_RUNS = 3  # median-of-3 per query

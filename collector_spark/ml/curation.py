@@ -5065,3 +5065,83 @@ SELECT p.source, p.n_docs, p.n_chars, p.n_tokens,
 FROM per_src p CROSS JOIN corpus c
 ORDER BY p.source
 """
+
+
+# ---------------------------------------------------------------------------
+# E123 — per-document ATTRIBUTES table (the Dolma artifact shape: the
+# curation pipeline ships, next to the corpus, one row per document
+# carrying every quality/repetition/language signal so downstream
+# filtering is a column predicate instead of a recompute — Soldaini et
+# al. 2024's "attributes" files). Composes the EXISTING signal relations
+# with doc_id equi-joins: the E13 language detector, the E14 heuristic
+# quality score, the E15 token counts, the E16 repetition signals, and
+# the C4/Gopher rule verdicts. The trained-classifier columns live in
+# ml_nb_quality / ml_quality_sample (E113/E116) and join the same way —
+# kept out of this plan so the attributes table stays heuristics-only
+# (recomputable without a training pass).
+#
+# Scale: every input is doc_id-keyed and linear (row-local expressions or
+# per-doc folds); the composition is doc_id hash-equi-joins of same-size
+# relations — no broadcast (each side is O(corpus)), AQE picks the
+# physical join. One output row per document.
+# ---------------------------------------------------------------------------
+
+
+def doc_attributes(spark: SparkSession) -> DataFrame:
+    from collector_spark.ml.textstats import language_id, quality_score, token_counts
+
+    base = spark.table("documents").select("doc_id", "source", "lang", "n_chars")
+    lid = language_id(spark).select("doc_id", "detected_lang")
+    qs = quality_score(spark).select("doc_id", "quality_score")
+    tc = token_counts(spark).select("doc_id", "ws_tokens")
+    rep = repetition_signals(spark).select(
+        "doc_id", "distinct_word_frac", "top_unigram_frac", "dup_trigram_frac"
+    )
+    gopher = gopher_filters(spark).select(
+        "doc_id", F.col("keep").alias("gopher_keep")
+    )
+    c4 = c4_filters(spark).select("doc_id", F.col("keep").alias("c4_keep"))
+    return (
+        base.join(lid, "doc_id")
+        .join(qs, "doc_id")
+        .join(tc, "doc_id")
+        .join(rep, "doc_id")
+        .join(gopher, "doc_id")
+        .join(c4, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def oracle_doc_attributes() -> str:
+    from collector_spark.ml.textstats import (
+        oracle_language_id,
+        oracle_quality_score,
+        oracle_token_counts,
+    )
+
+    lid = oracle_language_id().rsplit("ORDER BY", 1)[0]
+    qs = oracle_quality_score().rsplit("ORDER BY", 1)[0]
+    tc = oracle_token_counts().rsplit("ORDER BY", 1)[0]
+    rep = oracle_repetition_signals().rsplit("ORDER BY", 1)[0]
+    gop = oracle_gopher_filters().rsplit("ORDER BY", 1)[0]
+    c4 = oracle_c4_filters().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH lid AS ({lid}),
+qs AS ({qs}),
+tc AS ({tc}),
+rep AS ({rep}),
+gop AS ({gop}),
+c4f AS ({c4})
+SELECT d.doc_id, d.source, d.lang, d.n_chars,
+  lid.detected_lang, qs.quality_score, tc.ws_tokens,
+  rep.distinct_word_frac, rep.top_unigram_frac, rep.dup_trigram_frac,
+  gop.keep AS gopher_keep, c4f.keep AS c4_keep
+FROM documents d
+JOIN lid ON lid.doc_id = d.doc_id
+JOIN qs ON qs.doc_id = d.doc_id
+JOIN tc ON tc.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+JOIN gop ON gop.doc_id = d.doc_id
+JOIN c4f ON c4f.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""

@@ -2271,6 +2271,12 @@ register(
 )
 
 register(
+    "ml_doc_attributes",
+    curation.doc_attributes,
+    curation.oracle_doc_attributes(),
+)
+
+register(
     "ml_dup_ngram_fraction",
     dedup.dup_ngram_fraction,
     dedup.oracle_dup_ngram_fraction(),
@@ -2366,17 +2372,17 @@ DRIVER_WINDOW = [
     "ml_quality_pr",
     "ml_quality_margin_quantiles",
     "ml_padding_waste",
+    "ml_doc_attributes",
     "ml_dup_ngram_fraction",
     "st_ml_quality_roc",
     "st_ml_dup_ngrams",
-    # -- stale since round 3 (oldest 6 in registration order; the other
-    #    35 rotate in round 12)
+    # -- stale since round 3 (oldest 5 in registration order; the other
+    #    36 rotate in round 12)
     "s1_statements_scan",
     "s4_extension_versions",
     "s12_citus_size_override",
     "s30_plan_scan",
     "j6_plan_statement_join",
-    "s32_memory_scan",
 ]
 
 

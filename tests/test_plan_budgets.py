@@ -245,6 +245,10 @@ BUDGETS = {
     "ml_quality_margin_quantiles": (48, []),
     # row-local projection + one <=63-bucket groupBy + final sort
     "ml_padding_waste": (4, []),
+    # the Dolma attributes composition: six doc_id equi-joins of linear
+    # per-doc signal relations (measured 20, no broadcast — every side is
+    # O(corpus))
+    "ml_doc_attributes": (23, []),
     # one explode + groupBy(source, h), the smaller groupBy(h) refold,
     # one co-partitioned join on h, bounded groupBy(source) (measured 8)
     "ml_dup_ngram_fraction": (10, []),
