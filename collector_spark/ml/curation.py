@@ -4784,11 +4784,16 @@ ORDER BY c.bin
 
 def padding_waste(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
     docs = spark.table("documents") if docs is None else docs
+    return padding_waste_from_counts(_padwaste_counts(docs))
+
+
+def _padwaste_counts(docs: DataFrame) -> DataFrame:
+    """The additive per-bucket fold (row-local projection + one bounded
+    groupBy) — the ST32 streaming twin's state."""
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
     b = (F.length(F.bin(toks)) - 1).cast("long")
     kept = F.least(toks, F.lit(PACK_BUDGET).cast("long"))
     trunc = F.greatest(toks - PACK_BUDGET, F.lit(0).cast("long"))
-    budget_tokens = F.col("n_docs") * PACK_BUDGET
     return (
         docs.select(
             b.alias("len_log2"),
@@ -4803,7 +4808,15 @@ def padding_waste(spark: SparkSession, docs: DataFrame | None = None) -> DataFra
             F.sum("kept").cast("long").alias("kept_tokens"),
             F.sum("trunc").cast("long").alias("truncated_tokens"),
         )
-        .select(
+    )
+
+
+def padding_waste_from_counts(counts: DataFrame) -> DataFrame:
+    """Report stage over the folded per-bucket counts — shared by the
+    batch form and the ST32 streaming twin."""
+    budget_tokens = F.col("n_docs") * PACK_BUDGET
+    return (
+        counts.select(
             "len_log2",
             F.expr("CAST(shiftleft(1L, CAST(len_log2 AS INT)) AS BIGINT)").alias(
                 "len_lo"

@@ -462,10 +462,28 @@ def _sqdist(v: Column, c: Column) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _assign_to(emb: DataFrame, cent: DataFrame, n: int) -> DataFrame:
+    """n-nearest-centroid rows for any (vec_id, v) relation against any
+    (cid, c) centroid relation — the K-row broadcast cross join + exact
+    quantized-L2 argmin shared by training, probing, and the SERVE path
+    over a RELOADED index (ivf_trained_topk_from_index), where no
+    training plan may appear."""
+    from pyspark.sql import Window
+
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "cid", _sqdist(F.col("v"), F.col("c")).alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n)
+        .select("vec_id", "v", "cid", "d2", "__r")
+    )
+
+
 def _kmeans_train(spark: SparkSession):
     """Shared Lloyd training plan: returns (quantized embeddings, trained
     centroid relation, assign(cent, n) -> n-nearest-centroid rows)."""
-    from pyspark.sql import Window
 
     emb = spark.table("embeddings").select(
         "vec_id", _quantize(F.col("embedding")).alias("v")
@@ -477,15 +495,7 @@ def _kmeans_train(spark: SparkSession):
     )
 
     def assign(cent: DataFrame, n: int) -> DataFrame:
-        scored = emb.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "v", "cid", _sqdist(F.col("v"), F.col("c")).alias("d2")
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cid"))
-        return (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= n)
-            .select("vec_id", "v", "cid", "d2", "__r")
-        )
+        return _assign_to(emb, cent, n)
 
     cent = centroids
     for _ in range(KMEANS_ITERS):
@@ -557,9 +567,6 @@ def ivf_trained_topk(spark: SparkSession) -> DataFrame:
     shape of ivf_topk — the composition its docstring promises. Corpus
     lists and query probes assign by the training metric (exact quantized
     L2); candidate ranking uses the same cosine as every other top-k."""
-    from pyspark.sql import Window
-
-    emb_raw = spark.table("embeddings")
     _, cent, assign = _kmeans_train(spark)
     corpus_lists = assign(cent, 1).select(
         F.col("vec_id").alias("corpus_id"), "cid"
@@ -569,6 +576,19 @@ def ivf_trained_topk(spark: SparkSession) -> DataFrame:
         .filter(F.col("vec_id") < N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "cid")
     )
+    return _ivf_probe_rank(spark, corpus_lists, probes)
+
+
+def _ivf_probe_rank(
+    spark: SparkSession, corpus_lists: DataFrame, probes: DataFrame
+) -> DataFrame:
+    """The shared IVF serve tail: probe-bucket candidate join + exact
+    cosine rerank + per-query top-k — identical whether the lists/probes
+    come from the in-plan trainer (ivf_trained_topk) or from a RELOADED
+    parquet index (ivf_trained_topk_from_index)."""
+    from pyspark.sql import Window
+
+    emb_raw = spark.table("embeddings")
     qv = emb_raw.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -593,6 +613,47 @@ def ivf_trained_topk(spark: SparkSession) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .orderBy("query_id", "rank")
     )
+
+
+def ivf_index_write(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Persist the trained IVF index as the two parquet relations it IS —
+    centroids (cid, c) and the inverted lists (corpus_id) PARTITIONED BY
+    cid, so a probing read prunes to the probed lists' partitions — and
+    return the read-back audit. An ACTION (like export_corpus), never
+    registered: build once, then every serve run is
+    ivf_trained_topk_from_index with NO training plan. Centroid arrays
+    are doubles; parquet round-trips them bit-exactly, so the serve path
+    is value-identical to the in-plan form (test-pinned)."""
+    _, cent, assign = _kmeans_train(spark)
+    lists = assign(cent, 1).select(F.col("vec_id").alias("corpus_id"), "cid")
+    cent.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    lists.write.mode("overwrite").partitionBy("cid").parquet(f"{out_dir}/lists")
+    rows = [
+        ("centroids", spark.read.parquet(f"{out_dir}/centroids").count()),
+        ("lists", spark.read.parquet(f"{out_dir}/lists").count()),
+    ]
+    return spark.createDataFrame(rows, "relation string, n_rows long")
+
+
+def ivf_trained_topk_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Serve path over a RELOADED index: assign ONLY the query vectors to
+    the loaded centroids (one K-row broadcast cross join), read the
+    inverted lists relation, and rank through the shared tail. The
+    k-means training plan appears NOWHERE here — the production shape
+    where one index build amortizes over every query batch."""
+    cent = spark.read.parquet(f"{index_dir}/centroids")
+    corpus_lists = spark.read.parquet(f"{index_dir}/lists").select(
+        "corpus_id", "cid"
+    )
+    qemb = (
+        spark.table("embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", _quantize(F.col("embedding")).alias("v"))
+    )
+    probes = _assign_to(qemb, cent, IVF_PROBES).select(
+        F.col("vec_id").alias("query_id"), "cid"
+    )
+    return _ivf_probe_rank(spark, corpus_lists, probes)
 
 
 def _oracle_kmeans_parts() -> tuple[list, str]:

@@ -2294,6 +2294,12 @@ register(
     dedup.oracle_dup_ngram_fraction(),
 )
 
+register(
+    "st_ml_padding_waste",
+    doc_stream.stream_padding_waste,
+    curation.oracle_padding_waste(),
+)
+
 
 
 # ===========================================================================
@@ -2376,13 +2382,13 @@ DRIVER_WINDOW = [
     "ml_dup_ngram_fraction",
     "st_ml_quality_roc",
     "st_ml_dup_ngrams",
-    # -- stale since round 3 (oldest 5 in registration order; the other
-    #    36 rotate in round 12)
+    "st_ml_padding_waste",
+    # -- stale since round 3 (oldest 4 in registration order; the other
+    #    37 rotate in round 12)
     "s1_statements_scan",
     "s4_extension_versions",
     "s12_citus_size_override",
     "s30_plan_scan",
-    "j6_plan_statement_join",
 ]
 
 

@@ -1702,3 +1702,26 @@ def stream_dup_ngrams(spark: SparkSession, n_arrival_batches: int = 6) -> DataFr
     qname = f"dupng_{run_id}"
     _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
     return dup_ngram_from_counts(spark.table(qname))
+
+
+# ---------------------------------------------------------------------------
+# ST32 / E124b — streaming padding-waste gauge: the per-bucket
+# (len_log2, counts) state is E124's additive fold unchanged (row-local
+# bucket projection, <=63 keys), read through the shared
+# padding_waste_from_counts report. Batch-equal, shares
+# ml_padding_waste's oracle — the live "what would padding cost on what
+# we are ingesting" gauge next to the ST20 packing monitor.
+# ---------------------------------------------------------------------------
+
+
+def stream_padding_waste(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    from collector_spark.ml.curation import (
+        _padwaste_counts,
+        padding_waste_from_counts,
+    )
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    state = _padwaste_counts(raw)
+    qname = f"padwaste_{run_id}"
+    _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
+    return padding_waste_from_counts(spark.table(qname))

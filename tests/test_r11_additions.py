@@ -246,6 +246,40 @@ def test_stream_dup_ngrams_batch_equal(prepared_spark):
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
 
 
+# -- IVF index persistence cycle ----------------------------------------------
+
+
+def test_ivf_index_roundtrip_serves_identically(prepared_spark, tmp_path):
+    """Build-once/serve-many: the trained IVF index written as parquet
+    relations (centroids + cid-partitioned inverted lists) must serve the
+    EXACT same top-k as the in-plan trainer (doubles round-trip parquet
+    bit-exactly), and the serve plan must contain no k-means iteration
+    (its plan is a fraction of the trainer's size)."""
+    from collector_spark.ml.similarity import (
+        ivf_index_write,
+        ivf_trained_topk,
+        ivf_trained_topk_from_index,
+    )
+
+    spark = prepared_spark
+    idx = str(tmp_path / "ivf_index")
+    audit = {r.relation: r.n_rows for r in ivf_index_write(spark, idx).collect()}
+    assert audit["lists"] == spark.table("embeddings").count()
+    assert audit["centroids"] > 0
+
+    served = ivf_trained_topk_from_index(spark, idx)
+    trained = ivf_trained_topk(spark)
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in trained.collect()
+    ]
+
+    # no training in the serve plan: the trainer's unrolled Lloyd
+    # iterations make its plan several times larger
+    p_serve = served._jdf.queryExecution().optimizedPlan().toString()
+    p_train = trained._jdf.queryExecution().optimizedPlan().toString()
+    assert len(p_serve) < len(p_train) / 2
+
+
 # -- E94 end-to-end pipeline at sf0.1 ---------------------------------------
 
 
