@@ -498,3 +498,26 @@ def test_hashed_neardup_flood_silent_and_bounded(stress):
 
     assert counted["flood_pairs"] == 0
     assert counted["total"] <= cand_bound
+
+
+def test_dup_ngram_fraction_flood_reads_one(stress):
+    """E120 under the x1000 identical-text flood: the flood source's
+    n-gram mass is 100% duplicated (every per-doc distinct shingle
+    appears in all 1000 copies) and its incidence count is exactly
+    1000 x the per-doc distinct shingle count — linear accounting, no
+    pair structure at any duplication level."""
+    from collector_spark import registry
+
+    t0 = time.monotonic()
+    out = {
+        r["source"]: r
+        for r in registry.REGISTRY["ml_dup_ngram_fraction"]
+        .spark_fn(stress.spark)
+        .collect()
+    }
+    stress.times["ml_dup_ngram_fraction"] = time.monotonic() - t0
+    flood = out["stress_flood"]
+    assert flood["dup_frac"] == 1.0
+    # FLOOD_TEXT is 40 words -> 38 distinct trigrams per copy
+    assert flood["n_distinct_ngrams"] == 38
+    assert flood["n_incidences"] == 38 * N_FLOOD_DOCS
