@@ -5158,3 +5158,81 @@ JOIN gop ON gop.doc_id = d.doc_id
 JOIN c4f ON c4f.doc_id = d.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# E125 — weighted sampling without replacement (Efraimidis & Spirakis
+# 2006, the A-ES one-pass scheme): sample WSAMPLE_K documents per source
+# with inclusion probability proportional to TOKEN MASS, reproducibly.
+# A-ES ranks items by k_i = u_i^(1/w_i) descending, which is the same
+# order as ln(u_i) / w_i descending; here u_i is the deterministic
+# per-doc hash uniform (the E116 machinery) and w_i = ws_tokens.
+#
+# Engine exactness — this one has NO residual float risk at all:
+# ln(u_i) is quantized ONCE onto the 2^20 integer grid relative to the
+# modulus (a_i = qlog(h) - qlog(M), both arguments exact integers), w_i
+# is an exact integer, and the sort key a_i / w_i is ONE IEEE division
+# of two exact int64s — bit-identical in every engine, so even the
+# ORDERING (and therefore the sampled set) is deterministic across
+# engines. Ties (byte-identical texts share h AND w) break by doc_id.
+#
+# Scale: row-local key projection + one rank window PARTITIONED BY
+# SOURCE ordered by the key — the stratified_sample shape; the sample is
+# re-derivable forever from the corpus alone (hash, not RNG).
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 25
+
+
+def weighted_sample(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    from collector_spark.ml.dedup import _hash60
+    from collector_spark.ml.textstats import _qlog
+
+    docs = spark.table("documents") if docs is None else docs
+    h = (
+        _hash60(F.concat(F.lit("wsample:"), F.col("text"))) % (QSAMPLE_M - 1) + 1
+    ).cast("long")
+    w_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        w_tok.alias("w_tokens"),
+        (_qlog(h) - _qlog(F.lit(QSAMPLE_M))).alias("lnu_q"),
+    ).withColumn(
+        "key", F.col("lnu_q").cast("double") / F.col("w_tokens").cast("double")
+    )
+    win = Window.partitionBy("source").orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("sample_rank") <= WSAMPLE_K)
+        .select("source", "sample_rank", "doc_id", "w_tokens", "lnu_q", "key")
+        .orderBy("source", "sample_rank")
+    )
+
+
+def oracle_weighted_sample() -> str:
+    from collector_spark.ml.dedup import _sql_hash60
+    from collector_spark.ml.textstats import NB_SCALE
+
+    h = f"({_sql_hash60(chr(39) + 'wsample:' + chr(39) + ' || text')}) % {QSAMPLE_M - 1} + 1"
+    ql = lambda a: f"CAST(floor(ln(CAST({a} AS DOUBLE)) * {NB_SCALE}) AS BIGINT)"  # noqa: E731
+    return rf"""
+WITH keyed AS (
+  SELECT doc_id, source,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS w_tokens,
+    {ql(h)} - {ql(QSAMPLE_M)} AS lnu_q
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, w_tokens, lnu_q,
+    CAST(lnu_q AS DOUBLE) / w_tokens AS key,
+    ROW_NUMBER() OVER (PARTITION BY source
+      ORDER BY CAST(lnu_q AS DOUBLE) / w_tokens DESC, doc_id ASC) AS sample_rank
+  FROM keyed
+)
+SELECT source, CAST(sample_rank AS BIGINT) AS sample_rank, doc_id, w_tokens,
+       lnu_q, key
+FROM ranked
+WHERE sample_rank <= {WSAMPLE_K}
+ORDER BY source, sample_rank
+"""

@@ -2277,6 +2277,12 @@ register(
 )
 
 register(
+    "ml_weighted_sample",
+    curation.weighted_sample,
+    curation.oracle_weighted_sample(),
+)
+
+register(
     "ml_dup_ngram_fraction",
     dedup.dup_ngram_fraction,
     dedup.oracle_dup_ngram_fraction(),
@@ -2380,15 +2386,15 @@ DRIVER_WINDOW = [
     "ml_padding_waste",
     "ml_doc_attributes",
     "ml_dup_ngram_fraction",
+    "ml_weighted_sample",
     "st_ml_quality_roc",
     "st_ml_dup_ngrams",
     "st_ml_padding_waste",
-    # -- stale since round 3 (oldest 4 in registration order; the other
-    #    37 rotate in round 12)
+    # -- stale since round 3 (oldest 3 in registration order; the other
+    #    38 rotate in round 12)
     "s1_statements_scan",
     "s4_extension_versions",
     "s12_citus_size_override",
-    "s30_plan_scan",
 ]
 
 

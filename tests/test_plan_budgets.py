@@ -249,6 +249,8 @@ BUDGETS = {
     # per-doc signal relations (measured 20, no broadcast — every side is
     # O(corpus))
     "ml_doc_attributes": (23, []),
+    # row-local A-ES key + one source-partitioned rank window + sort
+    "ml_weighted_sample": (4, []),
     # one explode + groupBy(source, h), the smaller groupBy(h) refold,
     # one co-partitioned join on h, bounded groupBy(source) (measured 8)
     "ml_dup_ngram_fraction": (10, []),

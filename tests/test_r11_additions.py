@@ -246,6 +246,33 @@ def test_stream_dup_ngrams_batch_equal(prepared_spark):
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
 
 
+def test_weighted_sample_quota_and_determinism(prepared_spark):
+    """E125 mechanics: exactly min(WSAMPLE_K, source size) rows per
+    source, ranks contiguous from 1, and the sample is a pure function
+    of the corpus (two derivations byte-identical)."""
+    from pyspark.sql import functions as FF
+
+    from collector_spark.ml.curation import WSAMPLE_K, weighted_sample
+
+    spark = prepared_spark
+    out = weighted_sample(spark).collect()
+    sizes = {
+        r["source"]: r["n"]
+        for r in spark.table("documents")
+        .groupBy("source")
+        .agg(FF.count("*").alias("n"))
+        .collect()
+    }
+    per = {}
+    for r in out:
+        per.setdefault(r.source, []).append(r.sample_rank)
+    assert set(per) == set(sizes)
+    for src, ranks in per.items():
+        assert ranks == list(range(1, min(WSAMPLE_K, sizes[src]) + 1))
+    again = weighted_sample(spark).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
 # -- IVF index persistence cycle ----------------------------------------------
 
 
