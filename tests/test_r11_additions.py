@@ -246,6 +246,21 @@ def test_stream_dup_ngrams_batch_equal(prepared_spark):
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
 
 
+def test_stream_padding_waste_batch_equal(prepared_spark):
+    """ST32: the additive per-bucket state folded across 3 arrival
+    batches reports identically to the batch form."""
+    from collector_spark.ml.curation import padding_waste
+    from collector_spark.streaming.doc_stream import stream_padding_waste
+
+    batch = padding_waste(prepared_spark).collect()
+    streamed = (
+        stream_padding_waste(prepared_spark, n_arrival_batches=3)
+        .orderBy("len_log2")
+        .collect()
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
 def test_weighted_sample_quota_and_determinism(prepared_spark):
     """E125 mechanics: exactly min(WSAMPLE_K, source size) rows per
     source, ranks contiguous from 1, and the sample is a pure function
