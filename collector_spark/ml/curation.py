@@ -5184,16 +5184,18 @@ ORDER BY d.doc_id
 WSAMPLE_K = 25
 
 
-def weighted_sample(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+def _wsample_keyed(docs: DataFrame) -> DataFrame:
+    """Row-local A-ES key projection — shared by the batch sampler and
+    the ST33 streaming top-K maintainer (the stream computes the SAME
+    JVM expressions; the stateful merge never hashes in Python)."""
     from collector_spark.ml.dedup import _hash60
     from collector_spark.ml.textstats import _qlog
 
-    docs = spark.table("documents") if docs is None else docs
     h = (
         _hash60(F.concat(F.lit("wsample:"), F.col("text"))) % (QSAMPLE_M - 1) + 1
     ).cast("long")
     w_tok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
-    keyed = docs.select(
+    return docs.select(
         "doc_id",
         "source",
         w_tok.alias("w_tokens"),
@@ -5201,6 +5203,11 @@ def weighted_sample(spark: SparkSession, docs: DataFrame | None = None) -> DataF
     ).withColumn(
         "key", F.col("lnu_q").cast("double") / F.col("w_tokens").cast("double")
     )
+
+
+def weighted_sample(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    keyed = _wsample_keyed(docs)
     win = Window.partitionBy("source").orderBy(F.desc("key"), F.asc("doc_id"))
     return (
         keyed.withColumn("sample_rank", F.row_number().over(win).cast("long"))

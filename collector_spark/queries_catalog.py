@@ -2306,6 +2306,12 @@ register(
     curation.oracle_padding_waste(),
 )
 
+register(
+    "st_ml_weighted_sample",
+    doc_stream.stream_weighted_sample,
+    curation.oracle_weighted_sample(),
+)
+
 
 
 # ===========================================================================
@@ -2387,14 +2393,14 @@ DRIVER_WINDOW = [
     "ml_doc_attributes",
     "ml_dup_ngram_fraction",
     "ml_weighted_sample",
+    "st_ml_weighted_sample",
     "st_ml_quality_roc",
     "st_ml_dup_ngrams",
     "st_ml_padding_waste",
-    # -- stale since round 3 (oldest 3 in registration order; the other
-    #    38 rotate in round 12)
+    # -- stale since round 3 (oldest 2 in registration order; the other
+    #    39 rotate in round 12)
     "s1_statements_scan",
     "s4_extension_versions",
-    "s12_citus_size_override",
 ]
 
 

@@ -1725,3 +1725,99 @@ def stream_padding_waste(spark: SparkSession, n_arrival_batches: int = 6) -> Dat
     qname = f"padwaste_{run_id}"
     _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
     return padding_waste_from_counts(spark.table(qname))
+
+
+# ---------------------------------------------------------------------------
+# ST33 / E125b — streaming weighted-sample maintainer: a TRUE
+# carry-over-state operator (the third, after the ST3 sessionizer and
+# the ST20 packer): per source, the state is the current top-WSAMPLE_K
+# A-ES entries — BOUNDED at K rows per group no matter how much data
+# streams past, the production shape of "keep a fair weighted sample of
+# an unbounded crawl". Arriving docs carry their JVM-computed integer
+# (w_tokens, lnu_q) pair (curation._wsample_keyed — no hashing in
+# Python); the pandas state fn merges, reranks by the exact float key
+# lnu/w (one IEEE division of int64s — identical in every engine), and
+# emits the group's current top-K tagged with a per-group sequence
+# number. The report keeps each group's LAST emission (append-sink
+# last-wins) and must equal the batch sampler row-for-row — shares
+# ml_weighted_sample's oracle.
+# ---------------------------------------------------------------------------
+
+_WS_OUT_FIELDS = [
+    "source", "seq", "sample_rank", "doc_id", "w_tokens", "lnu_q", "key",
+]
+
+
+def _ws_out_schema() -> str:
+    return (
+        "source string, seq long, sample_rank long, doc_id long,"
+        " w_tokens long, lnu_q long, key double"
+    )
+
+
+def _ws_state_schema() -> str:
+    return "seq long, doc_ids array<long>, ws array<long>, lnus array<long>"
+
+
+def _ws_state_fn(key, pdf_iter, state):
+    import pandas as pd
+
+    from collector_spark.ml.curation import WSAMPLE_K
+
+    (source,) = key
+    if state.exists:
+        seq, doc_ids, ws, lnus = state.get
+        seq = int(seq)
+        cur = list(zip(doc_ids, ws, lnus))
+    else:
+        seq, cur = 0, []
+    for p in pdf_iter:
+        if len(p):
+            cur.extend(
+                zip(
+                    (int(x) for x in p["doc_id"]),
+                    (int(x) for x in p["w_tokens"]),
+                    (int(x) for x in p["lnu_q"]),
+                )
+            )
+    # exact IEEE key; ties (byte-identical texts) break by doc_id asc
+    cur.sort(key=lambda t: (-(t[2] / t[1]), t[0]))
+    cur = cur[:WSAMPLE_K]
+    seq += 1
+    state.update(
+        (seq, [t[0] for t in cur], [t[1] for t in cur], [t[2] for t in cur])
+    )
+    rows = [
+        (source, seq, i + 1, d, w, l, l / w)
+        for i, (d, w, l) in enumerate(cur)
+    ]
+    yield pd.DataFrame(rows, columns=_WS_OUT_FIELDS)
+
+
+def stream_weighted_sample(
+    spark: SparkSession, n_arrival_batches: int = 6
+) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from collector_spark.ml.curation import _wsample_keyed
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    keyed = _wsample_keyed(raw).drop("key")  # ints travel; key re-derived
+    topk = keyed.groupBy("source").applyInPandasWithState(
+        _ws_state_fn,
+        _ws_out_schema(),
+        _ws_state_schema(),
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    qname = f"wsample_{run_id}"
+    _run_state_to_memory(spark, topk, qname, ckpt_dir, cleanup, output_mode="append")
+    emitted = spark.table(qname)
+    last = Window.partitionBy("source")
+    return (
+        emitted.withColumn("_max_seq", F.max("seq").over(last))
+        .filter(F.col("seq") == F.col("_max_seq"))
+        .select("source", "sample_rank", "doc_id", "w_tokens", "lnu_q", "key")
+        .orderBy("source", "sample_rank")
+    )

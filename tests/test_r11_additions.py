@@ -261,6 +261,19 @@ def test_stream_padding_waste_batch_equal(prepared_spark):
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
 
 
+def test_stream_weighted_sample_batch_equal(prepared_spark):
+    """ST33 is a TRUE carry-over-state op (a doc admitted to the top-K in
+    batch 1 can be evicted by batch 4's arrivals): the maintained top-K
+    must equal the batch sampler row-for-row at an arrival batching the
+    batch form never saw."""
+    from collector_spark.ml.curation import weighted_sample
+    from collector_spark.streaming.doc_stream import stream_weighted_sample
+
+    batch = weighted_sample(prepared_spark).collect()
+    streamed = stream_weighted_sample(prepared_spark, n_arrival_batches=3).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+
+
 def test_weighted_sample_quota_and_determinism(prepared_spark):
     """E125 mechanics: exactly min(WSAMPLE_K, source size) rows per
     source, ranks contiguous from 1, and the sample is a pure function
