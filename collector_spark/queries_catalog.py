@@ -2325,17 +2325,21 @@ register(
 #   1-20   every query that has NEVER had an external driver row (the
 #          late r10 session-5/6 additions and their streaming twins);
 #   21     ml_hashed_tf_neardup — its verify stage was REWRITTEN this
-#          round (row-local map-fold dot; value-identical, 0/0 symmetric
-#          diff at sf0.1) — fresh driver row wanted on the new plan;
+#          round (row-local map-fold dot, value-identical; plus the AQE
+#          fold-parallelism fix) — fresh driver row wanted on the new
+#          plan;
 #   22-31  every query whose latest driver row is round 2 (10 names);
 #   32-35  the four "changed in r10" entries deferred from the r10
 #          window (mm_audio_chunk_plan, ml_filter_ablation,
 #          st_ml_zipf_fit, st_ml_bloom_screen);
-#   36-50  the 15 oldest round-3 names (catalog registration order).
-# The remaining 26 r3 names rotate in round 12, then the r5/r6 rows —
-# every query has a driver row <= 6 rounds old by r13. The full catalog
-# is still verified in-repo every round by tests/test_registry_oracle.py
-# regardless of window position.
+#   36-48  the 13 NEW r11 queries (E118-E125 + ST30-ST33) — first
+#          driver rows;
+#   49-50  the 2 oldest round-3 names (registration order); the other
+#          39 r3 names ceded their slots to the r11 additions and rotate
+#          in round 12, then the r5/r6 rows.
+# The full catalog is still verified in-repo every round by
+# tests/test_registry_oracle.py regardless of window position, and was
+# additionally swept in full at sf0.001 this round (ALL MATCH).
 # ===========================================================================
 
 DRIVER_WINDOW = [
