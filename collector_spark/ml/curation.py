@@ -5161,9 +5161,13 @@ ORDER BY d.doc_id
 
 
 # ---------------------------------------------------------------------------
-# E125 — weighted sampling without replacement (Efraimidis & Spirakis
-# 2006, the A-ES one-pass scheme): sample WSAMPLE_K documents per source
-# with inclusion probability proportional to TOKEN MASS, reproducibly.
+# E125 — TOKEN-mass weighted sampling without replacement (Efraimidis &
+# Spirakis 2006, the A-ES one-pass scheme): sample WSAMPLE_K documents
+# per source with inclusion probability proportional to TOKEN MASS,
+# reproducibly. Complements E53 (ml_weighted_sample, which weights by
+# n_chars on the 2^-20 key grid): this one weights by the trainer's
+# actual cost unit (tokens), carries the fully-integer key numerator,
+# and is the batch twin of the ST33 BOUNDED-STATE streaming maintainer.
 # A-ES ranks items by k_i = u_i^(1/w_i) descending, which is the same
 # order as ln(u_i) / w_i descending; here u_i is the deterministic
 # per-doc hash uniform (the E116 machinery) and w_i = ws_tokens.
@@ -5205,7 +5209,7 @@ def _wsample_keyed(docs: DataFrame) -> DataFrame:
     )
 
 
-def weighted_sample(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+def token_weighted_sample(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
     docs = spark.table("documents") if docs is None else docs
     keyed = _wsample_keyed(docs)
     win = Window.partitionBy("source").orderBy(F.desc("key"), F.asc("doc_id"))
@@ -5217,7 +5221,7 @@ def weighted_sample(spark: SparkSession, docs: DataFrame | None = None) -> DataF
     )
 
 
-def oracle_weighted_sample() -> str:
+def oracle_token_weighted_sample() -> str:
     from collector_spark.ml.dedup import _sql_hash60
     from collector_spark.ml.textstats import NB_SCALE
 

@@ -2277,9 +2277,9 @@ register(
 )
 
 register(
-    "ml_weighted_sample",
-    curation.weighted_sample,
-    curation.oracle_weighted_sample(),
+    "ml_token_weighted_sample",
+    curation.token_weighted_sample,
+    curation.oracle_token_weighted_sample(),
 )
 
 register(
@@ -2307,9 +2307,9 @@ register(
 )
 
 register(
-    "st_ml_weighted_sample",
+    "st_ml_token_weighted_sample",
     doc_stream.stream_weighted_sample,
-    curation.oracle_weighted_sample(),
+    curation.oracle_token_weighted_sample(),
 )
 
 
@@ -2396,8 +2396,8 @@ DRIVER_WINDOW = [
     "ml_padding_waste",
     "ml_doc_attributes",
     "ml_dup_ngram_fraction",
-    "ml_weighted_sample",
-    "st_ml_weighted_sample",
+    "ml_token_weighted_sample",
+    "st_ml_token_weighted_sample",
     "st_ml_quality_roc",
     "st_ml_dup_ngrams",
     "st_ml_padding_waste",

@@ -1740,7 +1740,7 @@ def stream_padding_waste(spark: SparkSession, n_arrival_batches: int = 6) -> Dat
 # emits the group's current top-K tagged with a per-group sequence
 # number. The report keeps each group's LAST emission (append-sink
 # last-wins) and must equal the batch sampler row-for-row — shares
-# ml_weighted_sample's oracle.
+# ml_token_weighted_sample's oracle.
 # ---------------------------------------------------------------------------
 
 _WS_OUT_FIELDS = [

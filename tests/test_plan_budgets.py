@@ -145,7 +145,7 @@ BUDGETS = {
     # the data-scaled count relations, 1-row total broadcast
     "ml_bigram_logprob": (19, []),
     # A-ES sampling: map-only scoring + one per-source top-K window
-    "ml_weighted_sample": (4, []),
+    "ml_token_weighted_sample": (4, []),
     # DSIR: B-row ratio table broadcast; corpus side map-side + one
     # combinable per-doc agg
     "ml_dsir_weights": (15, ["BroadcastHashJoin"]),
@@ -250,7 +250,7 @@ BUDGETS = {
     # O(corpus))
     "ml_doc_attributes": (23, []),
     # row-local A-ES key + one source-partitioned rank window + sort
-    "ml_weighted_sample": (4, []),
+    "ml_token_weighted_sample": (4, []),
     # one explode + groupBy(source, h), the smaller groupBy(h) refold,
     # one co-partitioned join on h, bounded groupBy(source) (measured 8)
     "ml_dup_ngram_fraction": (10, []),

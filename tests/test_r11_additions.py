@@ -266,10 +266,10 @@ def test_stream_weighted_sample_batch_equal(prepared_spark):
     batch 1 can be evicted by batch 4's arrivals): the maintained top-K
     must equal the batch sampler row-for-row at an arrival batching the
     batch form never saw."""
-    from collector_spark.ml.curation import weighted_sample
+    from collector_spark.ml.curation import token_weighted_sample
     from collector_spark.streaming.doc_stream import stream_weighted_sample
 
-    batch = weighted_sample(prepared_spark).collect()
+    batch = token_weighted_sample(prepared_spark).collect()
     streamed = stream_weighted_sample(prepared_spark, n_arrival_batches=3).collect()
     assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
 
@@ -280,10 +280,10 @@ def test_weighted_sample_quota_and_determinism(prepared_spark):
     of the corpus (two derivations byte-identical)."""
     from pyspark.sql import functions as FF
 
-    from collector_spark.ml.curation import WSAMPLE_K, weighted_sample
+    from collector_spark.ml.curation import WSAMPLE_K, token_weighted_sample
 
     spark = prepared_spark
-    out = weighted_sample(spark).collect()
+    out = token_weighted_sample(spark).collect()
     sizes = {
         r["source"]: r["n"]
         for r in spark.table("documents")
@@ -297,7 +297,7 @@ def test_weighted_sample_quota_and_determinism(prepared_spark):
     assert set(per) == set(sizes)
     for src, ranks in per.items():
         assert ranks == list(range(1, min(WSAMPLE_K, sizes[src]) + 1))
-    again = weighted_sample(spark).collect()
+    again = token_weighted_sample(spark).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
 
 
