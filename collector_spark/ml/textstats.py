@@ -896,3 +896,85 @@ FROM pred WHERE rn = 1
 GROUP BY true_lang, pred_lang
 ORDER BY true_lang, pred_lang
 """
+
+
+# ---------------------------------------------------------------------------
+# E126 — per-language precision/recall over the E110 confusion matrix
+# (the table read next to ml_nb_langid before trusting the classifier's
+# routing: WHICH languages it confuses, not just how often): per language
+# the true-count, predicted-count, true-positive diagonal cell, and
+# precision/recall/F1 — the E121 discipline (exact int64 counts, one IEEE
+# division per ratio, NULL-guarded when a language is never predicted).
+#
+# Scale: everything derives from the BOUNDED L x L confusion relation
+# (languages are a dimension); three folds over it plus left joins on the
+# language key — never data-scaled past E110's scoring itself.
+# ---------------------------------------------------------------------------
+
+
+def nb_langid_pr(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    # the L x L confusion relation feeds THREE folds — materialize it once
+    # (lazy localCheckpoint, the shared-stage idiom) or each fold re-derives
+    # the entire E110 scoring plan (measured 64 exchanges before, ~30 after)
+    conf = nb_langid(spark, docs).localCheckpoint(eager=False)
+    t = conf.groupBy("true_lang").agg(
+        F.sum("n_docs").cast("long").alias("n_true")
+    )
+    p = conf.groupBy("pred_lang").agg(
+        F.sum("n_docs").cast("long").alias("n_pred")
+    )
+    tp = conf.filter(F.col("true_lang") == F.col("pred_lang")).select(
+        F.col("true_lang").alias("tp_lang"), F.col("n_docs").alias("tp")
+    )
+    base = (
+        t.select(F.col("true_lang").alias("lang"), "n_true")
+        .join(p, F.col("lang") == F.col("pred_lang"), "left")
+        .join(tp, F.col("lang") == F.col("tp_lang"), "left")
+        .select(
+            "lang",
+            "n_true",
+            F.coalesce(F.col("n_pred"), F.lit(0).cast("long")).alias("n_pred"),
+            F.coalesce(F.col("tp"), F.lit(0).cast("long")).alias("tp"),
+        )
+    )
+    return base.select(
+        "lang",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(
+            F.col("n_pred") > 0, F.col("tp").cast("double") / F.col("n_pred")
+        ).alias("precision"),
+        (F.col("tp").cast("double") / F.col("n_true")).alias("recall"),
+        F.when(
+            F.col("n_true") + F.col("n_pred") > 0,
+            (2 * F.col("tp")).cast("double")
+            / (F.col("n_true") + F.col("n_pred")).cast("double"),
+        ).alias("f1"),
+    ).orderBy("lang")
+
+
+def oracle_nb_langid_pr() -> str:
+    conf = oracle_nb_langid().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH conf AS ({conf}),
+t AS (SELECT true_lang AS lang, CAST(SUM(n_docs) AS BIGINT) AS n_true
+      FROM conf GROUP BY true_lang),
+p AS (SELECT pred_lang, CAST(SUM(n_docs) AS BIGINT) AS n_pred
+      FROM conf GROUP BY pred_lang),
+d AS (SELECT true_lang AS tp_lang, CAST(n_docs AS BIGINT) AS tp
+      FROM conf WHERE true_lang = pred_lang)
+SELECT t.lang, t.n_true,
+  CAST(COALESCE(p.n_pred, 0) AS BIGINT) AS n_pred,
+  CAST(COALESCE(d.tp, 0) AS BIGINT) AS tp,
+  CASE WHEN COALESCE(p.n_pred, 0) > 0
+       THEN CAST(COALESCE(d.tp, 0) AS DOUBLE) / p.n_pred END AS precision,
+  CAST(COALESCE(d.tp, 0) AS DOUBLE) / t.n_true AS recall,
+  CASE WHEN t.n_true + COALESCE(p.n_pred, 0) > 0
+       THEN CAST(2 * COALESCE(d.tp, 0) AS DOUBLE)
+            / (t.n_true + COALESCE(p.n_pred, 0)) END AS f1
+FROM t
+LEFT JOIN p ON p.pred_lang = t.lang
+LEFT JOIN d ON d.tp_lang = t.lang
+ORDER BY t.lang
+"""

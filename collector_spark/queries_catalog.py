@@ -2283,6 +2283,12 @@ register(
 )
 
 register(
+    "ml_langid_pr",
+    textstats.nb_langid_pr,
+    textstats.oracle_nb_langid_pr(),
+)
+
+register(
     "ml_dup_ngram_fraction",
     dedup.dup_ngram_fraction,
     dedup.oracle_dup_ngram_fraction(),
@@ -2332,11 +2338,11 @@ register(
 #   32-35  the four "changed in r10" entries deferred from the r10
 #          window (mm_audio_chunk_plan, ml_filter_ablation,
 #          st_ml_zipf_fit, st_ml_bloom_screen);
-#   36-48  the 13 NEW r11 queries (E118-E125 + ST30-ST33) — first
+#   36-49  the 14 NEW r11 queries (E118-E126 + ST30-ST33) — first
 #          driver rows;
-#   49-50  the 2 oldest round-3 names (registration order); the other
-#          39 r3 names ceded their slots to the r11 additions and rotate
-#          in round 12, then the r5/r6 rows.
+#   50     the oldest round-3 name (registration order); the other 40 r3
+#          names ceded their slots to the r11 additions and rotate in
+#          round 12, then the r5/r6 rows.
 # The full catalog is still verified in-repo every round by
 # tests/test_registry_oracle.py regardless of window position, and was
 # additionally swept in full at sf0.001 this round (ALL MATCH).
@@ -2398,13 +2404,13 @@ DRIVER_WINDOW = [
     "ml_dup_ngram_fraction",
     "ml_token_weighted_sample",
     "st_ml_token_weighted_sample",
+    "ml_langid_pr",
     "st_ml_quality_roc",
     "st_ml_dup_ngrams",
     "st_ml_padding_waste",
-    # -- stale since round 3 (oldest 2 in registration order; the other
-    #    39 rotate in round 12)
+    # -- stale since round 3 (oldest 1 in registration order; the other
+    #    40 rotate in round 12)
     "s1_statements_scan",
-    "s4_extension_versions",
 ]
 
 

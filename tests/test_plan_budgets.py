@@ -251,6 +251,8 @@ BUDGETS = {
     "ml_doc_attributes": (23, []),
     # row-local A-ES key + one source-partitioned rank window + sort
     "ml_token_weighted_sample": (4, []),
+    # E110's confusion plan + three folds over the bounded L x L relation
+    "ml_langid_pr": (40, []),
     # one explode + groupBy(source, h), the smaller groupBy(h) refold,
     # one co-partitioned join on h, bounded groupBy(source) (measured 8)
     "ml_dup_ngram_fraction": (10, []),
