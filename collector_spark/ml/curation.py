@@ -4389,15 +4389,34 @@ sums AS (
   GROUP BY f.doc_id
 ),
 doc_n AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tok FROM tf GROUP BY doc_id),
+-- Degenerate-corpus guard, mirroring nb_quality_from_counts' cboth fold:
+-- on a one-class corpus one side of cls is empty, and the old per-side
+-- CROSS JOINs (WHERE cls / WHERE NOT cls) annihilated every row. Fold
+-- both sides in ONE ungrouped aggregate (always exactly 1 row, NULL for
+-- the absent side) and substitute ln(0 + V) for the missing denominator
+-- plus the NB_ABSENT_PRIOR sentinel for the missing prior.
+cagg AS (
+  SELECT MAX(CASE WHEN cls THEN q_denom END) AS qdk0,
+         MAX(CASE WHEN cls THEN q_prior END) AS qpk0,
+         MAX(CASE WHEN NOT cls THEN q_denom END) AS qdd0,
+         MAX(CASE WHEN NOT cls THEN q_prior END) AS qpd0
+  FROM cls
+),
+cboth AS (
+  SELECT COALESCE(cagg.qdk0, {ql('vo.v')}) AS qd_keep,
+         COALESCE(cagg.qpk0, {NB_ABSENT_PRIOR}) AS qp_keep,
+         COALESCE(cagg.qdd0, {ql('vo.v')}) AS qd_drop,
+         COALESCE(cagg.qpd0, {NB_ABSENT_PRIOR}) AS qp_drop
+  FROM cagg CROSS JOIN vocab vo
+),
 lo AS (
   SELECT s.doc_id, s.label_keep,
     s.s_keep - s.s_drop
-      - n.n_tok * (ck.q_denom - cd.q_denom)
-      + (ck.q_prior - cd.q_prior) AS logodds_q
+      - n.n_tok * (cb.qd_keep - cb.qd_drop)
+      + (cb.qp_keep - cb.qp_drop) AS logodds_q
   FROM sums s
   JOIN doc_n n ON n.doc_id = s.doc_id
-  CROSS JOIN (SELECT q_denom, q_prior FROM cls WHERE cls) ck
-  CROSS JOIN (SELECT q_denom, q_prior FROM cls WHERE NOT cls) cd
+  CROSS JOIN cboth cb
 )
 SELECT doc_id, label_keep, logodds_q,
   logodds_q >= 0 AS pred_keep,

@@ -2848,7 +2848,8 @@ ORDER BY threshold
 # metric read BEFORE deciding how aggressive span/line dedup must be: what
 # fraction of each source's n-gram mass is text shared with at least one
 # other document). Rides the exact shared shingle machinery (per-doc
-# DISTINCT 5-gram hashes — _shingle_hashes / _SQL_SHINGLES, the same
+# DISTINCT SHINGLE-gram (word trigram) hashes — _shingle_hashes /
+# _SQL_SHINGLES, the same
 # relation MinHash and the span stages consume), so "incidence" means a
 # (doc, distinct-ngram) pair and nd = number of documents carrying the
 # ngram corpus-wide. Computed on the RAW corpus (exact-dup floods included

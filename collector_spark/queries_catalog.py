@@ -2428,3 +2428,17 @@ def _rotate_front(names: list[str]) -> None:
 
 
 _rotate_front(DRIVER_WINDOW)
+
+# Registration-shadowing guard (r11's E53/E125 silent-rebind class): lint
+# every module contributing a registered callable, plus this catalog, for a
+# rebound top-level def. Runs at import time so a shadowed query fails the
+# catalog load instead of quietly shipping the last definition.
+def _lint_rebound_defs() -> None:
+    import sys
+
+    from collector_spark import registry as _registry
+
+    _registry.assert_no_rebound_defs(extra_modules=[sys.modules[__name__]])
+
+
+_lint_rebound_defs()

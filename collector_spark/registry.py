@@ -195,6 +195,56 @@ def sink_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: adapt(fn) for name, fn in driver_queries().items()}
 
 
+def assert_no_rebound_defs(extra_modules: list | None = None) -> None:
+    """Registration-shadowing guard (the r11 E53/E125 class): a second
+    top-level ``def NAME`` in a module silently rebinds the first, so a
+    ``register()`` call referencing the name ships the WRONG function while
+    the duplicate-NAME guard above sees nothing (the registry key is
+    unique; the callable behind it changed). AST-lint every module that
+    contributes a registered callable (plus any ``extra_modules``, e.g. the
+    catalog itself): no top-level def name may be bound twice. Runs once at
+    catalog-import time — a rebind fails the import loudly instead of
+    shipping a shadowed query."""
+    import ast
+    import functools
+    import inspect
+
+    mods: dict[str, object] = {}
+    for q in REGISTRY.values():
+        fn = q.spark_fn
+        while isinstance(fn, functools.partial):
+            fn = fn.func
+        mod = inspect.getmodule(fn)
+        if mod is not None and getattr(mod, "__name__", "").startswith(
+            "collector_spark"
+        ):
+            mods[mod.__name__] = mod
+    for mod in extra_modules or []:
+        mods[mod.__name__] = mod
+    problems: list[str] = []
+    for name in sorted(mods):
+        try:
+            src = inspect.getsource(mods[name])
+        except (OSError, TypeError):  # pragma: no cover — frozen/builtin
+            continue
+        seen: dict[str, int] = {}
+        for node in ast.parse(src).body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                if node.name in seen:
+                    problems.append(
+                        f"{name}:{node.lineno} rebinds def {node.name!r}"
+                        f" (first bound at line {seen[node.name]})"
+                    )
+                else:
+                    seen[node.name] = node.lineno
+    if problems:
+        raise RuntimeError(
+            "top-level def rebound in a module contributing registered"
+            " queries — every register() referencing the name ships the"
+            " LAST definition:\n  " + "\n  ".join(problems)
+        )
+
+
 def load_all() -> None:
     """Import every module that registers queries (idempotent).
 

@@ -145,7 +145,7 @@ BUDGETS = {
     # the data-scaled count relations, 1-row total broadcast
     "ml_bigram_logprob": (19, []),
     # A-ES sampling: map-only scoring + one per-source top-K window
-    "ml_token_weighted_sample": (4, []),
+    "ml_weighted_sample": (4, []),
     # DSIR: B-row ratio table broadcast; corpus side map-side + one
     # combinable per-doc agg
     "ml_dsir_weights": (15, ["BroadcastHashJoin"]),

@@ -1,0 +1,125 @@
+"""Round-12 pins, part 1 (the ADVICE + verdict hygiene items): the
+registration-shadowing AST guard, and the E113 oracle's one-class corpus
+guard mirroring the engine's cboth fold."""
+
+from __future__ import annotations
+
+import textwrap
+
+import duckdb
+import pandas as pd
+import pytest
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+# mirrors tests/test_r11_additions.py: passes / fails every Gopher rule
+_KEEP_TEXT = ("the quick brown foxes jump over lazy dogs and then " * 6).strip()
+_DROP_TEXT = "x y z"
+
+
+def _doc_rows(text: str, n: int):
+    return [(i, text, "en", "s", len(text)) for i in range(n)]
+
+
+# -- registration-shadowing guard ---------------------------------------------
+
+
+def test_rebound_def_fails_loudly(tmp_path):
+    """A module that rebinds a top-level def (the r11 E53/E125 silent-shadow
+    class) must fail the lint with the rebinding line, not pass quietly."""
+    import importlib.util
+
+    from collector_spark.registry import assert_no_rebound_defs
+
+    src = textwrap.dedent(
+        """
+        def sampler():
+            return 1
+
+
+        def other():
+            return 2
+
+
+        def sampler():  # noqa: F811 — the defect under test
+            return 3
+        """
+    )
+    p = tmp_path / "shadowed_catalog_mod.py"
+    p.write_text(src)
+    spec = importlib.util.spec_from_file_location("shadowed_catalog_mod", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    with pytest.raises(RuntimeError, match=r"rebinds def 'sampler'"):
+        assert_no_rebound_defs(extra_modules=[mod])
+
+
+def test_catalog_passes_rebound_lint():
+    """The real catalog (every module contributing a registered callable)
+    holds zero rebound top-level defs — and the lint actually ran at
+    import time (load_all imports the catalog, whose tail invokes it)."""
+    from collector_spark import registry
+
+    registry.load_all()
+    assert len(registry.REGISTRY) > 250
+    # re-run explicitly over the full contributing-module set
+    registry.assert_no_rebound_defs()
+
+
+# -- E113 oracle one-class guard (ADVICE r11, medium) -------------------------
+
+
+def _oracle_rows(docs_rows):
+    from collector_spark.ml.curation import oracle_nb_quality
+
+    con = duckdb.connect()
+    try:
+        con.register(
+            "documents",
+            pd.DataFrame(
+                docs_rows,
+                columns=["doc_id", "text", "lang", "source", "n_chars"],
+            ),
+        )
+        return {
+            r[0]: (r[1], r[2], r[3], r[4])
+            for r in con.execute(oracle_nb_quality()).fetchall()
+        }
+    finally:
+        con.close()
+
+
+def _engine_rows(spark, docs_rows):
+    from collector_spark.ml.curation import nb_quality
+
+    docs = spark.createDataFrame(docs_rows, DOC_SCHEMA)
+    return {
+        r.doc_id: (r.label_keep, r.logodds_q, r.pred_keep, r.agree)
+        for r in nb_quality(spark, docs).collect()
+    }
+
+
+@pytest.mark.parametrize("text", [_KEEP_TEXT, _DROP_TEXT], ids=["keep", "drop"])
+def test_oracle_nb_quality_one_class_matches_engine(spark, text):
+    """On a one-class corpus the old oracle's per-side CROSS JOINs
+    annihilated every row while the engine (guarded since r11) predicted
+    the trained class — the divergence ADVICE r11 flagged. The oracle now
+    mirrors the cboth fold: engine == oracle on both degenerate corpora."""
+    rows = _doc_rows(text, 6)
+    got = _engine_rows(spark, rows)
+    want = _oracle_rows(rows)
+    assert len(got) == 6
+    assert got == want
+
+
+def test_oracle_nb_quality_mixed_corpus_matches_engine(spark):
+    """The rewritten oracle stays value-identical on a two-class corpus
+    (the non-degenerate path the old per-side form covered)."""
+    rows = _doc_rows(_KEEP_TEXT, 4) + [
+        (10 + i, _DROP_TEXT, "en", "s", len(_DROP_TEXT)) for i in range(4)
+    ]
+    got = _engine_rows(spark, rows)
+    want = _oracle_rows(rows)
+    assert len(got) == 8
+    assert got == want
+    assert {v[0] for v in got.values()} == {True, False}
