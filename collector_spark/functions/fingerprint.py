@@ -30,6 +30,14 @@ and DuckDB compute identically, which keeps every fingerprint-grouped
 operator oracle-checkable end to end. All of this is built-in JVM expression
 work — no Python UDF in the hot path.
 
+Parser-question CLOSURE (r12, permanent): both parse-tree routes are
+environment-blocked — pglast (libpg_query) confirmed uninstallable in
+rounds 2-11, and sqlglot (the r10 verdict's pure-Python candidate) is
+likewise absent (`import sqlglot` -> ModuleNotFoundError) with package
+installs forbidden in this container. The text-level contract above is the
+SHIPPING semantics, not a temporary stopgap; revisit only if the
+environment gains a SQL parser.
+
 Sentinels (input/postgres/statements.go:70-76, output/transform/util.go:12-17):
   '<insufficient privilege>'      -> fingerprint 0, kept as its own group
   '/* pganalyze-collector */ ...' -> dropped upstream by the P6 filter
