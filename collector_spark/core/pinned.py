@@ -40,3 +40,45 @@ def pinned(
     df = build().persist()
     _CACHE[key] = (input_key, df)
     return df
+
+
+def pinned_interpreted(
+    spark: SparkSession, name: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """``pinned()`` for fixture renders whose single fused projection
+    exceeds the JVM's 64 KB method limit (the ~115-branch rule-sample CASE
+    in log_raw, the query-sample render + fingerprint fusion): build with
+    whole-stage codegen DISABLED and materialize eagerly inside that
+    window, so the render never attempts the doomed compile. Previously
+    Spark logged ``ERROR CodeGenerator: Failed to compile`` and fell back
+    to interpreted execution anyway — results were identical, but the
+    error lines masked real codegen regressions in every sweep log (r11
+    verdict item 4). Consumers read the persisted relation with codegen on
+    as usual; only the one-time render runs interpreted, and it skips the
+    failed-compile attempt the fallback used to pay."""
+    from collector_spark import registry
+
+    input_key = registry.active_dir(spark)
+    key = (id(spark), name)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        if cached[0] == input_key:
+            return cached[1]
+        cached[1].unpersist()
+        del _CACHE[key]
+    # whole-stage off alone is not enough: Spark then compiles the giant
+    # projection via GenerateUnsafeProjection, which hits the same 64 KB
+    # janino wall before falling back — NO_CODEGEN skips straight to the
+    # interpreted projection for this one render.
+    prev_ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    prev_fm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try:
+        df = build().persist()
+        df.count()  # fill the cache while codegen is off
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev_ws)
+        spark.conf.set("spark.sql.codegen.factoryMode", prev_fm)
+    _CACHE[key] = (input_key, df)
+    return df

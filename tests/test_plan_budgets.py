@@ -44,11 +44,16 @@ BUDGETS = {
     # relation megascan: anti/equi joins on tiny sets broadcast
     "s10_relation_scan": (34, ["BroadcastHashJoin"]),
     # the printed plan embeds the pinned log_raw InMemoryRelation subtree:
-    # 8 fixture union branches (deadlock/lock-queue DETAIL rows added in r4),
-    # each with its one materialization-time repartition — not per-query work
-    "log_parse": (11, []),
-    "w3_log_stitch": (12, []),
-    "u7_log_classify": (12, []),
+    # the fixture union branches each carry one materialization-time
+    # repartition — not per-query work. Recalibrated in r12 when the pin
+    # was fixed to actually survive (the view replacement had been evicting
+    # it, so r4-r11 plans re-rendered the corpus and printed FEWER
+    # exchanges than the now-visible cached subtree): measured 21/22/22,
+    # ceilings sized so one new data-sized shuffle in the OPERATOR blows
+    # the budget while fixture-branch count drift does not.
+    "log_parse": (23, ["InMemoryTableScan"]),
+    "w3_log_stitch": (24, ["InMemoryTableScan"]),
+    "u7_log_classify": (24, ["InMemoryTableScan"]),
     # --- ml dedup/ANN set: K/banding tuning must not add an exchange ---
     # banded LSH: explode -> one groupBy(bucket) -> self-join rides the
     # same partitioning; an extra exchange here means the bucket join
