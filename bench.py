@@ -183,8 +183,59 @@ def main() -> int:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
     }
+    shared = _shared_vs_records(timings)
+    if shared:
+        out["shared"] = shared
     print(json.dumps(out))
     return 0
+
+
+def _shared_vs_records(timings: dict[str, float]) -> dict:
+    """Headliner-policy comparables (README 'Bench headliner policy'):
+    the set grows every round, so the round-over-round number is computed
+    over the INTERSECTION with the most recent recorded round, and the
+    long-horizon number over the intersection with the earliest full
+    record — emitted here so the comparison is computed, not hand-derived
+    from the records after the fact."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    recs = []
+    for path in sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    ):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            # driver records wrap the emitted line under "parsed"
+            q = (rec.get("parsed") or rec).get("queries") or {}
+        except (OSError, ValueError, AttributeError):
+            continue
+        if q:
+            recs.append((path, q))
+    out: dict = {}
+    for label, item in (
+        ("prev", recs[-1] if recs else None),
+        ("first", recs[0] if recs else None),
+    ):
+        if item is None:
+            continue
+        path, prev_q = item
+        names = sorted(set(prev_q) & set(timings))
+        if not names:
+            continue
+        now_s = round(sum(timings[n] for n in names), 3)
+        rec_s = round(sum(prev_q[n] for n in names), 3)
+        out[label] = {
+            "vs": os.path.basename(path),
+            "n": len(names),
+            "now_sec": now_s,
+            "recorded_sec": rec_s,
+            "ratio": round(now_s / rec_s, 3) if rec_s else None,
+        }
+    return out
 
 
 if __name__ == "__main__":
