@@ -107,6 +107,14 @@ HEADLINE = [
     # shingle explode + two h-keyed folds + co-partitioned join)
     "ml_quality_roc",
     "ml_dup_ngram_fraction",
+    # round-12 additions (headliner policy: <=3/round): the full §3.2 log
+    # lifecycle composed end to end — parse -> stitch -> classify -> redact
+    # -> compact-log fact — as a batch plan and as ONE streaming query
+    # (stateful sessionizer + stateless classify/redact in-stream, per-tick
+    # assembly over the closed window); the pair prices the streaming
+    # machinery against the identical batch composition
+    "log_pipeline_full",
+    "st_log_pipeline_full",
 ]
 
 N_RUNS = 3  # median-of-3 per query

@@ -38,20 +38,18 @@ def classify(spark: SparkSession) -> DataFrame:
     return classify_df(stitch_lines(spark))
 
 
-def classify_df(stitched: DataFrame) -> DataFrame:
-    """Classify a stitched-lines frame — batch OR streaming (stateless
-    projection, so the same plan runs on the sessionizer's stream output)."""
-    lines = stitched.filter(F.col("log_level").isin(*PRIMARY_LEVELS))
+_CHUNK = 16
 
-    # Pass 1: the prefix-short-circuited when-chain assigns the class — as
-    # a COALESCE of bounded sub-chains rather than one monolithic CASE. A
-    # single 115-branch nested CASE is one expression whose generated Java
-    # exceeds the method-size limit, so the whole projection silently falls
-    # back to interpreted evaluation; each ~16-rule sub-chain codegens into
-    # its own method. First-match-wins is preserved: coalesce takes the
-    # first non-null sub-chain in RULES order, and each sub-chain keeps
-    # rule order internally (NULL when none of its rules match).
-    _CHUNK = 16
+
+def _classification_expr() -> Column:
+    """Pass 1: the prefix-short-circuited when-chain assigns the class — as
+    a COALESCE of bounded sub-chains rather than one monolithic CASE. A
+    single 115-branch nested CASE is one expression whose generated Java
+    exceeds the method-size limit, so the whole projection silently falls
+    back to interpreted evaluation; each ~16-rule sub-chain codegens into
+    its own method. First-match-wins is preserved: coalesce takes the
+    first non-null sub-chain in RULES order, and each sub-chain keeps
+    rule order internally (NULL when none of its rules match)."""
     subchains: list[Column] = []
     for start in range(0, len(RULES), _CHUNK):
         chunk = RULES[start : start + _CHUNK]
@@ -59,20 +57,20 @@ def classify_df(stitched: DataFrame) -> DataFrame:
         for r in reversed(chunk):
             sub = F.when(_match(r), F.lit(r.classification)).otherwise(sub)
         subchains.append(sub)
-    cls: Column = F.coalesce(*subchains, F.lit("UNCLASSIFIED"))
-    classified = lines.select(
-        "pid", "seq", "log_level", "content", cls.alias("classification")
-    )
+    return F.coalesce(*subchains, F.lit("UNCLASSIFIED"))
 
-    # Pass 2: detail extraction keyed by the classification value — cheap
-    # string equality instead of re-running the prefix+regex chain. Since
-    # the enum alignment several rules share one classification (reference
-    # semantics: e.g. four CHECK_CONSTRAINT shapes, three
-    # CONNECTION_REJECTED shapes); ONLY those rules add their own match to
-    # the key (equality alone would apply the wrong rule's extraction regex
-    # to merged-class rows), and the equality gate short-circuits so the
-    # extra rlike only runs for rows of the shared class. Unique-class
-    # rules keep the equality-only fast path.
+
+def _detail_exprs() -> tuple[Column, Column]:
+    """Pass 2 (evaluates against a present ``classification`` column):
+    detail extraction keyed by the classification value — cheap string
+    equality instead of re-running the prefix+regex chain. Since the enum
+    alignment several rules share one classification (reference semantics:
+    e.g. four CHECK_CONSTRAINT shapes, three CONNECTION_REJECTED shapes);
+    ONLY those rules add their own match to the key (equality alone would
+    apply the wrong rule's extraction regex to merged-class rows), and the
+    equality gate short-circuits so the extra rlike only runs for rows of
+    the shared class. Unique-class rules keep the equality-only fast
+    path."""
     from collections import Counter
 
     class_counts = Counter(r.classification for r in RULES)
@@ -105,7 +103,18 @@ def classify_df(stitched: DataFrame) -> DataFrame:
         [r for r in RULES if r.text_group],
         lambda r: F.regexp_extract(F.col("content"), r.regex, r.text_group),
     )
+    return num, txt
 
+
+def classify_df(stitched: DataFrame) -> DataFrame:
+    """Classify a stitched-lines frame — batch OR streaming (stateless
+    projection, so the same plan runs on the sessionizer's stream output)."""
+    lines = stitched.filter(F.col("log_level").isin(*PRIMARY_LEVELS))
+    classified = lines.select(
+        "pid", "seq", "log_level", "content",
+        _classification_expr().alias("classification"),
+    )
+    num, txt = _detail_exprs()
     return classified.select(
         "pid",
         "seq",
@@ -113,6 +122,22 @@ def classify_df(stitched: DataFrame) -> DataFrame:
         "classification",
         num.alias("detail_num"),
         txt.alias("detail_text"),
+    )
+
+
+def classify_wide(lines: DataFrame) -> DataFrame:
+    """``classify_df``'s rule chains as ADDED columns over a stitched-shaped
+    frame, keeping every input column: primaries get the classification +
+    detail columns, secondaries carry NULLs (the fact's left-join
+    semantics, computed inline). Stateless, so the full log lifecycle can
+    compose into ONE projection on the sessionizer's stream output."""
+    is_primary = F.col("log_level").isin(*PRIMARY_LEVELS)
+    step1 = lines.withColumn(
+        "classification", F.when(is_primary, _classification_expr())
+    )
+    num, txt = _detail_exprs()
+    return step1.withColumn("detail_num", F.when(is_primary, num)).withColumn(
+        "detail_text", F.when(is_primary, txt)
     )
 
 

@@ -113,7 +113,116 @@ def snapshot_log_fact(spark: SparkSession) -> DataFrame:
     ).orderBy("log_line_ref")
 
 
+# the codegen-path redaction the full pipeline applies to secondary
+# STATEMENT/DETAIL content (logs/replace.go's quoted-literal kind; the
+# faithful marker pipeline stays registered as u8_redact_markers)
+REDACT_LEVELS = ("STATEMENT", "DETAIL")
+_SECRET_RE = r"'[^']*'"
+
+
+def redact_content_expr() -> F.Column:
+    needs = F.col("log_level").isin(*REDACT_LEVELS)
+    return F.when(
+        needs, F.regexp_replace(F.col("content"), _SECRET_RE, "[redacted]")
+    ).otherwise(F.col("content"))
+
+
+def log_pipeline_fact(wide: DataFrame) -> DataFrame:
+    """The per-snapshot transform stage over fully line-staged rows
+    (pid, seq, collected_at, log_level, username, database, application,
+    content[already redacted], line_count, classification, detail_num,
+    detail_text): dense log_line_ref, secondary->primary association,
+    role/database refs, details JSON — output/transform/logs.go:17-163
+    run over a closed window. Shared verbatim by the batch composition
+    (log_pipeline_full) and the streaming lifecycle's run-to-completion
+    output (st_log_pipeline_full)."""
+    refs = dense_index(wide, ["collected_at", "pid", "seq"], "log_line_ref")
+    lines = wide.join(refs, ["collected_at", "pid", "seq"])
+    payload = F.struct(
+        F.col("detail_num").cast("decimal(18,3)").cast("string").alias("detail_num"),
+        F.col("detail_text"),
+    )
+    details_json = F.when(
+        F.col("detail_num").isNotNull() | F.col("detail_text").isNotNull(),
+        F.to_json(payload, {"ignoreNullFields": "false"}),
+    )
+    assoc = associate_df(wide).select(
+        "pid", F.col("secondary_seq").alias("seq"), F.col("primary_seq").alias("_pseq")
+    )
+    prim_ref = refs.select(
+        F.col("pid").alias("_ppid"),
+        F.col("seq").alias("_pseq2"),
+        F.col("log_line_ref").alias("parent_log_line_ref"),
+    )
+    roles = dense_index(
+        lines.filter(F.col("username").isNotNull()), ["username"], "role_idx"
+    )
+    dbs = dense_index(
+        lines.filter(F.col("database").isNotNull()), ["database"], "database_idx"
+    )
+    fact = (
+        lines.withColumn("details_json", details_json)
+        .join(assoc, ["pid", "seq"], "left")
+        .join(
+            prim_ref,
+            (F.col("pid") == F.col("_ppid")) & (F.col("_pseq") == F.col("_pseq2")),
+            "left",
+        )
+        .join(F.broadcast(roles), ["username"], "left")
+        .join(F.broadcast(dbs), ["database"], "left")
+    )
+    return fact.select(
+        "log_line_ref",
+        F.col("collected_at").alias("occurred_at"),
+        F.col("pid").alias("backend_pid"),
+        "log_level",
+        "classification",
+        "content",
+        F.col("line_count").cast("long").alias("line_count"),
+        F.col("parent_log_line_ref").isNotNull().alias("has_parent"),
+        F.coalesce("parent_log_line_ref", F.lit(-1)).cast("int").alias(
+            "parent_log_line_ref"
+        ),
+        F.col("role_idx").isNotNull().alias("has_role_idx"),
+        F.coalesce("role_idx", F.lit(-1)).cast("int").alias("role_idx"),
+        F.col("database_idx").isNotNull().alias("has_database_idx"),
+        F.coalesce("database_idx", F.lit(-1)).cast("int").alias("database_idx"),
+        "details_json",
+    ).orderBy("log_line_ref")
+
+
+def log_pipeline_full(spark: SparkSession) -> DataFrame:
+    """The reference's §3.2 lifecycle as one batch composition: parse ->
+    stitch -> classify -> redact -> compact-log-snapshot fact. The
+    line-stage (classification + detail extraction over UNREDACTED
+    content, then the redaction splice — the reference's ordering:
+    analyze marks, replace splices) is the same stateless projection the
+    streaming twin runs inside its query."""
+    from collector_spark.logs.classify import classify_wide
+
+    parsed = parse_lines(spark)
+    stitched = stitch_df(parsed)
+    lines = stitched.join(parsed.select("pid", "seq", "collected_at"), ["pid", "seq"])
+    wide = classify_wide(lines).withColumn("content", redact_content_expr())
+    return log_pipeline_fact(wide)
+
+
+def oracle_log_pipeline_full() -> str:
+    rx = _SECRET_RE.replace("'", "''")
+    levels = ", ".join(f"'{lv}'" for lv in REDACT_LEVELS)
+    content = (
+        f"CASE WHEN l.log_level IN ({levels}) "
+        f"THEN regexp_replace(l.content, '{rx}', '[redacted]', 'g') "
+        f"ELSE l.content END"
+    )
+    return _oracle_log_fact(content)
+
+
 def oracle_snapshot_log_fact() -> str:
+    return _oracle_log_fact("l.content")
+
+
+def _oracle_log_fact(content_expr: str) -> str:
     cls = oracle_classify("SELECT * FROM stitched_l").rsplit("ORDER BY", 1)[0]
     assoc = oracle_associate("SELECT * FROM stitched_l").rsplit("ORDER BY", 1)[0]
     return f"""
@@ -156,7 +265,7 @@ SELECT r.log_line_ref,
   l.pid AS backend_pid,
   l.log_level,
   c.classification,
-  l.content,
+  {content_expr} AS content,
   CAST(l.line_count AS BIGINT) AS line_count,
   pr.log_line_ref IS NOT NULL AS has_parent,
   CAST(COALESCE(pr.log_line_ref, -1) AS INT) AS parent_log_line_ref,

@@ -99,7 +99,11 @@ from collector_spark.operators import (
 )
 from collector_spark.registry import register
 from collector_spark.streaming import doc_stream
-from collector_spark.streaming.log_stream import stream_classify, stream_stitch
+from collector_spark.streaming.log_stream import (
+    stream_classify,
+    stream_log_pipeline,
+    stream_stitch,
+)
 from collector_spark.streaming.stat_buckets import stream_stat_buckets
 
 # ===========================================================================
@@ -528,6 +532,26 @@ register(
     snapshot_logs.snapshot_query_sample_fact,
     snapshot_logs.oracle_snapshot_query_sample_fact(),
     fixtures=["query_samples"],
+)
+
+# r12: the full §3.2 lifecycle composed end to end — parse -> stitch ->
+# classify -> redact -> compact-log-snapshot fact (runner/logs.go:177 ->
+# logs/stream/stream.go:240 -> logs/analyze.go -> logs/replace.go ->
+# output/transform/logs.go:13). Batch composition + the ONE-streaming-query
+# twin (sessionize + classify + redact inside the stream; the per-tick
+# transform assembly over the closed window), sharing one oracle.
+register(
+    "log_pipeline_full",
+    snapshot_logs.log_pipeline_full,
+    snapshot_logs.oracle_log_pipeline_full(),
+    fixtures=["log_raw"],
+)
+
+register(
+    "st_log_pipeline_full",
+    stream_log_pipeline,
+    snapshot_logs.oracle_log_pipeline_full(),
+    fixtures=["log_raw"],
 )
 
 # S27 re-registered here (moved from the scan section): the scan gained the

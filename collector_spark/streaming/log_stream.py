@@ -78,6 +78,11 @@ OUT_SCHEMA = StructType(
         StructField("application", StringType()),
         StructField("content", StringType()),
         StructField("line_count", LongType()),
+        # the group's primary-line arrival timestamp (micros-exact), so
+        # downstream per-snapshot assembly (dense log_line_ref order,
+        # occurred_at) composes onto the stream output without a batch
+        # join back to the parsed relation
+        StructField("collected_at", TimestampType()),
     ]
 )
 
@@ -110,7 +115,7 @@ def _stitch_state_fn(
         if not len(pdf):
             continue
         seqs += [int(v) for v in pdf["seq"]]
-        cts += [int(v) // 1_000_000 for v in pdf["collected_at"].astype("int64")]  # ns->ms
+        cts += [int(v) // 1_000 for v in pdf["collected_at"].astype("int64")]  # ns->us
         for col, acc in (
             ("log_level", levels),
             ("username", users),
@@ -140,7 +145,8 @@ def _stitch_state_fn(
     wm = state.getCurrentWatermarkMs()
 
     def ready(g: list[int]) -> bool:
-        return max(cts[i] for i in g) < wm
+        # cts are micros; the watermark clock is millis
+        return max(cts[i] for i in g) // 1_000 < wm
 
     emit = [g for g in groups if ready(g)]
     keep = [g for g in groups if not ready(g)]
@@ -155,6 +161,7 @@ def _stitch_state_fn(
             apps[g[0]],
             "\n".join(contents[i] for i in g),
             len(g),
+            pd.Timestamp(cts[g[0]], unit="us"),
         )
         for g in emit
     ]
@@ -177,10 +184,10 @@ def _stitch_state_fn(
             )
         )
         # ST9: fire when the EARLIEST kept group becomes ready
-        # (setTimeoutTimestamp must exceed the current watermark)
+        # (setTimeoutTimestamp must exceed the current watermark; ms clock)
         next_deadline = min(
             max(cts[i] for i in g) for g in keep
-        ) + READINESS_MS
+        ) // 1_000 + READINESS_MS
         state.setTimeoutTimestamp(max(next_deadline, wm + 1))
     else:
         if state.exists:
@@ -346,8 +353,51 @@ def _run_stream(
 
 def stream_stitch(spark: SparkSession, max_files_per_trigger: int | None = None) -> DataFrame:
     """Run the streaming stitcher to completion over the log_raw fixture and
-    return the (batch-equal) result."""
-    return _run_stream(spark, stitch_stream, max_files_per_trigger)
+    return the (batch-equal) result. The sessionizer's collected_at carrier
+    column (added for the full-pipeline composition) is projected off to
+    keep the w3 oracle contract."""
+    return _run_stream(spark, stitch_stream, max_files_per_trigger).drop(
+        "collected_at"
+    )
+
+
+def pipeline_stream(raw_stream: DataFrame) -> DataFrame:
+    """§3.2's log lifecycle as ONE streaming query: parse -> watermark ->
+    stateful sessionize -> classify -> redact (logs/stream/stream.go:240 ->
+    logs/analyze.go dispatch -> logs/replace.go splice, as one continuous
+    dataflow). Classification and redaction are stateless projections, so
+    they compose directly onto the sessionizer's stream output — the same
+    rule chains and redaction expression run batch and streaming."""
+    from collector_spark.logs.classify import classify_wide
+    from collector_spark.operators.snapshot_logs import redact_content_expr
+
+    wide = classify_wide(stitch_stream(raw_stream))
+    return wide.withColumn("content", redact_content_expr())
+
+
+def stream_log_pipeline(
+    spark: SparkSession, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """`st_log_pipeline_full`: run the full streaming lifecycle to
+    completion, then assemble the CompactLogSnapshot fact over the closed
+    window (dense log_line_ref, parent association, role/database refs —
+    the transform stage the reference runs per 10 s tick over exactly the
+    lines the stream emitted, output/transform/logs.go:17-163). Shares the
+    batch composition's oracle: any arrival batching yields the same
+    per-line records, so the assembled fact is batch-equal."""
+    from collector_spark.operators.snapshot_logs import log_pipeline_fact
+
+    # localCheckpoint: the assembly self-joins its input (refs twice,
+    # association) and a bare memory-sink MemoryPlan cannot deduplicate
+    # conflicting references across self-join branches (the repo's
+    # memory-sink self-join discipline); the checkpointed RDD relation can.
+    out = _run_stream(spark, pipeline_stream, max_files_per_trigger)
+    # timestamp_ntz: the batch side reads parquet TIMESTAMP_NTZ while the
+    # streaming state schema carries TimestampType — value-identical under
+    # the session's pinned UTC; align the flavor so the two compositions
+    # share one schema (and one oracle hash)
+    out = out.withColumn("collected_at", F.col("collected_at").cast("timestamp_ntz"))
+    return log_pipeline_fact(out.localCheckpoint(eager=False))
 
 
 def stream_classify(spark: SparkSession, max_files_per_trigger: int | None = None) -> DataFrame:

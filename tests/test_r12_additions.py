@@ -112,6 +112,37 @@ def test_oracle_nb_quality_one_class_matches_engine(spark, text):
     assert got == want
 
 
+# -- full log pipeline composition (verdict item 6) ---------------------------
+
+
+def test_log_pipeline_full_redacts_and_classifies(prepared_spark):
+    """The composed fact actually redacts secondary STATEMENT/DETAIL
+    content (quoted literals -> [redacted]) while primaries keep their
+    classification — guards against the redaction stage silently no-oping
+    inside the composition (both engine and oracle would agree on the
+    unredacted text, so only this pin catches it)."""
+    from collector_spark.registry import REGISTRY
+
+    df = REGISTRY["log_pipeline_full"].spark_fn(prepared_spark)
+    stmts = df.filter("log_level = 'STATEMENT'").limit(10).collect()
+    assert stmts
+    assert all("[redacted]" in r.content for r in stmts)
+    assert not any("tok_" in r.content for r in stmts)
+    prim = df.filter("log_level = 'ERROR'").limit(10).collect()
+    assert prim and all(r.classification is not None for r in prim)
+
+
+def test_stream_pipeline_schema_equals_batch(prepared_spark):
+    from collector_spark.registry import REGISTRY
+
+    b = REGISTRY["log_pipeline_full"].spark_fn(prepared_spark)
+    s = REGISTRY["st_log_pipeline_full"].spark_fn(prepared_spark)
+    assert [f.name for f in b.schema.fields] == [f.name for f in s.schema.fields]
+    assert [f.dataType for f in b.schema.fields] == [
+        f.dataType for f in s.schema.fields
+    ]
+
+
 def test_oracle_nb_quality_mixed_corpus_matches_engine(spark):
     """The rewritten oracle stays value-identical on a two-class corpus
     (the non-degenerate path the old per-side form covered)."""
