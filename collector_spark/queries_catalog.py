@@ -2351,90 +2351,84 @@ register(
 # window is now declared explicitly: the names below are moved to the front
 # of the registry, in this order, after the whole catalog registers.
 #
-# Round-11 window (r10 verdict item 1 — finish the rotation):
-#   1-20   every query that has NEVER had an external driver row (the
-#          late r10 session-5/6 additions and their streaming twins);
-#   21     ml_hashed_tf_neardup — its verify stage was REWRITTEN this
-#          round (row-local map-fold dot, value-identical; plus the AQE
-#          fold-parallelism fix) — fresh driver row wanted on the new
-#          plan;
-#   22-31  every query whose latest driver row is round 2 (10 names);
-#   32-35  the four "changed in r10" entries deferred from the r10
-#          window (mm_audio_chunk_plan, ml_filter_ablation,
-#          st_ml_zipf_fit, st_ml_bloom_screen);
-#   36-49  the 14 NEW r11 queries (E118-E126 + ST30-ST33) — first
+# Round-12 window (r11 verdict item 1 — retire the r3-stale backlog):
+#   1-2    the two NEW r12 queries (log_pipeline_full +
+#          st_log_pipeline_full, the end-to-end §3.2 lifecycle) — first
 #          driver rows;
-#   50     the oldest round-3 name (registration order); the other 40 r3
-#          names ceded their slots to the r11 additions and rotate in
-#          round 12, then the r5/r6 rows.
+#   3-42   ALL 40 names whose latest driver row is round 3 — the entire
+#          r3-stale set rotates at once, closing the oldest
+#          external-signal debt;
+#   43-44  st3_stream_stitch + u7_log_classify — their latest rows are
+#          r5 AND their code changed this round (the sessionizer gained
+#          the micros-exact collected_at carrier and an ns->us clock
+#          fix; classify.py was refactored into reusable exprs for the
+#          pipeline composition) — fresh rows on the new code;
+#   45-50  the six oldest remaining r5 names in registration order.
+# After this round zero names are older than r5. Round-13 plan: the
+# remaining 25 r5 names + the 25 oldest r6 names (registration order);
+# round 14 takes the last 10 r6 names and then the r8/r9 rows as they
+# age past the 5-round staleness bar.
 # The full catalog is still verified in-repo every round by
 # tests/test_registry_oracle.py regardless of window position, and was
-# additionally swept in full at sf0.001 this round (ALL MATCH).
+# additionally swept in full at sf0.001 in round 11 (ALL MATCH).
 # ===========================================================================
 
 DRIVER_WINDOW = [
-    # -- never driver-checked (r10 session 5/6 additions)
-    "ml_boilerplate_lines",
-    "st_ml_boilerplate",
-    "ml_pmi_collocations",
-    "st_ml_pmi",
-    "ml_skipgram_pmi",
-    "st_ml_skipgram",
-    "ml_nb_langid",
-    "st_ml_nb_langid",
-    "ml_nb_quality",
-    "st_ml_nb_quality",
-    "ml_quality_sample",
-    "ml_corpus_balance",
-    "ml_dedup_threshold_sweep",
-    "ml_source_tvd",
-    "st_ml_source_tvd",
-    "mm_cdc_chunks",
-    "mm_cdc_dedup",
-    "st_mm_cdc_dedup",
-    "mm_phash_neardup",
-    "mm_phash_tuning",
-    # (st_mm_frame_dedup is the 20th never-checked name; it holds a slot
-    #  below, after the changed-this-round entry)
-    # -- changed (r11): verify stage rewritten (see the block comment)
-    "ml_hashed_tf_neardup",
-    "st_mm_frame_dedup",
-    # -- stale since round 2
-    "s5_backend_identity",
-    "s6_backend_counts",
-    "s7_databases_scan",
-    "s9_buffercache_scan",
-    "s29_txid_scan",
-    "p11_explain_skip",
-    "p12_time_window",
-    "mm_media_metadata",
-    "mm_resize_frame_plan",
-    "a9_collector_diff",
-    # -- changed in r10, deferred from the r10 window
-    "mm_audio_chunk_plan",
-    "ml_filter_ablation",
-    "st_ml_zipf_fit",
-    "st_ml_bloom_screen",
-    # -- new (r11): E118-E120 + ST30/ST31 — first driver rows
-    #    (s15_indices_scan, s16_constraints_scan, s17_view_definitions,
-    #    s18_column_stats, s19_extended_stats ceded their slots to hold
-    #    the window at 50; they rotate with the other r3 names in r12)
-    "ml_quality_roc",
-    "ml_quality_auc",
-    "ml_quality_pr",
-    "ml_quality_margin_quantiles",
-    "ml_padding_waste",
-    "ml_doc_attributes",
-    "ml_dup_ngram_fraction",
-    "ml_token_weighted_sample",
-    "st_ml_token_weighted_sample",
-    "ml_langid_pr",
-    "st_ml_quality_roc",
-    "st_ml_dup_ngrams",
-    "st_ml_padding_waste",
-    # -- stale since round 3 (oldest 1 in registration order; the other
-    #    40 rotate in round 12)
-    "s1_statements_scan",
+    # -- new (r12): first driver rows
+    "log_pipeline_full",
+    "st_log_pipeline_full",
+    # -- stale since round 3 (all 40, registration order)
+    "u5_comment_tags",
+    "u6_plan_normalize",
+    "mm_decode_features",
+    "snapshot_statement_fact",
+    "s4_extension_versions",
+    "s12_citus_size_override",
+    "s30_plan_scan",
+    "j6_plan_statement_join",
+    "s32_memory_scan",
+    "st6_schedule_suppression",
+    "u3_utility_secrets",
+    "s13_relations_schema",
+    "s14_columns_scan",
+    "s15_indices_scan",
+    "s16_constraints_scan",
+    "s17_view_definitions",
+    "s18_column_stats",
+    "s19_extended_stats",
+    "s20_functions_scan",
+    "s21_function_stats_scan",
+    "s22_roles_scan",
+    "s24_extensions_scan",
+    "j10_dimension_upsert",
+    "u8_marker_spans",
+    "ml_exact_dup",
+    "ml_simhash",
+    "ml_brute_force_topk",
+    "ml_lsh_topk",
+    "ml_lsh_multiprobe_topk",
+    "ml_ivf_topk",
+    "ml_embedding_neardup",
+    "ml_doc_fingerprint",
+    "ml_language_id",
+    "ml_quality_score",
+    "ml_token_counts",
+    "activity_snapshot",
+    "ml_decontaminate",
+    "ml_stratified_sample",
+    "ml_tfidf_top_terms",
+    "s31_rds_download_plan",
+    # -- r5-stale AND code changed this round (sessionizer carrier column
+    #    + ns->us clock fix; classify.py expr refactor)
+    "st3_stream_stitch",
+    "u7_log_classify",
+    # -- oldest remaining r5 names (registration order)
+    "a2_statement_rollup",
+    "u7d_details_json",
+    "u7b_autovacuum_details",
+    "u8_redact_markers",
+    "log_snapshot_samples",
+    "ml_kmeans_assign",
 ]
 
 
