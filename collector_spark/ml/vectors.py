@@ -259,12 +259,26 @@ def hashed_tf_neardup(spark: SparkSession, docs: DataFrame | None = None) -> Dat
     degrades gracefully to two shuffle equi-joins on doc_a/doc_b — still
     O(pairs + docs) rows, never O(pairs x nnz)."""
     canon, tf, norms, pairs = _neardup_stages(spark, docs)
-    stats = tf.groupBy("doc_id").agg(
+    return _verify_pairs(spark, pairs, _verify_stats(tf))
+
+
+def _verify_stats(tf: DataFrame) -> DataFrame:
+    """Per-doc verify relation: each doc's vector folded ONCE into a
+    sorted MAP<dim, tf> plus its integer squared norm — one combinable
+    groupBy over the TF relation, bounded at TF_DIM entries per row."""
+    return tf.groupBy("doc_id").agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("dim", "tf")))
         ).alias("vec"),
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq"),
     )
+
+
+def _verify_pairs(spark: SparkSession, pairs: DataFrame, stats: DataFrame) -> DataFrame:
+    """Exact-integer verification of candidate pairs against the per-doc
+    stats relation (the shared tail of the in-plan and served-from-index
+    near-dup forms): row-local map-fold dot, cross-multiplied integer
+    threshold compare, cosine double derived from the same integers."""
     sa = stats.select(
         F.col("doc_id").alias("doc_a"), F.col("vec").alias("va"),
         F.col("norm_sq").alias("norm_a"),
@@ -308,6 +322,74 @@ def hashed_tf_neardup(spark: SparkSession, docs: DataFrame | None = None) -> Dat
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+def neardup_index_write(
+    spark: SparkSession, out_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Persist the All-Pairs near-dup index as the three parquet relations
+    it IS — the TF relation (doc_id, dim, tf), the capped maxweight
+    prefix index (idx_doc, dim), and the per-doc verify stats (doc_id,
+    vec MAP<dim,tf>, norm_sq) — and return the read-back audit. An ACTION
+    (like ivf_index_write / export_corpus), never registered: build once,
+    then every serve run is hashed_tf_neardup_from_index with NO window
+    plan — the two ordered windows and the per-dim cap window (the
+    expensive, shuffle-heavy part of the build) appear nowhere in the
+    serve path. All three relations are pure-integer columns, so parquet
+    round-trips them exactly and the served join is bit-identical to the
+    in-plan form (test-pinned).
+
+    Scale (100 TB): tf and index are written dim-clustered (candidate
+    generation is an equi-join on dim — row-group min/max pruning for
+    probe-side dim subsets; in a catalog deployment both would be
+    BUCKETED BY dim so the serve join is shuffle-free on the index side),
+    stats doc_id-clustered for the verify joins. This is the
+    build-once/serve-many shape incremental dedup needs: a new crawl
+    batch joins the persisted index without re-indexing the corpus."""
+    docs = spark.table("documents") if docs is None else docs
+    canon = _exact_canonicals(docs)
+    tf = _tf_long(canon).localCheckpoint(eager=False)
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq")
+    )
+    par = spark.sparkContext.defaultParallelism
+    tf.repartition(par, "dim").sortWithinPartitions("dim").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/tf")
+    _maxweight_index(tf, norms).repartition(par, "dim").sortWithinPartitions(
+        "dim"
+    ).write.mode("overwrite").parquet(f"{out_dir}/index")
+    _verify_stats(tf).repartition(par, "doc_id").sortWithinPartitions(
+        "doc_id"
+    ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    rows = [
+        (rel, spark.read.parquet(f"{out_dir}/{rel}").count())
+        for rel in ("tf", "index", "stats")
+    ]
+    return spark.createDataFrame(rows, "relation string, n_rows long")
+
+
+def hashed_tf_neardup_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Serve path over a RELOADED near-dup index: candidate generation is
+    the persisted prefix index joined against the persisted TF relation
+    on dim, verification reads the persisted per-doc stats — the
+    maxweight windows, norms groupBy, and stats fold appear NOWHERE here.
+    Bit-identical to hashed_tf_neardup (integer relations round-trip
+    parquet exactly; the cosine double is derived from the same three
+    integers)."""
+    tf = spark.read.parquet(f"{index_dir}/tf")
+    capped = spark.read.parquet(f"{index_dir}/index")
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    pairs = (
+        capped.join(tf.select("doc_id", "dim"), "dim")
+        .filter(F.col("idx_doc") != F.col("doc_id"))
+        .select(
+            F.least("idx_doc", "doc_id").alias("doc_a"),
+            F.greatest("idx_doc", "doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_pairs(spark, pairs, stats)
 
 
 # shared SQL front of the near-dup oracles: canonical docs, the TF
