@@ -1549,6 +1549,148 @@ def incremental_dedup(
     ).orderBy("doc_id")
 
 
+def dedup_index_write(
+    spark: SparkSession, out_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
+    """Persist the EXISTING corpus's dedup screen as the four parquet
+    relations it IS — the exact-screen hash map (h, ex_exact), the
+    pre-grouped LSH band buckets (bucket, ex_ids sorted array), the
+    canonical shingle relation (doc_id, h), and the per-doc shingle
+    counts — and return the read-back audit. An ACTION (the
+    ivf_index_write / neardup_index_write discipline), never registered:
+    build once over the corpus, then every crawl batch is screened by
+    incremental_dedup_from_index with NO corpus-side work in the plan —
+    the canonicalization window, the K-aggregate signature fold, and the
+    bucket grouping over the corpus run only here.
+
+    Scale (100 TB): buckets are written bucket-clustered (the serve join
+    is an equi-join on bucket; a catalog deployment would BUCKET BY
+    bucket), shingles and sizes doc_id-clustered for the verify joins.
+    The pre-grouped ex_ids arrays are bounded by LSH_BUCKET_CAP-scale
+    bucket occupancy in practice and make the serve-side pair expansion
+    one row per (bucket, batch) instead of a per-member join."""
+    docs = spark.table("documents") if docs is None else docs
+    existing = docs.filter(~_inc_is_incoming())
+    par = spark.sparkContext.defaultParallelism
+    ex_hash = (
+        existing.select(_norm_hash().alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("ex_exact"))
+    )
+    canon = _exact_canonicals(existing).select("doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    sh = _shingle_hashes(canon)
+    buckets = (
+        _band_buckets(_signatures_from(sh))
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ex_ids"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ex_hash.repartition(par, "h").write.mode("overwrite").parquet(
+        f"{out_dir}/exact"
+    )
+    buckets.repartition(par, "bucket").write.mode("overwrite").parquet(
+        f"{out_dir}/buckets"
+    )
+    sh.repartition(par, "doc_id").sortWithinPartitions("doc_id").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/shingles")
+    sizes.repartition(par, "doc_id").write.mode("overwrite").parquet(
+        f"{out_dir}/sizes"
+    )
+    rows = [
+        (rel, spark.read.parquet(f"{out_dir}/{rel}").count())
+        for rel in ("exact", "buckets", "shingles", "sizes")
+    ]
+    return spark.createDataFrame(rows, "relation string, n_rows long")
+
+
+def incremental_dedup_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Screen the incoming batch against a RELOADED dedup index: the
+    exact screen joins the persisted hash map, the near screen joins the
+    batch's band buckets against the persisted pre-grouped buckets, and
+    Jaccard verification joins persisted corpus shingles/sizes — every
+    per-corpus stage (canonicalization window, signature fold, bucket
+    grouping) appears NOWHERE here; all plan work is O(batch). Decision
+    rows are pinned bit-identical to incremental_dedup's in-plan form:
+    signatures are per-doc (side-independent), the pre-grouped ex_ids
+    arrays equal the in-plan collect_list split, and the cap filter,
+    integer intersection counts, and the jaccard double all derive from
+    the same exact values."""
+    docs = spark.table("documents")
+    incoming = docs.filter(_inc_is_incoming())
+    ex_hash = spark.read.parquet(f"{index_dir}/exact")
+    inc_hashed = incoming.select("doc_id", _norm_hash().alias("h"))
+    inc_canon_ids = inc_hashed.groupBy("h").agg(F.min("doc_id").alias("canon_id"))
+
+    inc_canon = (
+        _exact_canonicals(incoming)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
+    sh_inc = _shingle_hashes(inc_canon)
+    inc_grouped = (
+        _band_buckets(_signatures_from(sh_inc))
+        .groupBy("bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("inc_ids"))
+    )
+    pairs = (
+        inc_grouped.join(spark.read.parquet(f"{index_dir}/buckets"), "bucket")
+        .filter(F.size("ex_ids") + F.size("inc_ids") <= LSH_BUCKET_CAP)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ex_ids, a -> transform(inc_ids, "
+                    "b -> struct(a AS ex_id, b AS inc_id))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ex_id", "p.inc_id")
+        .distinct()
+    )
+    sh_ex = spark.read.parquet(f"{index_dir}/shingles")
+    inter = (
+        pairs.join(sh_ex.alias("sa"), F.col("ex_id") == F.col("sa.doc_id"))
+        .join(
+            sh_inc.alias("sb"),
+            (F.col("inc_id") == F.col("sb.doc_id"))
+            & (F.col("sa.h") == F.col("sb.h")),
+        )
+        .groupBy("ex_id", "inc_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes_ex = spark.read.parquet(f"{index_dir}/sizes")
+    sizes_inc = sh_inc.groupBy("doc_id").agg(F.count("*").alias("n"))
+    jaccard = F.col("inter").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("inter")
+    ).cast("double")
+    verified = (
+        inter.join(sizes_ex.alias("na"), F.col("ex_id") == F.col("na.doc_id"))
+        .join(sizes_inc.alias("nb"), F.col("inc_id") == F.col("nb.doc_id"))
+        .select("ex_id", "inc_id", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= INC_JACCARD_THRESHOLD)
+    )
+    near = verified.groupBy("inc_id").agg(
+        F.min("ex_id").alias("ex_near"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    out = (
+        inc_hashed.join(ex_hash, "h", "left")
+        .join(inc_canon_ids, "h")
+        .join(near, F.col("canon_id") == F.col("inc_id"), "left")
+    )
+    return out.select(
+        "doc_id",
+        (F.col("ex_exact").isNull() & F.col("ex_near").isNull()).alias("keep"),
+        F.when(F.col("ex_exact").isNotNull(), F.lit("exact_duplicate"))
+        .when(F.col("ex_near").isNotNull(), F.lit("near_duplicate"))
+        .alias("drop_reason"),
+        F.coalesce(F.col("ex_exact"), F.col("ex_near")).alias("matched_doc_id"),
+        "best_jaccard",
+    ).orderBy("doc_id")
+
+
 def oracle_incremental_dedup() -> str:
     mins = ", ".join(
         f"MIN((h * CAST({A[i]} AS BIGINT) + {B[i]}) % {P31}) AS mh{i}"

@@ -191,3 +191,40 @@ def test_neardup_index_roundtrip_serves_identically(prepared_spark, tmp_path):
     # windows + the cap window; none may survive into the served form
     p_serve = served._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" not in p_serve
+
+
+def test_dedup_index_roundtrip_screens_identically(prepared_spark, tmp_path):
+    """Build-once/serve-many for incremental dedup: the persisted corpus
+    index (exact hash map + pre-grouped LSH buckets + canonical shingles
+    + sizes) must produce the EXACT same decision rows as the in-plan
+    two-sided form, and the serve plan must scan the documents table
+    strictly fewer times (only the incoming batch — every corpus-side
+    stage is read from parquet)."""
+    from collector_spark.ml.dedup import (
+        dedup_index_write,
+        incremental_dedup,
+        incremental_dedup_from_index,
+    )
+
+    spark = prepared_spark
+    idx = str(tmp_path / "dedup_index")
+    audit = {r.relation: r.n_rows for r in dedup_index_write(spark, idx).collect()}
+    assert audit["exact"] > 0 and audit["buckets"] > 0
+    assert audit["sizes"] == spark.read.parquet(f"{idx}/shingles").select(
+        "doc_id"
+    ).distinct().count()
+
+    served = incremental_dedup_from_index(spark, idx)
+    inplan = incremental_dedup(spark)
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in inplan.collect()
+    ]
+
+    # corpus-side work absent from the serve plan: the in-plan form scans
+    # the documents-backed relation for BOTH sides (5 LogicalRDD scans at
+    # this fixture); the served form scans it only for the incoming batch
+    # and reads the four persisted index relations as parquet instead
+    p_serve = served._jdf.queryExecution().optimizedPlan().toString()
+    p_inplan = inplan._jdf.queryExecution().optimizedPlan().toString()
+    assert p_serve.count("LogicalRDD") < p_inplan.count("LogicalRDD")
+    assert p_serve.count("Relation [") > p_inplan.count("Relation [")
