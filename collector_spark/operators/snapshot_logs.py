@@ -48,11 +48,20 @@ def snapshot_log_fact(spark: SparkSession) -> DataFrame:
     parsed = parse_lines(spark)
     stitched = stitch_df(parsed)
     ts = parsed.select("pid", "seq", "collected_at")
-    lines = stitched.join(ts, ["pid", "seq"])
-    refs = dense_index(lines, ["collected_at", "pid", "seq"], "log_line_ref")
-    lines = lines.join(refs, ["collected_at", "pid", "seq"])
+    # materialize the staged lines ONCE (r12, the log_pipeline_full
+    # lesson): six branches consume this relation — the ref dense_index
+    # (whose checkpoint materializes EAGERLY at plan-construction time),
+    # the refs join, classification, association, and the role/database
+    # dims — and each would otherwise re-derive parse -> stitch from the
+    # raw pin. classify/associate read the joined frame rather than
+    # `stitched` for the same reason (the (pid, seq) ts join is 1:1, so
+    # the frames are value-identical for both). Measured at sf0.1
+    # (registered form, fresh session, median-of-3): 12.9 -> 9.1 s.
+    staged = stitched.join(ts, ["pid", "seq"]).localCheckpoint(eager=False)
+    refs = dense_index(staged, ["collected_at", "pid", "seq"], "log_line_ref")
+    lines = staged.join(refs, ["collected_at", "pid", "seq"])
 
-    cls = classify_df(stitched)
+    cls = classify_df(staged)
     payload = F.struct(
         F.col("detail_num").cast("decimal(18,3)").cast("string").alias("detail_num"),
         F.col("detail_text"),
@@ -67,7 +76,7 @@ def snapshot_log_fact(spark: SparkSession) -> DataFrame:
         ).alias("details_json"),
     )
 
-    assoc = associate_df(stitched).select(
+    assoc = associate_df(staged).select(
         "pid", F.col("secondary_seq").alias("seq"), F.col("primary_seq").alias("_pseq")
     )
     prim_ref = refs.select(
@@ -204,7 +213,15 @@ def log_pipeline_full(spark: SparkSession) -> DataFrame:
     stitched = stitch_df(parsed)
     lines = stitched.join(parsed.select("pid", "seq", "collected_at"), ["pid", "seq"])
     wide = classify_wide(lines).withColumn("content", redact_content_expr())
-    return log_pipeline_fact(wide)
+    # materialize the line-staged relation ONCE: the fact assembly consumes
+    # it from five branches (the ref dense_index — whose checkpoint
+    # materializes EAGERLY at plan-construction time — the lines join, the
+    # association window, and the role/database dims), each of which would
+    # otherwise re-derive the parse -> stitch -> classify -> redact subtree.
+    # Measured at sf0.1 (registered form, fresh session, median-of-3):
+    # 13.6 -> 9.3 s. The streaming twin gets the same shape for free (its
+    # stream output is already a checkpointed relation).
+    return log_pipeline_fact(wide.localCheckpoint(eager=False))
 
 
 def oracle_log_pipeline_full() -> str:
