@@ -139,3 +139,85 @@ def export_corpus(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# E127 — corpus snapshot diff: the release report between two export
+# versions (what a 100 TB pipeline publishes alongside every refresh —
+# which documents were added, removed, or content-changed, per source).
+# The two versions are deterministic projections of the fixture corpus:
+# v1 (previous) drops doc_id % 11 == 0; v2 (current) drops
+# doc_id % 7 == 0 and rewrites text for doc_id % 19 == 0 (reverse —
+# engine-portable), so all four statuses occur. Status is decided by a
+# FULL OUTER equi-join on doc_id with a row-local text compare.
+#
+# Scale: one shuffle on doc_id (at 100 TB both snapshots live as
+# doc_id-bucketed export tables, making the join shuffle-free); the
+# report groupBy is bounded at sources x 4 statuses. The text compare
+# rides the join row — for multi-MB documents a content-hash column
+# materialized at export time replaces it (same plan, narrower shuffle).
+# ---------------------------------------------------------------------------
+
+DIFF_PREV_MOD = 11   # v1 excludes doc_id % 11 == 0
+DIFF_CURR_MOD = 7    # v2 excludes doc_id % 7 == 0
+DIFF_EDIT_MOD = 19   # v2 rewrites text for doc_id % 19 == 0
+
+
+def corpus_diff(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    v1 = docs.filter(F.col("doc_id") % DIFF_PREV_MOD != 0).select(
+        "doc_id", F.col("source").alias("src1"), F.col("text").alias("text1")
+    )
+    v2 = docs.filter(F.col("doc_id") % DIFF_CURR_MOD != 0).select(
+        "doc_id",
+        F.col("source").alias("src2"),
+        F.when(
+            F.col("doc_id") % DIFF_EDIT_MOD == 0, F.reverse(F.col("text"))
+        ).otherwise(F.col("text")).alias("text2"),
+    )
+    status = (
+        F.when(F.col("text1").isNull(), F.lit("added"))
+        .when(F.col("text2").isNull(), F.lit("removed"))
+        .when(F.col("text1") != F.col("text2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        v1.join(v2, "doc_id", "full")
+        .select(
+            F.coalesce("src2", "src1").alias("source"),
+            status.alias("status"),
+            F.length(F.coalesce("text2", "text1")).cast("long").alias("chars"),
+        )
+        .groupBy("source", "status")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("chars").cast("long").alias("n_chars"),
+        )
+        .orderBy("source", "status")
+    )
+
+
+def oracle_corpus_diff() -> str:
+    return f"""
+WITH v1 AS (
+  SELECT doc_id, source AS src1, text AS text1
+  FROM documents WHERE doc_id % {DIFF_PREV_MOD} != 0
+),
+v2 AS (
+  SELECT doc_id, source AS src2,
+    CASE WHEN doc_id % {DIFF_EDIT_MOD} = 0 THEN reverse(text) ELSE text END AS text2
+  FROM documents WHERE doc_id % {DIFF_CURR_MOD} != 0
+),
+j AS (
+  SELECT COALESCE(v2.src2, v1.src1) AS source,
+    CASE WHEN v1.text1 IS NULL THEN 'added'
+         WHEN v2.text2 IS NULL THEN 'removed'
+         WHEN v1.text1 != v2.text2 THEN 'changed'
+         ELSE 'unchanged' END AS status,
+    CAST(length(COALESCE(v2.text2, v1.text1)) AS BIGINT) AS chars
+  FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+)
+SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(chars) AS BIGINT) AS n_chars
+FROM j GROUP BY source, status ORDER BY source, status
+"""

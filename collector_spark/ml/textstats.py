@@ -978,3 +978,85 @@ LEFT JOIN p ON p.pred_lang = t.lang
 LEFT JOIN d ON d.tp_lang = t.lang
 ORDER BY t.lang
 """
+
+
+def nb_langid_kappa(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    """E128 — Cohen's kappa over the E110 confusion matrix: chance-
+    corrected agreement between the NB prediction and the declared
+    language, the single-number companion to the per-language P/R table
+    (E126). Exact-integer form: with N total docs, D the diagonal sum,
+    and PE = sum_l n_true_l * n_pred_l,
+
+        kappa = (N * D - PE) / (N * N - PE)
+
+    — ONE IEEE division of exact int64 numerator/denominator (po and pe
+    are each one further division, reported alongside). Int64 envelope:
+    N^2 < 2^63 holds through ~3e9 documents; beyond that the two products
+    move to DECIMAL(38,0).
+
+    Scale: the confusion relation is bounded at L x L rows; every fold
+    here is over that bounded relation — never data-scaled."""
+    conf = nb_langid(spark, docs).localCheckpoint(eager=False)
+    t = conf.groupBy("true_lang").agg(
+        F.sum("n_docs").cast("long").alias("n_true")
+    )
+    p = conf.groupBy("pred_lang").agg(
+        F.sum("n_docs").cast("long").alias("n_pred")
+    )
+    marg = (
+        t.join(p, F.col("true_lang") == F.col("pred_lang"), "full")
+        .select(
+            F.coalesce("n_true", F.lit(0).cast("long")).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0).cast("long")).alias("n_pred"),
+        )
+        .agg(
+            F.sum("n_true").cast("long").alias("n"),
+            F.sum(F.col("n_true") * F.col("n_pred")).cast("long").alias("pe_num"),
+        )
+    )
+    diag = conf.filter(F.col("true_lang") == F.col("pred_lang")).agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("diag")
+    )
+    return (
+        marg.crossJoin(F.broadcast(diag))
+        .select(
+            "n",
+            "diag",
+            "pe_num",
+            (F.col("diag").cast("double") / F.col("n").cast("double")).alias("po"),
+            (
+                F.col("pe_num").cast("double")
+                / (F.col("n") * F.col("n")).cast("double")
+            ).alias("pe"),
+            F.when(
+                F.col("n") * F.col("n") != F.col("pe_num"),
+                (F.col("n") * F.col("diag") - F.col("pe_num")).cast("double")
+                / (F.col("n") * F.col("n") - F.col("pe_num")).cast("double"),
+            ).alias("kappa"),
+        )
+    )
+
+
+def oracle_nb_langid_kappa() -> str:
+    conf = oracle_nb_langid().rsplit("ORDER BY", 1)[0]
+    return f"""
+WITH conf AS ({conf}),
+t AS (SELECT true_lang, CAST(SUM(n_docs) AS BIGINT) AS n_true
+      FROM conf GROUP BY true_lang),
+p AS (SELECT pred_lang, CAST(SUM(n_docs) AS BIGINT) AS n_pred
+      FROM conf GROUP BY pred_lang),
+marg AS (
+  SELECT CAST(SUM(COALESCE(n_true, 0)) AS BIGINT) AS n,
+    CAST(SUM(COALESCE(n_true, 0) * COALESCE(n_pred, 0)) AS BIGINT) AS pe_num
+  FROM t FULL OUTER JOIN p ON t.true_lang = p.pred_lang
+),
+d AS (SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT) AS diag
+      FROM conf WHERE true_lang = pred_lang)
+SELECT m.n, d.diag, m.pe_num,
+  CAST(d.diag AS DOUBLE) / m.n AS po,
+  CAST(m.pe_num AS DOUBLE) / (m.n * m.n) AS pe,
+  CASE WHEN m.n * m.n != m.pe_num
+       THEN CAST(m.n * d.diag - m.pe_num AS DOUBLE)
+            / (m.n * m.n - m.pe_num) END AS kappa
+FROM marg m CROSS JOIN d
+"""

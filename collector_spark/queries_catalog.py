@@ -2342,6 +2342,24 @@ register(
     curation.oracle_token_weighted_sample(),
 )
 
+# r12: E127 — corpus snapshot diff (the release report between two export
+# versions: added/removed/changed/unchanged per source, one full-outer
+# doc_id join). Outside the r12 driver window (rotates in with r13).
+register(
+    "ml_corpus_diff",
+    export.corpus_diff,
+    export.oracle_corpus_diff(),
+)
+
+# r12: E128 — Cohen's kappa over the E110 langid confusion matrix
+# (chance-corrected agreement as one exact-integer division). Outside the
+# r12 driver window (rotates in with r13).
+register(
+    "ml_langid_kappa",
+    textstats.nb_langid_kappa,
+    textstats.oracle_nb_langid_kappa(),
+)
+
 
 
 # ===========================================================================

@@ -228,3 +228,46 @@ def test_dedup_index_roundtrip_screens_identically(prepared_spark, tmp_path):
     p_inplan = inplan._jdf.queryExecution().optimizedPlan().toString()
     assert p_serve.count("LogicalRDD") < p_inplan.count("LogicalRDD")
     assert p_serve.count("Relation [") > p_inplan.count("Relation [")
+
+
+# -- r12 batch additions: corpus diff + langid kappa --------------------------
+
+
+def test_corpus_diff_statuses_and_conservation(prepared_spark):
+    """All four statuses occur on the fixture, and the status totals
+    reconcile with the two versions' cardinalities: removed+changed+
+    unchanged = |v1 ∩ v2-keys ∪ v1-only| = |v1|, added+changed+unchanged
+    = |v2|."""
+    from collector_spark.ml.export import (
+        DIFF_CURR_MOD,
+        DIFF_PREV_MOD,
+        corpus_diff,
+    )
+
+    spark = prepared_spark
+    rows = corpus_diff(spark).collect()
+    by_status = {}
+    for r in rows:
+        by_status[r.status] = by_status.get(r.status, 0) + r.n_docs
+    assert set(by_status) == {"added", "removed", "changed", "unchanged"}
+    docs = spark.table("documents")
+    n1 = docs.filter(f"doc_id % {DIFF_PREV_MOD} != 0").count()
+    n2 = docs.filter(f"doc_id % {DIFF_CURR_MOD} != 0").count()
+    assert by_status["removed"] + by_status["changed"] + by_status["unchanged"] == n1
+    assert by_status["added"] + by_status["changed"] + by_status["unchanged"] == n2
+
+
+def test_langid_kappa_identities(prepared_spark):
+    """kappa = (po - pe) / (1 - pe) to float precision, bounded in
+    [-1, 1], and the integer pieces reconcile with the P/R table's
+    marginals."""
+    from collector_spark.ml.textstats import nb_langid_kappa, nb_langid_pr
+
+    spark = prepared_spark
+    k = nb_langid_kappa(spark).collect()[0]
+    assert -1.0 <= k.kappa <= 1.0
+    assert abs(k.kappa - (k.po - k.pe) / (1.0 - k.pe)) < 1e-12
+    pr = nb_langid_pr(spark).collect()
+    assert k.n == sum(r.n_true for r in pr)
+    assert k.diag == sum(r.tp for r in pr)
+    assert k.pe_num == sum(r.n_true * r.n_pred for r in pr)
