@@ -996,7 +996,14 @@ def nb_langid_kappa(spark: SparkSession, docs: DataFrame | None = None) -> DataF
 
     Scale: the confusion relation is bounded at L x L rows; every fold
     here is over that bounded relation — never data-scaled."""
-    conf = nb_langid(spark, docs).localCheckpoint(eager=False)
+    return kappa_from_confusion(nb_langid(spark, docs))
+
+
+def kappa_from_confusion(conf: DataFrame) -> DataFrame:
+    """The E128 fold over any (true_lang, pred_lang, n_docs) confusion
+    relation — shared by the batch operator and the ST twin (which feeds
+    the confusion scored from streamed count state)."""
+    conf = conf.localCheckpoint(eager=False)
     t = conf.groupBy("true_lang").agg(
         F.sum("n_docs").cast("long").alias("n_true")
     )

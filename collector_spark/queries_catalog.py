@@ -2360,6 +2360,15 @@ register(
     textstats.oracle_nb_langid_kappa(),
 )
 
+# r12: ST34 — the kappa gauge scored from the STREAMED langid count state
+# (the same fold as st_ml_nb_langid; batch-equal => shares E128's
+# oracle). Outside the r12 driver window (rotates in with r13).
+register(
+    "st_ml_langid_kappa",
+    doc_stream.stream_langid_kappa,
+    textstats.oracle_nb_langid_kappa(),
+)
+
 
 
 # ===========================================================================

@@ -1821,3 +1821,16 @@ def stream_weighted_sample(
         .select("source", "sample_rank", "doc_id", "w_tokens", "lnu_q", "key")
         .orderBy("source", "sample_rank")
     )
+
+
+def stream_langid_kappa(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    """ST34 / E128b — Cohen's kappa scored from the STREAMED (lang, tok)
+    count state: the confusion matrix comes out of the same run-to-
+    completion fold as st_ml_nb_langid and the kappa fold is the shared
+    batch report (textstats.kappa_from_confusion) — batch-equal by
+    construction, shares ml_langid_kappa's oracle. Production shape: the
+    live agreement gauge that says when the declared-language labels and
+    the trained detector drift apart on the incoming crawl."""
+    from collector_spark.ml.textstats import kappa_from_confusion
+
+    return kappa_from_confusion(stream_nb_langid(spark, n_arrival_batches))
