@@ -221,3 +221,87 @@ SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(chars) AS BIGINT) AS n_chars
 FROM j GROUP BY source, status ORDER BY source, status
 """
+
+
+# ---------------------------------------------------------------------------
+# E129 — corpus validation report (the Deequ-style release gate a 100 TB
+# pipeline runs before handing a corpus to training): a fixed constraint
+# suite over the documents table, one row per constraint with exact
+# violation counts. Row-local constraints fold in ONE combinable
+# aggregate pass; the uniqueness constraint is the only shuffle (one
+# distinct on doc_id). The report is O(constraints) rows regardless of
+# corpus size.
+# ---------------------------------------------------------------------------
+
+_VALIDATE_ROW_CHECKS: list[tuple[str, str]] = [
+    # (constraint name, SQL boolean expr that is TRUE when VIOLATED —
+    # shared verbatim by the Spark plan and the DuckDB oracle)
+    ("doc_id_not_null", "doc_id IS NULL"),
+    ("doc_id_non_negative", "doc_id IS NOT NULL AND doc_id < 0"),
+    ("text_not_empty", "text IS NULL OR length(text) = 0"),
+    ("n_chars_matches_text", "n_chars IS NULL OR text IS NULL OR n_chars != length(text)"),
+    ("n_chars_positive", "n_chars IS NULL OR n_chars <= 0"),
+    # lowercase-two-letter check without regex (the expr strings are shared
+    # VERBATIM by both engines and their regex functions differ): each of
+    # the two characters individually in ['a','z'] — uppercase and digit
+    # bytes both sort below 'a'. (A whole-string BETWEEN 'aa' AND 'zz'
+    # does NOT work: lexicographic order decides at the first differing
+    # character, so 'e9' sits between 'aa' and 'zz'.)
+    (
+        "lang_is_iso2",
+        "lang IS NULL OR length(lang) != 2 "
+        "OR substring(lang, 1, 1) NOT BETWEEN 'a' AND 'z' "
+        "OR substring(lang, 2, 1) NOT BETWEEN 'a' AND 'z'",
+    ),
+    ("source_not_null", "source IS NULL OR length(source) = 0"),
+]
+
+
+def corpus_validate(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    docs = spark.table("documents") if docs is None else docs
+    aggs = [
+        F.sum(F.expr(expr).cast("long")).alias(name)
+        for name, expr in _VALIDATE_ROW_CHECKS
+    ]
+    row_counts = docs.agg(F.count(F.lit(1)).cast("long").alias("n_checked"), *aggs)
+    uniq = docs.agg(
+        (
+            F.count("doc_id") - F.countDistinct("doc_id")
+        ).cast("long").alias("doc_id_unique")
+    )
+    base = row_counts.crossJoin(F.broadcast(uniq))
+    names = [n for n, _ in _VALIDATE_ROW_CHECKS] + ["doc_id_unique"]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    long = base.selectExpr(
+        "n_checked",
+        f"stack({len(names)}, {stack}) AS (constraint_name, n_violations)",
+    )
+    return long.select(
+        "constraint_name",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("constraint_name")
+
+
+def oracle_corpus_validate() -> str:
+    checks = ", ".join(
+        f"CAST(SUM(CASE WHEN {expr} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+        for name, expr in _VALIDATE_ROW_CHECKS
+    )
+    names = [n for n, _ in _VALIDATE_ROW_CHECKS] + ["doc_id_unique"]
+    unions = " UNION ALL ".join(
+        f"SELECT '{n}' AS constraint_name, n_checked, {n} AS n_violations FROM base"
+        for n in names
+    )
+    return f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_checked, {checks},
+    CAST(COUNT(doc_id) - COUNT(DISTINCT doc_id) AS BIGINT) AS doc_id_unique
+  FROM documents
+),
+base AS (SELECT * FROM agg)
+SELECT constraint_name, n_checked, n_violations, n_violations = 0 AS passed
+FROM ({unions}) u
+ORDER BY constraint_name
+"""

@@ -2360,6 +2360,16 @@ register(
     textstats.oracle_nb_langid_kappa(),
 )
 
+# r12: E129 — corpus validation report (the Deequ-style release gate: a
+# fixed constraint suite in one combinable aggregate pass + one distinct
+# for uniqueness; O(constraints) output rows). Outside the r12 driver
+# window (rotates in with r13).
+register(
+    "ml_corpus_validate",
+    export.corpus_validate,
+    export.oracle_corpus_validate(),
+)
+
 # r12: ST34 — the kappa gauge scored from the STREAMED langid count state
 # (the same fold as st_ml_nb_langid; batch-equal => shares E128's
 # oracle). Outside the r12 driver window (rotates in with r13).

@@ -271,3 +271,40 @@ def test_langid_kappa_identities(prepared_spark):
     assert k.n == sum(r.n_true for r in pr)
     assert k.diag == sum(r.tp for r in pr)
     assert k.pe_num == sum(r.n_true * r.n_pred for r in pr)
+
+
+def test_corpus_validate_counts_injected_violations(spark):
+    """The fixture passes every constraint (all-zero report), so this pin
+    injects one violation per constraint class into a tiny corpus and
+    asserts exact counts — guarding against the checks silently
+    no-oping."""
+    from collector_spark.ml.export import corpus_validate
+
+    rows = [
+        (1, "ok text", "en", "web", 7),          # clean
+        (1, "dup id", "en", "web", 6),           # doc_id_unique violation
+        (2, "", "en", "web", 0),                 # text_not_empty + n_chars_positive
+        (3, "abc", "en", "web", 99),             # n_chars_matches_text
+        (4, "abcd", "EN", "web", 4),             # lang_is_iso2 (uppercase)
+        (5, "abcde", "e9", "web", 5),            # lang_is_iso2 (digit)
+        (6, "abcdef", "en", None, 6),            # source_not_null
+        (-7, "abcdefg", "en", "web", 7),         # doc_id_non_negative
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    rep = {r.constraint_name: r for r in corpus_validate(spark, docs).collect()}
+    assert all(r.n_checked == 8 for r in rep.values())
+    want = {
+        "doc_id_not_null": 0,
+        "doc_id_non_negative": 1,
+        "doc_id_unique": 1,
+        "text_not_empty": 1,
+        "n_chars_matches_text": 1,   # doc 3 only (doc 2's 0 == length(''))
+        "n_chars_positive": 1,
+        "lang_is_iso2": 2,
+        "source_not_null": 1,
+    }
+    got = {k: r.n_violations for k, r in rep.items()}
+    assert got == want, got
+    assert not rep["lang_is_iso2"].passed and rep["doc_id_not_null"].passed
