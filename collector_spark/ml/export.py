@@ -269,7 +269,14 @@ def corpus_validate(spark: SparkSession, docs: DataFrame | None = None) -> DataF
             F.count("doc_id") - F.countDistinct("doc_id")
         ).cast("long").alias("doc_id_unique")
     )
-    base = row_counts.crossJoin(F.broadcast(uniq))
+    return validate_report(row_counts.crossJoin(F.broadcast(uniq)))
+
+
+def validate_report(base: DataFrame) -> DataFrame:
+    """Unpivot the 1-row counts relation (n_checked + one column per
+    constraint) into the (constraint_name, n_checked, n_violations,
+    passed) report — shared by the batch operator and the ST twin (which
+    folds its streamed per-doc count state into the same 1-row shape)."""
     names = [n for n, _ in _VALIDATE_ROW_CHECKS] + ["doc_id_unique"]
     stack = ", ".join(f"'{n}', {n}" for n in names)
     long = base.selectExpr(

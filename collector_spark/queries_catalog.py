@@ -2370,6 +2370,16 @@ register(
     export.oracle_corpus_validate(),
 )
 
+# r12: ST35 — the validation gate as a live streaming gauge (per-doc_id
+# additive count state; the report derives uniqueness from the state's
+# key set since streaming forbids countDistinct). Batch-equal => shares
+# E129's oracle. Outside the r12 driver window (rotates in with r13).
+register(
+    "st_ml_corpus_validate",
+    doc_stream.stream_corpus_validate,
+    export.oracle_corpus_validate(),
+)
+
 # r12: ST34 — the kappa gauge scored from the STREAMED langid count state
 # (the same fold as st_ml_nb_langid; batch-equal => shares E128's
 # oracle). Outside the r12 driver window (rotates in with r13).

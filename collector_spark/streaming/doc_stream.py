@@ -1834,3 +1834,41 @@ def stream_langid_kappa(spark: SparkSession, n_arrival_batches: int = 6) -> Data
     from collector_spark.ml.textstats import kappa_from_confusion
 
     return kappa_from_confusion(stream_nb_langid(spark, n_arrival_batches))
+
+
+def stream_corpus_validate(spark: SparkSession, n_arrival_batches: int = 6) -> DataFrame:
+    """ST35 / E129b — the validation gate as a LIVE gauge over arriving
+    documents: the streamed state is per-doc_id (count, row-check
+    violation sums) — an additive complete-mode fold — and the report
+    stage folds that state batch-side, deriving the uniqueness
+    constraint as sum(count) - rows over non-null doc_ids (streaming
+    forbids countDistinct; the per-key state IS the distinct set).
+    Batch-equal by construction => shares E129's oracle. Production
+    shape: the data-quality dashboard that flips a constraint to
+    failed the moment a bad crawl batch lands."""
+    from collector_spark.ml.export import _VALIDATE_ROW_CHECKS, validate_report
+
+    raw, cleanup, run_id, ckpt_dir = _staged_doc_stream(spark, n_arrival_batches)
+    viol = [
+        F.sum(F.expr(expr).cast("long")).alias(name)
+        for name, expr in _VALIDATE_ROW_CHECKS
+    ]
+    state = raw.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"), *viol
+    )
+    qname = f"validate_{run_id}"
+    _run_state_to_memory(spark, state, qname, ckpt_dir, cleanup)
+    st = spark.table(qname)
+    names = [n for n, _ in _VALIDATE_ROW_CHECKS]
+    base = st.agg(
+        F.sum("cnt").cast("long").alias("n_checked"),
+        *[F.sum(n).cast("long").alias(n) for n in names],
+        (
+            F.coalesce(
+                F.sum(F.when(F.col("doc_id").isNotNull(), F.col("cnt"))),
+                F.lit(0),
+            )
+            - F.count(F.when(F.col("doc_id").isNotNull(), F.lit(1)))
+        ).cast("long").alias("doc_id_unique"),
+    )
+    return validate_report(base)
