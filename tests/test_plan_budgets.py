@@ -261,6 +261,21 @@ BUDGETS = {
     # one explode + groupBy(source, h), the smaller groupBy(h) refold,
     # one co-partitioned join on h, bounded groupBy(source) (measured 8)
     "ml_dup_ngram_fraction": (10, []),
+    # --- r12 additions ---
+    # the full §3.2 composition over ONE checkpointed staged relation:
+    # ref dense_index + association window + role/db broadcast dims
+    # (measured 28 each, batch and streaming — the streaming twin's
+    # assembly runs on the stream's checkpointed output, same shape)
+    "log_pipeline_full": (36, ["BroadcastHashJoin"]),
+    "st_log_pipeline_full": (36, ["BroadcastHashJoin"]),
+    # full-outer doc_id join of two corpus-scaled snapshot projections:
+    # correctly NOT broadcast (measured 6, SortMergeJoin)
+    "ml_corpus_diff": (8, ["SortMergeJoin"]),
+    # three folds over the bounded L x L confusion relation (measured 5)
+    "ml_langid_kappa": (7, []),
+    # one combinable aggregate pass + one distinct + O(constraints)
+    # unpivot (measured 6)
+    "ml_corpus_validate": (8, []),
 }
 
 # Queries allowed N Exchange SinglePartition occurrences: 1-row gauge
@@ -269,6 +284,11 @@ BUDGETS = {
 # and 1-row grand-total aggregates (unigram vocab total). These are
 # bounded by construction, never data-scaled.
 SINGLE_PARTITION_OK = {
+    # r12: the two 1-row folds (L x L marginals product / diag; the
+    # validation row-check pass + uniqueness distinct) — bounded by
+    # construction, never data-scaled
+    "ml_langid_kappa": 2,
+    "ml_corpus_validate": 2,
     "snapshot_system_fact_full": 3,
     "ml_unigram_logprob": 1,
     "ml_unigram_logprob_skew": 2,
