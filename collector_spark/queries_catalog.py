@@ -2411,9 +2411,11 @@ register(
 #          fix; classify.py was refactored into reusable exprs for the
 #          pipeline composition) — fresh rows on the new code;
 #   45-50  the six oldest remaining r5 names in registration order.
-# After this round zero names are older than r5. Round-13 plan: the
-# remaining 25 r5 names + the 25 oldest r6 names (registration order);
-# round 14 takes the last 10 r6 names and then the r8/r9 rows as they
+# After this round zero names are older than r5. Round-13 plan: the 5
+# never-driver-checked r12 additions (ml_corpus_diff, ml_langid_kappa,
+# st_ml_langid_kappa, ml_corpus_validate, st_ml_corpus_validate) + the
+# remaining 25 r5 names + the 20 oldest r6 names (registration order);
+# round 14 takes the last 15 r6 names and then the r8/r9 rows as they
 # age past the 5-round staleness bar.
 # The full catalog is still verified in-repo every round by
 # tests/test_registry_oracle.py regardless of window position, and was
