@@ -170,18 +170,32 @@ def _neardup_stages(
     return canon, tf, norms, pairs
 
 
+def _weights(tf: DataFrame, norms: DataFrame) -> DataFrame:
+    """(doc_id, dim, w): unit-normalized weights — row-local scalars."""
+    return tf.join(norms, "doc_id").select(
+        "doc_id",
+        "dim",
+        (F.col("tf").cast("double") / F.sqrt(F.col("norm_sq").cast("double"))).alias("w"),
+    )
+
+
 def _maxweight_index(tf: DataFrame, norms: DataFrame) -> DataFrame:
     """(idx_doc, dim): the capped All-Pairs index relation — each doc's
     maxweight-bounded prefix, at most INDEX_DIM_CAP indexers per dim.
     Factored out so the scale-stress suite can count the bound it
     asserts."""
-    w = tf.join(norms, "doc_id").select(
-        "doc_id",
-        "dim",
-        (F.col("tf").cast("double") / F.sqrt(F.col("norm_sq").cast("double"))).alias("w"),
-    )
+    w = _weights(tf, norms)
     # per-dim corpus max weight: bounded by TF_DIM rows — broadcast
     maxw = w.groupBy("dim").agg(F.max("w").alias("maxw"))
+    return _prefix_from_weights(w, maxw)
+
+
+def _prefix_from_weights(w: DataFrame, maxw: DataFrame) -> DataFrame:
+    """The prefix walk + per-dim cap over precomputed weights and a
+    (possibly side-external) per-dim max-weight relation — shared by the
+    corpus index and the incremental screen's incoming-side indexing
+    (which walks under the UNION maxw so its prefix stays sound against
+    the frozen corpus side)."""
     wb = w.join(F.broadcast(maxw), "dim").select(
         "doc_id", "dim", "maxw", (F.col("w") * F.col("maxw")).alias("contrib")
     )
@@ -274,17 +288,26 @@ def _verify_stats(tf: DataFrame) -> DataFrame:
     )
 
 
-def _verify_pairs(spark: SparkSession, pairs: DataFrame, stats: DataFrame) -> DataFrame:
+def _verify_pairs(
+    spark: SparkSession,
+    pairs: DataFrame,
+    stats: DataFrame,
+    stats_b: DataFrame | None = None,
+    key_a: str = "doc_a",
+    key_b: str = "doc_b",
+) -> DataFrame:
     """Exact-integer verification of candidate pairs against the per-doc
     stats relation (the shared tail of the in-plan and served-from-index
-    near-dup forms): row-local map-fold dot, cross-multiplied integer
-    threshold compare, cosine double derived from the same integers."""
+    near-dup forms, and — with ``stats_b`` and cross-side key names — of
+    the incremental screen): row-local map-fold dot, cross-multiplied
+    integer threshold compare, cosine double derived from the same
+    integers."""
     sa = stats.select(
-        F.col("doc_id").alias("doc_a"), F.col("vec").alias("va"),
+        F.col("doc_id").alias(key_a), F.col("vec").alias("va"),
         F.col("norm_sq").alias("norm_a"),
     )
-    sb = stats.select(
-        F.col("doc_id").alias("doc_b"), F.col("vec").alias("vb"),
+    sb = (stats if stats_b is None else stats_b).select(
+        F.col("doc_id").alias(key_b), F.col("vec").alias("vb"),
         F.col("norm_sq").alias("norm_b"),
     )
     dot = F.aggregate(
@@ -300,18 +323,18 @@ def _verify_pairs(spark: SparkSession, pairs: DataFrame, stats: DataFrame) -> Da
     # the fold — pin the fold's parallelism to the session's core count
     # explicitly (measured: verify tail 4.8-6.4 s -> 2.2-2.5 s at sf0.1;
     # at cluster scale defaultParallelism is total cores, the same knob)
-    pairs = pairs.repartition(spark.sparkContext.defaultParallelism, "doc_a")
+    pairs = pairs.repartition(spark.sparkContext.defaultParallelism, key_a)
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(sa, key_a)
+        .join(sb, key_b)
         .withColumn("dot", dot)
         .filter(
             F.col("dot") * F.col("dot") * NEARDUP_COS_DEN
             >= F.lit(NEARDUP_COS_NUM) * F.col("norm_a") * F.col("norm_b")
         )
         .select(
-            "doc_a",
-            "doc_b",
+            key_a,
+            key_b,
             "dot",
             "norm_a",
             "norm_b",
@@ -320,7 +343,7 @@ def _verify_pairs(spark: SparkSession, pairs: DataFrame, stats: DataFrame) -> Da
                 / F.sqrt(F.col("norm_a").cast("double") * F.col("norm_b").cast("double"))
             ).alias("cosine"),
         )
-        .orderBy("doc_a", "doc_b")
+        .orderBy(key_a, key_b)
     )
 
 
@@ -362,9 +385,15 @@ def neardup_index_write(
     _verify_stats(tf).repartition(par, "doc_id").sortWithinPartitions(
         "doc_id"
     ).write.mode("overwrite").parquet(f"{out_dir}/stats")
+    # the per-dim corpus max-weight relation (bounded at TF_DIM rows):
+    # the incremental screen needs it to walk an arrival batch's prefix
+    # under the UNION maxw without touching the corpus TF
+    _weights(tf, norms).groupBy("dim").agg(
+        F.max("w").alias("maxw")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/maxw")
     rows = [
         (rel, spark.read.parquet(f"{out_dir}/{rel}").count())
-        for rel in ("tf", "index", "stats")
+        for rel in ("tf", "index", "stats", "maxw")
     ]
     return spark.createDataFrame(rows, "relation string, n_rows long")
 
@@ -596,6 +625,318 @@ flagged AS (
   JOIN norms na ON na.doc_id = d.doc_a
   JOIN norms nb ON nb.doc_id = d.doc_b
   LEFT JOIN pairs pr ON pr.doc_a = d.doc_a AND pr.doc_b = d.doc_b
+)
+{union}
+ORDER BY threshold
+"""
+
+
+# ---------------------------------------------------------------------------
+# E130 — incremental cosine near-dup SCREEN: the arrival-batch twin of
+# E101, with the DEPLOYABLE asymmetric indexing rule. The existing
+# corpus's prefix index is FROZEN at build time (walked under the
+# corpus's own per-dim maxw — arrivals cannot re-index 100 TB), while
+# the incoming batch walks its prefix under the UNION maxw (corpus maxw
+# folded with the batch's own — sound for the batch side by the
+# All-Pairs bound). A cross pair is a candidate iff it shares a dim
+# indexed by either side; verification is the exact integer compare.
+# Because the corpus side is frozen, completeness is NOT the two-sided
+# theorem's — a qualifying pair can hide behind a corpus prefix that a
+# union-maxw walk would have extended. That gap is precisely what
+# ml_neardup_screen_recall measures (the cap/freeze cost, the E105
+# discipline); on the fixture it measures 1.0 at every threshold.
+# This in-plan form is DATAFLOW-IDENTICAL to the served form
+# (neardup_screen_from_index over neardup_index_write's four persisted
+# relations), so the served output is pinned bit-identical.
+# ---------------------------------------------------------------------------
+
+
+def _inc_screen_sides(spark: SparkSession, docs: DataFrame | None):
+    from collector_spark.ml.dedup import _inc_is_incoming
+
+    docs = spark.table("documents") if docs is None else docs
+    ex = _exact_canonicals(docs.filter(~_inc_is_incoming()))
+    inc = _exact_canonicals(docs.filter(_inc_is_incoming()))
+    tf_e = _tf_long(ex).localCheckpoint(eager=False)
+    tf_i = _tf_long(inc).localCheckpoint(eager=False)
+    return tf_e, tf_i
+
+
+def _screen_pairs(
+    tf_i: DataFrame,
+    tf_e: DataFrame | None = None,
+    idx_e: DataFrame | None = None,
+    maxw_e: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate (ex_id, inc_id) pairs under the asymmetric rule. The
+    existing side arrives either as raw TF (in-plan build) or as the
+    persisted (index, maxw, tf) relations (serve path) — the computed
+    relations are value-identical, so both forms emit the same pairs."""
+    norms_i = tf_i.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq")
+    )
+    w_i = _weights(tf_i, norms_i)
+    maxw_i = w_i.groupBy("dim").agg(F.max("w").alias("maxw"))
+    union_maxw = (
+        maxw_e.unionByName(maxw_i)
+        .groupBy("dim")
+        .agg(F.max("maxw").alias("maxw"))
+    )
+    idx_i = _prefix_from_weights(w_i, union_maxw)
+    leg1 = idx_e.join(
+        tf_i.select(F.col("doc_id").alias("inc_id"), "dim"), "dim"
+    ).select(F.col("idx_doc").alias("ex_id"), "inc_id")
+    leg2 = idx_i.join(
+        tf_e.select(F.col("doc_id").alias("ex_id"), "dim"), "dim"
+    ).select("ex_id", F.col("idx_doc").alias("inc_id"))
+    return leg1.unionByName(leg2).distinct()
+
+
+def neardup_screen(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
+    """E130 in-plan form: both sides derived from the documents table
+    (existing = the E68 incremental split's corpus side, incoming = its
+    arrival batch), the corpus prefix under the corpus's own maxw —
+    exactly what a build-time index would have frozen."""
+    tf_e, tf_i = _inc_screen_sides(spark, docs)
+    norms_e = tf_e.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq")
+    )
+    w_e = _weights(tf_e, norms_e)
+    maxw_e = w_e.groupBy("dim").agg(F.max("w").alias("maxw"))
+    idx_e = _prefix_from_weights(w_e, maxw_e)
+    pairs = _screen_pairs(tf_i, tf_e=tf_e, idx_e=idx_e, maxw_e=maxw_e)
+    return _verify_pairs(
+        spark,
+        pairs,
+        _verify_stats(tf_e),
+        stats_b=_verify_stats(tf_i),
+        key_a="ex_id",
+        key_b="inc_id",
+    )
+
+
+def neardup_screen_from_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """E130 serve path: the corpus side is the four persisted relations
+    (tf, prefix index, verify stats, maxw — written by neardup_index_write
+    over the EXISTING split); only the arrival batch is computed. Pinned
+    bit-identical to the in-plan form."""
+    from collector_spark.ml.dedup import _inc_is_incoming
+
+    inc = _exact_canonicals(spark.table("documents").filter(_inc_is_incoming()))
+    tf_i = _tf_long(inc).localCheckpoint(eager=False)
+    pairs = _screen_pairs(
+        tf_i,
+        tf_e=spark.read.parquet(f"{index_dir}/tf"),
+        idx_e=spark.read.parquet(f"{index_dir}/index"),
+        maxw_e=spark.read.parquet(f"{index_dir}/maxw"),
+    )
+    return _verify_pairs(
+        spark,
+        pairs,
+        spark.read.parquet(f"{index_dir}/stats"),
+        stats_b=_verify_stats(tf_i),
+        key_a="ex_id",
+        key_b="inc_id",
+    )
+
+
+def _sql_screen_side(side_pred: str, sfx: str) -> str:
+    canon = _SQL_CANON.replace(
+        "FROM documents d",
+        f"FROM (SELECT * FROM documents WHERE {side_pred}) d",
+    )
+    tf = _SQL_TF.format(src=f"canon_{sfx}")
+    return f"""canon_{sfx} AS ({canon}),
+tf_{sfx} AS ({tf}),
+norms_{sfx} AS (
+  SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS norm_sq
+  FROM tf_{sfx} GROUP BY doc_id
+),
+wts_{sfx} AS (
+  SELECT t.doc_id, t.dim,
+         CAST(t.tf AS DOUBLE) / sqrt(CAST(n.norm_sq AS DOUBLE)) AS w
+  FROM tf_{sfx} t JOIN norms_{sfx} n USING (doc_id)
+),
+maxw_{sfx} AS (SELECT dim, MAX(w) AS maxw FROM wts_{sfx} GROUP BY dim)"""
+
+
+def _sql_screen_prefix(sfx: str, maxw_cte: str) -> str:
+    return f"""wb_{sfx} AS (
+  SELECT w.doc_id, w.dim, m.maxw, w.w * m.maxw AS contrib
+  FROM wts_{sfx} w JOIN {maxw_cte} m USING (dim)
+),
+ranked_{sfx} AS (
+  SELECT doc_id, dim, contrib,
+    SUM(contrib) OVER (PARTITION BY doc_id ORDER BY maxw DESC, dim ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM wb_{sfx}
+),
+bounded_{sfx} AS (
+  SELECT doc_id, dim, contrib, cum,
+    MAX(cum) OVER (PARTITION BY doc_id) AS total
+  FROM ranked_{sfx}
+),
+capped_{sfx} AS (
+  SELECT doc_id AS idx_doc, dim FROM (
+    SELECT doc_id, dim,
+      row_number() OVER (PARTITION BY dim ORDER BY doc_id ASC) AS irn
+    FROM bounded_{sfx}
+    WHERE cum - contrib <= total - {NEARDUP_COS_T}
+  ) c WHERE irn <= {INDEX_DIM_CAP}
+)"""
+
+
+def _sql_screen_front() -> str:
+    from collector_spark.ml.dedup import INC_BATCH_MOD, INC_BATCH_REM
+
+    ex_pred = f"doc_id % {INC_BATCH_MOD} != {INC_BATCH_REM}"
+    inc_pred = f"doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM}"
+    return f"""{_sql_screen_side(ex_pred, 'e')},
+{_sql_screen_side(inc_pred, 'i')},
+umaxw AS (
+  SELECT dim, MAX(maxw) AS maxw FROM (
+    SELECT dim, maxw FROM maxw_e UNION ALL SELECT dim, maxw FROM maxw_i
+  ) u GROUP BY dim
+),
+{_sql_screen_prefix('e', 'maxw_e')},
+{_sql_screen_prefix('i', 'umaxw')},
+pairs AS (
+  SELECT DISTINCT ex_id, inc_id FROM (
+    SELECT c.idx_doc AS ex_id, t.doc_id AS inc_id
+    FROM capped_e c JOIN tf_i t USING (dim)
+    UNION ALL
+    SELECT t.doc_id AS ex_id, c.idx_doc AS inc_id
+    FROM capped_i c JOIN tf_e t USING (dim)
+  ) legs
+)"""
+
+
+def oracle_neardup_screen() -> str:
+    return f"""
+WITH {_sql_screen_front()},
+dots AS (
+  SELECT p.ex_id, p.inc_id, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN tf_e a ON a.doc_id = p.ex_id
+  JOIN tf_i b ON b.doc_id = p.inc_id AND b.dim = a.dim
+  GROUP BY p.ex_id, p.inc_id
+)
+SELECT d.ex_id, d.inc_id, d.dot,
+       na.norm_sq AS norm_a, nb.norm_sq AS norm_b,
+       CAST(d.dot AS DOUBLE)
+         / sqrt(CAST(na.norm_sq AS DOUBLE) * CAST(nb.norm_sq AS DOUBLE)) AS cosine
+FROM dots d
+JOIN norms_e na ON na.doc_id = d.ex_id
+JOIN norms_i nb ON nb.doc_id = d.inc_id
+WHERE d.dot * d.dot * {NEARDUP_COS_DEN} >= {NEARDUP_COS_NUM} * na.norm_sq * nb.norm_sq
+ORDER BY d.ex_id, d.inc_id
+"""
+
+
+def neardup_screen_recall(
+    spark: SparkSession, docs: DataFrame | None = None
+) -> DataFrame:
+    """E131 — the freeze/cap cost gate for the screen: exact cross-side
+    cosine truth for a bounded probe set (the RECALL_PROBE_N smallest
+    incoming canonicals) against the screen's reached pairs, at the E105
+    thresholds. This is the number read before trusting a frozen corpus
+    index at a new scale — the two-sided completeness theorem does NOT
+    cover the frozen side, so the gate is the contract."""
+    tf_e, tf_i = _inc_screen_sides(spark, docs)
+    probe_ids = (
+        tf_i.select("doc_id").distinct().orderBy("doc_id").limit(RECALL_PROBE_N)
+    )
+    ptf = tf_i.join(F.broadcast(probe_ids), "doc_id").select(
+        F.col("doc_id").alias("inc_id"), "dim", F.col("tf").alias("tf_p")
+    )
+    dots = (
+        tf_e.join(F.broadcast(ptf), "dim")
+        .groupBy(F.col("doc_id").alias("ex_id"), "inc_id")
+        .agg(F.sum(F.col("tf_p") * F.col("tf")).cast("long").alias("dot"))
+    )
+    norms_e = tf_e.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq")
+    )
+    norms_i = tf_i.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq")
+    )
+    w_e = _weights(tf_e, norms_e)
+    maxw_e = w_e.groupBy("dim").agg(F.max("w").alias("maxw"))
+    idx_e = _prefix_from_weights(w_e, maxw_e)
+    reached = _screen_pairs(tf_i, tf_e=tf_e, idx_e=idx_e, maxw_e=maxw_e).withColumn(
+        "reached", F.lit(1)
+    )
+    na = norms_e.select(F.col("doc_id").alias("ex_id"), F.col("norm_sq").alias("norm_a"))
+    nb = norms_i.select(F.col("doc_id").alias("inc_id"), F.col("norm_sq").alias("norm_b"))
+    flagged = (
+        dots.join(na, "ex_id")
+        .join(nb, "inc_id")
+        .join(reached, ["ex_id", "inc_id"], "left")
+        .select(
+            "dot",
+            "norm_a",
+            "norm_b",
+            F.coalesce(F.col("reached"), F.lit(0)).alias("reached"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rows = []
+    for t, num, den in RECALL_COS_THRESHOLDS:
+        rows.append(
+            flagged.filter(
+                F.col("dot") * F.col("dot") * den
+                >= F.lit(num) * F.col("norm_a") * F.col("norm_b")
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_truth"),
+                F.sum("reached").cast("long").alias("n_reached"),
+            )
+            .select(
+                F.lit(t).alias("threshold"),
+                "n_truth",
+                "n_reached",
+                (
+                    F.col("n_reached").cast("double") / F.col("n_truth").cast("double")
+                ).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("threshold")
+
+
+def oracle_neardup_screen_recall() -> str:
+    branches = []
+    for t, num, den in RECALL_COS_THRESHOLDS:
+        branches.append(f"""
+SELECT {t} AS threshold,
+  CAST(COUNT(*) AS BIGINT) AS n_truth,
+  CAST(SUM(reached) AS BIGINT) AS n_reached,
+  CAST(SUM(reached) AS DOUBLE) / COUNT(*) AS recall
+FROM flagged
+WHERE dot * dot * {den} >= {num} * norm_a * norm_b""")
+    union = " UNION ALL ".join(branches)
+    return f"""
+WITH {_sql_screen_front()},
+probes AS (
+  SELECT DISTINCT doc_id FROM tf_i ORDER BY doc_id LIMIT {RECALL_PROBE_N}
+),
+dots AS (
+  SELECT e.doc_id AS ex_id, i.doc_id AS inc_id,
+         CAST(SUM(e.tf * i.tf) AS BIGINT) AS dot
+  FROM tf_e e
+  JOIN tf_i i ON i.dim = e.dim
+  JOIN probes p ON p.doc_id = i.doc_id
+  GROUP BY e.doc_id, i.doc_id
+),
+flagged AS (
+  SELECT d.dot, na.norm_sq AS norm_a, nb.norm_sq AS norm_b,
+    CASE WHEN pr.ex_id IS NOT NULL THEN 1 ELSE 0 END AS reached
+  FROM dots d
+  JOIN norms_e na ON na.doc_id = d.ex_id
+  JOIN norms_i nb ON nb.doc_id = d.inc_id
+  LEFT JOIN pairs pr ON pr.ex_id = d.ex_id AND pr.inc_id = d.inc_id
 )
 {union}
 ORDER BY threshold

@@ -2370,6 +2370,24 @@ register(
     export.oracle_corpus_validate(),
 )
 
+# r12: E130 — incremental cosine near-dup SCREEN (the arrival-batch twin
+# of E101 under the DEPLOYABLE asymmetric rule: corpus prefix frozen at
+# build time, incoming prefix walked under the union maxw) and E131 —
+# its freeze/cap recall gate (the contract for trusting a frozen corpus
+# index). Dataflow-identical to the served-from-index form, which is
+# pinned bit-identical. Outside the r12 driver window (rotate in r13).
+register(
+    "ml_neardup_screen",
+    vectors.neardup_screen,
+    vectors.oracle_neardup_screen(),
+)
+
+register(
+    "ml_neardup_screen_recall",
+    vectors.neardup_screen_recall,
+    vectors.oracle_neardup_screen_recall(),
+)
+
 # r12: ST35 — the validation gate as a live streaming gauge (per-doc_id
 # additive count state; the report derives uniqueness from the state's
 # key set since streaming forbids countDistinct). Batch-equal => shares
@@ -2411,12 +2429,13 @@ register(
 #          fix; classify.py was refactored into reusable exprs for the
 #          pipeline composition) — fresh rows on the new code;
 #   45-50  the six oldest remaining r5 names in registration order.
-# After this round zero names are older than r5. Round-13 plan: the 5
+# After this round zero names are older than r5. Round-13 plan: the 7
 # never-driver-checked r12 additions (ml_corpus_diff, ml_langid_kappa,
-# st_ml_langid_kappa, ml_corpus_validate, st_ml_corpus_validate) + the
-# remaining 25 r5 names + the 20 oldest r6 names (registration order);
-# round 14 takes the last 15 r6 names and then the r8/r9 rows as they
-# age past the 5-round staleness bar.
+# st_ml_langid_kappa, ml_corpus_validate, st_ml_corpus_validate,
+# ml_neardup_screen, ml_neardup_screen_recall) + the remaining 25 r5
+# names + the 18 oldest r6 names (registration order); round 14 takes
+# the last 17 r6 names and then the r8/r9 rows as they age past the
+# 5-round staleness bar.
 # The full catalog is still verified in-repo every round by
 # tests/test_registry_oracle.py regardless of window position, and was
 # additionally swept in full at sf0.001 in round 11 (ALL MATCH).

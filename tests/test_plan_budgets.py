@@ -276,6 +276,13 @@ BUDGETS = {
     # one combinable aggregate pass + one distinct + O(constraints)
     # unpivot (measured 6)
     "ml_corpus_validate": (8, []),
+    # the asymmetric screen: two checkpointed TF sides, maxw relations
+    # broadcast, two prefix walks + two candidate legs + cross-side
+    # verify (measured 28; the TF_DIM-bounded maxw joins must broadcast)
+    "ml_neardup_screen": (36, ["BroadcastHashJoin"]),
+    # probe-bounded truth + the screen's reached pairs (measured 4 — the
+    # checkpointed flagged relation collapses the four threshold branches)
+    "ml_neardup_screen_recall": (8, []),
 }
 
 # Queries allowed N Exchange SinglePartition occurrences: 1-row gauge
@@ -300,8 +307,9 @@ SINGLE_PARTITION_OK = {
     "j14_schema_collection_workflow": 2,
     # the manifest inherits sampling_weights' 1-row share total
     "ml_curation_manifest": 1,
-    # the four 1-row per-threshold grand totals of the recall gate
+    # the four 1-row per-threshold grand totals of the recall gates
     "ml_hashed_neardup_recall": 4,
+    "ml_neardup_screen_recall": 4,
     # the 1-row bigram-event grand total
     "ml_pmi_collocations": 1,
     # the 1-row vocab-size and corpus-doc-count totals

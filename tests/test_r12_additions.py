@@ -308,3 +308,35 @@ def test_corpus_validate_counts_injected_violations(spark):
     got = {k: r.n_violations for k, r in rep.items()}
     assert got == want, got
     assert not rep["lang_is_iso2"].passed and rep["doc_id_not_null"].passed
+
+
+def test_neardup_screen_serves_identically_from_index(prepared_spark, tmp_path):
+    """E130's served form (frozen corpus relations read from parquet +
+    computed arrival batch) must emit the EXACT same verified pairs as
+    the in-plan screen — the asymmetric rule makes the two dataflows
+    identical, so parquet's exact integer round-trip closes the loop.
+    The serve plan must run strictly fewer window stages (only the
+    incoming side's prefix walk)."""
+    from pyspark.sql import functions as F
+
+    from collector_spark.ml.dedup import _inc_is_incoming
+    from collector_spark.ml.vectors import (
+        neardup_index_write,
+        neardup_screen,
+        neardup_screen_from_index,
+    )
+
+    spark = prepared_spark
+    idx = str(tmp_path / "screen_index")
+    existing = spark.table("documents").filter(~_inc_is_incoming())
+    audit = {r.relation: r.n_rows for r in neardup_index_write(spark, idx, existing).collect()}
+    assert audit["maxw"] > 0 and audit["index"] > 0
+
+    served = neardup_screen_from_index(spark, idx)
+    inplan = neardup_screen(spark)
+    p_serve = served._jdf.queryExecution().optimizedPlan().toString()
+    p_inplan = inplan._jdf.queryExecution().optimizedPlan().toString()
+    assert [tuple(r) for r in served.collect()] == [
+        tuple(r) for r in inplan.collect()
+    ]
+    assert 0 < p_serve.count("Window") < p_inplan.count("Window")
