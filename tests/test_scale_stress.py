@@ -521,3 +521,78 @@ def test_dup_ngram_fraction_flood_reads_one(stress):
     # FLOOD_TEXT is 40 words -> 38 distinct trigrams per copy
     assert flood["n_distinct_ngrams"] == 38
     assert flood["n_incidences"] == 38 * N_FLOOD_DOCS
+
+
+def test_neardup_screen_flood_is_canonical_bounded(stress):
+    """E130 under the x1000 exact flood, which the incremental split
+    cuts into an existing portion and an incoming portion of identical
+    text: per-side canonical-first collapses each portion to ONE
+    representative, so the screen reports at most ONE flood-flood cross
+    pair (the two canonicals, at cosine 1.0) instead of the quadratic
+    existing x incoming expansion — and the total screened pair count
+    stays far under that naive cross floor."""
+    from collector_spark.ml import vectors as V
+
+    t0 = time.monotonic()
+    out = V.neardup_screen(stress.spark)
+    in_flood = lambda c: (c >= FLOOD_DOC_BASE) & (  # noqa: E731
+        c < FLOOD_DOC_BASE + N_FLOOD_DOCS
+    )
+    counted = out.agg(
+        F.count("*").alias("total"),
+        F.sum(
+            (in_flood(F.col("ex_id")) & in_flood(F.col("inc_id"))).cast("int")
+        ).alias("flood_pairs"),
+        F.max(
+            F.when(
+                in_flood(F.col("ex_id")) & in_flood(F.col("inc_id")),
+                F.col("cosine"),
+            )
+        ).alias("flood_cos"),
+    ).first()
+    stress.times["ml_neardup_screen"] = time.monotonic() - t0
+
+    assert counted["flood_pairs"] <= 1
+    if counted["flood_pairs"] == 1:
+        assert counted["flood_cos"] == 1.0
+
+    # the screened total respects the capped two-leg candidate bound:
+    # sum over dims of ex-indexers x inc-occupants + inc-indexers x
+    # ex-occupants (NOTE: the x5 replica structure makes most cross
+    # pairs TRUE near-dups, so the total is large — the bound is the
+    # blocking-layer claim, not a small-number claim)
+    tf_e, tf_i = V._inc_screen_sides(stress.spark, None)
+    norms_e = tf_e.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq")
+    )
+    norms_i = tf_i.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq")
+    )
+    w_e = V._weights(tf_e, norms_e)
+    w_i = V._weights(tf_i, norms_i)
+    maxw_e = w_e.groupBy("dim").agg(F.max("w").alias("maxw"))
+    maxw_i = w_i.groupBy("dim").agg(F.max("w").alias("maxw"))
+    umaxw = (
+        maxw_e.unionByName(maxw_i).groupBy("dim").agg(F.max("maxw").alias("maxw"))
+    )
+    idx_e = V._prefix_from_weights(w_e, maxw_e).groupBy("dim").agg(
+        F.count("*").alias("idx_e")
+    )
+    idx_i = V._prefix_from_weights(w_i, umaxw).groupBy("dim").agg(
+        F.count("*").alias("idx_i")
+    )
+    occ_e = tf_e.groupBy("dim").agg(F.count("*").alias("occ_e"))
+    occ_i = tf_i.groupBy("dim").agg(F.count("*").alias("occ_i"))
+    bound = (
+        idx_e.join(occ_i, "dim", "left")
+        .join(idx_i, "dim", "full")
+        .join(occ_e, "dim", "left")
+        .agg(
+            F.sum(
+                F.coalesce("idx_e", F.lit(0)) * F.coalesce("occ_i", F.lit(0))
+                + F.coalesce("idx_i", F.lit(0)) * F.coalesce("occ_e", F.lit(0))
+            ).alias("bound")
+        )
+        .first()["bound"]
+    )
+    assert counted["total"] <= bound
