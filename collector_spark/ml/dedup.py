@@ -3075,3 +3075,203 @@ FROM psh p JOIN ph USING (h)
 GROUP BY p.source
 ORDER BY p.source
 """
+
+
+# ---------------------------------------------------------------------------
+# E132 — recall gate for the INCREMENTAL near screen (the E105/E131
+# discipline applied to E68's cross-side LSH blocking): exact Jaccard
+# truth for a bounded probe set of INCOMING canonicals against every
+# EXISTING canonical, vs the pairs the banded cross-side bucket stage
+# (with its LSH_BUCKET_CAP) actually reaches, at the E73 thresholds.
+# Truth and reached are both over canonical pairs — non-canonical
+# incoming docs inherit their canonical's verdict in E68, so canonical
+# recall IS the screen's recall. The number read before trusting the
+# arrival screen's banding at a new scale; the bucket cap and the
+# incoming batch's band collisions are what it prices.
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup_recall(
+    spark: SparkSession, docs: DataFrame | None = None
+) -> DataFrame:
+    from collector_spark.ml.vectors import RECALL_PROBE_N
+
+    docs = spark.table("documents") if docs is None else docs
+    existing = docs.filter(~_inc_is_incoming())
+    incoming = docs.filter(_inc_is_incoming())
+    union_canon = (
+        _exact_canonicals(existing)
+        .select("doc_id", "text")
+        .unionByName(_exact_canonicals(incoming).select("doc_id", "text"))
+        .localCheckpoint(eager=False)
+    )
+    sh = _shingle_hashes(union_canon).localCheckpoint(eager=False)
+
+    probe_ids = (
+        sh.filter(_inc_is_incoming())
+        .select("doc_id")
+        .distinct()
+        .orderBy("doc_id")
+        .limit(RECALL_PROBE_N)
+    )
+    ptf = sh.join(F.broadcast(probe_ids), "doc_id").select(
+        F.col("doc_id").alias("inc_id"), "h"
+    )
+    inter = (
+        sh.filter(~_inc_is_incoming())
+        .join(F.broadcast(ptf), "h")
+        .groupBy(F.col("doc_id").alias("ex_id"), "inc_id")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+
+    # reached: the SAME cross-side banded bucket stage E68 runs
+    buckets = _band_buckets(_signatures_from(sh)).withColumn(
+        "inc", _inc_is_incoming()
+    )
+    grouped = buckets.groupBy("bucket").agg(
+        F.sort_array(
+            F.collect_list(F.when(~F.col("inc"), F.col("doc_id")))
+        ).alias("ex_ids"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("inc"), F.col("doc_id")))
+        ).alias("inc_ids"),
+    )
+    reached = (
+        grouped.filter(
+            (F.size("ex_ids") > 0)
+            & (F.size("inc_ids") > 0)
+            & (F.size("ex_ids") + F.size("inc_ids") <= LSH_BUCKET_CAP)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ex_ids, a -> transform(inc_ids, "
+                    "b -> struct(a AS ex_id, b AS inc_id))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ex_id", "p.inc_id")
+        .distinct()
+        .withColumn("reached", F.lit(1))
+    )
+
+    jac = F.col("inter").cast("double") / (
+        F.col("na.n") + F.col("nb.n") - F.col("inter")
+    ).cast("double")
+    flagged = (
+        inter.join(sizes.alias("na"), F.col("ex_id") == F.col("na.doc_id"))
+        .join(sizes.alias("nb"), F.col("inc_id") == F.col("nb.doc_id"))
+        .select("ex_id", "inc_id", jac.alias("jaccard"))
+        .join(reached, ["ex_id", "inc_id"], "left")
+        .select(
+            "jaccard", F.coalesce(F.col("reached"), F.lit(0)).alias("reached")
+        )
+        .localCheckpoint(eager=False)
+    )
+    rows = []
+    for t in RECALL_THRESHOLDS:
+        rows.append(
+            flagged.filter(F.col("jaccard") >= t)
+            .agg(
+                F.count("*").cast("long").alias("n_truth"),
+                F.sum("reached").cast("long").alias("n_reached"),
+            )
+            .select(
+                F.lit(t).alias("threshold"),
+                "n_truth",
+                "n_reached",
+                (
+                    F.col("n_reached").cast("double")
+                    / F.col("n_truth").cast("double")
+                ).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("threshold")
+
+
+def oracle_incremental_dedup_recall() -> str:
+    from collector_spark.ml.vectors import RECALL_PROBE_N
+
+    mins = ", ".join(
+        f"MIN((h * CAST({A[i]} AS BIGINT) + {B[i]}) % {P31}) AS mh{i}"
+        for i in range(K)
+    )
+    band_selects = []
+    for b, (name, cols) in enumerate(_band_cols()):
+        concat = " || ',' || ".join(
+            [f"'{b}'"] + [f"CAST({c} AS VARCHAR)" for c in cols]
+        )
+        band_selects.append(
+            f"SELECT doc_id, md5({concat}) AS bucket, "
+            f"doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM} AS inc FROM sig"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    canon_ex = _SQL_CANON.replace("FROM documents d", "FROM existing d")
+    canon_inc = _SQL_CANON.replace("FROM documents d", "FROM incoming d")
+    shingles = _SQL_SHINGLES.replace("FROM documents", "FROM union_canon")
+    branches = []
+    for t in RECALL_THRESHOLDS:
+        branches.append(f"""
+SELECT {t} AS threshold,
+  CAST(COUNT(*) AS BIGINT) AS n_truth,
+  CAST(SUM(reached) AS BIGINT) AS n_reached,
+  CAST(SUM(reached) AS DOUBLE) / COUNT(*) AS recall
+FROM flagged WHERE jaccard >= {t}""")
+    union = " UNION ALL ".join(branches)
+    return f"""
+WITH existing AS (
+  SELECT * FROM documents WHERE doc_id % {INC_BATCH_MOD} <> {INC_BATCH_REM}
+),
+incoming AS (
+  SELECT * FROM documents WHERE doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM}
+),
+union_canon AS (
+  SELECT doc_id, text FROM ({canon_ex}) ec
+  UNION ALL
+  SELECT doc_id, text FROM ({canon_inc}) ic
+),
+sh AS ({shingles}),
+probes AS (
+  SELECT DISTINCT doc_id FROM sh
+  WHERE doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM}
+  ORDER BY doc_id LIMIT {RECALL_PROBE_N}
+),
+inter AS (
+  SELECT e.doc_id AS ex_id, i.doc_id AS inc_id, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh e
+  JOIN sh i ON i.h = e.h AND i.doc_id % {INC_BATCH_MOD} = {INC_BATCH_REM}
+  JOIN probes p ON p.doc_id = i.doc_id
+  WHERE e.doc_id % {INC_BATCH_MOD} <> {INC_BATCH_REM}
+  GROUP BY e.doc_id, i.doc_id
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+buckets AS ({buckets}),
+ok AS (
+  SELECT bucket FROM buckets
+  GROUP BY bucket
+  HAVING COUNT(*) <= {LSH_BUCKET_CAP}
+     AND SUM(CASE WHEN inc THEN 1 ELSE 0 END) >= 1
+     AND SUM(CASE WHEN inc THEN 0 ELSE 1 END) >= 1
+),
+pairs AS (
+  SELECT DISTINCT e.doc_id AS ex_id, i.doc_id AS inc_id
+  FROM buckets e
+  JOIN ok o ON o.bucket = e.bucket
+  JOIN buckets i ON i.bucket = e.bucket AND i.inc AND NOT e.inc
+),
+flagged AS (
+  SELECT CAST(x.inter AS DOUBLE) / CAST(na.n + nb.n - x.inter AS DOUBLE) AS jaccard,
+    CASE WHEN pr.ex_id IS NOT NULL THEN 1 ELSE 0 END AS reached
+  FROM inter x
+  JOIN sizes na ON na.doc_id = x.ex_id
+  JOIN sizes nb ON nb.doc_id = x.inc_id
+  LEFT JOIN pairs pr ON pr.ex_id = x.ex_id AND pr.inc_id = x.inc_id
+)
+{union}
+ORDER BY threshold
+"""

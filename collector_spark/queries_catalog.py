@@ -2388,6 +2388,16 @@ register(
     vectors.oracle_neardup_screen_recall(),
 )
 
+# r12: E132 — the same measured-recall discipline for E68's cross-side
+# LSH blocking (probe-bounded exact Jaccard truth vs the banded bucket
+# stage's reached pairs): every blocker in the repo now has a recall
+# contract. Outside the r12 driver window (rotates in with r13).
+register(
+    "ml_incremental_dedup_recall",
+    dedup.incremental_dedup_recall,
+    dedup.oracle_incremental_dedup_recall(),
+)
+
 # r12: ST35 — the validation gate as a live streaming gauge (per-doc_id
 # additive count state; the report derives uniqueness from the state's
 # key set since streaming forbids countDistinct). Batch-equal => shares
@@ -2429,13 +2439,14 @@ register(
 #          fix; classify.py was refactored into reusable exprs for the
 #          pipeline composition) — fresh rows on the new code;
 #   45-50  the six oldest remaining r5 names in registration order.
-# After this round zero names are older than r5. Round-13 plan: the 7
+# After this round zero names are older than r5. Round-13 plan: the 8
 # never-driver-checked r12 additions (ml_corpus_diff, ml_langid_kappa,
 # st_ml_langid_kappa, ml_corpus_validate, st_ml_corpus_validate,
-# ml_neardup_screen, ml_neardup_screen_recall) + the remaining 25 r5
-# names + the 18 oldest r6 names (registration order); round 14 takes
-# the last 17 r6 names and then the r8/r9 rows as they age past the
-# 5-round staleness bar.
+# ml_neardup_screen, ml_neardup_screen_recall,
+# ml_incremental_dedup_recall) + the remaining 25 r5 names + the 17
+# oldest r6 names (registration order); round 14 takes the last 18 r6
+# names and then the r8/r9 rows as they age past the 5-round
+# staleness bar.
 # The full catalog is still verified in-repo every round by
 # tests/test_registry_oracle.py regardless of window position, and was
 # additionally swept in full at sf0.001 in round 11 (ALL MATCH).

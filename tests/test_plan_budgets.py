@@ -283,6 +283,9 @@ BUDGETS = {
     # probe-bounded truth + the screen's reached pairs (measured 4 — the
     # checkpointed flagged relation collapses the four threshold branches)
     "ml_neardup_screen_recall": (8, []),
+    # probe-bounded Jaccard truth + the banded cross-side reached pairs
+    # (measured 3; the checkpointed flagged relation collapses branches)
+    "ml_incremental_dedup_recall": (8, []),
 }
 
 # Queries allowed N Exchange SinglePartition occurrences: 1-row gauge
@@ -310,6 +313,7 @@ SINGLE_PARTITION_OK = {
     # the four 1-row per-threshold grand totals of the recall gates
     "ml_hashed_neardup_recall": 4,
     "ml_neardup_screen_recall": 4,
+    "ml_incremental_dedup_recall": 3,
     # the 1-row bigram-event grand total
     "ml_pmi_collocations": 1,
     # the 1-row vocab-size and corpus-doc-count totals
