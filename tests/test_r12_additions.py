@@ -340,3 +340,18 @@ def test_neardup_screen_serves_identically_from_index(prepared_spark, tmp_path):
         tuple(r) for r in inplan.collect()
     ]
     assert 0 < p_serve.count("Window") < p_inplan.count("Window")
+
+
+def test_blocker_recall_gates_read_one_on_fixture(prepared_spark):
+    """The two r12 recall gates (frozen-index cosine screen, incremental
+    LSH blocking) both measure 1.0 at every threshold on the fixture —
+    the docstring/SCALE.md claim, pinned. A corpus where they read below
+    1.0 is the signal to retune INDEX_DIM_CAP / LSH_BUCKET_CAP, not an
+    error; this pin guards the fixture-level contract."""
+    from collector_spark.ml.dedup import incremental_dedup_recall
+    from collector_spark.ml.vectors import neardup_screen_recall
+
+    for fn in (neardup_screen_recall, incremental_dedup_recall):
+        rows = fn(prepared_spark).collect()
+        assert rows and all(r.n_truth > 0 for r in rows)
+        assert all(r.recall == 1.0 for r in rows), rows
