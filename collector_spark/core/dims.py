@@ -42,6 +42,75 @@ from pyspark.sql import functions as F
 DEFAULT_DIM_PARTS = 32
 
 
+def _offsets_of(counts: DataFrame) -> DataFrame:
+    """offset(p) = sum of counts of all partitions before p. ``counts`` has
+    at most num_parts rows, so the theta-join is O(num_parts^2) over a
+    broadcast-small relation — never a data-sized shuffle."""
+    return (
+        counts.alias("a")
+        .join(
+            F.broadcast(counts.alias("b")),
+            F.col("b._pid") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
+    )
+
+
+def ranked_rows(
+    df: DataFrame,
+    key_cols: list[str],
+    idx_name: str,
+    num_parts: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Append ``idx_name`` = each row's 0-based global sorted rank over
+    ``key_cols`` to EVERY row of ``df`` — the full-relation twin of
+    ``dense_index`` for relations whose key_cols are UNIQUE per row (a
+    global line number over log lines, not a dimension domain).
+
+    Because every key occurs exactly once, ``dense_index``'s
+    distinct-keys pass computes the identity and the rank join-back
+    reattaches each row to itself — both pure overhead (r12 optimization
+    find: the distinct ran TWICE per call, once for the range
+    partitioner's sample pass and once for the checkpoint, plus a full
+    join-back exchange in the consuming fact). Here the ROWS themselves
+    are range-partitioned once (same two-level rank: local row_number +
+    per-partition offsets, so no single-partition funnel), materialized
+    via ``localCheckpoint`` so the rank and count branches observe one
+    physical partitioning (the same consistency argument as
+    dense_index's docstring).
+
+    Returns ``(ranged, ranked)``: ``ranged`` is the materialized
+    range-partitioned relation WITHOUT the rank column — consumers that
+    only need the rows (classification joins, association windows,
+    dimension builds) read it instead of re-deriving the staged subtree —
+    and ``ranked`` adds ``idx_name``. Value-identical to
+    ``df.join(dense_index(df, key_cols, idx_name), key_cols)`` under the
+    caller-owned uniqueness contract."""
+    if num_parts is None:
+        num_parts = df.sparkSession.sparkContext.defaultParallelism
+    order = [F.col(c).asc_nulls_last() for c in key_cols]
+    ranged = (
+        df.repartitionByRange(num_parts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    local = ranged.withColumn(
+        "_lrn",
+        F.row_number()
+        .over(Window.partitionBy("_pid").orderBy(*order))
+        .cast("long"),
+    )
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    ranked = (
+        local.join(F.broadcast(_offsets_of(counts)), "_pid")
+        .withColumn(idx_name, (F.col("_off") + F.col("_lrn") - 1).cast("int"))
+        .drop("_pid", "_lrn", "_off")
+    )
+    return ranged.drop("_pid"), ranked
+
+
 def dense_index(
     df: DataFrame,
     key_cols: list[str],
@@ -71,21 +140,8 @@ def dense_index(
         .cast("long"),
     )
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    # offset(p) = sum of counts of all partitions before p. counts has at
-    # most num_parts rows, so the theta-join is O(num_parts^2) over a
-    # broadcast-small relation — never a data-sized shuffle.
-    offsets = (
-        counts.alias("a")
-        .join(
-            F.broadcast(counts.alias("b")),
-            F.col("b._pid") < F.col("a._pid"),
-            "left",
-        )
-        .groupBy(F.col("a._pid").alias("_pid"))
-        .agg(F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_off"))
-    )
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(_offsets_of(counts)), "_pid")
         .withColumn(idx_name, (F.col("_off") + F.col("_lrn") - 1).cast("int"))
         .select(*key_cols, idx_name)
     )

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from collector_spark.core.dims import dense_index
+from collector_spark.core.dims import dense_index, ranked_rows
 from collector_spark.functions.fingerprint import fingerprint, oracle_fingerprint
 from collector_spark.logs.associate import associate_df, oracle_associate
 from collector_spark.logs.classify import classify_df, oracle_classify
@@ -49,19 +49,26 @@ def snapshot_log_fact(spark: SparkSession) -> DataFrame:
     stitched = stitch_df(parsed)
     ts = parsed.select("pid", "seq", "collected_at")
     # materialize the staged lines ONCE (r12, the log_pipeline_full
-    # lesson): six branches consume this relation — the ref dense_index
-    # (whose checkpoint materializes EAGERLY at plan-construction time),
-    # the refs join, classification, association, and the role/database
-    # dims — and each would otherwise re-derive parse -> stitch from the
-    # raw pin. classify/associate read the joined frame rather than
-    # `stitched` for the same reason (the (pid, seq) ts join is 1:1, so
-    # the frames are value-identical for both). Measured at sf0.1
-    # (registered form, fresh session, median-of-3): 12.9 -> 9.1 s.
+    # lesson): six branches consume this relation — the ref ranking,
+    # classification, association, and the role/database dims — and each
+    # would otherwise re-derive parse -> stitch from the raw pin.
+    # classify/associate read the joined frame rather than `stitched` for
+    # the same reason (the (pid, seq) ts join is 1:1, so the frames are
+    # value-identical for both). Measured at sf0.1 (registered form,
+    # fresh session, median-of-3): 12.9 -> 9.1 s.
+    #
+    # log_line_ref via ranked_rows, not dense_index (r12 optimization):
+    # (collected_at, pid, seq) is unique per stitched line, so the dim
+    # machinery's distinct pass (executed twice — range-sample + checkpoint)
+    # and the rank join-back exchange were pure overhead; the rows are
+    # range-partitioned once and every other branch (classification,
+    # association, dims) reads that materialized relation.
     staged = stitched.join(ts, ["pid", "seq"]).localCheckpoint(eager=False)
-    refs = dense_index(staged, ["collected_at", "pid", "seq"], "log_line_ref")
-    lines = staged.join(refs, ["collected_at", "pid", "seq"])
+    ranged, lines = ranked_rows(
+        staged, ["collected_at", "pid", "seq"], "log_line_ref"
+    )
 
-    cls = classify_df(staged)
+    cls = classify_df(ranged)
     payload = F.struct(
         F.col("detail_num").cast("decimal(18,3)").cast("string").alias("detail_num"),
         F.col("detail_text"),
@@ -76,19 +83,19 @@ def snapshot_log_fact(spark: SparkSession) -> DataFrame:
         ).alias("details_json"),
     )
 
-    assoc = associate_df(staged).select(
+    assoc = associate_df(ranged).select(
         "pid", F.col("secondary_seq").alias("seq"), F.col("primary_seq").alias("_pseq")
     )
-    prim_ref = refs.select(
+    prim_ref = lines.select(
         F.col("pid").alias("_ppid"),
         F.col("seq").alias("_pseq2"),
         F.col("log_line_ref").alias("parent_log_line_ref"),
     )
     roles = dense_index(
-        lines.filter(F.col("username").isNotNull()), ["username"], "role_idx"
+        ranged.filter(F.col("username").isNotNull()), ["username"], "role_idx"
     )
     dbs = dense_index(
-        lines.filter(F.col("database").isNotNull()), ["database"], "database_idx"
+        ranged.filter(F.col("database").isNotNull()), ["database"], "database_idx"
     )
 
     fact = (
@@ -144,9 +151,16 @@ def log_pipeline_fact(wide: DataFrame) -> DataFrame:
     role/database refs, details JSON — output/transform/logs.go:17-163
     run over a closed window. Shared verbatim by the batch composition
     (log_pipeline_full) and the streaming lifecycle's run-to-completion
-    output (st_log_pipeline_full)."""
-    refs = dense_index(wide, ["collected_at", "pid", "seq"], "log_line_ref")
-    lines = wide.join(refs, ["collected_at", "pid", "seq"])
+    output (st_log_pipeline_full).
+
+    log_line_ref via ranked_rows (r12 optimization, same reasoning as
+    snapshot_log_fact): the line key is unique, so the dim machinery's
+    double distinct pass and rank join-back are elided; the association
+    window and the role/database dims read the one materialized
+    range-partitioned relation."""
+    ranged, lines = ranked_rows(
+        wide, ["collected_at", "pid", "seq"], "log_line_ref"
+    )
     payload = F.struct(
         F.col("detail_num").cast("decimal(18,3)").cast("string").alias("detail_num"),
         F.col("detail_text"),
@@ -155,19 +169,19 @@ def log_pipeline_fact(wide: DataFrame) -> DataFrame:
         F.col("detail_num").isNotNull() | F.col("detail_text").isNotNull(),
         F.to_json(payload, {"ignoreNullFields": "false"}),
     )
-    assoc = associate_df(wide).select(
+    assoc = associate_df(ranged).select(
         "pid", F.col("secondary_seq").alias("seq"), F.col("primary_seq").alias("_pseq")
     )
-    prim_ref = refs.select(
+    prim_ref = lines.select(
         F.col("pid").alias("_ppid"),
         F.col("seq").alias("_pseq2"),
         F.col("log_line_ref").alias("parent_log_line_ref"),
     )
     roles = dense_index(
-        lines.filter(F.col("username").isNotNull()), ["username"], "role_idx"
+        ranged.filter(F.col("username").isNotNull()), ["username"], "role_idx"
     )
     dbs = dense_index(
-        lines.filter(F.col("database").isNotNull()), ["database"], "database_idx"
+        ranged.filter(F.col("database").isNotNull()), ["database"], "database_idx"
     )
     fact = (
         lines.withColumn("details_json", details_json)
