@@ -1470,16 +1470,23 @@ def incremental_dedup(
     # shape), and the registered bench/oracle form takes it too — the
     # checkpointed shape measured consistently faster than recompute
     # even at fixture scale once re-run idle (r10).
-    # The checkpoint sits BEFORE the shingle explode: one row per
-    # canonical doc, not ~50 shingles per doc.
+    # The checkpoint sits AFTER the shingle explode+hash (r12 optimization;
+    # it previously sat before): `sh` has ~n_words rows per doc but each is
+    # two longs (16 bytes) — FEWER bytes than the doc rows with their full
+    # text — and checkpointing `sh` instead of the canonical docs removes
+    # three of the four explode+md5 passes (signatures, both intersection
+    # sides, sizes each re-ran the shingle derivation from the doc-level
+    # checkpoint; plan showed 7 Generate nodes). Interleaved A/B at sf0.1:
+    # 7.82 -> 5.63 s min-of-4 (collected outputs bit-identical). The
+    # scan-collapse plan pins still hold.
     union_canon = (
         _exact_canonicals(existing)
         .select("doc_id", "text")
         .unionByName(_exact_canonicals(incoming).select("doc_id", "text"))
     )
-    if materialize:
-        union_canon = union_canon.localCheckpoint(eager=False)
     sh = _shingle_hashes(union_canon)
+    if materialize:
+        sh = sh.localCheckpoint(eager=False)
     buckets = _band_buckets(_signatures_from(sh)).withColumn(
         "inc", _inc_is_incoming()
     )
@@ -1577,10 +1584,13 @@ def dedup_index_write(
         .groupBy("h")
         .agg(F.min("doc_id").alias("ex_exact"))
     )
-    canon = _exact_canonicals(existing).select("doc_id", "text").localCheckpoint(
-        eager=False
-    )
-    sh = _shingle_hashes(canon)
+    # checkpoint AFTER the explode+hash (r12, the incremental_dedup
+    # optimization): sh feeds the signature fold, the sizes aggregate, and
+    # its own parquet write — three consumers that each re-ran the shingle
+    # derivation from the doc-level checkpoint, and (doc_id, h) rows are
+    # fewer bytes than the docs' text
+    canon = _exact_canonicals(existing).select("doc_id", "text")
+    sh = _shingle_hashes(canon).localCheckpoint(eager=False)
     buckets = (
         _band_buckets(_signatures_from(sh))
         .groupBy("bucket")
