@@ -4224,13 +4224,35 @@ def _nbq_counts(rows: DataFrame) -> DataFrame:
 NB_ABSENT_PRIOR = -(1 << 60)
 
 
+def _nbq_doc_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok, tf, label_keep): per-doc token frequencies with the
+    row-local rule label — the one token explode the batch scorer runs
+    (r12 optimization, see nb_quality_from_counts)."""
+    return (
+        docs.select(
+            "doc_id",
+            _gopher_exprs()["keep"].alias("label_keep"),
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+        )
+        .groupBy("doc_id", "tok")
+        .agg(
+            F.count("*").cast("long").alias("tf"),
+            F.first("label_keep").alias("label_keep"),
+        )
+    )
+
+
 def nb_quality_from_counts(
-    spark: SparkSession, counts: DataFrame, docs: DataFrame
+    spark: SparkSession, counts: DataFrame, docs: DataFrame,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """E113's scoring stage over the folded (label_keep, tok, c) state —
     shared by the batch form and the streaming twin. Derivations of
     `counts` carry renamed columns (the memory-sink self-join
-    discipline)."""
+    discipline). ``tf`` optionally supplies a pre-built (and ideally
+    checkpointed) per-doc token-frequency relation; it feeds two branches
+    (the class sums and the doc length), so when absent the derivation is
+    checkpointed here rather than exploded twice (r12 optimization)."""
     from collector_spark.ml.textstats import NB_DOC_MARKER, _qlog
 
     model = counts.filter(F.col("tok") != NB_DOC_MARKER).select(
@@ -4244,18 +4266,8 @@ def nb_quality_from_counts(
     vocab = model.select("m_tok").distinct().agg(
         F.count("*").cast("long").alias("v")
     )
-    tf = (
-        docs.select(
-            "doc_id",
-            _gopher_exprs()["keep"].alias("label_keep"),
-            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
-        )
-        .groupBy("doc_id", "tok")
-        .agg(
-            F.count("*").cast("long").alias("tf"),
-            F.first("label_keep").alias("label_keep"),
-        )
-    )
+    if tf is None:
+        tf = _nbq_doc_tf(docs).localCheckpoint(eager=False)
     cls = (
         model.groupBy("m_cls")
         .agg(F.sum("mc").cast("long").alias("t"))
@@ -4342,9 +4354,34 @@ def nb_quality_from_counts(
 def _nb_quality_core(
     spark: SparkSession, docs: DataFrame | None = None
 ) -> DataFrame:
+    """ONE token explode per scoring run (r12 optimization; previously
+    three): the per-doc TF relation is built and checkpointed once, the
+    (label_keep, tok, c) model counts FOLD FROM IT (sum of per-doc counts
+    per label — value-identical to counting the exploded rows, which is
+    what the streaming twin still does over its state), and the marker
+    rows ride a row-local projection of ``docs``. The scorer reads the
+    checkpointed tf for both of its branches."""
+    from collector_spark.ml.textstats import NB_DOC_MARKER
+
     docs = spark.table("documents") if docs is None else docs
-    counts = _nbq_counts(_nbq_token_rows(docs)).localCheckpoint(eager=False)
-    return nb_quality_from_counts(spark, counts, docs)
+    tf = _nbq_doc_tf(docs).localCheckpoint(eager=False)
+    markers = docs.select(
+        _gopher_exprs()["keep"].alias("label_keep"),
+        F.lit(NB_DOC_MARKER).alias("tok"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    # the trailing fold merges a (pathological) corpus token equal to the
+    # marker into one row, exactly as the old single groupBy over the
+    # exploded rows did — O(vocab) rows, trivial
+    counts = (
+        tf.groupBy("label_keep", "tok")
+        .agg(F.sum("tf").cast("long").alias("c"))
+        .unionByName(markers)
+        .groupBy("label_keep", "tok")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    return nb_quality_from_counts(spark, counts, docs, tf=tf)
 
 
 def oracle_nb_quality() -> str:
