@@ -3132,8 +3132,19 @@ def kneser_ney_bigram(spark: SparkSession) -> DataFrame:
             F.element_at("wl", F.col("i").cast("int")).alias("w1"),
             F.element_at("wl", F.col("i").cast("int") + 1).alias("w2"),
         )
+        # r12 optimization: the bigram explode fed FIVE subtree
+        # evaluations (the scoring join plus c2/ctx/cont/types_total,
+        # which each re-derived it through live lineage — 5 Generate
+        # nodes in the plan). Checkpoint the exploded relation once and
+        # the model count relation once; every branch reads materialized
+        # rows.
+        .localCheckpoint(eager=False)
     )
-    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("cnt2"))
+    c2 = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cnt2"))
+        .localCheckpoint(eager=False)
+    )
     ctx = c2.groupBy("w1").agg(
         F.sum("cnt2").cast("long").alias("ctx_total"),
         F.count("*").cast("long").alias("fanout"),  # N1+(w1 ·)
