@@ -3018,10 +3018,15 @@ ORDER BY threshold
 
 def dup_ngram_fraction(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
     docs = spark.table("documents") if docs is None else docs
+    # checkpoint the folded counts (r12 optimization): the report stage
+    # consumes this relation twice (the corpus-wide margin and the join
+    # back onto it), which re-ran the shingle explode per consumer; the
+    # streaming twin's memory-sink state is already materialized
     per_src_h = (
         _shingle_hashes(docs, carry=("source",))
         .groupBy("source", "h")
         .agg(F.count("*").cast("long").alias("n_inc"))
+        .localCheckpoint(eager=False)
     )
     return dup_ngram_from_counts(per_src_h)
 
