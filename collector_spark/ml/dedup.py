@@ -417,25 +417,33 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    label_t = dict(labels.dtypes)["label"]
     for _ in range(max_rounds):
         nbr = edges.join(
             labels.withColumnRenamed("node", "src"), "src"
         ).select(F.col("dst").alias("node"), "label")
+        # the node's previous label rides the SAME fold (every node has
+        # exactly one labels row, so min(_old) recovers it): the changed
+        # check then filters the freshly checkpointed rows instead of
+        # paying a join job per round (r12 optimization — at toy/fixture
+        # graph sizes the loop is pure per-round job latency, and this
+        # removes one shuffle join from every round; labels per round are
+        # unchanged, min over the same multiset)
         new_labels = (
-            labels.unionByName(nbr)
+            labels.select("node", "label", F.col("label").alias("_old"))
+            .unionByName(
+                nbr.select(
+                    "node", "label", F.lit(None).cast(label_t).alias("_old")
+                )
+            )
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.min("_old").alias("_old"))
             .localCheckpoint()
         )
         changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old_label"), "node"
-            )
-            .filter(F.col("label") != F.col("old_label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") != F.col("_old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     else:
