@@ -1509,6 +1509,12 @@ def ivf_sq8_topk(spark: SparkSession) -> DataFrame:
     probes = nearest(queries, "qv", ["query_id", "qv"], IVF_PROBES)
 
     dq = F.transform(F.col("codes"), lambda c: c.cast("double") / F.col("scale"))
+    # no distinct (r12 optimization): every corpus vector sits in EXACTLY
+    # one inverted list (nearest(..., 1) keeps row_number = 1) and probe
+    # rows are distinct (query_id, centroid_id), so the probe join yields
+    # at most one row per (query_id, corpus_id) — the former .distinct()
+    # was a no-op that shuffled the widest intermediate (qv arrays +
+    # adc_cos) once more
     cand = (
         corpus_lists.join(F.broadcast(probes), "centroid_id")
         .filter(F.col("query_id") != F.col("corpus_id"))
@@ -1521,7 +1527,6 @@ def ivf_sq8_topk(spark: SparkSession) -> DataFrame:
                 / (_norm(F.col("qv")) * _norm(dq))
             ).alias("adc_cos"),
         )
-        .distinct()
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("adc_cos"), F.asc("corpus_id")
