@@ -158,16 +158,33 @@ def _neardup_stages(
         F.sum(F.col("tf") * F.col("tf")).cast("long").alias("norm_sq")
     )
     capped = _maxweight_index(tf, norms)
-    pairs = (
+    pairs = _dedup_pairs(
         capped.join(tf.select("doc_id", "dim"), "dim")
         .filter(F.col("idx_doc") != F.col("doc_id"))
         .select(
             F.least("idx_doc", "doc_id").alias("doc_a"),
             F.greatest("idx_doc", "doc_id").alias("doc_b"),
-        )
-        .distinct()
+        ),
+        "doc_a",
     )
     return canon, tf, norms, pairs
+
+
+def _dedup_pairs(raw: DataFrame, key_a: str) -> DataFrame:
+    """Candidate-pair dedup fused with the verify fold's parallelism pin:
+    repartition the RAW pair stream by the verify key FIRST, then
+    deduplicate — hash(key_a) clusters every (a, b) occurrence into one
+    partition, so the dedup aggregate runs WITHOUT its own exchange and
+    its output is already partitioned for the CPU-dense verify fold (the
+    AQE byte-coalescing pin, r11). vs the former ``.distinct()`` +
+    ``repartition`` tail this is ONE exchange instead of two: the pair
+    stream crosses the network once (r12 A/B at sf0.1: 6.42 vs 6.92 s
+    min-of-4, collected outputs identical). Map-side pre-aggregation is
+    no real loss — duplicates of a pair arise on DIFFERENT dims, which
+    land in different generation partitions, so partial aggregation
+    before the former distinct's shuffle caught little."""
+    par = raw.sparkSession.sparkContext.defaultParallelism
+    return raw.repartition(par, key_a).dropDuplicates()
 
 
 def _weights(tf: DataFrame, norms: DataFrame) -> DataFrame:
@@ -320,10 +337,12 @@ def _verify_pairs(
     # the pair relation is byte-LIGHT but the fold is CPU-DENSE
     # (~nnz^2 integer ops per row): AQE's byte-based coalescing squeezes
     # the 1.1M sf0.1 pairs into ~6 post-shuffle partitions and serializes
-    # the fold — pin the fold's parallelism to the session's core count
-    # explicitly (measured: verify tail 4.8-6.4 s -> 2.2-2.5 s at sf0.1;
-    # at cluster scale defaultParallelism is total cores, the same knob)
-    pairs = pairs.repartition(spark.sparkContext.defaultParallelism, key_a)
+    # the fold (measured: verify tail 4.8-6.4 s -> 2.2-2.5 s at sf0.1
+    # with the pin; at cluster scale defaultParallelism is total cores,
+    # the same knob). The parallelism pin now rides the pair builders'
+    # _dedup_pairs exchange — every caller hands this function a pair
+    # relation already hash-partitioned on ``key_a`` at defaultParallelism
+    # — so no exchange is added here.
     return (
         pairs.join(sa, key_a)
         .join(sb, key_b)
@@ -409,14 +428,14 @@ def hashed_tf_neardup_from_index(spark: SparkSession, index_dir: str) -> DataFra
     tf = spark.read.parquet(f"{index_dir}/tf")
     capped = spark.read.parquet(f"{index_dir}/index")
     stats = spark.read.parquet(f"{index_dir}/stats")
-    pairs = (
+    pairs = _dedup_pairs(
         capped.join(tf.select("doc_id", "dim"), "dim")
         .filter(F.col("idx_doc") != F.col("doc_id"))
         .select(
             F.least("idx_doc", "doc_id").alias("doc_a"),
             F.greatest("idx_doc", "doc_id").alias("doc_b"),
-        )
-        .distinct()
+        ),
+        "doc_a",
     )
     return _verify_pairs(spark, pairs, stats)
 
@@ -689,7 +708,7 @@ def _screen_pairs(
     leg2 = idx_i.join(
         tf_e.select(F.col("doc_id").alias("ex_id"), "dim"), "dim"
     ).select("ex_id", F.col("idx_doc").alias("inc_id"))
-    return leg1.unionByName(leg2).distinct()
+    return _dedup_pairs(leg1.unionByName(leg2), "ex_id")
 
 
 def neardup_screen(spark: SparkSession, docs: DataFrame | None = None) -> DataFrame:
