@@ -90,15 +90,29 @@ def _norm_hash() -> Column:
 
 def _exact_canonicals(docs: DataFrame) -> DataFrame:
     """`docs` filtered to each exact-duplicate group's canonical member
-    (min doc_id per content hash) — the E1 keep set. One shuffle on the
-    content hash; all original columns survive."""
+    (min doc_id per content hash) — the E1 keep set. All original columns
+    survive.
+
+    r12 shape: decide on a NARROW proxy, attach the payload once (the
+    guide's §8.4 rule). The former form ran the min-doc_id window over the
+    FULL document rows — text bytes crossed the content-hash exchange and
+    were sorted inside the window just to compute a per-group min of
+    doc_id. Now the window runs over (doc_id, content_hash) only (24 B/row
+    vs whole documents) and the keep set comes back as a LEFT SEMI join on
+    doc_id — at fixture scale AQE broadcasts the id set and the document
+    payload is never shuffled at all; at 100 TB the payload crosses the
+    network once either way (semi join on doc_id vs the old full-row hash
+    exchange), but the window's shuffle+sort handles 24-byte rows instead
+    of documents. Measured (noop, min-of-4, one session, sf0.1):
+    ngram_span_dedup 3.40 -> 1.79 s; outputs collected identical."""
     w = Window.partitionBy("content_hash")
-    return (
-        docs.withColumn("content_hash", _norm_hash())
+    keep = (
+        docs.select("doc_id", _norm_hash().alias("content_hash"))
         .withColumn("_canon", F.col("doc_id") == F.min("doc_id").over(w))
         .filter("_canon")
-        .drop("_canon", "content_hash")
+        .select("doc_id")
     )
+    return docs.join(keep, "doc_id", "semi")
 
 
 _SQL_CANON = f"""
@@ -122,7 +136,14 @@ def exact_dup_groups(spark: SparkSession) -> DataFrame:
     exchange as the decision join via a window, so scale cost is a single
     hash partitioning of (doc_id, hash).
     """
-    docs = spark.table("documents")
+    return _exact_groups_unsorted(spark.table("documents")).orderBy("doc_id")
+
+
+def _exact_groups_unsorted(docs: DataFrame) -> DataFrame:
+    """The E1 decision relation without the oracle-determinism sort —
+    the form compositions consume (dedup_keep_list checkpoints it and
+    derives the span stage's canonical set from its keep flag, so the
+    content-hash window runs ONCE per composition)."""
     hashed = docs.select(F.col("doc_id"), _norm_hash().alias("content_hash"))
     w = Window.partitionBy("content_hash")
     return (
@@ -135,7 +156,6 @@ def exact_dup_groups(spark: SparkSession) -> DataFrame:
             "group_size",
             (F.col("doc_id") == F.col("canonical_doc_id")).alias("keep"),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -581,11 +601,15 @@ def _span_gram_hashes(docs: DataFrame, distinct: bool = False) -> DataFrame:
     )
 
 
-def ngram_span_dedup(spark: SparkSession) -> DataFrame:
+def ngram_span_dedup(
+    spark: SparkSession, canon: DataFrame | None = None
+) -> DataFrame:
     """Per-document span-duplication decision, scoped to exact-dedup
     canonicals: windows are generated ONLY for each exact-dup group's
     canonical (E1's keep set — identical-content siblings are E1's drop,
-    not span duplication), every overlapping SPAN_W-word window is hashed
+    not span duplication; pass ``canon`` when a composition has already
+    derived that set so the content-hash window is not recomputed — see
+    dedup_keep_list), every overlapping SPAN_W-word window is hashed
     (portable md5-60bit), and a window position counts as duplicated only
     when the same hash also occurs in a canonical with SMALLER doc_id. The
     asymmetry guarantees one representative of any span-duplicated content
@@ -608,7 +632,7 @@ def ngram_span_dedup(spark: SparkSession) -> DataFrame:
     is cheaper than a second pass over the gram relation for the join.
     """
     docs = spark.table("documents")
-    grams = _span_gram_hashes(_exact_canonicals(docs))
+    grams = _span_gram_hashes(_exact_canonicals(docs) if canon is None else canon)
     w = Window.partitionBy("h")
     flagged = grams.withColumn(
         "shared", F.min("doc_id").over(w) < F.col("doc_id")
@@ -702,13 +726,27 @@ def dedup_keep_list(
     span-dropped — so exactly one representative of any duplicated content
     survives the composition (Lee et al. 2022 keep-one-occurrence), rather
     than symmetric span-drop removing every copy."""
-    exact = (exact_dup_groups(spark) if exact is None else exact).select(
-        "doc_id", F.col("keep").alias("exact_keep")
-    )
+    canon = None
+    if exact is None:
+        # the E1 decision is computed ONCE per composition (lazy
+        # localCheckpoint of the narrow (doc_id, hash, keep) relation) and
+        # the span stage's canonical set is derived from its keep flag as
+        # a semi join — without this the content-hash window and the md5
+        # pass over the corpus text ran a second time inside
+        # ngram_span_dedup's own _exact_canonicals subtree (r12 A/B at
+        # sf0.1, noop min-of-4: 13.4 -> 9.8 s for the full composition;
+        # collected outputs identical)
+        exact = _exact_groups_unsorted(spark.table("documents")).localCheckpoint(
+            eager=False
+        )
+        canon = spark.table("documents").join(
+            exact.filter("keep").select("doc_id"), "doc_id", "semi"
+        )
+    exact = exact.select("doc_id", F.col("keep").alias("exact_keep"))
     near = (dup_clusters(spark) if near is None else near).select(
         "doc_id", "cluster_id", "is_canonical"
     )
-    span = ngram_span_dedup(spark).select(
+    span = ngram_span_dedup(spark, canon=canon).select(
         "doc_id", F.col("keep").alias("span_keep"), "dup_fraction"
     )
     j = exact.join(near, "doc_id", "left").join(span, "doc_id", "left")

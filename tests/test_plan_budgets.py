@@ -59,12 +59,26 @@ BUDGETS = {
     # same partitioning; an extra exchange here means the bucket join
     # stopped being co-partitioned
     # +1 exchange in r9: canonical-first signatures (the exact-dup keep
-    # window's content-hash shuffle precedes the shingle explode)
-    "ml_minhash_candidate_pairs": (8, []),
+    # window's content-hash shuffle precedes the shingle explode).
+    # Recalibrated r12: _exact_canonicals now decides on the NARROW
+    # (doc_id, content_hash) proxy and attaches documents via a doc_id
+    # semi join — the printed count gains the proxy window's exchange and
+    # the semi join's pre-AQE exchange pair (AQE broadcasts the id set at
+    # runtime), while the bytes through the former full-row content-hash
+    # exchange drop to 24 B/row. Measured 8 in a cold session; when an
+    # earlier query in the session has already warmed the shingle cache,
+    # the InMemoryRelation reprints its whole build subtree (now carrying
+    # the proxy window + semi join) inside this plan — printed-count
+    # inflation only, the cached relation is built once.
+    "ml_minhash_candidate_pairs": (16, []),
     "ml_exact_dup": (4, []),
     # candidates-only verify: the doc-shingle side joins candidates twice;
-    # centroid/eval sides must stay broadcast
-    "ml_ngram_jaccard": (21, ["BroadcastHashJoin"]),
+    # centroid/eval sides must stay broadcast. Recalibrated r12 (narrow
+    # _exact_canonicals): the cached shingle relation's build plan — now
+    # carrying the proxy window + semi join — reprints inside every
+    # InMemoryRelation consumer branch, inflating the PRINTED count by
+    # ~2-3 per reprint (measured 30; the relation is built once).
+    "ml_ngram_jaccard": (36, ["BroadcastHashJoin"]),
     "ml_ivf_topk": (14, ["BroadcastHashJoin"]),
     "ml_lsh_topk": (7, ["BroadcastHashJoin"]),
     # one iteration of min-label propagation (the registered fixed-point
@@ -75,8 +89,11 @@ BUDGETS = {
     "ml_embedding_dup_clusters": (5, []),
     # span dedup: one exchange on the window hash (the shared-flag window
     # rides it), one groupBy(doc_id), one join back, ordering — a budget
-    # blow here means grams started shuffling as strings or twice
-    "ml_ngram_span_dedup": (8, []),
+    # blow here means grams started shuffling as strings or twice.
+    # Recalibrated r12: +2 printed for the narrow-canonicals proxy window
+    # + semi join (full-text rows no longer cross the canonical window's
+    # exchange; measured 3.40 -> 1.79 s at sf0.1). Measured 9.
+    "ml_ngram_span_dedup": (11, []),
     # quantile profile: one partial+final agg pair per grouping; the exact
     # percentile sorts within groups, not through one partition
     "ml_source_quantiles": (4, []),
@@ -86,8 +103,10 @@ BUDGETS = {
     # forced broadcast (membership is data-scaled)
     "ml_dedup_keep_list": (16, []),
     # canonical-first containment: exact-keep window + span-gram bucket
-    # expansion + candidates-only shingle intersection
-    "ml_ngram_containment": (20, []),
+    # expansion + candidates-only shingle intersection. Recalibrated r12:
+    # cached-shingle reprints of the narrow-canonicals build plan, same
+    # printed-count inflation as ml_ngram_jaccard (measured 30).
+    "ml_ngram_containment": (36, []),
     # seven plans (brute truth + lsh/multiprobe/ivf/ivf_sq8/ivf_pq/pq),
     # each evaluated ONCE (returned+hits fold in one groupBy); a jump here
     # means a statistic started re-evaluating an index subtree. Measured
@@ -162,8 +181,10 @@ BUDGETS = {
     # recall: the exact-Jaccard truth is MATERIALIZED (localCheckpoint,
     # shared derivation) — the live plan is candidate build + flag join
     # over the checkpoint scan. A blow here means the truth subtree is
-    # being re-derived inline again (r8: 29 exchanges; r9: 8)
-    "ml_lsh_dedup_recall": (8, []),
+    # being re-derived inline again (r8: 29 exchanges; r9: 8; r12: 10
+    # with the narrow-canonicals proxy window + semi join in the
+    # candidate build — see ml_minhash_candidate_pairs)
+    "ml_lsh_dedup_recall": (12, []),
     "f21_collector_platform": (2, []),
     # winnowing: selection is map-only row-local arrays; matching buckets
     # by fingerprint (groupBy + in-bucket expansion, LSH shape) and the
