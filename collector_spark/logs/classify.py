@@ -40,104 +40,180 @@ def classify(spark: SparkSession) -> DataFrame:
 
 _CHUNK = 16
 
+# r13 rewrite-then-split classification (guide §4 "cut regex evaluations",
+# the parse.py idiom). The r12 shape evaluated the matched rule's regex up
+# to FOUR times per line: the pass-1 rlike, a merged-class rlike re-check
+# in each detail chain, and one regexp_extract each for detail_num /
+# detail_text. Now:
+#
+#   pass 1 (_rule_id_expr): the prefix-short-circuited rlike chain —
+#     r12's proven codegen shape, additionally first-char-bucketed —
+#     yields the matched rule's global INDEX (one regex evaluation);
+#   pass 2 (_rewrite_expr): keyed on that index with cheap int equality,
+#     ONE regexp_replace rewrites the line into `num<SEP><TXT>text<SEP>`
+#     — both details in one more evaluation (anchored regexes match at
+#     most once, so replace == rewrite-if-match and the unmatched tail
+#     lands after the final SEP);
+#   pass 3: classification = an array-literal lookup by index; num/txt
+#     come off the split rewrite.
+#
+# Two regex evaluations of the matched rule per line, total, and no
+# merged-class re-checks (the index pins the rule exactly). Each pass is
+# its own projection layer and therefore its own generated doConsume
+# method: a single fused chain of 115 (rlike + regexp_replace) branches
+# blew the JVM's 64 KB method limit in operator contexts where Spark
+# cannot split expressions out (observed as ERROR CodeGenerator + silent
+# interpreted fallback on tr_syslog_classify during this round's
+# verification), while these bounded layers each stay well under it. The
+# control-char separators never occur in postgres log text (the parse.py
+# assumption, same corpus).
+_RSEP = "\x01"
+# marks "the matched rule HAS a text group": an absent group must yield
+# NULL detail_text while a present-but-unmatched alternate yields '' —
+# the flag byte keeps the two distinguishable after the split
+_RTXT = "\x03"
 
-def _classification_expr() -> Column:
-    """Pass 1: the prefix-short-circuited when-chain assigns the class — as
-    a COALESCE of bounded sub-chains rather than one monolithic CASE. A
-    single 115-branch nested CASE is one expression whose generated Java
-    exceeds the method-size limit, so the whole projection silently falls
-    back to interpreted evaluation; each ~16-rule sub-chain codegens into
-    its own method. First-match-wins is preserved: coalesce takes the
-    first non-null sub-chain in RULES order, and each sub-chain keeps
-    rule order internally (NULL when none of its rules match)."""
-    subchains: list[Column] = []
-    for start in range(0, len(RULES), _CHUNK):
-        chunk = RULES[start : start + _CHUNK]
+assert all(r.regex.startswith("^") for r in RULES)
+assert all(
+    set(r.classification).isdisjoint({_RSEP, _RTXT, "$", "\\"}) for r in RULES
+)
+
+
+def _rule_id_expr() -> Column:
+    """First-match-wins rule INDEX (int, NULL when no rule matches) — the
+    r12 chain shape (COALESCE of bounded ~16-rule sub-chains; a monolithic
+    115-branch CASE exceeds the codegen method limit) with the branch
+    value a literal int instead of the classification string, plus a
+    first-character gate per sub-chain: rule prefixes are non-empty
+    literals, so a rule can only match lines starting with one of its
+    prefixes' first characters — a line evaluates only its bucket's ~6-30
+    prefix tests instead of all 115 (r12 verdict item 4). First-match-wins
+    is preserved: a line's first char selects exactly the buckets holding
+    every rule that could match it, bucket membership keeps global RULES
+    order, and coalesce takes the first non-null gated sub-chain."""
+    buckets: dict[str, list[int]] = {}
+    for i, r in enumerate(RULES):
+        for c in sorted({p[0] for p in r.prefixes}):
+            buckets.setdefault(c, []).append(i)
+    first = F.substring(F.col("content"), 1, 1)
+    chunks: list[Column] = []
+    for c in sorted(buckets):
+        for start in range(0, len(buckets[c]), _CHUNK):
+            sub: Column = F.lit(None).cast("int")
+            for i in reversed(buckets[c][start : start + _CHUNK]):
+                sub = F.when(_match(RULES[i]), F.lit(i)).otherwise(sub)
+            chunks.append(F.when(first == c, sub))
+    return F.coalesce(*chunks)
+
+
+def _rewrite_expr(rid: Column) -> Column:
+    """Pass 2: ONE regexp_replace of the matched rule (selected by cheap
+    int equality on the pass-1 index) emitting `num<SEP><TXT>text<SEP>` —
+    only rules that declare a detail group appear; all other (and
+    unmatched) lines yield NULL."""
+    detailed = [
+        (i, r) for i, r in enumerate(RULES) if r.num_group or r.text_group
+    ]
+    chunks: list[Column] = []
+    for start in range(0, len(detailed), _CHUNK):
         sub: Column = F.lit(None).cast("string")
-        for r in reversed(chunk):
-            sub = F.when(_match(r), F.lit(r.classification)).otherwise(sub)
-        subchains.append(sub)
-    return F.coalesce(*subchains, F.lit("UNCLASSIFIED"))
+        for i, r in reversed(detailed[start : start + _CHUNK]):
+            num = f"${r.num_group}" if r.num_group else ""
+            txt = f"{_RTXT}${r.text_group}" if r.text_group else ""
+            repl = f"{num}{_RSEP}{txt}{_RSEP}"
+            sub = F.when(
+                rid == i, F.regexp_replace(F.col("content"), r.regex, repl)
+            ).otherwise(sub)
+        chunks.append(sub)
+    return F.coalesce(*chunks)
 
 
-def _detail_exprs() -> tuple[Column, Column]:
-    """Pass 2 (evaluates against a present ``classification`` column):
-    detail extraction keyed by the classification value — cheap string
-    equality instead of re-running the prefix+regex chain. Since the enum
-    alignment several rules share one classification (reference semantics:
-    e.g. four CHECK_CONSTRAINT shapes, three CONNECTION_REJECTED shapes);
-    ONLY those rules add their own match to the key (equality alone would
-    apply the wrong rule's extraction regex to merged-class rows), and the
-    equality gate short-circuits so the extra rlike only runs for rows of
-    the shared class. Unique-class rules keep the equality-only fast
-    path."""
-    from collections import Counter
+def _class_array() -> Column:
+    # built lazily: column construction needs an active SparkContext, and
+    # this module is imported by the catalog before any session exists
+    return F.array(*[F.lit(r.classification) for r in RULES])
 
-    class_counts = Counter(r.classification for r in RULES)
 
-    def _detail_chain(rules, build) -> Column:
-        # same bounded-sub-chain shape as pass 1 (codegen method limit);
-        # exact because at most one rule's condition is true per row —
-        # class equality selects the rule for unique classes, the added
-        # match disambiguates merged ones
-        subs: list[Column] = []
-        for start in range(0, len(rules), _CHUNK):
-            sub: Column = F.lit(None).cast("string")
-            for r in reversed(rules[start : start + _CHUNK]):
-                m = F.col("classification") == r.classification
-                if class_counts[r.classification] > 1:
-                    m = m & _match(r)
-                sub = F.when(m, build(r)).otherwise(sub)
-            subs.append(sub)
-        return F.coalesce(*subs)
+def _rewrite_groups(regex: str, n_groups: int) -> Column:
+    """ALL capture groups of an (anchored) regex in ONE evaluation — the
+    shared rewrite-then-split helper (r12 verdict item 9): a single
+    regexp_replace rewrites a matched line into its SEP-joined groups
+    (group i lands at array index i-1), so each former per-group
+    regexp_extract becomes a cheap array index. Non-participating groups
+    render as '' exactly like regexp_extract; the unmatched tail of the
+    line lands after the final SEP (indices >= n_groups, never read). The
+    caller's filter must guarantee the regex matches (the extractors all
+    gate on prefix + rlike), and the result column should be materialized
+    in its own projection layer so the rewrite runs once per line."""
+    assert regex.startswith("^"), "rewrite-then-split needs an anchored regex"
+    repl = _RSEP.join(f"${i}" for i in range(1, n_groups + 1)) + _RSEP
+    return F.split(F.regexp_replace(F.col("content"), regex, repl), _RSEP)
 
-    num = _detail_chain(
-        [r for r in RULES if r.num_group],
-        # nullif: the num group may be an unmatched alternate (e.g. the
-        # wraparound OID-vs-name alternation) — NULL, not a '' cast
-        lambda r: F.nullif(
-            F.regexp_extract(F.col("content"), r.regex, r.num_group), F.lit("")
-        ),
-    ).cast("double")
-    txt = _detail_chain(
-        [r for r in RULES if r.text_group],
-        lambda r: F.regexp_extract(F.col("content"), r.regex, r.text_group),
+
+def _classified_cols(rid: Column, parts: Column) -> tuple[Column, Column, Column]:
+    """(classification, detail_num, detail_text) from the pass-1 index and
+    the split pass-2 rewrite. Value-exact vs the r12 two-pass chains: an
+    unmatched line has NULL rid/parts -> UNCLASSIFIED / NULL / NULL; a
+    rule without num_group wrote '' -> nullif -> NULL (same as a
+    present-but-empty capture, exactly like regexp_extract + nullif);
+    detail_text distinguishes absent group (no flag byte -> NULL) from
+    empty capture (flag byte alone -> '')."""
+    cls = F.coalesce(F.get(_class_array(), rid), F.lit("UNCLASSIFIED"))
+    num = F.nullif(F.get(parts, 0), F.lit("")).cast("double")
+    txtf = F.get(parts, 1)
+    txt = F.when(
+        F.startswith(txtf, F.lit(_RTXT)), F.substring(txtf, 2, 2147483647)
     )
-    return num, txt
+    return cls, num, txt
 
 
 def classify_df(stitched: DataFrame) -> DataFrame:
     """Classify a stitched-lines frame — batch OR streaming (stateless
-    projection, so the same plan runs on the sessionizer's stream output)."""
+    projection, so the same plan runs on the sessionizer's stream output).
+
+    Three-layer projection on purpose (see the pass notes above): `_rid`
+    and `_parts` are each referenced several times downstream, so
+    CollapseProject keeps the layers separate — each pass evaluates ONCE
+    per line in its own codegen method."""
     lines = stitched.filter(F.col("log_level").isin(*PRIMARY_LEVELS))
-    classified = lines.select(
-        "pid", "seq", "log_level", "content",
-        _classification_expr().alias("classification"),
+    ridded = lines.select(
+        "pid", "seq", "log_level", "content", _rule_id_expr().alias("_rid")
     )
-    num, txt = _detail_exprs()
-    return classified.select(
+    staged = ridded.select(
         "pid",
         "seq",
         "log_level",
-        "classification",
+        F.col("_rid"),
+        F.split(_rewrite_expr(F.col("_rid")), _RSEP).alias("_parts"),
+    )
+    cls, num, txt = _classified_cols(F.col("_rid"), F.col("_parts"))
+    return staged.select(
+        "pid",
+        "seq",
+        "log_level",
+        cls.alias("classification"),
         num.alias("detail_num"),
         txt.alias("detail_text"),
     )
 
 
 def classify_wide(lines: DataFrame) -> DataFrame:
-    """``classify_df``'s rule chains as ADDED columns over a stitched-shaped
+    """``classify_df``'s rule chain as ADDED columns over a stitched-shaped
     frame, keeping every input column: primaries get the classification +
     detail columns, secondaries carry NULLs (the fact's left-join
     semantics, computed inline). Stateless, so the full log lifecycle can
     compose into ONE projection on the sessionizer's stream output."""
     is_primary = F.col("log_level").isin(*PRIMARY_LEVELS)
-    step1 = lines.withColumn(
-        "classification", F.when(is_primary, _classification_expr())
+    ridded = lines.withColumn("_rid", F.when(is_primary, _rule_id_expr()))
+    staged = ridded.withColumn(
+        "_parts", F.split(_rewrite_expr(F.col("_rid")), _RSEP)
     )
-    num, txt = _detail_exprs()
-    return step1.withColumn("detail_num", F.when(is_primary, num)).withColumn(
-        "detail_text", F.when(is_primary, txt)
+    cls, num, txt = _classified_cols(F.col("_rid"), F.col("_parts"))
+    return (
+        staged.withColumn("classification", F.when(is_primary, cls))
+        .withColumn("detail_num", num)
+        .withColumn("detail_text", txt)
+        .drop("_rid", "_parts")
     )
 
 
@@ -229,15 +305,21 @@ _AV_GROUPS: list[tuple[int, str, str, bool]] = [
 
 def autovacuum_details(spark: SparkSession) -> DataFrame:
     """U7 depth: typed per-field extraction from autovacuum completion
-    lines. One prefix filter + one regex evaluation per matching line (the
-    extracts share the pattern; group count only widens the match)."""
+    lines. One prefix filter + filter-rlike, then ONE rewrite evaluation
+    per matching line yields all 21 groups (r13: was one regexp_extract
+    per group — 21 evaluations of the shared pattern per line)."""
     lines = stitch_lines(spark).filter(
         F.col("content").startswith("automatic ")
         & F.col("content").rlike(AUTOVACUUM_DETAIL_RE)
     )
+    staged = lines.select(
+        "pid",
+        "seq",
+        _rewrite_groups(AUTOVACUUM_DETAIL_RE, len(_AV_GROUPS)).alias("_g"),
+    )
     cols: list[Column] = [F.col("pid"), F.col("seq")]
     for gi, name, typ, optional in _AV_GROUPS:
-        e = F.regexp_extract(F.col("content"), AUTOVACUUM_DETAIL_RE, gi)
+        e = F.get(F.col("_g"), gi - 1)
         if typ == "flag":
             cols.append((e != "").alias(name))
         elif typ == "string":
@@ -245,7 +327,7 @@ def autovacuum_details(spark: SparkSession) -> DataFrame:
         else:
             e = F.nullif(e, F.lit("")) if optional else e
             cols.append(e.cast(typ).alias(name))
-    return lines.select(*cols).orderBy("pid", "seq")
+    return staged.select(*cols).orderBy("pid", "seq")
 
 
 def oracle_autovacuum_details(stitched_cte: str) -> str:
@@ -380,9 +462,15 @@ def _checkpoint_details_from(stitched: DataFrame) -> DataFrame:
         )
         & F.col("content").rlike(CHECKPOINT_DETAIL_RE)
     )
+    # one rewrite evaluation yields all 17 groups (r13; was 17 extracts)
+    staged = lines.select(
+        "pid",
+        "seq",
+        _rewrite_groups(CHECKPOINT_DETAIL_RE, len(_CKPT_GROUPS)).alias("_g"),
+    )
     cols: list[Column] = [F.col("pid"), F.col("seq")]
     for gi, name, typ, optional in _CKPT_GROUPS:
-        e = F.regexp_extract(F.col("content"), CHECKPOINT_DETAIL_RE, gi)
+        e = F.get(F.col("_g"), gi - 1)
         if typ in ("string", "optstring"):
             cols.append(
                 F.nullif(e, F.lit("")).alias(name) if optional else e.alias(name)
@@ -390,7 +478,7 @@ def _checkpoint_details_from(stitched: DataFrame) -> DataFrame:
         else:
             e2 = F.nullif(e, F.lit("")) if optional else e
             cols.append(e2.cast(typ).alias(name))
-    return lines.select(*cols).orderBy("pid", "seq")
+    return staged.select(*cols).orderBy("pid", "seq")
 
 
 def oracle_checkpoint_details(stitched_cte: str) -> str:
@@ -452,11 +540,15 @@ def _session_details_from(stitched: DataFrame) -> DataFrame:
         F.col("content").startswith("disconnection: ")
         & F.col("content").rlike(DISCONNECT_RE)
     )
-    g = lambda i: F.regexp_extract(F.col("content"), DISCONNECT_RE, i)  # noqa: E731
+    # one rewrite evaluation yields all 6 groups (r13; was 6 extracts)
+    staged = lines.select(
+        "pid", "seq", _rewrite_groups(DISCONNECT_RE, 6).alias("_g")
+    )
+    g = lambda i: F.get(F.col("_g"), i - 1)  # noqa: E731
     secs = (
         g(1).cast("double") * 3600 + g(2).cast("double") * 60 + g(3).cast("double")
     )
-    return lines.select(
+    return staged.select(
         "pid",
         "seq",
         secs.alias("session_time_secs"),
@@ -505,13 +597,15 @@ def _lock_details_from(stitched: DataFrame) -> DataFrame:
     lines = stitched.filter(
         F.col("content").startswith("process ") & F.col("content").rlike(LOCK_RE)
     )
-    g = lambda i: F.regexp_extract(F.col("content"), LOCK_RE, i)  # noqa: E731
+    # one rewrite evaluation yields all 5 groups (r13; was ~7 extracts)
+    staged = lines.select("pid", "seq", _rewrite_groups(LOCK_RE, 5).alias("_g"))
+    g = lambda i: F.get(F.col("_g"), i - 1)  # noqa: E731
     raw_type = g(4)
     mapped = raw_type
     for src, dst in reversed(_LOCK_TYPE_MAP):
         mapped = F.when(raw_type == src, F.lit(dst)).otherwise(mapped)
     lock_type = F.when(g(2) == "acquired", raw_type).otherwise(mapped)
-    return lines.select(
+    return staged.select(
         "pid",
         "seq",
         g(1).cast("int").alias("lock_pid"),
@@ -1039,11 +1133,15 @@ def autoanalyze_details(spark: SparkSession) -> DataFrame:
         F.col("content").startswith("automatic analyze of table")
         & F.col("content").rlike(AUTOANALYZE_RE)
     )
-    g = lambda i: F.regexp_extract(F.col("content"), AUTOANALYZE_RE, i)  # noqa: E731
+    # one rewrite evaluation yields all 14 groups (r13; was ~17 extracts)
+    staged = lines.select(
+        "pid", "seq", _rewrite_groups(AUTOANALYZE_RE, 14).alias("_g")
+    )
+    g = lambda i: F.get(F.col("_g"), i - 1)  # noqa: E731
     opt_d = lambda i: F.nullif(g(i), F.lit("")).cast("double")  # noqa: E731
     opt_l = lambda i: F.nullif(g(i), F.lit("")).cast("long")  # noqa: E731
     legacy = g(9) != ""
-    return lines.select(
+    return staged.select(
         "pid",
         "seq",
         F.split_part(g(1), F.lit("."), F.lit(1)).alias("database"),
@@ -1192,9 +1290,17 @@ def _autovacuum_full_from(stitched: DataFrame) -> DataFrame:
         F.col("content").startswith("automatic ")
         & F.col("content").rlike(AUTOVACUUM_FULL_RE)
     )
+    # ONE rewrite evaluation of the 53-group regex per matched line (r13;
+    # the former per-reference regexp_extract ran it ~60x per line — every
+    # column plus every version-gate re-evaluated the full pattern)
+    staged = lines.select(
+        "pid",
+        "seq",
+        _rewrite_groups(AUTOVACUUM_FULL_RE, len(_AV_FULL_NAMES)).alias("_g"),
+    )
 
     def g(name: str) -> Column:
-        return F.regexp_extract(F.col("content"), AUTOVACUUM_FULL_RE, _AV_IDX[name])
+        return F.get(F.col("_g"), _AV_IDX[name] - 1)
 
     def opt(name: str, typ: str) -> Column:
         return F.nullif(g(name), F.lit("")).cast(typ)
@@ -1208,7 +1314,7 @@ def _autovacuum_full_from(stitched: DataFrame) -> DataFrame:
     legacy_cpu = g("cpu_u") != ""
     has_wal = g("wal_records") != ""
     has_wrap = g("wraparound") != ""
-    return lines.select(
+    return staged.select(
         "pid",
         "seq",
         (g("aggressive") != "").alias("aggressive"),

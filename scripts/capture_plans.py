@@ -4,7 +4,7 @@
 Usage:
     python scripts/capture_plans.py <suffix> [query ...]
 
-Writes plans/r12/<query>_<suffix>.txt for each named query (default: the
+Writes plans/r13/<query>_<suffix>.txt for each named query (default: the
 bench headliners). The suffix is normally "before" or "after". Plans are
 captured from a fresh session at $SPARK_GRAFT_SF_DIR (default sf0.1) —
 the same surface the bench times.
@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
 )
 
 
