@@ -103,9 +103,17 @@ def ranked_rows(
         .cast("long"),
     )
     counts = ranged.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    rank = F.col("_off") + F.col("_lrn") - 1
+    # int32 guard (r13 ADVICE fix): unlike dense_index — whose int32 spans
+    # only DISTINCT dim keys — this ranks every input row, so past 2^31
+    # rows the cast would silently wrap into negative/duplicate refs. The
+    # guard is one row-local comparison; out-of-range raises instead.
+    guarded = F.when(rank <= F.lit(2147483647), rank).otherwise(
+        F.raise_error(F.lit("ranked_rows: rank exceeds int32 range"))
+    )
     ranked = (
         local.join(F.broadcast(_offsets_of(counts)), "_pid")
-        .withColumn(idx_name, (F.col("_off") + F.col("_lrn") - 1).cast("int"))
+        .withColumn(idx_name, guarded.cast("int"))
         .drop("_pid", "_lrn", "_off")
     )
     return ranged.drop("_pid"), ranked

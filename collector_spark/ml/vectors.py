@@ -318,7 +318,18 @@ def _verify_pairs(
     near-dup forms, and — with ``stats_b`` and cross-side key names — of
     the incremental screen): row-local map-fold dot, cross-multiplied
     integer threshold compare, cosine double derived from the same
-    integers."""
+    integers.
+
+    CONTRACT (r13, ADVICE fix — was an unchecked comment-level
+    convention): ``pairs`` MUST arrive hash-partitioned on ``key_a`` at
+    defaultParallelism — every in-repo caller routes through
+    ``_dedup_pairs``, whose exchange provides exactly that. The fold below
+    is CPU-dense but byte-light, so a caller passing a raw or re-shuffled
+    pair relation silently reintroduces the AQE byte-coalescing
+    serialization the r11 pin fixed (verify tail 2.2 -> 4.8-6.4 s at
+    sf0.1). Route new pair sources through ``_dedup_pairs`` rather than
+    repartitioning here — an unconditional repartition would double the
+    exchange for every existing caller."""
     sa = stats.select(
         F.col("doc_id").alias(key_a), F.col("vec").alias("va"),
         F.col("norm_sq").alias("norm_a"),

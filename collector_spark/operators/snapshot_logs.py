@@ -48,22 +48,20 @@ def snapshot_log_fact(spark: SparkSession) -> DataFrame:
     parsed = parse_lines(spark)
     stitched = stitch_df(parsed)
     ts = parsed.select("pid", "seq", "collected_at")
-    # materialize the staged lines ONCE (r12, the log_pipeline_full
-    # lesson): six branches consume this relation — the ref ranking,
-    # classification, association, and the role/database dims — and each
-    # would otherwise re-derive parse -> stitch from the raw pin.
-    # classify/associate read the joined frame rather than `stitched` for
-    # the same reason (the (pid, seq) ts join is 1:1, so the frames are
-    # value-identical for both). Measured at sf0.1 (registered form,
-    # fresh session, median-of-3): 12.9 -> 9.1 s.
+    # `ranged` is the shared materialization (r13, ADVICE fix): the staged
+    # join's ONLY consumer is ranked_rows, which range-partitions and
+    # eagerly localCheckpoints the full relation — every downstream branch
+    # (the ref ranking, classification, association, role/database dims)
+    # reads that one checkpointed copy, so a second lazy checkpoint here
+    # would just store every staged log line twice. classify/associate read
+    # the joined frame rather than `stitched` because the (pid, seq) ts
+    # join is 1:1 (value-identical frames for both).
     #
     # log_line_ref via ranked_rows, not dense_index (r12 optimization):
     # (collected_at, pid, seq) is unique per stitched line, so the dim
     # machinery's distinct pass (executed twice — range-sample + checkpoint)
-    # and the rank join-back exchange were pure overhead; the rows are
-    # range-partitioned once and every other branch (classification,
-    # association, dims) reads that materialized relation.
-    staged = stitched.join(ts, ["pid", "seq"]).localCheckpoint(eager=False)
+    # and the rank join-back exchange were pure overhead.
+    staged = stitched.join(ts, ["pid", "seq"])
     ranged, lines = ranked_rows(
         staged, ["collected_at", "pid", "seq"], "log_line_ref"
     )
@@ -227,15 +225,13 @@ def log_pipeline_full(spark: SparkSession) -> DataFrame:
     stitched = stitch_df(parsed)
     lines = stitched.join(parsed.select("pid", "seq", "collected_at"), ["pid", "seq"])
     wide = classify_wide(lines).withColumn("content", redact_content_expr())
-    # materialize the line-staged relation ONCE: the fact assembly consumes
-    # it from five branches (the ref dense_index — whose checkpoint
-    # materializes EAGERLY at plan-construction time — the lines join, the
-    # association window, and the role/database dims), each of which would
-    # otherwise re-derive the parse -> stitch -> classify -> redact subtree.
-    # Measured at sf0.1 (registered form, fresh session, median-of-3):
-    # 13.6 -> 9.3 s. The streaming twin gets the same shape for free (its
-    # stream output is already a checkpointed relation).
-    return log_pipeline_fact(wide.localCheckpoint(eager=False))
+    # the parse -> stitch -> classify -> redact subtree materializes ONCE —
+    # inside log_pipeline_fact's ranked_rows, whose eager localCheckpoint
+    # of the range-partitioned rows is the copy all five assembly branches
+    # read (r12: 13.6 -> 9.3 s vs re-deriving per branch; r13 ADVICE fix:
+    # the former lazy checkpoint HERE was a redundant second copy of every
+    # line, since ranked_rows is the sole consumer).
+    return log_pipeline_fact(wide)
 
 
 def oracle_log_pipeline_full() -> str:

@@ -387,17 +387,19 @@ def stream_log_pipeline(
     per-line records, so the assembled fact is batch-equal."""
     from collector_spark.operators.snapshot_logs import log_pipeline_fact
 
-    # localCheckpoint: the assembly self-joins its input (refs twice,
-    # association) and a bare memory-sink MemoryPlan cannot deduplicate
-    # conflicting references across self-join branches (the repo's
-    # memory-sink self-join discipline); the checkpointed RDD relation can.
+    # the assembly self-joins its input (refs twice, association), which a
+    # bare memory-sink MemoryPlan cannot serve across self-join branches
+    # (the repo's memory-sink self-join discipline) — satisfied by
+    # log_pipeline_fact's ranked_rows, whose eager localCheckpoint of the
+    # range-partitioned rows is the one relation every branch reads (r13
+    # ADVICE fix: the former lazy checkpoint here duplicated that copy).
     out = _run_stream(spark, pipeline_stream, max_files_per_trigger)
     # timestamp_ntz: the batch side reads parquet TIMESTAMP_NTZ while the
     # streaming state schema carries TimestampType — value-identical under
     # the session's pinned UTC; align the flavor so the two compositions
     # share one schema (and one oracle hash)
     out = out.withColumn("collected_at", F.col("collected_at").cast("timestamp_ntz"))
-    return log_pipeline_fact(out.localCheckpoint(eager=False))
+    return log_pipeline_fact(out)
 
 
 def stream_classify(spark: SparkSession, max_files_per_trigger: int | None = None) -> DataFrame:
