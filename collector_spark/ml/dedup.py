@@ -329,22 +329,35 @@ ORDER BY doc_a, doc_b
 _SHINGLE_CACHE: dict[int, DataFrame] = {}
 
 
-def _persisted_shingles(spark: SparkSession) -> DataFrame:
+def _persisted_shingles(
+    spark: SparkSession, canon: DataFrame | None = None
+) -> DataFrame:
     """Canonical-doc shingle relation, persisted once per session. Every
     consumer (verify-stage Jaccard, containment sizes, recall/tuning truth)
     operates on the exact-dedup keep set — per-doc shingle sets are
     identical to the unfiltered relation for surviving docs, and dropped
-    exact-dup siblings are the E1 stage's responsibility, not LSH's."""
+    exact-dup siblings are the E1 stage's responsibility, not LSH's.
+
+    ``canon``: a composition that has already derived the E1 keep set
+    (dedup_keep_list / export) passes it so the cached relation builds
+    from the shared checkpointed decision instead of re-running the
+    content-hash window + md5 pass inside a private `_exact_canonicals`
+    subtree (r12 carry item; value-identical by the E1 keep contract)."""
     prev = _SHINGLE_CACHE.pop(id(spark), None)
     if prev is not None:
         prev.unpersist()
-    sh = _shingle_hashes(_exact_canonicals(spark.table("documents"))).persist()
+    if canon is None:
+        canon = _exact_canonicals(spark.table("documents"))
+    sh = _shingle_hashes(canon).persist()
     _SHINGLE_CACHE[id(spark)] = sh
     return sh
 
 
 def ngram_jaccard_pairs(
-    spark: SparkSession, threshold: float = 0.5, cand: DataFrame | None = None
+    spark: SparkSession,
+    threshold: float = 0.5,
+    cand: DataFrame | None = None,
+    canon: DataFrame | None = None,
 ) -> DataFrame:
     """Verify stage: exact shingle Jaccard for LSH candidate pairs.
 
@@ -356,7 +369,7 @@ def ngram_jaccard_pairs(
     being recomputed through live lineage at scale. The cache is scoped via
     ``_persisted_shingles`` — one live copy per session, not one per call.
     """
-    sh = _persisted_shingles(spark)
+    sh = _persisted_shingles(spark, canon)
     if cand is None:
         cand = _candidate_pairs_from(_signatures_from(sh))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -472,7 +485,10 @@ def connected_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
 
 
 def dup_clusters(
-    spark: SparkSession, threshold: float = 0.5, cand: DataFrame | None = None
+    spark: SparkSession,
+    threshold: float = 0.5,
+    cand: DataFrame | None = None,
+    canon: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate clusters: connected components over the verified near-dup
     pair graph, labeling every member with the minimum doc_id reachable
@@ -480,8 +496,12 @@ def dup_clusters(
 
     Output: one row per doc participating in >=1 verified pair —
     (doc_id, cluster_id = min reachable doc_id, cluster_size, is_canonical).
-    """
-    pairs = ngram_jaccard_pairs(spark, threshold, cand).select("doc_a", "doc_b")
+
+    ``canon`` threads a composition-level E1 keep set down to the shingle
+    cache build (see _persisted_shingles)."""
+    pairs = ngram_jaccard_pairs(spark, threshold, cand, canon).select(
+        "doc_a", "doc_b"
+    )
     labels = connected_components(pairs)
     sizes = labels.groupBy("label").agg(F.count("*").cast("long").alias("cluster_size"))
     # plain key join, NOT broadcast: cluster count is data-scaled (on a
@@ -743,7 +763,11 @@ def dedup_keep_list(
             exact.filter("keep").select("doc_id"), "doc_id", "semi"
         )
     exact = exact.select("doc_id", F.col("keep").alias("exact_keep"))
-    near = (dup_clusters(spark) if near is None else near).select(
+    # canon rides down to the shingle-cache build too (r13, the r12 carry
+    # item): without it the cached shingle relation re-derived the
+    # content-hash window + md5 pass inside its own _exact_canonicals
+    # subtree — the LAST duplicate E1 computation in this composition
+    near = (dup_clusters(spark, canon=canon) if near is None else near).select(
         "doc_id", "cluster_id", "is_canonical"
     )
     span = ngram_span_dedup(spark, canon=canon).select(
