@@ -20,6 +20,32 @@ def _plan(prepared_spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _live_count(plan: str, needle: str) -> int:
+    """Occurrences of ``needle`` OUTSIDE InMemoryRelation build subtrees
+    (r13, ADVICE fix): a cached relation's stored build plan reprints
+    inside every consumer branch — and reprints MORE once an earlier query
+    in the session has warmed the cache — so counting the raw string made
+    budgets session-order-dependent and forced ceilings ~2x the live plan's
+    exchange count. The build subtree executes once per cache
+    materialization, not per query; the LIVE plan is what a per-query
+    budget should bound. Subtree extent comes from tree-print indentation:
+    a child renders at a strictly greater name column than its parent."""
+    n = 0
+    skip_col: int | None = None
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-")
+        col = len(line) - len(stripped)
+        if skip_col is not None:
+            if col > skip_col and stripped:
+                continue
+            skip_col = None
+        if stripped.startswith("InMemoryRelation"):
+            skip_col = col
+            continue
+        n += line.count(needle)
+    return n
+
+
 # name -> (max total Exchange occurrences in the printed plan, must-contain
 # fragments). The counts include cached-fixture subtrees and AQE reprints,
 # so the ceilings are calibrated ~15-30% above today's measured values —
@@ -393,11 +419,11 @@ def test_no_forced_broadcast_on_data_scaled_edges(prepared_spark, name):
 def test_plan_budget(prepared_spark, name):
     budget, must_contain = BUDGETS[name]
     plan = _plan(prepared_spark, name)
-    n_exchange = plan.count("Exchange ")
+    n_exchange = _live_count(plan, "Exchange ")
     assert n_exchange <= budget, f"{name}: {n_exchange} exchanges > budget {budget}"
     # the invariant that matters most at scale: nothing funnels the data
     # through one task (1-row gauge/grand-total subtrees excepted, above)
-    n_single = plan.count("Exchange SinglePartition")
+    n_single = _live_count(plan, "Exchange SinglePartition")
     assert n_single <= SINGLE_PARTITION_OK.get(name, 0), (
         f"{name}: {n_single} single-partition exchanges"
     )
