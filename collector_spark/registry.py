@@ -155,6 +155,22 @@ def prepare(spark: SparkSession, sf_dir: str) -> None:
     _pinned(
         spark, "fx_index_rows", lambda: spark.sql(_fx_sql("index_rows", "spark"))
     ).createOrReplaceTempView("index_rows")
+    # F1/F2 statement fixtures (r13, verdict item 6): stmt_snap1/stmt_snap2
+    # are GROUP BYs over the orders><lineitem join and stmt_texts a DISTINCT
+    # over key-determined expressions — all bounded O(distinct statement
+    # keys) rollups (<= ~25k rows at any SF), i.e. exactly the pinned()
+    # design contract. They are the INPUT contract (pg_stat_statements
+    # arrives as data in the reference; the operators under test are the
+    # diff/rollup/fingerprint stages), yet every statement-family query
+    # re-derived all three per run — six widened round-robin exchanges +
+    # two data-sized groupBys per a2 plan at 32 cores, which is why the
+    # fact set read FASTER at 8 cores in the r12 scaling block. Pinned
+    # from the raw fixture SQL (never spark.table — the r12 uncache
+    # cascade find), one build per (session, input dir).
+    for _fx in ("stmt_snap1", "stmt_snap2", "stmt_texts"):
+        _pinned(
+            spark, f"fx_{_fx}", lambda n=_fx: spark.sql(_fx_sql(n, "spark"))
+        ).createOrReplaceTempView(_fx)
     _PREPARED.add(key)
     # a new sf_dir invalidates any previous registration for this session
     for k in list(_PREPARED):
