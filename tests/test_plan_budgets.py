@@ -13,62 +13,72 @@ from __future__ import annotations
 import pytest
 
 
-def _plan(prepared_spark, name: str) -> str:
+def _plan_root(prepared_spark, name: str):
     from collector_spark.registry import REGISTRY
 
     df = REGISTRY[name].spark_fn(prepared_spark)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return df._jdf.queryExecution().executedPlan()
 
 
-def _live_count(plan: str, needle: str) -> int:
-    """Occurrences of ``needle`` OUTSIDE InMemoryRelation build subtrees
+def _live_counts(node) -> tuple[int, int]:
+    """(exchanges, single-partition exchanges) in the LIVE plan tree
     (r13, ADVICE fix): a cached relation's stored build plan reprints
     inside every consumer branch — and reprints MORE once an earlier query
-    in the session has warmed the cache — so counting the raw string made
-    budgets session-order-dependent and forced ceilings ~2x the live plan's
-    exchange count. The build subtree executes once per cache
-    materialization, not per query; the LIVE plan is what a per-query
-    budget should bound. Subtree extent comes from tree-print indentation:
-    a child renders at a strictly greater name column than its parent."""
-    n = 0
-    skip_col: int | None = None
-    for line in plan.splitlines():
-        stripped = line.lstrip(" :+-")
-        col = len(line) - len(stripped)
-        if skip_col is not None:
-            if col > skip_col and stripped:
-                continue
-            skip_col = None
-        if stripped.startswith("InMemoryRelation"):
-            skip_col = col
-            continue
-        n += line.count(needle)
-    return n
+    in the session has warmed the cache — so counting the printed string
+    made budgets session-order-dependent and forced ceilings ~2x the live
+    plan's exchange count. (A first textual cut skipped InMemoryRelation
+    subtrees by indentation; that breaks on cached AQE plans, whose
+    "== Final Plan ==" sections print at RESET indentation and leaked the
+    build plan back into the count.) The tree walk is exact: cached build
+    plans hang off ``innerChildren`` — print-only — while ``children()``
+    stops at the InMemoryTableScan leaf; AQE wrappers resolve to their
+    current plan and query stages to their wrapped plan."""
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        return _live_counts(node.executedPlan())
+    if cls.endswith("QueryStageExec"):
+        return _live_counts(node.plan())
+    n_ex = n_single = 0
+    if "Exchange" in cls:
+        n_ex = 1
+        if (
+            cls == "ShuffleExchangeExec"
+            and node.outputPartitioning().toString() == "SinglePartition"
+        ):
+            n_single = 1
+    children = node.children()
+    for i in range(children.size()):
+        ce, cs = _live_counts(children.apply(i))
+        n_ex += ce
+        n_single += cs
+    return n_ex, n_single
 
 
-# name -> (max total Exchange occurrences in the printed plan, must-contain
-# fragments). The counts include cached-fixture subtrees and AQE reprints,
-# so the ceilings are calibrated ~15-30% above today's measured values —
-# a new data-sized shuffle in the operator itself blows the budget.
+# name -> (max LIVE Exchange nodes in the plan tree, must-contain
+# fragments). Recalibrated r13 to the tree-walk live count + 2 (one extra
+# data-sized shuffle trips the budget; +2 absorbs AQE/stats drift between
+# SFs). Cached-fixture build subtrees no longer count — they execute once
+# per cache materialization, not per query — so historical per-entry notes
+# about printed-count inflation describe the OLD string-count ceilings.
 BUDGETS = {
-    "a1_statement_diff": (12, ["BroadcastHashJoin"]),
+    "a1_statement_diff": (5, ["BroadcastHashJoin"]),
     # warm pinned-rollup cache reprints its child plan inside
     # InMemoryRelation, inflating the count vs a cold session
-    "a2_statement_rollup": (48, ["BroadcastHashJoin"]),
+    "a2_statement_rollup": (9, ["BroadcastHashJoin"]),
     # star assembly: every dim join must broadcast
-    "snapshot_statement_fact": (52, ["BroadcastHashJoin"]),
+    "snapshot_statement_fact": (21, ["BroadcastHashJoin"]),
     # plan fact: stats sum + winner selection ride ONE exchange on
     # (query_idx, plan_id) — the unordered-frame sums share the window's
     # partitioning. The rollup lineage appears twice (query dim + key map)
     # and the warm pinned-rollup cache reprints its child plan inside each
     # InMemoryRelation — same printed-plan inflation as a2/statement_fact
-    "snapshot_plan_fact": (56, ["BroadcastHashJoin"]),
+    "snapshot_plan_fact": (20, ["BroadcastHashJoin"]),
     # backend counts: one map-side-combinable agg on the 5-col key + two
     # broadcast dim joins
-    "snapshot_backend_count_fact": (18, ["BroadcastHashJoin"]),
-    "activity_snapshot": (30, ["BroadcastHashJoin"]),
+    "snapshot_backend_count_fact": (17, ["BroadcastHashJoin"]),
+    "activity_snapshot": (23, ["BroadcastHashJoin"]),
     # relation megascan: anti/equi joins on tiny sets broadcast
-    "s10_relation_scan": (34, ["BroadcastHashJoin"]),
+    "s10_relation_scan": (29, ["BroadcastHashJoin"]),
     # the printed plan embeds the pinned log_raw InMemoryRelation subtree:
     # the fixture union branches each carry one materialization-time
     # repartition — not per-query work. Recalibrated in r12 when the pin
@@ -77,9 +87,9 @@ BUDGETS = {
     # exchanges than the now-visible cached subtree): measured 21/22/22,
     # ceilings sized so one new data-sized shuffle in the OPERATOR blows
     # the budget while fixture-branch count drift does not.
-    "log_parse": (23, ["InMemoryTableScan"]),
-    "w3_log_stitch": (24, ["InMemoryTableScan"]),
-    "u7_log_classify": (24, ["InMemoryTableScan"]),
+    "log_parse": (3, ["InMemoryTableScan"]),
+    "w3_log_stitch": (4, ["InMemoryTableScan"]),
+    "u7_log_classify": (4, ["InMemoryTableScan"]),
     # --- ml dedup/ANN set: K/banding tuning must not add an exchange ---
     # banded LSH: explode -> one groupBy(bucket) -> self-join rides the
     # same partitioning; an extra exchange here means the bucket join
@@ -96,16 +106,16 @@ BUDGETS = {
     # the InMemoryRelation reprints its whole build subtree (now carrying
     # the proxy window + semi join) inside this plan — printed-count
     # inflation only, the cached relation is built once.
-    "ml_minhash_candidate_pairs": (16, []),
-    "ml_exact_dup": (4, []),
+    "ml_minhash_candidate_pairs": (6, []),
+    "ml_exact_dup": (5, []),
     # candidates-only verify: the doc-shingle side joins candidates twice;
     # centroid/eval sides must stay broadcast. Recalibrated r12 (narrow
     # _exact_canonicals): the cached shingle relation's build plan — now
     # carrying the proxy window + semi join — reprints inside every
     # InMemoryRelation consumer branch, inflating the PRINTED count by
     # ~2-3 per reprint (measured 30; the relation is built once).
-    "ml_ngram_jaccard": (36, ["BroadcastHashJoin"]),
-    "ml_ivf_topk": (14, ["BroadcastHashJoin"]),
+    "ml_ngram_jaccard": (12, ["BroadcastHashJoin"]),
+    "ml_ivf_topk": (13, ["BroadcastHashJoin"]),
     "ml_lsh_topk": (7, ["BroadcastHashJoin"]),
     # one iteration of min-label propagation (the registered fixed-point
     # variant re-plans per iteration; budget pins the per-iteration shape).
@@ -122,37 +132,37 @@ BUDGETS = {
     "ml_ngram_span_dedup": (11, []),
     # quantile profile: one partial+final agg pair per grouping; the exact
     # percentile sorts within groups, not through one partition
-    "ml_source_quantiles": (4, []),
+    "ml_source_quantiles": (5, []),
     # composed decisions: each upstream stage (exact, near-dup clusters,
     # span dedup) contributes its own bounded exchange set; the composition
     # itself adds only the two doc_id left joins — plain key joins, never
     # forced broadcast (membership is data-scaled)
-    "ml_dedup_keep_list": (16, []),
+    "ml_dedup_keep_list": (14, []),
     # canonical-first containment: exact-keep window + span-gram bucket
     # expansion + candidates-only shingle intersection. Recalibrated r12:
     # cached-shingle reprints of the narrow-canonicals build plan, same
     # printed-count inflation as ml_ngram_jaccard (measured 30).
-    "ml_ngram_containment": (36, []),
+    "ml_ngram_containment": (16, []),
     # seven plans (brute truth + lsh/multiprobe/ivf/ivf_sq8/ivf_pq/pq),
     # each evaluated ONCE (returned+hits fold in one groupBy); a jump here
     # means a statistic started re-evaluating an index subtree. Measured
     # 66 with the r7 PQ method, ~100 with r9's SQ8, 120 with r9's IVF-PQ
     # (shortlist + rerank + codebook assignment are ~20 exchanges on
     # their own).
-    "ml_ann_recall": (130, ["BroadcastHashJoin"]),
-    "j11_explain_workflow": (6, ["BroadcastHashJoin"]),
+    "ml_ann_recall": (122, ["BroadcastHashJoin"]),
+    "j11_explain_workflow": (7, ["BroadcastHashJoin"]),
     # --- round-6 snapshot facts: every dim join must broadcast; the
     # relation-scan-derived facts print the pinned InMemoryRelation subtree
     # repeatedly (same inflation as a2), so their ceilings are print-count
     # budgets, not runtime shuffle counts
-    "snapshot_relation_fact": (160, ["BroadcastHashJoin"]),
-    "snapshot_index_fact": (100, ["BroadcastHashJoin"]),
-    "snapshot_relation_events": (300, ["BroadcastHashJoin"]),
-    "snapshot_system_fact": (45, ["BroadcastHashJoin"]),
-    "snapshot_backend_fact": (20, ["BroadcastHashJoin"]),
-    "snapshot_function_fact": (26, ["BroadcastHashJoin"]),
-    "snapshot_database_fact": (28, ["BroadcastHashJoin"]),
-    "snapshot_custom_type_fact": (22, ["BroadcastHashJoin"]),
+    "snapshot_relation_fact": (21, ["BroadcastHashJoin"]),
+    "snapshot_index_fact": (23, ["BroadcastHashJoin"]),
+    "snapshot_relation_events": (35, ["BroadcastHashJoin"]),
+    "snapshot_system_fact": (36, ["BroadcastHashJoin"]),
+    "snapshot_backend_fact": (16, ["BroadcastHashJoin"]),
+    "snapshot_function_fact": (21, ["BroadcastHashJoin"]),
+    "snapshot_database_fact": (23, ["BroadcastHashJoin"]),
+    "snapshot_custom_type_fact": (18, ["BroadcastHashJoin"]),
     # --- round-6 envelopes: map-only normalizers must stay (near) shuffle-
     # free; an exchange jump means the projection started aggregating
     "tr_planetscale_items": (4, []),
@@ -160,48 +170,48 @@ BUDGETS = {
     "tr_supabase_items": (4, []),
     "tr_neon_items": (5, ["BroadcastHashJoin"]),
     "j13_explain_analyze_guard": (4, []),
-    "ml_length_histogram": (10, ["BroadcastHashJoin"]),
+    "ml_length_histogram": (9, ["BroadcastHashJoin"]),
     "s35_server_version": (3, []),
     # --- round-7 additions ---
     # seven-section system fact: all dim joins broadcast; exchanges are
     # dominated by the upstream diff kernels' printed subtrees
-    "snapshot_system_fact_full": (85, ["BroadcastHashJoin"]),
+    "snapshot_system_fact_full": (69, ["BroadcastHashJoin"]),
     # five-kind pivot: one combinable groupBy(namespace)
     "s32_tembo_scan": (7, []),
     # packing manifest: ONE exchange for the (source, shard) window
-    "ml_sequence_packing": (4, []),
+    "ml_sequence_packing": (5, []),
     # unigram NLL: vocab groupBy + word-keyed join + per-doc reduce; the
     # 1-row grand total is the only single-partition aggregate
-    "ml_unigram_logprob": (13, []),
+    "ml_unigram_logprob": (12, []),
     # split assignment: map-only + the determinism orderBy
-    "ml_split_assign": (3, []),
+    "ml_split_assign": (4, []),
     # source overlap: DISTINCT-first + bucket pair expansion, one shuffle
     # on the gram hash
-    "ml_source_overlap": (14, []),
-    "ml_doc_chunks": (3, []),
+    "ml_source_overlap": (13, []),
+    "ml_doc_chunks": (4, []),
     # config flattening is map-only (the 1 exchange is the orderBy)
-    "f20_collector_config": (2, []),
+    "f20_collector_config": (3, []),
     # skew-split unigram: hot head must be a FORCED broadcast (bounded at
     # K rows by the TakeOrdered limit regardless of corpus size); the cold
     # tail's join strategy is AQE's call (broadcast at fixture scale,
     # shuffled at 100 TB) so it is deliberately not pinned
-    "ml_unigram_logprob_skew": (20, ["BroadcastHashJoin", "TakeOrdered"]),
+    "ml_unigram_logprob_skew": (19, ["BroadcastHashJoin", "TakeOrdered"]),
     # --- r7 tokenizer/LM/sampling/eval additions ---
     # BPE: distinct-word explode + combinable pair agg + TakeOrdered top-K
     # (no global sort shuffle); the rank window runs on K rows
     "ml_bpe_pair_counts": (5, ["TakeOrdered"]),
-    "ml_bpe_merge_round": (10, ["TakeOrdered"]),
+    "ml_bpe_merge_round": (9, ["TakeOrdered"]),
     # bigram LM: map-side bigram build (no lag window), plain key joins on
     # the data-scaled count relations, 1-row total broadcast
-    "ml_bigram_logprob": (19, []),
+    "ml_bigram_logprob": (18, []),
     # A-ES sampling: map-only scoring + one per-source top-K window
-    "ml_weighted_sample": (4, []),
+    "ml_weighted_sample": (5, []),
     # DSIR: B-row ratio table broadcast; corpus side map-side + one
     # combinable per-doc agg
-    "ml_dsir_weights": (15, ["BroadcastHashJoin"]),
+    "ml_dsir_weights": (14, ["BroadcastHashJoin"]),
     # purity rides the unrolled k-means plan (per-iteration broadcast +
     # combinable agg); budget pins the iteration count staying put
-    "ml_kmeans_purity": (55, ["BroadcastHashJoin"]),
+    "ml_kmeans_purity": (53, ["BroadcastHashJoin"]),
     # schema workflow: bounded per-server attempt stream
     "j14_schema_collection_workflow": (9, []),
     # recall: the exact-Jaccard truth is MATERIALIZED (localCheckpoint,
@@ -210,25 +220,25 @@ BUDGETS = {
     # being re-derived inline again (r8: 29 exchanges; r9: 8; r12: 10
     # with the narrow-canonicals proxy window + semi join in the
     # candidate build — see ml_minhash_candidate_pairs)
-    "ml_lsh_dedup_recall": (12, []),
-    "f21_collector_platform": (2, []),
+    "ml_lsh_dedup_recall": (8, []),
+    "f21_collector_platform": (3, []),
     # winnowing: selection is map-only row-local arrays; matching buckets
     # by fingerprint (groupBy + in-bucket expansion, LSH shape) and the
     # shared/delta aggregates ride the same pair partitioning
-    "ml_winnowing_fingerprints": (3, []),
-    "ml_winnowing_matches": (12, []),
+    "ml_winnowing_fingerprints": (4, []),
+    "ml_winnowing_matches": (11, []),
     # tuning: ONE checkpointed signature relation and ONE checkpointed
     # truth relation feed all nine (config x threshold) branches — a blow
     # here means a sweep branch re-derives either subtree inline again
     # (r8: 85 exchanges from per-config truth re-derivation; r9: 13)
-    "ml_lsh_tuning": (13, []),
+    "ml_lsh_tuning": (15, []),
     # manifest: the component stages' bounded exchange sets + four doc_id
     # left joins; only the O(sources) weight join broadcasts
-    "ml_curation_manifest": (54, ["BroadcastHashJoin"]),
+    "ml_curation_manifest": (48, ["BroadcastHashJoin"]),
     # three per-doc signal relations + doc_id equi-joins, no forced
     # broadcast (each side is O(corpus))
-    "ml_quality_keep_list": (17, []),
-    "ml_corpus_report": (27, []),
+    "ml_quality_keep_list": (16, []),
+    "ml_corpus_report": (25, []),
     # r10 session 5 — the text->vector bridge: one explode + one
     # groupBy(doc_id, dim) + the per-doc norm window (measured 4)
     "ml_hashed_tf_vectors": (6, []),
@@ -252,7 +262,7 @@ BUDGETS = {
     # checkpointed counts feed totals/matched sides (measured 11; a blow
     # means the corpus explode is re-derived per consumer again — 23
     # before the checkpoint)
-    "ml_source_tvd": (14, []),
+    "ml_source_tvd": (13, []),
     # E91's linear checkpointed vocab plan + the bounded source fold
     "ml_tokenizer_fertility": (8, []),
     # checkpointed (source, doc, line) fold feeds the flag groupBy and
@@ -264,57 +274,57 @@ BUDGETS = {
     # checkpointed token explode feeds tf/model/vocab; the L-row lang
     # dimension and 1-row totals broadcast (measured 24 incl. the
     # checkpoint subtree reprints)
-    "ml_nb_langid": (30, []),
+    "ml_nb_langid": (23, []),
     # the bucketed E3 candidate verify + checkpointed 5x threshold
     # fan-out feeding three bounded-key aggregates (measured 9)
-    "ml_dedup_threshold_sweep": (12, []),
+    "ml_dedup_threshold_sweep": (11, []),
     # row-local fingerprint; shuffles are the canonical window, the
     # bucket groupBy, and the two verify joins (measured 14)
-    "mm_phash_neardup": (17, []),
+    "mm_phash_neardup": (9, []),
     # E110's shape with a 2-class label join: checkpointed labeled token
     # explode feeds tf/model/vocab; both class sums in one doc-keyed
     # aggregate (measured 26 incl. checkpoint subtree reprints)
-    "ml_nb_quality": (32, []),
+    "ml_nb_quality": (17, []),
     # one broadcast probe join + one checkpointed pass; the config x
     # radius grade is row-local (measured 4)
-    "mm_phash_tuning": (6, []),
+    "mm_phash_tuning": (4, []),
     # row-local window pair generation + E109's shared margins report
     # (measured 7)
     "ml_skipgram_pmi": (9, []),
     # E113's plan + one map-only hash/logit projection (measured 28)
-    "ml_quality_sample": (34, []),
+    "ml_quality_sample": (19, []),
     # one groupBy(source); everything after is bounded by the source
     # dimension (measured 11)
     "ml_corpus_balance": (13, []),
     # E113's checkpointed margin plan + one bounded groupBy(bin) + the
     # <=65-row cumulative window and 1-row totals (measured 41 incl.
     # checkpoint subtree reprints)
-    "ml_quality_roc": (44, []),
-    "ml_quality_auc": (44, []),
-    "ml_quality_pr": (44, []),
+    "ml_quality_roc": (35, []),
+    "ml_quality_auc": (35, []),
+    "ml_quality_pr": (35, []),
     # E113's plan + the doc_id source join + one bounded groupBy(source,
     # bin) + source-partitioned windows over that bounded relation
-    "ml_quality_margin_quantiles": (48, []),
+    "ml_quality_margin_quantiles": (21, []),
     # row-local projection + one <=63-bucket groupBy + final sort
-    "ml_padding_waste": (4, []),
+    "ml_padding_waste": (5, []),
     # the Dolma attributes composition: six doc_id equi-joins of linear
     # per-doc signal relations (measured 20, no broadcast — every side is
     # O(corpus))
-    "ml_doc_attributes": (23, []),
+    "ml_doc_attributes": (22, []),
     # row-local A-ES key + one source-partitioned rank window + sort
-    "ml_token_weighted_sample": (4, []),
+    "ml_token_weighted_sample": (5, []),
     # E110's confusion plan + three folds over the bounded L x L relation
-    "ml_langid_pr": (40, []),
+    "ml_langid_pr": (6, []),
     # one explode + groupBy(source, h), the smaller groupBy(h) refold,
     # one co-partitioned join on h, bounded groupBy(source) (measured 8)
-    "ml_dup_ngram_fraction": (10, []),
+    "ml_dup_ngram_fraction": (6, []),
     # --- r12 additions ---
     # the full §3.2 composition over ONE checkpointed staged relation:
     # ref dense_index + association window + role/db broadcast dims
     # (measured 28 each, batch and streaming — the streaming twin's
     # assembly runs on the stream's checkpointed output, same shape)
-    "log_pipeline_full": (36, ["BroadcastHashJoin"]),
-    "st_log_pipeline_full": (36, ["BroadcastHashJoin"]),
+    "log_pipeline_full": (29, ["BroadcastHashJoin"]),
+    "st_log_pipeline_full": (29, ["BroadcastHashJoin"]),
     # full-outer doc_id join of two corpus-scaled snapshot projections:
     # correctly NOT broadcast (measured 6, SortMergeJoin)
     "ml_corpus_diff": (8, ["SortMergeJoin"]),
@@ -326,13 +336,13 @@ BUDGETS = {
     # the asymmetric screen: two checkpointed TF sides, maxw relations
     # broadcast, two prefix walks + two candidate legs + cross-side
     # verify (measured 28; the TF_DIM-bounded maxw joins must broadcast)
-    "ml_neardup_screen": (36, ["BroadcastHashJoin"]),
+    "ml_neardup_screen": (29, ["BroadcastHashJoin"]),
     # probe-bounded truth + the screen's reached pairs (measured 4 — the
     # checkpointed flagged relation collapses the four threshold branches)
-    "ml_neardup_screen_recall": (8, []),
+    "ml_neardup_screen_recall": (6, []),
     # probe-bounded Jaccard truth + the banded cross-side reached pairs
     # (measured 3; the checkpointed flagged relation collapses branches)
-    "ml_incremental_dedup_recall": (8, []),
+    "ml_incremental_dedup_recall": (5, []),
 }
 
 # Queries allowed N Exchange SinglePartition occurrences: 1-row gauge
@@ -418,12 +428,12 @@ def test_no_forced_broadcast_on_data_scaled_edges(prepared_spark, name):
 @pytest.mark.parametrize("name", sorted(BUDGETS))
 def test_plan_budget(prepared_spark, name):
     budget, must_contain = BUDGETS[name]
-    plan = _plan(prepared_spark, name)
-    n_exchange = _live_count(plan, "Exchange ")
+    root = _plan_root(prepared_spark, name)
+    plan = root.toString()
+    n_exchange, n_single = _live_counts(root)
     assert n_exchange <= budget, f"{name}: {n_exchange} exchanges > budget {budget}"
     # the invariant that matters most at scale: nothing funnels the data
     # through one task (1-row gauge/grand-total subtrees excepted, above)
-    n_single = _live_count(plan, "Exchange SinglePartition")
     assert n_single <= SINGLE_PARTITION_OK.get(name, 0), (
         f"{name}: {n_single} single-partition exchanges"
     )
