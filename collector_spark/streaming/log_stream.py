@@ -114,8 +114,11 @@ def _stitch_state_fn(
     for pdf in pdf_iter:
         if not len(pdf):
             continue
-        seqs += [int(v) for v in pdf["seq"]]
-        cts += [int(v) // 1_000 for v in pdf["collected_at"].astype("int64")]  # ns->us
+        # column-at-a-time ingest: .tolist() converts in C; the former
+        # per-value int()/str()/pd.isna() loop was the batch's hottest
+        # Python, paid for EVERY buffered line per microbatch
+        seqs += pdf["seq"].astype("int64").tolist()
+        cts += (pdf["collected_at"].astype("int64") // 1_000).tolist()  # ns->us
         for col, acc in (
             ("log_level", levels),
             ("username", users),
@@ -123,7 +126,8 @@ def _stitch_state_fn(
             ("application", apps),
             ("content", contents),
         ):
-            acc += [None if pd.isna(v) else str(v) for v in pdf[col]]
+            s = pdf[col]
+            acc += s.astype(object).where(s.notna(), None).tolist()
 
     order = sorted(range(len(seqs)), key=lambda i: seqs[i])
     groups: list[list[int]] = []

@@ -127,3 +127,40 @@ def test_rewrite_groups_equals_regexp_extract(spark):
     for row in checks.collect():
         bad = [k for k, v in row.asDict().items() if v is not True]
         assert not bad, f"groups diverge from regexp_extract: {bad}"
+
+
+def test_stitch_state_ingest_vectorized_matches_row_loop():
+    """The r13 column-at-a-time ingest in _stitch_state_fn must reproduce
+    the former per-value loop exactly — Python int (not numpy) seqs and
+    micros, and None (not NaN/pd.NA) for missing strings, since the packed
+    state round-trips through pickle and feeds string joins."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "seq": np.array([3, 1, 2], dtype="int64"),
+            "collected_at": pd.to_datetime(
+                [
+                    "2026-01-01 00:00:00.123456",
+                    "2026-01-01 00:00:01.000000",
+                    "2026-01-01 00:00:02.000000",
+                ]
+            ),
+            "username": ["u", None, "w"],
+            "content": ["a", float("nan"), "c"],
+        }
+    )
+    old_seqs = [int(v) for v in pdf["seq"]]
+    old_cts = [int(v) // 1_000 for v in pdf["collected_at"].astype("int64")]
+    new_seqs = pdf["seq"].astype("int64").tolist()
+    new_cts = (pdf["collected_at"].astype("int64") // 1_000).tolist()
+    assert new_seqs == old_seqs
+    assert new_cts == old_cts
+    assert all(type(v) is int for v in new_seqs + new_cts)
+    for col in ("username", "content"):
+        old = [None if pd.isna(v) else str(v) for v in pdf[col]]
+        s = pdf[col]
+        new = s.astype(object).where(s.notna(), None).tolist()
+        assert new == old
+        assert all(v is None or type(v) is str for v in new)
